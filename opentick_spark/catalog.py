@@ -1,0 +1,295 @@
+"""Catalog: databases and PK-ordered tables over a Parquet warehouse.
+
+Reference semantics (schema.go): databases and tables are FDB directories;
+each table persists a binary-encoded schema with an ordered column list and
+a mandatory composite primary key; creating a database auto-creates its
+``_adj_`` adjustment-factor table (schema.go:49-67, 247-262); schemas are
+cached process-wide (schema.go:444-470); rename-column rewrites only the
+schema blob, not the data (schema.go:383-418).
+
+Spark-native mapping: a database is a warehouse subdirectory; a table is a
+directory holding ``_schema.json`` plus an append-log of Parquet files.
+Column renames update only the schema JSON — each column keeps a stable
+*physical* name (its name at creation), and reads alias physical→logical,
+mirroring the reference's positional storage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+from dataclasses import dataclass, field
+
+from opentick_spark.errors import OpentickError
+from opentick_spark.typesys import parse_type_name
+
+ADJ_TABLE = "_adj_"
+
+
+@dataclass(frozen=True)
+class ColumnDef:
+    name: str  # logical (current) name
+    type: str  # opentick type name
+    is_key: bool
+    key_pos: int  # position within PK (or within value columns if not key)
+    pos_col: int  # position among all columns (declaration order)
+    physical: str  # stable storage name (name at creation)
+
+
+@dataclass
+class TableSchema:
+    db: str
+    name: str
+    columns: list[ColumnDef] = field(default_factory=list)
+
+    @property
+    def key_columns(self) -> list[ColumnDef]:
+        cols = [c for c in self.columns if c.is_key]
+        cols.sort(key=lambda c: c.key_pos)
+        return cols
+
+    @property
+    def value_columns(self) -> list[ColumnDef]:
+        cols = [c for c in self.columns if not c.is_key]
+        cols.sort(key=lambda c: c.key_pos)
+        return cols
+
+    @property
+    def pk_names(self) -> list[str]:
+        return [c.name for c in self.key_columns]
+
+    def col(self, name: str) -> ColumnDef | None:
+        for c in self.columns:
+            if c.name == name:
+                return c
+        return None
+
+    def to_json(self) -> dict:
+        return {
+            "db": self.db,
+            "name": self.name,
+            "columns": [
+                {
+                    "name": c.name,
+                    "type": c.type,
+                    "is_key": c.is_key,
+                    "key_pos": c.key_pos,
+                    "pos_col": c.pos_col,
+                    "physical": c.physical,
+                }
+                for c in self.columns
+            ],
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "TableSchema":
+        return TableSchema(
+            db=d["db"],
+            name=d["name"],
+            columns=[ColumnDef(**c) for c in d["columns"]],
+        )
+
+
+def build_schema(
+    db: str, name: str, col_defs: list[tuple[str, str]], pk: list[str]
+) -> TableSchema:
+    """Validate column/PK declarations exactly like CreateTable
+    (schema.go:264-329): duplicate column, missing/duplicate/unknown PK."""
+    if not pk:
+        raise OpentickError("PRIMARY KEY not declared")
+    seen: dict[str, str] = {}
+    for cname, ctype in col_defs:
+        if cname in seen:
+            raise OpentickError(f"Duplicate column name {cname}")
+        seen[cname] = parse_type_name(ctype)
+    pk_seen = set()
+    for k in pk:
+        if k in pk_seen:
+            raise OpentickError(f"Duplicate PRIMARY KEY column {k}")
+        if k not in seen:
+            raise OpentickError(f"Unknown PRIMARY KEY column {k}")
+        pk_seen.add(k)
+    cols: list[ColumnDef] = []
+    n_key = 0
+    n_val = 0
+    for pos_col, (cname, _) in enumerate(col_defs):
+        is_key = cname in pk_seen
+        if is_key:
+            key_pos = pk.index(cname)
+            n_key += 1
+        else:
+            key_pos = n_val
+            n_val += 1
+        cols.append(
+            ColumnDef(
+                name=cname,
+                type=seen[cname],
+                is_key=is_key,
+                key_pos=key_pos,
+                pos_col=pos_col,
+                physical=cname,
+            )
+        )
+    return TableSchema(db=db, name=name, columns=cols)
+
+
+ADJ_COLS = [("sec", "int"), ("time", "timestamp"), ("px", "double"), ("vol", "double")]
+ADJ_PK = ["sec", "time"]
+
+
+class Catalog:
+    """Filesystem-backed catalog with a process-wide schema cache."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+        self._cache: dict[tuple[str, str], TableSchema] = {}
+        self._lock = threading.RLock()
+
+    # ---- paths -----------------------------------------------------------
+    def db_path(self, db: str) -> str:
+        return os.path.join(self.warehouse, db)
+
+    def table_path(self, db: str, table: str) -> str:
+        return os.path.join(self.warehouse, db, table)
+
+    # ---- databases -------------------------------------------------------
+    def create_database(self, db: str, if_not_exists: bool = False) -> None:
+        path = self.db_path(db)
+        if os.path.exists(path):
+            if if_not_exists:
+                return
+            raise OpentickError(f"Database {db} already exists")
+        os.makedirs(path)
+        # every database auto-contains its adjustment table (schema.go:65)
+        self.create_table(db, ADJ_TABLE, ADJ_COLS, ADJ_PK)
+
+    def drop_database(self, db: str, if_exists: bool = False) -> None:
+        path = self.db_path(db)
+        if not os.path.exists(path):
+            if if_exists:
+                return
+            raise OpentickError(f"Database {db} does not exist")
+        with self._lock:
+            shutil.rmtree(path)
+            self._cache = {
+                k: v for k, v in self._cache.items() if k[0] != db
+            }
+
+    def list_databases(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isdir(self.db_path(d))
+        )
+
+    def has_database(self, db: str) -> bool:
+        return os.path.isdir(self.db_path(db))
+
+    # ---- tables ----------------------------------------------------------
+    def create_table(
+        self,
+        db: str,
+        name: str,
+        col_defs: list[tuple[str, str]],
+        pk: list[str],
+        if_not_exists: bool = False,
+    ) -> TableSchema:
+        if not self.has_database(db):
+            raise OpentickError(f"Database {db} does not exist")
+        path = self.table_path(db, name)
+        if os.path.exists(path):
+            if if_not_exists:
+                return self.get_schema(db, name)
+            raise OpentickError(f"Table {db}.{name} already exists")
+        schema = build_schema(db, name, col_defs, pk)
+        os.makedirs(os.path.join(path, "data"))
+        self._write_schema(schema)
+        with self._lock:
+            self._cache[(db, name)] = schema
+        return schema
+
+    def drop_table(self, db: str, name: str, if_exists: bool = False) -> None:
+        path = self.table_path(db, name)
+        if not os.path.exists(path):
+            if if_exists:
+                return
+            raise OpentickError(f"Table {db}.{name} does not exist")
+        with self._lock:
+            shutil.rmtree(path)
+            self._cache.pop((db, name), None)
+
+    def list_tables(self, db: str) -> list[str]:
+        if not self.has_database(db):
+            raise OpentickError(f"Database {db} does not exist")
+        return sorted(
+            t
+            for t in os.listdir(self.db_path(db))
+            if os.path.isdir(self.table_path(db, t))
+        )
+
+    def has_table(self, db: str, name: str) -> bool:
+        return os.path.isdir(self.table_path(db, name))
+
+    def get_schema(self, db: str, name: str) -> TableSchema:
+        with self._lock:
+            cached = self._cache.get((db, name))
+            if cached is not None:
+                return cached
+        path = os.path.join(self.table_path(db, name), "_schema.json")
+        if not os.path.exists(path):
+            raise OpentickError(f"Table {db}.{name} does not exist")
+        with open(path) as f:
+            schema = TableSchema.from_json(json.load(f))
+        with self._lock:
+            self._cache[(db, name)] = schema
+        return schema
+
+    def rename_table(self, db: str, old: str, new: str) -> None:
+        old_path = self.table_path(db, old)
+        new_path = self.table_path(db, new)
+        if not os.path.exists(old_path):
+            raise OpentickError(f"Table {db}.{old} does not exist")
+        if os.path.exists(new_path):
+            raise OpentickError(f"Table {db}.{new} already exists")
+        with self._lock:
+            schema = self.get_schema(db, old)
+            schema = TableSchema(db=db, name=new, columns=schema.columns)
+            os.rename(old_path, new_path)
+            self._write_schema(schema)
+            self._cache.pop((db, old), None)
+            self._cache[(db, new)] = schema
+
+    def rename_column(self, db: str, table: str, old: str, new: str) -> None:
+        """Schema-only rewrite; data files keep the physical name
+        (reference rewrites only the schema blob, schema.go:383-418)."""
+        with self._lock:
+            schema = self.get_schema(db, table)
+            col = schema.col(old)
+            if col is None:
+                raise OpentickError(f"Column {old} does not exist")
+            if schema.col(new) is not None:
+                raise OpentickError(f"Column {new} already exists")
+            cols = [
+                ColumnDef(
+                    name=new if c.name == old else c.name,
+                    type=c.type,
+                    is_key=c.is_key,
+                    key_pos=c.key_pos,
+                    pos_col=c.pos_col,
+                    physical=c.physical,
+                )
+                for c in schema.columns
+            ]
+            schema = TableSchema(db=db, name=table, columns=cols)
+            self._write_schema(schema)
+            self._cache[(db, table)] = schema
+
+    def _write_schema(self, schema: TableSchema) -> None:
+        path = os.path.join(self.table_path(schema.db, schema.name), "_schema.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(schema.to_json(), f)
+        os.replace(tmp, path)

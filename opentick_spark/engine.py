@@ -1,0 +1,298 @@
+"""Engine facade: the opentick surface (execute / prepare / batch_insert)
+over Spark.
+
+Library-first: Spark *is* the server, so the reference's TCP/BSON protocol,
+futures, and connection pooling (server.go, clients) collapse into plain
+method calls. What remains semantically is reproduced here:
+
+- ``execute(sql, *args)`` — parse → resolve → run (Execute, query.go:44-119)
+- ``prepare(sql)`` → integer id; ``execute(id, *args)`` skips parse+resolve
+  (server.go:384-398 — the reference's only "optimizer" beyond storage
+  pushdown)
+- ``batch_insert(prepared, rows)`` — N rows in ONE atomic commit
+  (BatchInsert, query.go:294-307)
+- SELECTs return DataFrames in implicit full-PK order (ascending, or
+  descending under ``LIMIT -n`` — query.go:156-159); ``execute_rows``
+  collects with timestamps converted back to the reference's (sec, nsec)
+  wire pairs (client/opentick.go:171-189)
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opentick_spark.catalog import ADJ_TABLE, Catalog
+from opentick_spark.dialect import ast
+from opentick_spark.dialect.parser import parse
+from opentick_spark.dialect.resolver import (
+    Placeholder,
+    ResolvedCond,
+    ResolvedDelete,
+    ResolvedInsert,
+    ResolvedSelect,
+    bind_conds,
+    resolve_delete,
+    resolve_insert,
+    resolve_select,
+)
+from opentick_spark.errors import OpentickError
+from opentick_spark.operators.adj import apply_adj
+from opentick_spark.table import TableStore
+from opentick_spark.typesys import from_epoch_nanos, validate_value
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.catalog = Catalog(warehouse)
+        self.current_db: str | None = None
+        self._prepared: dict[int, tuple[str, Any]] = {}
+        self._prepared_by_sql: dict[str, int] = {}
+        self._prepared_ids = itertools.count(1)
+        self._lock = threading.RLock()
+        self._stores: dict[tuple[str, str], TableStore] = {}
+
+    # ------------------------------------------------------------------
+    def use(self, db: str) -> None:
+        self.current_db = db
+
+    def store(self, db: str, table: str) -> TableStore:
+        with self._lock:
+            key = (db, table)
+            st = self._stores.get(key)
+            if st is None:
+                self.catalog.get_schema(db, table)  # existence check
+                st = TableStore(self.catalog, db, table)
+                self._stores[key] = st
+            return st
+
+    def _db_of(self, t: ast.TableName) -> str:
+        db = t.db or self.current_db
+        if not db:
+            raise OpentickError(
+                "No database name has been specified. USE a database name, "
+                "or explicitly specify databasename.tablename"
+            )
+        return db
+
+    # ------------------------------------------------------------------
+    def prepare(self, sql: str) -> int:
+        """Parse + resolve once; returns an id reusable with execute()
+        (implicit-prepare caching like the clients, client/opentick.go:256-276)."""
+        with self._lock:
+            if sql in self._prepared_by_sql:
+                return self._prepared_by_sql[sql]
+            node = parse(sql)
+            resolved = self._resolve(node)
+            pid = next(self._prepared_ids)
+            self._prepared[pid] = (sql, resolved)
+            self._prepared_by_sql[sql] = pid
+            return pid
+
+    def _resolve(self, node):
+        if isinstance(node, ast.Select):
+            db = self._db_of(node.table)
+            return resolve_select(self.catalog.get_schema(db, node.table.name), node)
+        if isinstance(node, ast.Insert):
+            db = self._db_of(node.table)
+            return resolve_insert(self.catalog.get_schema(db, node.table.name), node)
+        if isinstance(node, ast.Delete):
+            db = self._db_of(node.table)
+            return resolve_delete(self.catalog.get_schema(db, node.table.name), node)
+        raise OpentickError("Only select/insert/delete can be resolved")
+
+    # ------------------------------------------------------------------
+    def execute(self, sql: str | int, *args: Any) -> DataFrame | None:
+        """Run a statement (SQL text or a prepared id). SELECT returns a
+        DataFrame; DDL/DML return None."""
+        if isinstance(sql, int):
+            try:
+                _, resolved = self._prepared[sql]
+            except KeyError:
+                raise OpentickError(f"Unknown prepared id {sql}") from None
+            return self._run_resolved(resolved, args)
+        node = parse(sql)
+        # DDL dispatches straight to the catalog (Execute, query.go:44-119)
+        if isinstance(node, ast.CreateDatabase):
+            self.catalog.create_database(node.name, node.if_not_exists)
+            return None
+        if isinstance(node, ast.DropDatabase):
+            self.catalog.drop_database(node.name)
+            return None
+        if isinstance(node, ast.CreateTable):
+            db = self._db_of(node.table)
+            self.catalog.create_table(
+                db, node.table.name, node.cols, node.pk, node.if_not_exists
+            )
+            return None
+        if isinstance(node, ast.DropTable):
+            db = self._db_of(node.table)
+            self.catalog.drop_table(db, node.table.name)
+            self._stores.pop((db, node.table.name), None)
+            return None
+        if isinstance(node, ast.RenameTable):
+            db = self._db_of(node.table)
+            self.catalog.rename_table(db, node.table.name, node.new_name)
+            self._stores.pop((db, node.table.name), None)
+            return None
+        if isinstance(node, ast.RenameColumn):
+            db = self._db_of(node.table)
+            self.catalog.rename_column(db, node.table.name, node.old, node.new)
+            return None
+        return self._run_resolved(self._resolve(node), args)
+
+    def execute_rows(self, sql: str | int, *args: Any) -> list[tuple] | None:
+        """Reference-client result shape: list of row tuples with timestamp
+        columns as (epoch_sec, nanosec) pairs."""
+        result = self.execute(sql, *args)
+        if result is None:
+            return None
+        resolved = None
+        if isinstance(sql, int):
+            resolved = self._prepared[sql][1]
+        else:
+            node = parse(sql)
+            if isinstance(node, ast.Select):
+                resolved = self._resolve(node)
+        ts_idx = set()
+        if isinstance(resolved, ResolvedSelect):
+            ts_idx = {i for i, c in enumerate(resolved.cols) if c.type == "timestamp"}
+        rows = []
+        for r in result.collect():
+            vals = list(r)
+            for i in ts_idx:
+                if vals[i] is not None:
+                    vals[i] = from_epoch_nanos(vals[i])
+            rows.append(tuple(vals))
+        return rows
+
+    # ------------------------------------------------------------------
+    def _check_args(self, n_expected: int, args: tuple) -> None:
+        if len(args) != n_expected:
+            raise OpentickError(f"Expected {n_expected} arguments, got {len(args)}")
+
+    def _run_resolved(self, resolved, args: tuple) -> DataFrame | None:
+        if isinstance(resolved, ResolvedSelect):
+            self._check_args(resolved.n_placeholders, args)
+            return self._run_select(resolved, args)
+        if isinstance(resolved, ResolvedInsert):
+            self._check_args(resolved.n_placeholders, args)
+            self._insert_rows(resolved, [args])
+            return None
+        if isinstance(resolved, ResolvedDelete):
+            self._check_args(resolved.n_placeholders, args)
+            return self._run_delete(resolved, args)
+        raise OpentickError("Invalid statement")
+
+    def _predicate(self, conds: list[ResolvedCond]):
+        pred = F.lit(True)
+        for c in conds:
+            col = F.col(c.col.name)
+            if c.equal is not None:
+                pred = pred & (col == F.lit(c.equal))
+            if c.start is not None:
+                pred = pred & (
+                    (col >= F.lit(c.start.value))
+                    if c.start.inclusive
+                    else (col > F.lit(c.start.value))
+                )
+            if c.end is not None:
+                pred = pred & (
+                    (col <= F.lit(c.end.value))
+                    if c.end.inclusive
+                    else (col < F.lit(c.end.value))
+                )
+        return pred
+
+    def _run_select(self, stmt: ResolvedSelect, args: tuple) -> DataFrame:
+        schema = stmt.schema
+        st = self.store(schema.db, schema.name)
+        df = st.read(self.spark)
+        conds = bind_conds(stmt.conds, args)
+        if conds:
+            df = df.filter(self._predicate(conds))
+        if stmt.adjs:
+            adj_store = self.store(schema.db, ADJ_TABLE)
+            adj_df = adj_store.read(self.spark)
+            keys = schema.key_columns
+            px_cols = [a.col.name for a in stmt.adjs if a.kind == "px"]
+            vol_cols = [a.col.name for a in stmt.adjs if a.kind == "vol"]
+            backward = stmt.adjs[0].backward
+            df = apply_adj(
+                df, adj_df, keys[0].name, keys[-1].name, px_cols, vol_cols, backward
+            )
+        # implicit full-PK ordering; LIMIT -n = tail in DESCENDING order
+        pk = schema.pk_names
+        order = [F.col(k).desc() for k in pk] if stmt.reverse else [F.col(k) for k in pk]
+        df = df.orderBy(*order)
+        if stmt.limit:
+            df = df.limit(stmt.limit)
+        return df.select(*[c.name for c in stmt.cols])
+
+    def _run_delete(self, stmt: ResolvedDelete, args: tuple) -> None:
+        st = self.store(stmt.schema.db, stmt.schema.name)
+        conds = bind_conds(stmt.conds, args)
+        pred = self._predicate(conds) if conds else F.lit(True)
+        st.delete_where(self.spark, pred)
+        return None
+
+    # ------------------------------------------------------------------
+    def _insert_rows(self, stmt: ResolvedInsert, rows_args: list[tuple]) -> None:
+        """Bind each arg tuple, validate/coerce, and append all rows as ONE
+        atomic commit (BatchInsert, query.go:294-307)."""
+        out = []
+        for args in rows_args:
+            if stmt.n_placeholders != len(args):
+                raise OpentickError(
+                    f"Expected {stmt.n_placeholders} arguments, got {len(args)}"
+                )
+            row = {}
+            for col, v in zip(stmt.cols, stmt.values):
+                if isinstance(v, Placeholder):
+                    try:
+                        v = validate_value(args[v.index], col.type, col.name)
+                    except OpentickError:
+                        a = args[v.index]
+                        raise OpentickError(
+                            f'Invalid {type(a).__name__} value ({a}) for '
+                            f'"{col.name}" of {col.type}'
+                        ) from None
+                row[col.name] = v
+            out.append(row)
+        self.store(stmt.schema.db, stmt.schema.name).append_rows(out)
+
+    def batch_insert(self, sql_or_id: str | int, rows_args: list[tuple]) -> None:
+        if isinstance(sql_or_id, str):
+            sql_or_id = self.prepare(sql_or_id)
+        _, resolved = self._prepared[sql_or_id]
+        if not isinstance(resolved, ResolvedInsert):
+            raise OpentickError("Batch requires a prepared insert")
+        self._insert_rows(resolved, rows_args)
+
+    # ------------------------------------------------------------------
+    # meta surface (server.go:440-499)
+    def list_databases(self) -> list[str]:
+        return self.catalog.list_databases()
+
+    def list_tables(self, db: str | None = None) -> list[str]:
+        return self.catalog.list_tables(db or self.current_db)
+
+    def table_meta(self, db: str, table: str) -> list[list[tuple[str, str]]]:
+        """`meta schema` shape: [[key cols], [value cols]] of (name, type)."""
+        s = self.catalog.get_schema(db, table)
+        return [
+            [(c.name, c.type) for c in s.key_columns],
+            [(c.name, c.type) for c in s.value_columns],
+        ]
+
+
+def connect(spark: SparkSession, warehouse: str, db: str | None = None) -> Engine:
+    eng = Engine(spark, warehouse)
+    if db:
+        eng.use(db)
+    return eng

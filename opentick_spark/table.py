@@ -1,0 +1,256 @@
+"""PK-ordered table storage: Parquet append-log with latest-wins upsert.
+
+Reference semantics being reproduced (query.go):
+- insert is upsert — writing an existing PK replaces the row (tr.Set,
+  query.go:302; observed server_test.go:96-99);
+- batch insert is atomic (one FDB transaction, query.go:294-307);
+- delete clears a point or contiguous PK range (query.go:204-226);
+- every read returns rows in full-PK order (storage order).
+
+Spark-native design: each write is one Parquet file stamped with a
+monotonically increasing commit sequence (``__seq``); deletes append
+tombstone files (``__del = true``). The read view resolves the log with a
+latest-wins window over the PK — semantically Delta's MERGE, built from
+plain Parquet. ``compact()`` collapses the log into PK-range-partitioned,
+PK-sorted files (the reference's "table is physically sorted by PK"), after
+which reads skip the dedup window entirely until the next write.
+
+Scale posture (100 TB): the append-log + compaction model is exactly how
+LSM/Delta-style lakehouse tables ingest at scale — writes never rewrite
+history, the dedup window shuffles only on the PK (co-partitioned with the
+subsequent range-partitioned layout), and compaction uses
+``repartitionByRange`` on the PK so Parquet row-group min/max stats give
+the same predicate⇒locality property the reference gets from FDB key order.
+Writes here land via Arrow (no JVM round-trip) because point ingest is a
+storage concern; all query compute is Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import uuid
+from typing import Any, Iterable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opentick_spark.catalog import Catalog, TableSchema
+from opentick_spark.typesys import spark_type
+
+_ARROW_TYPE = {
+    "tinyint": pa.int8(),
+    "smallint": pa.int16(),
+    "int": pa.int32(),
+    "bigint": pa.int64(),
+    "double": pa.float64(),
+    "float": pa.float32(),
+    "timestamp": pa.int64(),  # epoch nanos
+    "boolean": pa.bool_(),
+    "text": pa.string(),
+}
+
+SEQ_COL = "__seq"
+DEL_COL = "__del"
+
+
+class TableStore:
+    """Read/write access to one PK-ordered table."""
+
+    def __init__(self, catalog: Catalog, db: str, name: str):
+        self.catalog = catalog
+        self.db = db
+        self.name = name
+        self.path = catalog.table_path(db, name)
+        self.data_path = os.path.join(self.path, "data")
+        self._lock = threading.RLock()
+
+    # ------------------------------------------------------------------
+    @property
+    def schema(self) -> TableSchema:
+        return self.catalog.get_schema(self.db, self.name)
+
+    def _meta(self) -> dict:
+        p = os.path.join(self.path, "_meta.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"seq": 0, "compacted": True}
+
+    def _write_meta(self, meta: dict) -> None:
+        p = os.path.join(self.path, "_meta.json")
+        tmp = p + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, p)
+
+    def _next_seq(self) -> int:
+        with self._lock:
+            meta = self._meta()
+            meta["seq"] += 1
+            meta["compacted"] = False
+            self._write_meta(meta)
+            return meta["seq"]
+
+    def arrow_schema(self, with_meta: bool = True) -> pa.Schema:
+        fields = [
+            pa.field(c.physical, _ARROW_TYPE[c.type]) for c in self.schema.columns
+        ]
+        if with_meta:
+            fields += [pa.field(SEQ_COL, pa.int64()), pa.field(DEL_COL, pa.bool_())]
+        return pa.schema(fields)
+
+    def spark_schema(self, with_meta: bool = True) -> T.StructType:
+        fields = [
+            T.StructField(c.physical, spark_type(c.type), not c.is_key)
+            for c in self.schema.columns
+        ]
+        if with_meta:
+            fields += [
+                T.StructField(SEQ_COL, T.LongType(), False),
+                T.StructField(DEL_COL, T.BooleanType(), False),
+            ]
+        return T.StructType(fields)
+
+    # ------------------------------------------------------------------
+    # write path (Arrow — storage-level, not query compute)
+    def append_rows(
+        self, rows: Iterable[dict[str, Any]], delete: bool = False
+    ) -> int:
+        """Atomically append one commit containing ``rows``.
+
+        Each row is a dict keyed by *logical* column names holding
+        engine-native values (timestamps already epoch-nanos). Missing value
+        columns are stored as NULL (sparse rows, query.go:150-152). Within a
+        commit, later rows win on PK collision (sequential tr.Set order) —
+        guaranteed by a per-row sub-sequence.
+        """
+        rows = list(rows)
+        if not rows:
+            return 0
+        schema = self.schema
+        seq = self._next_seq()
+        logical_to_physical = {c.name: c.physical for c in schema.columns}
+        cols: dict[str, list] = {c.physical: [] for c in schema.columns}
+        for r in rows:
+            for lname, phys in logical_to_physical.items():
+                cols[phys].append(r.get(lname))
+        n = len(rows)
+        # per-row sub-sequence so intra-batch PK collisions resolve last-wins
+        arrays = []
+        arrow = self.arrow_schema()
+        for c in schema.columns:
+            arrays.append(pa.array(cols[c.physical], type=_ARROW_TYPE[c.type]))
+        base = seq * (1 << 22)
+        arrays.append(pa.array([base + i for i in range(n)], type=pa.int64()))
+        arrays.append(pa.array([delete] * n, type=pa.bool_()))
+        tbl = pa.Table.from_arrays(arrays, schema=arrow)
+        fname = os.path.join(self.data_path, f"commit-{seq:012d}.parquet")
+        tmp = fname + f".{uuid.uuid4().hex}.tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, fname)  # atomic commit: file appears fully-written
+        return n
+
+    def append_dataframe(self, df: DataFrame) -> None:
+        """Append a (possibly large) DataFrame as one commit — the Spark
+        write path for bulk loads / streaming foreachBatch."""
+        schema = self.schema
+        seq = self._next_seq()
+        out = df
+        for c in schema.columns:
+            if c.name != c.physical:
+                out = out.withColumnRenamed(c.name, c.physical)
+        out = out.withColumn(
+            SEQ_COL,
+            F.lit(seq * (1 << 22)).cast("long")
+            + F.monotonically_increasing_id() % (1 << 22),
+        ).withColumn(DEL_COL, F.lit(False))
+        commit_dir = os.path.join(self.data_path, f"commit-{seq:012d}")
+        out.write.mode("overwrite").parquet(commit_dir)
+
+    # ------------------------------------------------------------------
+    # read path (Spark)
+    def _raw(self, spark: SparkSession) -> DataFrame:
+        files_exist = any(
+            f.endswith(".parquet") or f.startswith("commit-")
+            for f in os.listdir(self.data_path)
+        )
+        if not files_exist:
+            return spark.createDataFrame([], self.spark_schema())
+        return (
+            spark.read.schema(self.spark_schema())
+            .option("recursiveFileLookup", "true")
+            .parquet(self.data_path)
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Current table state: latest row per PK, tombstones dropped,
+        logical column names, no meta columns. Not yet PK-sorted — the
+        query layer appends the implicit PK ordering (query.go:156-201)."""
+        schema = self.schema
+        df = self._raw(spark)
+        meta = self._meta()
+        pk_phys = [c.physical for c in schema.key_columns]
+        if not meta.get("compacted", False):
+            w = Window.partitionBy(*pk_phys).orderBy(F.col(SEQ_COL).desc())
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .filter(~F.col(DEL_COL))
+                .drop("__rn")
+            )
+        df = df.drop(SEQ_COL, DEL_COL)
+        for c in schema.columns:
+            if c.physical != c.name:
+                df = df.withColumnRenamed(c.physical, c.name)
+        # declaration order projection
+        return df.select(*[c.name for c in sorted(schema.columns, key=lambda x: x.pos_col)])
+
+    # ------------------------------------------------------------------
+    def delete_where(self, spark: SparkSession, predicate) -> int:
+        """Append tombstones for current rows matching ``predicate``
+        (a pyspark Column over logical names)."""
+        current = self.read(spark)
+        doomed = current.filter(predicate)
+        rows = [r.asDict() for r in doomed.collect()]
+        if rows:
+            self.append_rows(rows, delete=True)
+        return len(rows)
+
+    def compact(self, spark: SparkSession, target_partitions: int | None = None) -> None:
+        """Collapse the append-log into PK-sorted, PK-range-partitioned
+        Parquet — restores the reference's physical-PK-order property and
+        makes subsequent reads window-free."""
+        schema = self.schema
+        df = self.read(spark)
+        pk = schema.pk_names
+        n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
+        out = (
+            df.repartitionByRange(n, *[F.col(k) for k in pk])
+            .sortWithinPartitions(*pk)
+        )
+        for c in schema.columns:
+            if c.name != c.physical:
+                out = out.withColumnRenamed(c.name, c.physical)
+        meta = self._meta()
+        seq = meta["seq"] + 1
+        out = out.withColumn(SEQ_COL, F.lit(seq * (1 << 22)).cast("long")).withColumn(
+            DEL_COL, F.lit(False)
+        )
+        tmp_dir = os.path.join(self.path, f"compact-{uuid.uuid4().hex}")
+        out.write.mode("overwrite").parquet(tmp_dir)
+        with self._lock:
+            old = self.data_path
+            stash = old + ".old"
+            os.rename(old, stash)
+            os.rename(tmp_dir, old)
+            import shutil
+
+            shutil.rmtree(stash)
+            meta["seq"] = seq
+            meta["compacted"] = True
+            self._write_meta(meta)

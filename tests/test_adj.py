@@ -1,0 +1,143 @@
+"""Golden adj tests reproducing adj_test.go:15-75 numerically (FIXTURES.md F2).
+
+bar(a int, b timestamp, c double, d double, vol double, primary key(a, b));
+_adj_ rows (sec=1): (1, 0.25, 4), (3, 0.5, 2), (5, 0.2, 5).
+"""
+
+import pytest
+
+from opentick_spark.errors import OpentickError
+from opentick_spark.operators.adj import cumulative_factors
+
+
+@pytest.fixture()
+def bar(engine):
+    engine.execute("create database d")
+    engine.use("d")
+    engine.execute(
+        "create table bar(a int, b timestamp, c double, d double, vol double, "
+        "primary key(a, b))"
+    )
+    for t, px, vol in [(1, 0.25, 4.0), (3, 0.5, 2.0), (5, 0.2, 5.0)]:
+        engine.execute("insert into _adj_(sec, time, px, vol) values(?, ?, ?, ?)", 1, t, px, vol)
+    for t, v in [(0, 1.0), (2, 1.0), (3, 1.0), (4, 1.0), (5, 1.0), (99, 1.5), (100, 1.0)]:
+        engine.execute(
+            "insert into bar(a, b, c, d, vol) values(?, ?, ?, ?, ?)", 1, t, v, v, v
+        )
+    return engine
+
+
+def approx(rows, expected):
+    assert len(rows) == len(expected), (rows, expected)
+    for r, e in zip(rows, expected):
+        assert len(r) == len(e)
+        for a, b in zip(r, e):
+            if isinstance(b, float):
+                assert a == pytest.approx(b, rel=1e-12), (rows, expected)
+            else:
+                assert a == b, (rows, expected)
+
+
+def test_cumulative_factors(bar, spark):
+    # golden: [{1 0.025 40 4 0.25} {3 0.1 10 8 0.125} {5 0.2 5 40 0.025}]
+    adj_df = bar.store("d", "_adj_").read(spark)
+    f = cumulative_factors(adj_df).orderBy("time").collect()
+    got = [(r.time, r.px_f, r.vol_f, 1 / r.px_b, 1 / r.vol_b) for r in f]
+    # adj_test.go:20 lists {Tm, Px, Vol, PxB, VolB} with PxB/VolB as the
+    # *inverse-prefix* products: PxB[0]=4 means multiplier 4.
+    expected = [
+        (1_000_000_000, 0.025, 40.0, 0.25, 4.0),
+        (3_000_000_000, 0.1, 10.0, 0.125, 8.0),
+        (5_000_000_000, 0.2, 5.0, 0.025, 40.0),
+    ]
+    for g, e in zip(got, expected):
+        assert g[0] == e[0]
+        assert g[1] == pytest.approx(e[1])
+        assert g[2] == pytest.approx(e[2])
+        # backward multiplier = px_b (1/prefix-product)
+    bwd = [(r.time, r.px_b, r.vol_b) for r in f]
+    expected_bwd = [
+        (1_000_000_000, 4.0, 0.25),
+        (3_000_000_000, 8.0, 0.125),
+        (5_000_000_000, 40.0, 0.025),
+    ]
+    for g, e in zip(bwd, expected_bwd):
+        assert g[1] == pytest.approx(e[1])
+        assert g[2] == pytest.approx(e[2])
+
+
+def test_forward_adjustment(bar):
+    # adj_test.go:37-54 golden: event exactly at row time EXCLUDED forward
+    rows = bar.execute_rows("select b, adj(c), adj(d), adj(vol) from bar where a=1")
+    got = [(r[0][0], r[1], r[2], r[3]) for r in rows]
+    expected = [
+        (0, 0.025, 0.025, 40.0),
+        (2, 0.1, 0.1, 10.0),
+        (3, 0.2, 0.2, 5.0),
+        (4, 0.2, 0.2, 5.0),
+        (5, 1.0, 1.0, 1.0),
+        (99, 1.5, 1.5, 1.5),
+        (100, 1.0, 1.0, 1.0),
+    ]
+    approx(got, expected)
+
+
+def test_forward_point_and_tail(bar):
+    rows = bar.execute_rows("select b, adj(c), adj(vol) from bar where a=1 and b=4")
+    got = [(r[0][0], r[1], r[2]) for r in rows]
+    approx(got, [(4, 0.2, 5.0)])
+    # limit -10 returns descending (adj_test.go:51-54)
+    rows = bar.execute_rows("select b, adj(c) from bar where a=1 limit -3")
+    got = [(r[0][0], r[1]) for r in rows]
+    approx(got, [(100, 1.0), (99, 1.5), (5, 1.0)])
+
+
+def test_backward_adjustment(bar):
+    # adj_test.go:56-72 golden: event exactly at row time INCLUDED backward
+    rows = bar.execute_rows(
+        "select b, adj(c, true), adj(d, true), adj(vol, true) from bar where a=1"
+    )
+    got = [(r[0][0], r[1], r[2], r[3]) for r in rows]
+    expected = [
+        (0, 1.0, 1.0, 1.0),
+        (2, 4.0, 4.0, 0.25),
+        (3, 8.0, 8.0, 0.125),
+        (4, 8.0, 8.0, 0.125),
+        (5, 40.0, 40.0, 0.025),
+        (99, 60.0, 60.0, 0.0375),
+        (100, 40.0, 40.0, 0.025),
+    ]
+    approx(got, expected)
+
+
+def test_mixed_fwd_bwd_rejected(bar):
+    with pytest.raises(OpentickError) as ei:
+        bar.execute("select adj(c), adj(d, true) from bar where a=1")
+    assert str(ei.value) == "Mixed backward and forward adj not allowed"
+
+
+def test_adj_requirements(bar):
+    bar.execute("create table nokey(x text, c double, primary key(x))")
+    with pytest.raises(OpentickError) as ei:
+        bar.execute("select adj(c) from nokey")
+    assert str(ei.value) == "The first key of the table must be int for applying adj"
+
+
+def test_adj_vol_dispatch_by_name(bar):
+    # name contains qty/vol/size → volume factor (query.go:397-404)
+    rows = bar.execute_rows("select b, adj(vol) from bar where a=1 and b=0")
+    assert rows[0][1] == pytest.approx(40.0)
+    rows = bar.execute_rows("select b, adj_px(vol) from bar where a=1 and b=0")
+    assert rows[0][1] == pytest.approx(0.025)
+
+
+def test_zero_factor_treated_as_one(engine):
+    engine.execute("create database z")
+    engine.use("z")
+    engine.execute(
+        "create table bar(a int, b timestamp, c double, primary key(a, b))"
+    )
+    engine.execute("insert into _adj_(sec, time, px, vol) values(1, 2, 0, 0)")
+    engine.execute("insert into bar(a, b, c) values(1, 1, 10)")
+    rows = engine.execute_rows("select adj(c) from bar where a=1")
+    assert rows == [(10.0,)]

@@ -1,0 +1,206 @@
+"""End-to-end engine tests mirroring query_test.go and server_test.go:
+DDL, insert→select→range→delete roundtrips, exact validation-error
+messages, upsert-by-PK, tail limit, placeholder binding, rename."""
+
+import pytest
+
+from opentick_spark.errors import OpentickError
+
+
+@pytest.fixture()
+def kv(engine):
+    """F3 fixture: test(a int, b int, b2 boolean, c int, d double, e bigint,
+    primary key(a, b, b2, c)) — query_test.go:14."""
+    engine.execute("create database d")
+    engine.use("d")
+    engine.execute(
+        "create table test(a int, b int, b2 boolean, c int, d double, e bigint, "
+        "primary key(a, b, b2, c))"
+    )
+    for args in [(2, 1, True, 42, 2.2, 102), (2, 1, True, 41, 2.2, 104), (2, 1, True, 39, 2.2, 105)]:
+        engine.execute(
+            "insert into test(a, b, b2, c, d, e) values(?, ?, ?, ?, ?, ?)", *args
+        )
+    return engine
+
+
+def test_roundtrip_point_and_range(kv):
+    rows = kv.execute_rows("select * from test where a=2 and b=1 and b2=true and c=41")
+    assert rows == [(2, 1, True, 41, 2.2, 104)]
+    # exclusive range on last constrained key → exactly c=41
+    rows = kv.execute_rows(
+        "select c, e from test where a=2 and b=1 and b2=true and c>39 and c<42"
+    )
+    assert rows == [(41, 104)]
+    # inclusive range → all three, ascending by PK
+    rows = kv.execute_rows(
+        "select c from test where a=2 and b=1 and b2=true and c>=39 and c<=42"
+    )
+    assert rows == [(39,), (41,), (42,)]
+
+
+def test_tail_limit_descending(kv):
+    # LIMIT -2 = last two rows in DESCENDING order (query_test.go:117-120)
+    rows = kv.execute_rows("select c from test where a=2 and b=1 and b2=true limit -2")
+    assert rows == [(42,), (41,)]
+    rows = kv.execute_rows("select c from test where a=2 and b=1 and b2=true limit 2")
+    assert rows == [(39,), (41,)]
+
+
+def test_upsert_same_pk_overwrites(kv):
+    # server_test.go:96-99: re-insert same PK replaces the row
+    kv.execute("insert into test(a, b, b2, c, d) values(2, 1, true, 41, 9.9)")
+    rows = kv.execute_rows("select d, e from test where a=2 and b=1 and b2=true and c=41")
+    assert rows == [(9.9, None)]  # sparse row: e not supplied → NULL
+
+
+def test_range_delete(kv):
+    kv.execute("delete from test where a=2 and b=1 and b2=true and c>=39 and c<42")
+    rows = kv.execute_rows("select c from test where a=2 and b=1 and b2=true")
+    assert rows == [(42,)]
+
+
+def test_validation_errors(kv):
+    # exact reference error strings (query_test.go:42-97)
+    cases = [
+        (
+            "select * from test where a=1 and d=3",
+            "Invalid column d in where clause, only primary key can be used",
+        ),
+        (
+            "select * from test where a=1 and x=3",
+            "Undefined column name x",
+        ),
+        (
+            "select * from test where a=1 and b2>true",
+            'Invalid operator (>) for "b2" of type Boolean',
+        ),
+        (
+            "select * from test where a=1 and a=2",
+            "a cannot be restricted by more than one relation if it includes an Equal",
+        ),
+        (
+            "select * from test where a<1 and a=2",
+            "a cannot be restricted by more than one relation if it includes an Equal",
+        ),
+        (
+            "select * from test where a<1 and a<2",
+            "More than one restriction was found for the end bound on a",
+        ),
+        (
+            "select * from test where a>1 and a>=2",
+            "More than one restriction was found for the start bound on a",
+        ),
+        (
+            "select * from test where a=1 and c=3",
+            "Cannot execute this query as it might involve data filtering and thus may have unpredictable performance",
+        ),
+        (
+            "select * from test where a<2 and b=1",
+            "Cannot execute this query as it might involve data filtering and thus may have unpredictable performance",
+        ),
+        ("select a, a from test", "Duplicate column name a"),
+        ("select z from test", "Undefined column name z"),
+    ]
+    for sql, msg in cases:
+        with pytest.raises(OpentickError) as ei:
+            engine_result = kv.execute(sql)
+            if engine_result is not None:
+                engine_result.collect()
+        assert str(ei.value) == msg, sql
+
+
+def test_placeholder_arity_and_types(kv):
+    with pytest.raises(OpentickError) as ei:
+        kv.execute("select * from test where a=? and b=?", 1)
+    assert str(ei.value) == "Expected 2 arguments, got 1"
+    with pytest.raises(OpentickError) as ei:
+        kv.execute("insert into test(a, b, b2, c) values(?, ?, ?, ?)", 1, 2, True, "x")
+    assert 'for "c" of int' in str(ei.value)
+
+
+def test_insert_validation(kv):
+    with pytest.raises(OpentickError) as ei:
+        kv.execute("insert into test(a, b, b2) values(1, 2, true)")
+    assert str(ei.value) == "Some primary keys are missing: c"
+    with pytest.raises(OpentickError) as ei:
+        kv.execute("insert into test(a, b, b2, c, x) values(1, 2, true, 3, 4)")
+    assert str(ei.value) == "Undefined column name x"
+    with pytest.raises(OpentickError) as ei:
+        kv.execute("insert into test(a, a, b2, c) values(1, 2, true, 3)")
+    assert str(ei.value) == "Duplicate column name a"
+    with pytest.raises(OpentickError) as ei:
+        kv.execute("insert into test(a, b, b2, c) values(1, 2, true)")
+    assert str(ei.value) == "Unmatched column names/values"
+
+
+def test_saturating_int_clamp(kv):
+    # tinyint/int clamp (query.go:709-728): value saturates, no wrap
+    kv.execute("create table clamp_t(a tinyint, b int, primary key(a))")
+    kv.execute("insert into clamp_t(a, b) values(?, ?)", 300, 2**40)
+    rows = kv.execute_rows("select a, b from clamp_t")
+    assert rows == [(127, 2147483647)]
+
+
+def test_create_table_validation(kv):
+    with pytest.raises(OpentickError) as ei:
+        kv.execute("create table t2(a int, b int)")
+    assert str(ei.value) == "PRIMARY KEY not declared"
+    with pytest.raises(OpentickError) as ei:
+        kv.execute("create table t2(a int, a int, primary key(a))")
+    assert str(ei.value) == "Duplicate column name a"
+    with pytest.raises(OpentickError) as ei:
+        kv.execute("create table t2(a int, primary key(a, z))")
+    assert str(ei.value) == "Unknown PRIMARY KEY column z"
+
+
+def test_rename_table_and_column(kv):
+    kv.execute("alter table test rename to test2")
+    rows = kv.execute_rows("select c from test2 where a=2 and b=1 and b2=true limit 1")
+    assert rows == [(39,)]
+    kv.execute("alter table test2 rename column e to e2")
+    rows = kv.execute_rows("select e2 from test2 where a=2 and b=1 and b2=true and c=42")
+    assert rows == [(102,)]
+    with pytest.raises(OpentickError):
+        kv.execute("select e from test2")
+
+
+def test_batch_insert_atomic(kv):
+    pid = kv.prepare("insert into test(a, b, b2, c, e) values(?, ?, ?, ?, ?)")
+    kv.batch_insert(pid, [(5, 1, False, i, 100 + i) for i in range(10)])
+    rows = kv.execute_rows("select c, e from test where a=5 and b=1 and b2=false")
+    assert rows == [(i, 100 + i) for i in range(10)]
+
+
+def test_timestamp_forms(kv):
+    kv.execute("create table ts_t(s int, tm timestamp, x double, primary key(s, tm))")
+    # int seconds, [sec, nsec] pair, RFC3339 string (query.go:754-778)
+    kv.execute("insert into ts_t(s, tm, x) values(?, ?, ?)", 1, 10, 1.0)
+    kv.execute("insert into ts_t(s, tm, x) values(?, ?, ?)", 1, [10, 5], 2.0)
+    kv.execute("insert into ts_t(s, tm, x) values(?, ?, ?)", 1, "1970-01-01T00:00:20Z", 3.0)
+    rows = kv.execute_rows("select tm, x from ts_t where s=1")
+    assert rows == [((10, 0), 1.0), ((10, 5), 2.0), ((20, 0), 3.0)]
+    # range over nanosecond boundary
+    rows = kv.execute_rows("select x from ts_t where s=1 and tm>? and tm<=?", 10, [20, 0])
+    assert rows == [(2.0,), (3.0,)]
+
+
+def test_meta_and_catalog(kv):
+    assert "test" in kv.list_tables("d")
+    assert kv.table_meta("d", "test") == [
+        [("a", "int"), ("b", "int"), ("b2", "boolean"), ("c", "int")],
+        [("d", "double"), ("e", "bigint")],
+    ]
+    assert "_adj_" in kv.list_tables("d")
+
+
+def test_compaction_preserves_state(kv, spark):
+    st = kv.store("d", "test")
+    before = sorted(kv.execute_rows("select * from test"))
+    st.compact(spark)
+    after = sorted(kv.execute_rows("select * from test"))
+    assert before == after
+    # upsert after compaction still wins
+    kv.execute("insert into test(a, b, b2, c, d) values(2, 1, true, 39, 7.7)")
+    rows = kv.execute_rows("select d from test where a=2 and b=1 and b2=true and c=39")
+    assert rows == [(7.7,)]
