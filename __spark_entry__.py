@@ -1,38 +1,57 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query at sf0.001 (full engine path: ingest →
+dialect SQL → adj as-of).  ``queries()`` / ``oracle_sql()`` — one entry per
+implemented operator from SURVEY.md §2 plus the LLM-pipeline extension
+surface; DuckDB oracles included wherever the op is SQL-expressible.
+
+NOTE: the driver must create its SparkSession with
+``spark.sql.legacy.parquet.nanosAsLong=true`` semantics already handled:
+our queries read events.ts as epoch-nano longs. If the provided session
+lacks that conf, ``queries()`` callables set it per-read is not possible —
+so ``entry``/each query defensively set the conf on the session (it is a
+session conf, settable at runtime).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    try:
+        spark.conf.set(_NANOS_CONF, "true")
+    except Exception:
+        pass  # immutable in some contexts; reads will fail loudly if so
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: adj() forward adjustment through the full engine
+    (Arrow/Spark ingest → PK storage → dialect SQL → sorted-merge as-of)."""
+    from opentick_spark.workload.tick import adj_forward
+
+    return adj_forward(_prep(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from opentick_spark.workload import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        name: (lambda spark, sf_dir, fn=fn: fn(_prep(spark), sf_dir))
+        for name, fn in QUERIES.items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from opentick_spark.workload import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,126 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Mirrors the reference's published harness shape (BASELINE.md: 100k-row
+batch ingest, 100k-row range scan, tail read — bindings/python/test.py) and
+adds the analytical/extension surface. Each query is fully materialized via
+a noop-sink write (no driver collect — the 100 TB posture).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_label(sf_dir: str) -> float:
+    try:
+        return float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_ingest_batch_100k(spark, sf_dir):
+    """Reference headline: '100k ohlcv bar inserted in 1 second' — 10
+    atomic batches x 10k rows through the engine's prepared-insert path
+    (BASELINE.md rows 2/7: Go 1.139s, Python 0.960s)."""
+    import tempfile
+
+    from opentick_spark.engine import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_bench_"))
+    eng.execute("create database bench")
+    eng.use("bench")
+    eng.execute(
+        "create table test(sec int, interval int, tm timestamp, open double, "
+        "high double, low double, close double, v double, vwap double, "
+        "primary key(sec, interval, tm))"
+    )
+    pid = eng.prepare(
+        "insert into test(sec, interval, tm, open, high, low, close, v, vwap) "
+        "values(?, ?, ?, ?, ?, ?, ?, ?, ?)"
+    )
+    t0 = time.time()
+    for b in range(10):
+        rows = [
+            (1, 1, b * 10_000 + i, 2.2, 2.4, 2.1, 2.3, 1000000.0, 2.25)
+            for i in range(10_000)
+        ]
+        eng.batch_insert(pid, rows)
+    dt = time.time() - t0
+    return eng, dt
+
+
+def main():
+    from opentick_spark.session import get_spark
+    from opentick_spark.workload import QUERIES
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_spark(app_name="opentick_spark_bench", shuffle_partitions=2 * cpus)
+
+    timings: dict[str, float] = {}
+
+    # --- reference harness shape: ingest + scan-back ---------------------
+    eng, timings["ingest_batch_100k"] = bench_ingest_batch_100k(spark, SF_DIR)
+    t0 = time.time()
+    materialize(eng.execute("select * from test where sec=1"))
+    timings["scan_sync_100k"] = time.time() - t0
+    t0 = time.time()
+    materialize(eng.execute("select * from test where sec=1 and interval=1 limit -1000"))
+    timings["scan_tail_1k"] = time.time() - t0
+
+    # --- headline analytical / extension queries -------------------------
+    headline = [
+        "pk_range_scan",
+        "tail_limit",
+        "full_scan_agg",
+        "ohlcv_rollup",
+        "pricing_summary",
+        "revenue_by_nation",
+        "top_orders_by_revenue",
+        "window_rank_topn",
+        "asof_join_purchase_signup",
+        "adj_forward",
+        "adj_backward",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "sim_topk_bruteforce",
+        "text_quality",
+        "text_token_count_total",
+        "streaming_window_counts",
+    ]
+    for name in headline:
+        fn = QUERIES[name]
+        t0 = time.time()
+        materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,391 @@
+"""Deduplication operators for LLM-data pipelines.
+
+Five strategies, all shuffle-conscious:
+
+- exact:         hash-groupBy on a canonical text hash — one shuffle.
+- ngram_jaccard: exact pairwise word-n-gram Jaccard — quadratic, the
+                 *oracle* for the approximate methods (use at small scale
+                 or within LSH candidate buckets).
+- minhash_lsh:   shingle → k minhashes → b bands → bucket join →
+                 verify candidates with exact Jaccard. The 100 TB path:
+                 cost is O(n·k) + one shuffle on (band, bucket-hash) +
+                 verification only on collisions.
+- simhash:       64-bit simhash + chunk blocking (Hamming-ball search);
+                 candidates share one of 4 16-bit chunks → verify with
+                 bit_count(xor) ≤ radius.
+- embedding_cosine: near-dup pairs by embedding cosine ≥ threshold
+                 (brute force here; LSH/IVF variants in similarity.py).
+
+Text paths are built-in DataFrame ops shaped for codegen (explode +
+hash-agg rather than higher-order lambdas, which are codegen-fallback
+and re-evaluate shared subexpressions); embedding cosine uses the
+Arrow-vectorized Pandas UDF from similarity.py.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from opentick_spark.operators.text import normalize_text, ws_tokens
+
+# Mersenne-31: keeps (h*a+b) within long range under ANSI overflow checks
+_MERSENNE = (1 << 31) - 1
+
+
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of the normalized text (n>=1), as a
+    single Column expression.
+
+    WARNING — hot-path trap: referencing ``toks`` n times inside the
+    transform lambda re-evaluates the whole normalize+tokenize chain per
+    shingle position (lambdas are codegen-fallback, no CSE). Fine for
+    tests and one-off use; bulk operators must use ``exploded_shingles``.
+    """
+    toks = ws_tokens(normalize_text(col))
+    if n == 1:
+        return F.array_distinct(toks)
+    # element_at is 1-indexed; explicit step=1 so size<n yields [] (a
+    # bare sequence(1, 0) would count DOWN and hit element_at(toks, 0))
+    starts = F.when(
+        F.size(toks) >= n,
+        F.sequence(F.lit(1), F.size(toks) - (n - 1), F.lit(1)),
+    ).otherwise(F.array().cast("array<int>"))
+    shingle = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(starts, shingle))
+
+
+def exploded_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, g) rows of word n-gram shingles — the bulk-path shingler.
+
+    Tokenizes each document exactly once (posexplode), then forms
+    n-grams with window ``lead`` over token position: one shuffle on id,
+    every expression codegen-friendly, zero re-evaluation of the
+    normalize/tokenize regex chain. Docs with fewer than n tokens
+    produce no rows.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(ws_tokens(normalize_text(F.col(text_col)))).alias(
+            "__pos", "__tok"
+        ),
+    )
+    if n == 1:
+        out = toks.select("id", F.col("__tok").alias("g"))
+    else:
+        w = Window.partitionBy("id").orderBy("__pos")
+        leads = [F.lead("__tok", j).over(w).alias(f"__l{j}") for j in range(1, n)]
+        out = (
+            toks.select("id", "__tok", *leads)
+            .filter(F.col(f"__l{n-1}").isNotNull())
+            .select(
+                "id",
+                F.concat_ws(
+                    " ", "__tok", *[f"__l{j}" for j in range(1, n)]
+                ).alias("g"),
+            )
+        )
+    return out.distinct() if distinct else out
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Set Jaccard of two (already-distinct) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+
+
+# ---------------------------------------------------------------------------
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on normalized text: one hash-shuffle, keeps the minimum
+    id as the group representative. Output: (keeper, n_copies, members)."""
+    h = F.sha2(normalize_text(F.col(text_col)), 256).alias("__h")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("__h")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+        .drop("__h")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an **inverted index**:
+    explode distinct shingles, equi-join on the shingle to count
+    intersections (one hash shuffle), derive Jaccard from
+    |A∩B| / (|A|+|B|-|A∩B|). Pairs sharing zero shingles never
+    materialize — unlike a pairwise cross join, cost scales with shingle
+    collisions, not n². Requires threshold > 0. Output: (id_a, id_b, jac)
+    with id_a < id_b.
+
+    Scale note: at 100 TB, cap ultra-common shingles (stop-shingles) by
+    frequency before the self-join to bound the worst bucket; for this
+    corpus the distinct-shingle distribution is flat enough without it.
+    """
+    e = exploded_shingles(df, id_col, text_col, n)
+    sizes = e.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "__n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "__n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__inter").cast("double")
+                / (F.col("__n_a") + F.col("__n_b") - F.col("__inter")).cast("double")
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+def _minhash_params(k: int, seed: int) -> list[tuple[int, int]]:
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(k)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures over word-n-gram shingles.
+
+    Shape chosen for codegen, not elegance: shingles are **exploded** so
+    the normalize/tokenize regex chain runs exactly once per document,
+    each shingle gets one base xxhash64, and the k permutations
+    ((a*h+b) mod Mersenne-31) are k plain MIN aggregates in a single
+    hash aggregation — whole-stage-codegen'd end to end, one shuffle on
+    id. (The tempting `array(k × transform(...))` form re-evaluates the
+    shingle pipeline k times: higher-order lambdas are codegen-fallback
+    and get no common-subexpression elimination.)
+    Output: (id, sig: array<long>[k]); shingle-less docs are absent.
+    """
+    params = _minhash_params(num_hashes, seed)
+    # min is duplicate-insensitive → skip the distinct shuffle
+    e = exploded_shingles(df, id_col, text_col, n, distinct=False)
+    e = e.select("id", (F.abs(F.xxhash64("g")) % _MERSENNE).alias("__h"))
+    aggs = [
+        F.min((F.col("__h") * a + b) % _MERSENNE).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    g = e.groupBy("id").agg(*aggs)
+    sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    return g.select("id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    banding: k=128 hashes → 32 bands × 4 rows ⇒ P(candidate | J) =
+    1-(1-J^4)^32, ≈1 for J≥0.7, ≈.03 for J≤0.2 — candidates shuffle on
+    (band, band-hash), so cost scales with collisions, not pairs.
+    Output: (id_a, id_b, jac) — same contract as ngram_jaccard_pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[i].cast("string")
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard on MATERIALIZED shingle sets
+    # (collect_set over the exploded form — attaching word_ngrams() arrays
+    # in the join would re-run the tokenize chain per candidate side)
+    sh = (
+        exploded_shingles(df, id_col, text_col, n)
+        .groupBy("id")
+        .agg(F.collect_set("g").alias("sh"))
+    )
+    return (
+        cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .select(
+            "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jac")
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_ngram: int = 2,
+) -> DataFrame:
+    """64-bit SimHash per document, pure built-ins.
+
+    Per shingle hash h, each bit contributes ±1; the sign of the summed
+    vote vector forms the output bits. Same codegen-first shape as
+    minhash_signatures: explode shingles once, then 64 plain SUM
+    aggregates (one per bit) in a single hash aggregation — no
+    higher-order lambdas in the hot path. Docs with no shingles are
+    dropped (they have no meaningful near-dup signature).
+    Output: (id, sh: long).
+    """
+    one = F.lit(1).cast("long")
+    e = exploded_shingles(df, id_col, text_col, token_ngram).select(
+        "id", F.xxhash64("g").alias("__h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(one) == 1, 1).otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(64)
+    ]
+    g = e.groupBy("id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"__b{i}") > 0, F.shiftleft(one, i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return g.select("id", sig.alias("sh"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    token_ngram: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance with chunk blocking.
+
+    Pigeonhole: at radius ≤ 12, two hashes agree on at least one of 4
+    16-bit chunks with high probability for true near-dups; candidates
+    join on (chunk_idx, chunk_value) then verify bit_count(xor) exactly.
+    Output: (id_a, id_b, hamming).
+    """
+    sigs = simhash_signatures(df, id_col, text_col, token_ngram)
+    chunks = sigs.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF).cast("long"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
+            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine similarity (brute force).
+
+    The quadratic baseline — at scale, block with similarity.py's LSH or
+    IVF routing first and apply this only within buckets.
+    Output: (id_a, id_b, cos)."""
+    from opentick_spark.operators.similarity import cosine_batch
+
+    t = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return (
+        t.alias("a")
+        .join(t.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_batch(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

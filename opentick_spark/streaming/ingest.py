@@ -1,0 +1,91 @@
+"""Structured Streaming ingest + streaming analytics.
+
+The reference's "streaming" is clients firing async inserts and atomic
+batches at a TCP server (test.py:44-61); semantically that is a firehose
+of PK-keyed upserts where arrival order never matters (rows carry their
+own PK time, out-of-order tolerated — adj.go:162 even re-bisects when
+time goes backward). The Spark-native equivalents:
+
+- ``stream_upsert``: readStream → foreachBatch, each micro-batch lands as
+  ONE atomic commit into the PK table (TableStore.append_dataframe), with
+  the latest-wins view resolving replays/out-of-order — Delta-style
+  streaming MERGE without Delta.
+- ``windowed_event_counts``: watermark + tumbling window aggregation over
+  the events stream (the extension surface the reference lacks).
+
+Both run with ``availableNow`` triggers in tests so they execute real
+micro-batch plans and terminate deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opentick_spark.table import TableStore
+
+
+def stream_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    store: TableStore,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """File-stream → atomic per-batch upsert into a PK table.
+
+    Returns the StreamingQuery (await/stop is the caller's job).
+    """
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            store.append_dataframe(batch_df)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    sink_table: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Watermarked tumbling-window counts per event_type over the events
+    stream (ts arrives as epoch-nanos long → µs timestamp for the window
+    machinery). Writes a complete-mode memory sink named ``sink_table``."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(events_dir)
+    )
+    agg = (
+        stream.withColumn(
+            "ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+        .withWatermark("ts_ts", watermark)
+        .groupBy(F.window("ts_ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

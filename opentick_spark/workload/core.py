@@ -1,0 +1,456 @@
+"""Core workload: PK-scan semantics over `events` + the relational
+extension surface (joins, aggregations, windows, set ops, rollup, top-k)
+over the TPC-H-ish tables.
+
+Scale notes per query are in the docstrings — every plan here is
+shuffle-minimal: filters/projections push to the parquet scan, small dims
+are broadcast, aggregations are partial+final hash aggs, top-k uses
+TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from opentick_spark.operators.asof import asof_join
+from opentick_spark.operators.timeseries import ohlcv_bars
+from opentick_spark.workload.util import load, ts_us
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# S1-S4/P1-P7/A1-A3: PK point/prefix/range scans, projection, tail limit
+# (reference query.go:121-292; Catalyst pushes all of these to the scan)
+
+@q(
+    "pk_point_get",
+    "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value "
+    "FROM events WHERE event_id = 4242",
+)
+def pk_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point get on the PK — partition pruning + row-group stats make this
+    near-O(1) on a PK-sorted layout (reference S2)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") == 4242).select(
+        "event_id", ts_us().alias("ts_us"), "user_id", "event_type", "value"
+    )
+
+
+@q(
+    "pk_prefix_scan",
+    "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value "
+    "FROM events WHERE user_id = 7",
+)
+def pk_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-prefix scan (reference S3): leading key equality, implicit PK
+    order supplied by the sort/limit layer when needed."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("user_id") == 7).select(
+        "user_id", ts_us().alias("ts_us"), "event_type", "value"
+    )
+
+
+@q(
+    "pk_range_scan",
+    "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value FROM events "
+    "WHERE user_id = 7 AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'",
+)
+def pk_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix + range on the trailing key (reference S3/P6/P7): inclusive
+    start, exclusive end — both push to parquet row-group pruning."""
+    ev = load(spark, sf_dir, "events")
+    lo = 1704844800 * 1_000_000_000  # 2024-01-10
+    hi = 1705708800 * 1_000_000_000  # 2024-01-20
+    return ev.filter(
+        (F.col("user_id") == 7) & (F.col("ts") >= lo) & (F.col("ts") < hi)
+    ).select("user_id", ts_us().alias("ts_us"), "event_type", "value")
+
+
+@q(
+    "tail_limit",
+    "SELECT epoch_us(ts) AS ts_us, event_type, value FROM events "
+    "WHERE user_id = 7 ORDER BY ts DESC LIMIT 20",
+)
+def tail_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT -n tail semantics (reference A3): last n rows in descending
+    PK order → Catalyst TakeOrderedAndProject (storage reverse scan)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") == 7)
+        .orderBy(F.col("ts").desc())
+        .limit(20)
+        .select(ts_us().alias("ts_us"), "event_type", "value")
+    )
+
+
+@q(
+    "full_scan_agg",
+    "SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value, "
+    "ROUND(AVG(value), 6) AS avg_value FROM events GROUP BY event_type",
+)
+def full_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table scan (reference S1) + hash aggregation (extension):
+    partial+final agg, shuffle only on the 5 grouping keys."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series rollup (hypertable-style; companion to the reference's
+# pre-aggregated bar tables)
+
+@q(
+    "ohlcv_rollup",
+    """
+    SELECT user_id,
+           epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bar_ts_us,
+           min_by(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
+           max_by(value, ts) AS close, COUNT(*) AS n_ticks,
+           ROUND(SUM(value), 4) AS volume
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    """,
+)
+def ohlcv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw ticks → hourly OHLCV bars: single hash agg with min_by/max_by,
+    no window, no second shuffle. (Ties are impossible: ts is unique per
+    user at ns *and* µs granularity in this dataset.)"""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bars = ohlcv_bars(
+        ev, ["user_id"], "ts", "value", size_col="value", bucket_seconds=3600
+    )
+    return bars.select(
+        "user_id",
+        F.expr("bar_ts div 1000").alias("bar_ts_us"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col("n_ticks").cast("long").alias("n_ticks"),
+        F.round(F.col("volume"), 4).alias("volume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational extension surface (SURVEY §2.3/2.4 "extension": joins, aggs,
+# windows, set ops, rollup, top-k)
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical partial+final hash aggregation; the
+    shipdate filter pushes to the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "revenue_by_nation",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: fact table joins small dims — customer and
+    nation are explicitly broadcast so lineitem⋈orders is the only
+    shuffle join (AQE would pick this too; we make it deterministic)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "top_orders_by_revenue",
+    """
+    SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           epoch_us(ANY_VALUE(o_orderdate)) AS orderdate_us
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: join + agg + deterministic top-k (revenue desc,
+    orderkey asc) → TakeOrderedAndProject, no full sort."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.unix_micros(
+                F.any_value("o_orderdate").cast("timestamp")
+            ).alias("orderdate_us"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "window_running_sum",
+    """
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum
+    FROM events WHERE user_id < 10
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate per key (extension A-surface): one shuffle on
+    user_id, sorted within partitions — order includes event_id so ties
+    are deterministic across engines."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        ts_us().alias("ts_us"),
+        F.round(F.sum("value").over(w), 4).alias("run_sum"),
+    )
+
+
+@q(
+    "window_rank_topn",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders) WHERE rk <= 3
+    """,
+)
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-n per group via row_number — Spark turns the rank filter into
+    WindowGroupLimit (partial top-n before the shuffle)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@q(
+    "set_ops_except",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 195
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error' AND value > 195
+    """,
+)
+def set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (extension): users with big purchases who never had
+    a big error."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 195)
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.distinct().subtract(b.distinct())
+
+
+@q(
+    "semi_anti_join",
+    """
+    SELECT c_custkey, c_name, 'no_big_order' AS tag FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    UNION ALL
+    SELECT c_custkey, c_name, 'has_huge_order' AS tag FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 500000)
+    """,
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti joins (EXISTS / NOT EXISTS): broadcast-able build side
+    at this scale; shuffle-hash semi/anti at 100 TB."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    huge = o.filter(F.col("o_totalprice") > 500000)
+    anti = c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.lit("no_big_order").alias("tag")
+    )
+    semi = c.join(huge, c.c_custkey == huge.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", F.lit("has_huge_order").alias("tag")
+    )
+    return anti.unionAll(semi)
+
+
+@q(
+    "rollup_nation_region",
+    """
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (extension): region→nation hierarchy with
+    super-aggregate rows; dims broadcast."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+@q(
+    "distinct_suppliers_per_flag",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_suppliers_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct: Spark expands to a single pass with
+    grouping-id rewrite (no per-distinct re-scan)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_supp"),
+        F.countDistinct("l_partkey").cast("long").alias("n_part"),
+    )
+
+
+@q(
+    "asof_join_purchase_signup",
+    """
+    SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+           epoch_us(s.ts) AS signup_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def asof_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of join (extension of the adj pattern): each purchase
+    picks the user's most recent signup at-or-before it. Sorted-merge —
+    one shuffle on user_id, no range cross-join."""
+    ev = load(spark, sf_dir, "events")
+    # compare in µs so Spark and the µs-truncated oracle agree on ties
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", ts_us().alias("ts_us"), "value"
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", ts_us().alias("signup_ts")
+    )
+    joined = asof_join(
+        p,
+        s,
+        on=["user_id"],
+        left_time="ts_us",
+        right_time="signup_ts",
+        direction="backward",
+        value_cols=["signup_ts"],
+    )
+    return joined.select(
+        "user_id", "ts_us", "value", F.col("signup_ts").alias("signup_ts_us")
+    )
+
+
+# rows-only (no SQL oracle): approximate distinct — engines' sketches differ
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate count-distinct (extension; sketch-based, so no
+    cross-engine oracle — the exact variant above is the checked one)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+QUERIES["approx_distinct_users"] = approx_distinct_users

@@ -1,0 +1,360 @@
+"""LLM-data-pipeline workload over documents/embeddings: deduplication,
+similarity search, text analysis, multimodal plumbing, streaming.
+
+Oracle-checked where the computation is deterministic and
+SQL-expressible; sketch/LSH variants are rows-only here and are asserted
+against their exact counterparts in tests/.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opentick_spark.operators import dedup as D
+from opentick_spark.operators import multimodal as M
+from opentick_spark.operators import similarity as S
+from opentick_spark.operators import text as X
+from opentick_spark.workload.util import load
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# DuckDB equivalent of text.normalize_text (note the 'g' flag — DuckDB's
+# regexp_replace is first-match-only by default, unlike Spark's)
+# note \x{4e00} syntax: DuckDB's RE2 does not understand Java's \uXXXX
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9\\x{4e00}-\\x{9fff} ]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+# DuckDB word-bigram shingles of the normalized text
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(string_split({norm}, ' '))), "
+    "i -> string_split({norm}, ' ')[i] || ' ' || string_split({norm}, ' ')[i+1]))"
+).format(norm="__norm")
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+
+@q(
+    "dedup_exact",
+    f"""
+    SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+    FROM (SELECT doc_id, {_NORM} AS __norm FROM documents)
+    GROUP BY __norm
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: one hash shuffle (reference has
+    none of this — pure extension surface)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.exact_duplicates(docs).select("keeper", F.col("n_copies").cast("long"))
+
+
+_JACCARD_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_NORM} AS __norm FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+          len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
+
+
+@q("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise word-bigram Jaccard near-dups (ground truth for the
+    approximate methods)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+
+
+@q("dedup_minhash_lsh", _JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dups, verified with exact Jaccard — same output
+    contract as the exact operator, so it shares its oracle: with 32
+    bands × 4 rows, candidate recall at J≥0.5 is ≈1-(1-0.0625)^32≈0.87
+    and ≈1.0 at the J≥0.8 where this corpus's true pairs live."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, n=2, num_hashes=128, bands=32, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (rows-only: Hamming blocking has no clean SQL
+    oracle; tests assert it finds the same pairs as exact Jaccard)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=8)
+
+
+QUERIES["dedup_simhash"] = dedup_simhash
+
+
+@q(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force baseline)."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = D.embedding_cosine_pairs(emb, threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+@q(
+    "sim_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS raw_cos
+      FROM q JOIN embeddings c ON c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, ROUND(raw_cos, 6) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY raw_cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors: broadcast queries × corpus
+    scan, JVM-side fold for the dot product, WindowGroupLimit top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (rows-only; recall vs brute force
+    asserted in tests)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.lsh_topk(emb, queries, k=5, bits=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed approximate top-k (rows-only; recall asserted in tests)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.ivf_topk(emb, queries, k=5, ncentroids=16, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+QUERIES["sim_topk_lsh"] = sim_topk_lsh
+QUERIES["sim_topk_ivf"] = sim_topk_ivf
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+@q(
+    "text_quality",
+    """
+    WITH t AS (SELECT doc_id, text,
+                      string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_bpe_tokens,
+           ROUND(CASE WHEN length(text) = 0 THEN 0 ELSE
+             length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g'))::DOUBLE
+             / length(text) END, 6) AS punct_ratio,
+           ROUND(len(list_filter(toks, x -> x IN ('the','and','of','to','is','in')))::DOUBLE
+                 / len(toks), 6) AS stopword_ratio,
+           ROUND(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 6)
+             AS avg_word_len
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring metrics, all whole-stage-codegen built-ins."""
+    docs = load(spark, sf_dir, "documents")
+    out = X.quality_metrics(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+    )
+
+
+def _lang_oracle() -> str:
+    score = {
+        lang: (
+            "len(list_filter(toks, x -> x IN ({})))".format(
+                ",".join(f"'{w}'" for w in words)
+            )
+        )
+        for lang, words in X.LANG_MARKERS.items()
+    }
+    score["zh"] = (
+        "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
+    )
+    # same argmax + alphabetical tie-break as operators.text.lang_id
+    langs = sorted(score)
+    expr = f"'{langs[0]}'"
+    best = score[langs[0]]
+    for lang in langs[1:]:
+        expr = f"CASE WHEN {score[lang]} > ({best}) THEN '{lang}' ELSE ({expr}) END"
+        best = f"CASE WHEN {score[lang]} > ({best}) THEN {score[lang]} ELSE ({best}) END"
+    return f"""
+    WITH t AS (SELECT doc_id, text,
+                      string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents)
+    SELECT doc_id, ({expr}) AS pred_lang FROM t
+    """
+
+
+@q("text_lang_id", _lang_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-scoring language ID with deterministic tie-break."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@q(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM}) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form document fingerprint (md5 of normalized text); the
+    rolling-hash variant is exercised in tests."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.md5_fingerprint(F.col("text")).alias("fp"))
+
+
+@q(
+    "text_token_count_total",
+    """
+    SELECT lang,
+           SUM(len(string_split_regex(trim(lower(text)), '\\s+')))::BIGINT AS total_ws_tokens,
+           SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))::BIGINT
+             AS total_bpe_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def text_token_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per language — the budget query every
+    training-data pipeline runs."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(X.ws_token_count(F.col("text"))).cast("long").alias("total_ws_tokens"),
+        F.sum(X.bpe_token_count(F.col("text"))).cast("long").alias("total_bpe_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+@q(
+    "multimodal_features",
+    "SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes FROM documents",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → mapInPandas feature extraction (Arrow batches).
+    The oracle checks the byte accounting; the feature vectors themselves
+    are validated in tests (deterministic stub decode)."""
+    docs = load(spark, sf_dir, "documents")
+    with_payload = M.attach_payload(docs)
+    feats = M.extract_features(with_payload, decode="fake")
+    return feats.select("id", F.col("n_bytes").cast("long").alias("n_bytes"))
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (rows-only): metadata-driven
+    sequence+explode, decode stubbed."""
+    docs = load(spark, sf_dir, "documents")
+    return M.frame_sample(M.attach_payload(docs, media_type="video"), every_n=30)
+
+
+QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
+
+
+# ---------------------------------------------------------------------------
+# streaming
+
+@q(
+    "streaming_window_counts",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution: file stream over the events
+    parquet → watermark → tumbling 1h window → memory sink (availableNow),
+    then the sink is returned for comparison. The oracle is the batch
+    equivalent — streaming and batch must agree on complete data."""
+    from opentick_spark.streaming.ingest import windowed_event_counts
+
+    schema = load(spark, sf_dir, "events").schema
+    name = "stream_sink_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="otspark_ckpt_")
+    # the streaming file source needs a directory; stage a symlink
+    src_dir = tempfile.mkdtemp(prefix="otspark_stream_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    query = windowed_event_counts(spark, src_dir, schema, name, ckpt)
+    query.awaitTermination()
+    out = spark.table(name)
+    return out.select(
+        F.unix_micros(F.col("win.start")).alias("win_start_us"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )

@@ -1,0 +1,224 @@
+"""Tick-dialect workload: these queries run through the FULL engine path —
+Arrow/Spark ingest into PK-ordered warehouse tables, the opentick SQL
+dialect, upsert view, implicit PK ordering, and the adj() as-of operator —
+and are still oracle-checkable because the warehouse contents are a pure
+deterministic function of the driver's events.parquet.
+
+Mapping: trades(sec=user_id, tm=ts truncated to µs, px=value, vol=value);
+_adj_ factor events are the 'signup' events with value>150, with **dyadic**
+factors (px ∈ {0.5, 0.25}, vol ∈ {2, 4}) so cumulative products and
+adjusted values are exact in binary floating point — the Spark and DuckDB
+results match bit-for-bit with no rounding.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opentick_spark.engine import Engine
+from opentick_spark.workload.util import load
+
+QUERIES = {}
+ORACLES = {}
+
+_engines: dict[str, Engine] = {}
+_lock = threading.Lock()
+
+# factor derivation shared by the Spark ingest and the oracle SQL
+_ORACLE_FACTORS = """
+  SELECT user_id AS sec, ts AS time,
+         CASE WHEN FLOOR(value)::BIGINT % 2 = 0 THEN 0.5 ELSE 0.25 END AS px,
+         CASE WHEN FLOOR(value)::BIGINT % 2 = 0 THEN 2.0 ELSE 4.0 END AS vol
+  FROM events WHERE event_type = 'signup' AND value > 150
+"""
+
+
+def tick_engine(spark: SparkSession, sf_dir: str) -> Engine:
+    """Build (once per sf_dir) a warehouse holding trades + _adj_ derived
+    from events.parquet, ingested through the engine's own write path."""
+    with _lock:
+        if sf_dir in _engines:
+            return _engines[sf_dir]
+        eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_wh_"))
+        eng.execute("create database ticks")
+        eng.use("ticks")
+        eng.execute(
+            "create table trades(sec int, tm timestamp, px double, vol double, "
+            "primary key(sec, tm))"
+        )
+        ev = load(spark, sf_dir, "events")
+        trades = ev.select(
+            F.col("user_id").cast("int").alias("sec"),
+            (F.expr("ts div 1000") * 1000).alias("tm"),  # µs-aligned nanos
+            F.col("value").alias("px"),
+            F.col("value").alias("vol"),
+        )
+        eng.store("ticks", "trades").append_dataframe(trades)
+        dyadic = F.floor("value").cast("long") % 2 == 0
+        factors = ev.filter(
+            (F.col("event_type") == "signup") & (F.col("value") > 150)
+        ).select(
+            F.col("user_id").cast("int").alias("sec"),
+            (F.expr("ts div 1000") * 1000).alias("time"),
+            F.when(dyadic, 0.5).otherwise(0.25).alias("px"),
+            F.when(dyadic, 2.0).otherwise(4.0).alias("vol"),
+        )
+        eng.store("ticks", "_adj_").append_dataframe(factors)
+        # compact both so reads take the window-free PK-sorted path
+        eng.store("ticks", "trades").compact(spark, target_partitions=4)
+        eng.store("ticks", "_adj_").compact(spark, target_partitions=1)
+        _engines[sf_dir] = eng
+        return eng
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _us(df: DataFrame) -> DataFrame:
+    """tm (µs-aligned nanos) → ts_us for oracle comparison."""
+    return df.withColumn("ts_us", F.expr("tm div 1000")).drop("tm")
+
+
+@q(
+    "dialect_point_get",
+    "SELECT value AS px FROM events WHERE user_id = 7 "
+    "AND ts = (SELECT MIN(ts) FROM events WHERE user_id = 7)",
+)
+def dialect_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-PK point get through the dialect (reference S2): all key
+    columns equality-bound."""
+    eng = tick_engine(spark, sf_dir)
+    first_tm = (
+        eng.execute("select tm from trades where sec=7 limit 1")
+        .collect()[0][0]
+    )
+    sec, nsec = divmod(first_tm, 1_000_000_000)
+    return eng.execute("select px from trades where sec=7 and tm=?", [sec, nsec])
+
+
+@q(
+    "dialect_prefix_scan",
+    "SELECT epoch_us(ts) AS ts_us, value AS px FROM events WHERE user_id = 7",
+)
+def dialect_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-prefix scan through the dialect (reference S3) — exercises the
+    upsert-view read path + implicit PK ordering."""
+    eng = tick_engine(spark, sf_dir)
+    return _us(eng.execute("select tm, px from trades where sec=7"))
+
+
+@q(
+    "dialect_range_tail",
+    """
+    SELECT epoch_us(ts) AS ts_us, value AS px FROM events
+    WHERE user_id = 7 AND ts >= TIMESTAMP '2024-01-10'
+    ORDER BY ts DESC LIMIT 5
+    """,
+)
+def dialect_range_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range + LIMIT -n (tail, descending) through the dialect
+    (reference S3/S4/A3)."""
+    eng = tick_engine(spark, sf_dir)
+    return _us(
+        eng.execute(
+            "select tm, px from trades where sec=7 and tm>=? limit -5",
+            1704844800,  # 2024-01-10 epoch seconds
+        )
+    )
+
+
+_ADJ_ROWS = "SELECT user_id AS sec, ts AS tm, value AS px, value AS vol FROM events WHERE user_id < 10"
+
+ADJ_FWD_ORACLE = f"""
+WITH raw AS ({_ORACLE_FACTORS}),
+cum AS (
+  SELECT sec, time,
+    product(CASE WHEN px = 0 THEN 1 ELSE px END) OVER
+      (PARTITION BY sec ORDER BY time
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS px_f,
+    product(CASE WHEN vol = 0 THEN 1 ELSE vol END) OVER
+      (PARTITION BY sec ORDER BY time
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vol_f,
+    COALESCE(LAG(time) OVER (PARTITION BY sec ORDER BY time),
+             TIMESTAMP '1900-01-01') AS start_time,
+    time AS end_time
+  FROM raw
+),
+r AS ({_ADJ_ROWS})
+SELECT r.sec, epoch_us(r.tm) AS ts_us,
+  r.px * (CASE WHEN f.sec IS NOT NULL AND r.tm < f.end_time THEN f.px_f ELSE 1 END) AS px,
+  r.vol * (CASE WHEN f.sec IS NOT NULL AND r.tm < f.end_time THEN f.vol_f ELSE 1 END) AS vol
+FROM r ASOF LEFT JOIN cum f ON r.sec = f.sec AND r.tm >= f.start_time
+"""
+
+ADJ_BWD_ORACLE = f"""
+WITH raw AS ({_ORACLE_FACTORS}),
+cum AS (
+  SELECT sec, time,
+    1.0 / product(CASE WHEN px = 0 THEN 1 ELSE px END) OVER
+      (PARTITION BY sec ORDER BY time
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px_b,
+    1.0 / product(CASE WHEN vol = 0 THEN 1 ELSE vol END) OVER
+      (PARTITION BY sec ORDER BY time
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vol_b
+  FROM raw
+),
+r AS ({_ADJ_ROWS})
+SELECT r.sec, epoch_us(r.tm) AS ts_us,
+  r.px * COALESCE(f.px_b, 1) AS px,
+  r.vol * COALESCE(f.vol_b, 1) AS vol
+FROM r ASOF LEFT JOIN cum f ON r.sec = f.sec AND r.tm >= f.time
+"""
+
+
+@q("adj_forward", ADJ_FWD_ORACLE)
+def adj_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """adj() forward through the dialect (reference adj.go): as-of factor
+    = first event strictly after each row; dyadic factors ⇒ exact
+    cross-engine equality with no rounding."""
+    eng = tick_engine(spark, sf_dir)
+    return _us(eng.execute("select sec, tm, adj(px), adj(vol) from trades where sec<10"))
+
+
+@q("adj_backward", ADJ_BWD_ORACLE)
+def adj_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """adj(col, true) backward: last event at-or-before each row."""
+    eng = tick_engine(spark, sf_dir)
+    return _us(
+        eng.execute(
+            "select sec, tm, adj(px, true), adj(vol, true) from trades where sec<10"
+        )
+    )
+
+
+def dialect_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful roundtrip (rows-only check): upsert-by-PK overwrite + range
+    delete through the dialect, returning the final table state. Mirrors
+    server_test.go:96-99 and query_test.go:134-138 semantics."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_dml_"))
+    eng.execute("create database t")
+    eng.use("t")
+    eng.execute("create table s(a int, b timestamp, x double, primary key(a, b))")
+    pid = eng.prepare("insert into s(a, b, x) values(?, ?, ?)")
+    eng.batch_insert(pid, [(1, i, float(i)) for i in range(100)])
+    eng.batch_insert(pid, [(1, i, float(i) * 10) for i in range(0, 100, 2)])  # upsert evens
+    eng.execute("delete from s where a=1 and b>=? and b<?", 80, 100)
+    return (
+        eng.execute("select a, b, x from s")
+        .withColumn("ts_us", F.expr("b div 1000"))
+        .drop("b")
+    )
+
+
+QUERIES["dialect_upsert_delete"] = dialect_upsert_delete

@@ -1,0 +1,113 @@
+"""Local replica of the driver's correctness gate: run each
+__spark_entry__.queries() entry and its oracle_sql() side-by-side at
+sf0.01 and compare row count, column names, and values (sorted columns,
+order-insensitive rows) — stricter than a hash: reports actual diffs.
+
+Usage: python tests/oracle_check.py [query ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    # exact comparison — stricter than any value-hash the driver may use;
+    # float outputs must already be rounded identically by both sides
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(norm_cell(r[i]) for i in idx) for r in rows), key=repr
+    )
+
+
+def main():
+    import __spark_entry__ as entrymod
+    from opentick_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle_check", shuffle_partitions=8)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(sys.argv[1:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(rows)} rows  {dt:.1f}s")
+            if len(rows) == 0:
+                failures.append(name)
+                print(f"FAIL  {name}: rows-only query returned 0 rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error: {e}")
+            continue
+        ok = True
+        if sorted(cols) != sorted(ocols):
+            ok = False
+            print(f"FAIL  {name}: columns {sorted(cols)} vs oracle {sorted(ocols)}")
+        elif len(rows) != len(orows):
+            ok = False
+            print(f"FAIL  {name}: rowcount {len(rows)} vs oracle {len(orows)}")
+        else:
+            a = norm_rows(cols, rows)
+            b = norm_rows(ocols, orows)
+            if a != b:
+                ok = False
+                bad = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                print(f"FAIL  {name}: value mismatch, first diffs: {bad}")
+        if ok:
+            print(f"OK    {name}: {len(rows)} rows  {dt:.1f}s")
+        else:
+            failures.append(name)
+    print()
+    if failures:
+        print(f"FAILURES ({len(failures)}): {failures}")
+        sys.exit(1)
+    print("ALL OK")
+
+
+if __name__ == "__main__":
+    main()
