@@ -32,10 +32,13 @@ def stream_upsert(
     store: TableStore,
     checkpoint_dir: str,
     available_now: bool = True,
+    transform=None,
 ):
     """File-stream → atomic per-batch upsert into a PK table.
 
-    Returns the StreamingQuery (await/stop is the caller's job).
+    ``transform`` (optional) maps each micro-batch DataFrame to the
+    table's column shape before the commit. Returns the StreamingQuery
+    (await/stop is the caller's job).
     """
     stream = (
         spark.readStream.schema(source_schema)
@@ -44,6 +47,8 @@ def stream_upsert(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
         if not batch_df.isEmpty():
             store.append_dataframe(batch_df)
 

@@ -35,7 +35,7 @@ from typing import Any, Iterable
 
 import pyarrow as pa
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -196,12 +196,22 @@ class TableStore:
         meta = self._meta()
         pk_phys = [c.physical for c in schema.key_columns]
         if not meta.get("compacted", False):
-            w = Window.partitionBy(*pk_phys).orderBy(F.col(SEQ_COL).desc())
+            # latest-wins as ONE hash aggregation (max_by over the commit
+            # seq): partial-aggregates map-side and needs no per-partition
+            # sort, unlike a row_number window — the cheaper plan at any
+            # scale, and the same single shuffle on the PK
+            val_phys = [c.physical for c in schema.columns if not c.is_key]
+            latest = F.max_by(
+                F.struct(*val_phys, DEL_COL), F.col(SEQ_COL)
+            ).alias("__latest")
             df = (
-                df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .filter(~F.col(DEL_COL))
-                .drop("__rn")
+                df.groupBy(*[F.col(p) for p in pk_phys])
+                .agg(latest)
+                .filter(~F.col(f"__latest.{DEL_COL}"))
+                .select(
+                    *pk_phys,
+                    *[F.col(f"__latest.{p}").alias(p) for p in val_phys],
+                )
             )
         df = df.drop(SEQ_COL, DEL_COL)
         for c in schema.columns:

@@ -443,6 +443,205 @@ def asof_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "split_range_scan",
+    "SELECT user_id, epoch_us(ts) AS ts_us, value FROM events "
+    "WHERE user_id = 7 AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-02-20'",
+)
+def split_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitRange analog (reference C11, client/opentick.go:63-127): the
+    client splits a time range into n sub-ranges scanned in parallel and
+    dedups the shared boundary row. Spark-native: n half-open sub-ranges
+    union to exactly the original range — no boundary dedup needed, and
+    the union's branches prune to disjoint row groups."""
+    ev = load(spark, sf_dir, "events")
+    lo = 1704412800 * 1_000_000_000  # 2024-01-05
+    hi = 1708387200 * 1_000_000_000  # 2024-02-20
+    n = 4
+    step = (hi - lo) // n
+    bounds = [lo + i * step for i in range(n)] + [hi]
+    parts = [
+        ev.filter(
+            (F.col("user_id") == 7)
+            & (F.col("ts") >= bounds[i])
+            & (F.col("ts") < bounds[i + 1])
+        ).select("user_id", ts_us().alias("ts_us"), "value")
+        for i in range(n)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@q(
+    "json_props_stats",
+    """
+    SELECT event_type, SUM(json_extract(props, '$.k')::BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extension: JSON property extraction
+    (get_json_object, JVM-side) + aggregation."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@q(
+    "window_lead_lag",
+    """
+    SELECT user_id, epoch_us(ts) AS ts_us, value,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           ROUND(value - COALESCE(LAG(value) OVER w, value), 4) AS delta
+    FROM events WHERE user_id < 5
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag navigation windows (extension A-surface): tick-to-tick
+    deltas, one shuffle on user_id."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value")
+    return ev.select(
+        "user_id",
+        ts_us().alias("ts_us"),
+        "value",
+        F.lag(v).over(w).alias("prev_value"),
+        F.lead(v).over(w).alias("next_value"),
+        F.round(v - F.coalesce(F.lag(v).over(w), v), 4).alias("delta"),
+    )
+
+
+@q(
+    "window_range_frame",
+    """
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+             AS sum_1h,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h
+    FROM events WHERE user_id < 5
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based frame, not row-based): trailing
+    1-hour sum per user — the time-series sliding aggregate."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us())
+        .rangeBetween(-hour_us, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        ts_us().alias("ts_us"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+    )
+
+
+@q(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (extension): all 4 grouping combinations in one
+    pass (Spark expands + single shuffle)."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@q(
+    "intersect_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (extension): users with big purchases who also
+    signed up."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150)
+    ).select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.intersect(b)
+
+
+@q(
+    "brand_nation_revenue",
+    """
+    SELECT p_brand, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY p_brand, n_name
+    """,
+)
+def brand_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join over the remaining dims (part, supplier, nation): all
+    three broadcast, so the fact table never shuffles before the agg."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "stats_by_event_type",
+    """
+    SELECT event_type,
+           ROUND(MEDIAN(value), 6) AS med_value,
+           ROUND(STDDEV_SAMP(value), 6) AS sd_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stats_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics + moments: median (exact, interpolated the
+    same way in both engines) and sample stddev."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("med_value"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
 # rows-only (no SQL oracle): approximate distinct — engines' sketches differ
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate count-distinct (extension; sketch-based, so no

@@ -222,3 +222,73 @@ def dialect_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dialect_upsert_delete"] = dialect_upsert_delete
+
+
+@q(
+    "streaming_upsert_ingest",
+    "SELECT user_id AS sec, epoch_us(ts) AS ts_us, value AS px FROM events",
+)
+def streaming_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming ingest through the engine's write path:
+    file stream over events.parquet → foreachBatch → one atomic commit
+    per micro-batch into a PK table (the reference's async-insert
+    firehose, test.py:44-61, as readStream+upsert). The oracle is the
+    batch identity — (user_id, ts) is unique in this dataset, so the
+    final table state equals the input stream."""
+    import os
+
+    from opentick_spark.streaming.ingest import stream_upsert
+    from opentick_spark.workload.util import load as _load
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_stream_wh_"))
+    eng.execute("create database s")
+    eng.use("s")
+    eng.execute(
+        "create table ticks(sec int, tm timestamp, px double, primary key(sec, tm))"
+    )
+    schema = _load(spark, sf_dir, "events").schema
+    src_dir = tempfile.mkdtemp(prefix="otspark_stream_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    store = eng.store("s", "ticks")
+
+    def shape(df):
+        return df.select(
+            F.col("user_id").cast("int").alias("sec"),
+            (F.expr("ts div 1000") * 1000).alias("tm"),
+            F.col("value").alias("px"),
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="otspark_stream_ck_")
+    q_ = stream_upsert(
+        spark, src_dir, schema, store, ckpt, transform=shape
+    )
+    q_.awaitTermination()
+    return _us(eng.execute("select sec, tm, px from ticks"))
+
+
+def meta_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog surface (reference S15/S16, meta commands server.go:440-499):
+    list databases/tables + `meta schema` shape, returned as rows
+    (rows-only check — catalog state, not table data)."""
+    eng = tick_engine(spark, sf_dir)
+    rows = []
+    for db in eng.list_databases():
+        for tbl in eng.list_tables(db):
+            key_cols, val_cols = eng.table_meta(db, tbl)
+            rows.append(
+                (
+                    db,
+                    tbl,
+                    [f"{n}:{t}" for n, t in key_cols],
+                    [f"{n}:{t}" for n, t in val_cols],
+                )
+            )
+    return spark.createDataFrame(
+        rows, "db string, tbl string, key_cols array<string>, value_cols array<string>"
+    )
+
+
+QUERIES["meta_catalog"] = meta_catalog
