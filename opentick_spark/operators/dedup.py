@@ -328,11 +328,21 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance with chunk blocking.
 
-    Pigeonhole: at radius ≤ 12, two hashes agree on at least one of 4
-    16-bit chunks with high probability for true near-dups; candidates
-    join on (chunk_idx, chunk_value) then verify bit_count(xor) exactly.
+    Pigeonhole guarantee: the 64-bit signature is split into
+    ``max_hamming + 1`` chunks, so any pair within the radius has at
+    most ``max_hamming`` differing bits spread over ``max_hamming + 1``
+    chunks — at least one chunk is identical. Candidates equi-join on
+    (chunk_idx, chunk_value), then verify bit_count(xor) exactly:
+    **100% recall** at the requested radius, cost scaling with chunk
+    collisions (wider radius ⇒ narrower chunks ⇒ more candidates — the
+    standard Hamming-ball blocking trade-off).
     Output: (id_a, id_b, hamming).
     """
+    if not 0 <= max_hamming <= 31:
+        raise ValueError("max_hamming must be in [0, 31]")
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    mask = F.lit((1 << chunk_bits) - 1).cast("long")
     sigs = simhash_signatures(df, id_col, text_col, token_ngram)
     chunks = sigs.select(
         "id",
@@ -340,8 +350,8 @@ def simhash_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF).cast("long"))
-                    for i in range(4)
+                    F.shiftright(F.col("sh"), chunk_bits * i).bitwiseAND(mask)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("chunk_idx", "chunk_val"),

@@ -33,6 +33,7 @@ def stream_upsert(
     checkpoint_dir: str,
     available_now: bool = True,
     transform=None,
+    max_files_per_trigger: int = 8,
 ):
     """File-stream → atomic per-batch upsert into a PK table.
 
@@ -42,7 +43,7 @@ def stream_upsert(
     """
     stream = (
         spark.readStream.schema(source_schema)
-        .option("maxFilesPerTrigger", "8")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(source_dir)
     )
 

@@ -1,0 +1,261 @@
+"""Unit tests for the extension operators (asof, dedup, similarity,
+text, multimodal) on small crafted inputs — golden semantic cases in the
+reference's test style (exact expected values, adj_test.go-like)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentick_spark.operators import dedup as D
+from opentick_spark.operators import multimodal as M
+from opentick_spark.operators import similarity as S
+from opentick_spark.operators import text as X
+from opentick_spark.operators.asof import asof_join
+
+
+# ---------------------------------------------------------------------- asof
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 5), (1, 10), (2, 3)], "k int, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 7, "b"), (2, 100, "z")], "k int, rt long, v string"
+    )
+    return left, right
+
+
+def test_asof_backward(asof_frames):
+    left, right = asof_frames
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="rt")
+    rows = {(r.k, r.t): r.v for r in out.collect()}
+    # inclusive: right row at exactly t=5 is picked
+    assert rows == {(1, 5): "a", (1, 10): "b", (2, 3): None}
+
+
+def test_asof_forward(asof_frames):
+    left, right = asof_frames
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt", direction="forward"
+    )
+    rows = {(r.k, r.t): r.v for r in out.collect()}
+    # exclusive: right row at exactly t=5 is NOT picked (strictly after)
+    assert rows == {(1, 5): "b", (1, 10): None, (2, 3): "z"}
+
+
+def test_asof_tolerance(asof_frames):
+    left, right = asof_frames
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt", tolerance=2
+    )
+    rows = {(r.k, r.t): r.v for r in out.collect()}
+    # t=10 matches rt=7 but gap 3 > tolerance 2 → null
+    assert rows == {(1, 5): "a", (1, 10): None, (2, 3): None}
+
+
+# --------------------------------------------------------------------- dedup
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello world"),  # exact dup of 1 after normalization
+        (3, "a b c d e"),
+        (4, "a b c d f"),  # bigram jaccard 3/5 with 3
+        (5, "totally different text about spark engines"),
+        (6, ""),  # no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = {
+        r.keeper: (r.n_copies, r.members)
+        for r in D.exact_duplicates(docs).collect()
+    }
+    assert groups[1] == (2, [1, 2])
+    assert groups[3] == (1, [3])
+
+
+def test_ngram_jaccard_golden(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jac
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(3, 4)] == pytest.approx(3 / 5)
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (3, 5) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_lsh_matches_exact(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [(i, base + f"tail variant {i % 3}") for i in range(12)]
+    rows += [(100, "completely unrelated content one two three")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.id_a, r.id_b): r.jac
+        for r in D.ngram_jaccard_pairs(df, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jac
+        for r in D.minhash_lsh_pairs(df, threshold=0.8).collect()
+    }
+    # at J>=0.8 with 32x4 banding, recall is ~1: same pairs, same values
+    assert lsh == pytest.approx(exact)
+    assert len(exact) > 0
+
+
+def test_simhash_near_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and againn"),
+        (3, "an entirely distinct document concerning databases"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_pairs(df, max_hamming=12).collect()
+    }
+    # one trailing-token change over ~11 bigrams lands at hamming 9
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 12
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r.id_a, r.id_b): r.cos
+        for r in D.embedding_cosine_pairs(df, threshold=0.9).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == pytest.approx(0.999 / math.hypot(0.999, 0.01), abs=1e-6)
+
+
+# ---------------------------------------------------------------- similarity
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+
+    rnd = random.Random(0)
+    # clustered corpus (5 centers + small noise): the regime ANN methods
+    # are built for — near neighbors share hash buckets / IVF lists
+    centers = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(5)]
+    rows = [
+        (
+            i,
+            [c + rnd.gauss(0, 0.15) for c in centers[i % 5]],
+        )
+        for i in range(50)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_exact(vectors):
+    import numpy as np
+
+    out = S.brute_force_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=3)
+    got = [(r.neighbor_id, r.cos) for r in out.orderBy("rank").collect()]
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in vectors.collect()}
+    q = data[0]
+    sims = sorted(
+        (
+            (float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), i)
+            for i, v in data.items()
+            if i != 0
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    expect = [(i, s) for s, i in sims[:3]]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for g, e in zip(got, expect):
+        assert g[1] == pytest.approx(e[1], abs=1e-6)
+
+
+def test_lsh_and_ivf_recall(vectors):
+    queries = vectors.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(vectors, queries, k=5).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_topk(vectors, queries, k=5, bits=8, dim=16).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(vectors, queries, k=5, ncentroids=8, nprobe=4).collect()
+    }
+    assert len(lsh & exact) / len(exact) >= 0.3
+    assert len(ivf & exact) / len(exact) >= 0.4
+
+
+# ---------------------------------------------------------------------- text
+def test_text_metrics(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 times.")], "id long, text string")
+    r = df.select(
+        X.ws_token_count(F.col("text")).alias("ws"),
+        X.bpe_token_count(F.col("text")).alias("bpe"),
+        X.punct_ratio(F.col("text")).alias("punct"),
+        X.avg_word_len(F.col("text")).alias("awl"),
+    ).collect()[0]
+    assert r.ws == 4
+    # Hello , world ! 42 times . → 7 BPE-ish pre-tokens
+    assert r.bpe == 7
+    assert r.punct == pytest.approx(3 / 23)
+
+
+def test_lang_id(spark):
+    rows = [
+        (1, "the cat and the dog is in the house"),
+        (2, "der Hund und die Katze ist nicht da"),
+        (3, "el perro y la casa de los gatos"),
+        (4, "这 是 一个 中文 文档"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.lang for r in df.select("id", X.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "zh"}
+
+
+def test_fingerprints_normalize(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   WORLD!"), (2, "hello world"), (3, "other")],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        X.md5_fingerprint(F.col("text")).alias("fp"),
+        X.rolling_hash(F.col("text")).alias("rh"),
+    ).collect()
+    by_id = {r.id: (r.fp, r.rh) for r in out}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+# ----------------------------------------------------------------- multimodal
+def test_multimodal_features(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    feats = M.extract_features(M.attach_payload(df)).collect()
+    by_id = {r.id: r for r in feats}
+    assert by_id[1].n_bytes == 3
+    assert len(by_id[1].features) == M.FEATURE_DIM
+    assert sum(by_id[1].features) == pytest.approx(1.0)
+    assert by_id[2].n_bytes == 0
+
+
+def test_multimodal_real_decode_raises(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        M.extract_features(M.attach_payload(df), decode="real").collect()
+
+
+def test_frame_sample(spark):
+    df = spark.createDataFrame([(1, "x" * 100)], "doc_id long, text string")
+    out = M.frame_sample(M.attach_payload(df, media_type="video"), every_n=30)
+    rows = out.collect()
+    n_frames = (100 % 300) + 1  # deterministic fake meta
+    assert len(rows) == len(range(0, n_frames, 30))
