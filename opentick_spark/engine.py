@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import itertools
 import threading
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,8 +47,39 @@ from opentick_spark.table import TableStore
 from opentick_spark.typesys import from_epoch_nanos, validate_value
 
 
+def split_range(start, end, num_parts: int) -> list[tuple]:
+    """Split [start, end] into ``num_parts`` sub-ranges whose adjacent
+    bounds are shared, last part absorbing the remainder — the client-side
+    range-parallelism helper (SplitRange, client/opentick.go:63-127).
+
+    Sub-ranges are BOTH-bounds-inclusive like the reference; a merged
+    result must drop the duplicated boundary row (the reference client
+    dedups adjacent equal rows, client/opentick.go:302-317). Under Spark
+    the idiomatic form is half-open ranges — see ``Engine.execute_split``.
+    """
+    if num_parts <= 1 or type(start) is not type(end):
+        return []
+    if isinstance(start, float):
+        d = (end - start) / num_parts
+    else:
+        d = (end - start) // num_parts
+    parts = [[start + i * d, start + (i + 1) * d] for i in range(num_parts)]
+    parts[-1][1] = end
+    return [tuple(p) for p in parts]
+
+
 class Engine:
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        cache_ttl: float | None = None,
+    ):
+        """``cache_ttl``: optional TTL (seconds) for the SELECT response
+        cache (--cache, server.go:27,37-40). Like the reference, cached
+        results are served STALE within the TTL — deleted rows keep
+        appearing until expiry (server_test.go:161-183). Off by default;
+        keep off for correctness runs."""
         self.spark = spark
         self.catalog = Catalog(warehouse)
         self.current_db: str | None = None
@@ -56,6 +88,8 @@ class Engine:
         self._prepared_ids = itertools.count(1)
         self._lock = threading.RLock()
         self._stores: dict[tuple[str, str], TableStore] = {}
+        self.cache_ttl = cache_ttl
+        self._response_cache: dict[tuple, tuple[float, list]] = {}
 
     # ------------------------------------------------------------------
     def use(self, db: str) -> None:
@@ -146,9 +180,36 @@ class Engine:
             return None
         return self._run_resolved(self._resolve(node), args)
 
+    def execute_split(
+        self, sql: str | int, ranges: list[tuple], *args: Any
+    ) -> DataFrame:
+        """Range-parallel read (C11): run ``sql`` once per (lo, hi) pair —
+        bound to its LAST two placeholders — and union the results,
+        dropping the boundary rows duplicated by the reference's
+        inclusive sub-ranges. One Spark job; each branch prunes to its
+        own row groups, which is the reference's n-concurrent-scans
+        pattern expressed as partitions."""
+        if not ranges:
+            raise OpentickError("execute_split requires at least one range")
+        out = None
+        for lo, hi in ranges:
+            df = self.execute(sql, *args, lo, hi)
+            out = df if out is None else out.unionAll(df)
+        return out.dropDuplicates()
+
     def execute_rows(self, sql: str | int, *args: Any) -> list[tuple] | None:
         """Reference-client result shape: list of row tuples with timestamp
-        columns as (epoch_sec, nanosec) pairs."""
+        columns as (epoch_sec, nanosec) pairs. Serves the SELECT response
+        cache when ``cache_ttl`` is set (stale within TTL, like the
+        reference — server.go:342-350)."""
+        cache_key = None
+        if self.cache_ttl is not None:
+            sql_text = self._prepared[sql][0] if isinstance(sql, int) else sql
+            if sql_text.lstrip().lower().startswith("select"):
+                cache_key = (sql_text, args)
+                hit = self._response_cache.get(cache_key)
+                if hit is not None and time.time() < hit[0]:
+                    return hit[1]
         result = self.execute(sql, *args)
         if result is None:
             return None
@@ -169,6 +230,8 @@ class Engine:
                 if vals[i] is not None:
                     vals[i] = from_epoch_nanos(vals[i])
             rows.append(tuple(vals))
+        if cache_key is not None:
+            self._response_cache[cache_key] = (time.time() + self.cache_ttl, rows)
         return rows
 
     # ------------------------------------------------------------------

@@ -204,3 +204,67 @@ def test_compaction_preserves_state(kv, spark):
     kv.execute("insert into test(a, b, b2, c, d) values(2, 1, true, 39, 7.7)")
     rows = kv.execute_rows("select d from test where a=2 and b=1 and b2=true and c=39")
     assert rows == [(7.7,)]
+
+
+def test_split_range_math():
+    """Golden split semantics (mirrors server_test.go:12-31): shared
+    adjacent bounds, last part absorbs the remainder."""
+    from opentick_spark.engine import split_range
+
+    c2 = split_range(100, 1000, 11)
+    assert len(c2) == 11
+    assert c2[0] == (100, 100 + (1000 - 100) // 11)
+    assert c2[5] == (
+        100 + (1000 - 100) // 11 * 5,
+        100 + (1000 - 100) // 11 * 6,
+    )
+    assert c2[10][0] == 100 + (1000 - 100) // 11 * 10
+    assert c2[10][1] == 1000
+    c3 = split_range(100.0, 1000.0, 11)
+    assert c3[0][1] == 100.0 + (1000.0 - 100.0) / 11
+    assert c3[10][1] == 1000.0
+    assert split_range(1, 10, 1) == []
+    assert split_range(1, 10.0, 3) == []
+
+
+def test_execute_split_dedups_boundary(kv):
+    """Inclusive sub-ranges share boundary rows; execute_split's merge
+    drops them (client/opentick.go:302-317)."""
+    from opentick_spark.engine import split_range
+
+    eng = kv
+    eng.execute(
+        "create table if not exists kvr(k int, t timestamp, x double, primary key(k, t))"
+    )
+    pid = eng.prepare("insert into kvr(k, t, x) values(?, ?, ?)")
+    eng.batch_insert(pid, [(9, i, float(i)) for i in range(100)])
+    ranges = split_range(0, 99, 4)
+    df = eng.execute_split("select k, t, x from kvr where k=9 and t>=? and t<=?", ranges)
+    rows = sorted((r.t for r in df.collect()))
+    assert rows == [i * 1_000_000_000 for i in range(100)]
+
+
+def test_response_cache_ttl(spark, tmp_path):
+    """Stale reads within TTL (server_test.go:161-183): deleted rows keep
+    appearing until the cache entry expires."""
+    import time as _t
+
+    from opentick_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_ttl"), cache_ttl=2.0)
+    eng.execute("create database c")
+    eng.use("c")
+    eng.execute("create table t(sec int, tm timestamp, open double, primary key(sec, tm))")
+    eng.execute("insert into t(sec, tm, open) values(?, ?, ?)", 1, 10, 2.2)
+    eng.execute("insert into t(sec, tm, open) values(?, ?, ?)", 1, 11, 2.2)
+    assert len(eng.execute_rows("select * from t where sec=?", 1)) == 2
+    eng.execute("delete from t where sec=?", 1)
+    # stale within TTL
+    assert len(eng.execute_rows("select * from t where sec=?", 1)) == 2
+    deadline = _t.time() + 10
+    while _t.time() < deadline:
+        rows = eng.execute_rows("select * from t where sec=?", 1)
+        if len(rows) == 0:
+            break
+        _t.sleep(0.5)
+    assert len(rows) == 0
