@@ -45,9 +45,11 @@ def ohlcv_bars(
     ]
     if size_col:
         aggs.append(F.sum(size_col).alias("volume"))
+        # try_divide: zero-volume bars yield NULL vwap (ANSI-safe, and
+        # matches SQL engines' x/0 → NULL convention)
         aggs.append(
-            (
-                F.sum(F.col(price_col) * F.col(size_col)) / F.sum(size_col)
+            F.try_divide(
+                F.sum(F.col(price_col) * F.col(size_col)), F.sum(size_col)
             ).alias("vwap")
         )
     return ticks.groupBy(*key_cols, bucket).agg(*aggs)
@@ -64,3 +66,82 @@ def resample_last(
     bucket = time_bucket(F.col(ts_col), bucket_seconds * NS).alias("bucket_ts")
     aggs = [F.max_by(c, ts_col).alias(c) for c in value_cols]
     return df.groupBy(*key_cols, bucket).agg(*aggs)
+
+
+def gap_fill(
+    bars: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_cols: list[str],
+    bucket_seconds: int,
+) -> DataFrame:
+    """Fill missing buckets per key with the last observation carried
+    forward (the tick-DB 'locf' resample).
+
+    Plan shape: per-key min/max bucket → ``sequence`` + ``explode``
+    generates the dense bucket spine (no driver loop, no cross join with
+    a calendar table), left join observed bars, then ONE window pass of
+    ``last(ignorenulls)`` per value column. Two shuffles total (spine
+    join + window), both on the same key — co-partitioned under AQE.
+    ``is_filled`` marks carried rows.
+    """
+    step = bucket_seconds * NS
+    spine = (
+        bars.groupBy(*key_cols)
+        .agg(F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+            ).alias(bucket_col),
+        )
+    )
+    joined = spine.join(bars, [*key_cols, bucket_col], "left")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = joined.withColumn(
+        "is_filled", F.col(value_cols[0]).isNull()
+    )
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def session_windows(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap: int,
+) -> DataFrame:
+    """Sessionize events per key: a new session starts when the distance
+    to the previous event exceeds ``gap`` — expressed in ``ts_col``'s own
+    units (batch-side equivalent of ``F.session_window``;
+    gaps-and-islands in one window pass).
+
+    Output: key_cols + (session_start, session_end, n_events) — one row
+    per session. One shuffle on the key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    ts = F.col(ts_col)
+    new_session = (
+        (ts - F.lag(ts).over(w) > gap) | F.lag(ts).over(w).isNull()
+    ).cast("long")
+    sessioned = df.withColumn(
+        "__sid", F.sum(new_session).over(
+            Window.partitionBy(*key_cols)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    return sessioned.groupBy(*key_cols, "__sid").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("__sid")

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from opentick_spark.operators.asof import asof_join
-from opentick_spark.operators.timeseries import ohlcv_bars
+from opentick_spark.operators.timeseries import gap_fill, ohlcv_bars, session_windows
 from opentick_spark.workload.util import load, ts_us
 
 QUERIES = {}
@@ -639,6 +639,152 @@ def stats_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("value"), 6).alias("sd_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
+    )
+
+
+@q(
+    "vwap_hourly",
+    """
+    SELECT user_id, epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bar_ts_us,
+           ROUND(SUM(value * json_extract(props, '$.k')::BIGINT)
+                 / SUM(json_extract(props, '$.k')::BIGINT), 6) AS vwap,
+           SUM(json_extract(props, '$.k')::BIGINT) AS volume
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    """,
+)
+def vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per hour (price=value, size=props.k):
+    the canonical tick-DB aggregate — one hash agg, JSON size extraction
+    JVM-side."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    vol = F.get_json_object("props", "$.k").cast("long")
+    bars = ohlcv_bars(
+        ev.withColumn("__vol", vol), ["user_id"], "ts", "value",
+        size_col="__vol", bucket_seconds=3600,
+    )
+    return bars.select(
+        "user_id",
+        F.expr("bar_ts div 1000").alias("bar_ts_us"),
+        F.round("vwap", 6).alias("vwap"),
+        F.col("volume").cast("long").alias("volume"),
+    )
+
+
+@q(
+    "gap_fill_locf",
+    """
+    WITH bars AS (
+      SELECT user_id, epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
+             max_by(value, ts) AS last_value
+      FROM events WHERE user_id < 5 GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(MIN(bucket_us), MAX(bucket_us), 3600000000))
+               AS bucket_us
+      FROM bars GROUP BY user_id
+    ),
+    j AS (
+      SELECT s.user_id, s.bucket_us, b.last_value,
+             b.last_value IS NULL AS is_filled
+      FROM spine s LEFT JOIN bars b USING (user_id, bucket_us)
+    )
+    SELECT user_id, bucket_us,
+           last_value(last_value IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY bucket_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value,
+           is_filled
+    FROM j
+    """,
+)
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample with last-observation-carried-forward
+    (the hypertable 'locf' op): sequence+explode spine, left join, one
+    ignorenulls window."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    bars = (
+        ev.groupBy(
+            "user_id",
+            (
+                F.col("ts") - F.pmod(F.col("ts"), F.lit(3_600_000_000_000))
+            ).alias("bucket"),
+        )
+        .agg(F.max_by("value", "ts").alias("last_value"))
+    )
+    filled = gap_fill(bars, ["user_id"], "bucket", ["last_value"], 3600)
+    return filled.select(
+        "user_id",
+        F.expr("bucket div 1000").alias("bucket_us"),
+        "last_value",
+        "is_filled",
+    )
+
+
+@q(
+    "session_windows",
+    """
+    WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE user_id < 10),
+    m AS (
+      SELECT user_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                       OR ts_us - LAG(ts_us) OVER w > 3600000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    s AS (
+      SELECT user_id, ts_us,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM m
+    )
+    SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (1h inactivity gap) — gaps-and-islands in one
+    window pass + one agg; computed on µs so both engines agree on
+    boundary gaps."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", ts_us().alias("t_us"))
+    )
+    sess = session_windows(ev, ["user_id"], "t_us", gap=3_600_000_000)
+    return sess.select(
+        "user_id",
+        F.col("session_start").alias("session_start_us"),
+        F.col("session_end").alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+@q(
+    "scalar_subquery_filter",
+    """
+    SELECT l_partkey, COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem l1
+    WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = l1.l_partkey)
+    GROUP BY l_partkey
+    """,
+)
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape) through the SQL
+    front-end: Catalyst decorrelates to an aggregate + join — no
+    per-row re-scan."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__li")
+    return spark.sql(
+        """
+        SELECT l_partkey, CAST(COUNT(*) AS LONG) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM __li l1
+        WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM __li l2
+                            WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY l_partkey
+        """
     )
 
 
