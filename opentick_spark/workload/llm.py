@@ -326,6 +326,49 @@ QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
 # streaming
 
 @q(
+    "streaming_stateful_totals",
+    """
+    SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals maintained in keyed state across
+    micro-batches. Oracle: after the stream drains, the final state per
+    key must equal the batch aggregate."""
+    from pyspark.sql import Window
+
+    from opentick_spark.streaming.stateful import stateful_running_totals
+
+    schema = load(spark, sf_dir, "events").schema
+    name = "stateful_sink_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="otspark_state_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    query = stateful_running_totals(
+        spark, src_dir, schema, name, tempfile.mkdtemp(prefix="otspark_state_ck_")
+    )
+    query.awaitTermination()
+    sink = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        sink.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.round("sum_value", 4).alias("sum_value"),
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@q(
     "streaming_window_counts",
     """
     SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
