@@ -263,6 +263,38 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "salted_join_revenue",
+    """
+    SELECT o_orderpriority, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join (explicit n-way salting, operators/join.py):
+    identical output contract to the plain equi-join — the salt spreads
+    any hot l_orderkey over 8 shards. AQE's skew splitting is the
+    runtime fallback; this is the ahead-of-time form."""
+    from opentick_spark.operators.join import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        on=["k"],
+        salt=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@q(
     "window_running_sum",
     """
     SELECT user_id, epoch_us(ts) AS ts_us,

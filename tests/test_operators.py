@@ -259,3 +259,28 @@ def test_frame_sample(spark):
     rows = out.collect()
     n_frames = (100 % 300) + 1  # deterministic fake meta
     assert len(rows) == len(range(0, n_frames, 30))
+
+
+# --------------------------------------------------------------------- joins
+def test_salted_join_matches_plain(spark):
+    from opentick_spark.operators.join import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(10)],
+        "k int, v int",
+    )
+    small = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, tag string")
+    plain = {(r.k, r.v, r.tag) for r in big.join(small, ["k"]).collect()}
+    salted = {
+        (r.k, r.v, r.tag)
+        for r in salted_join(big, small, on=["k"], salt=8).collect()
+    }
+    assert salted == plain
+    left = {
+        (r.k, r.v, r.tag)
+        for r in salted_join(big, small, on=["k"], salt=4, how="left").collect()
+    }
+    plain_left = {
+        (r.k, r.v, r.tag) for r in big.join(small, ["k"], "left").collect()
+    }
+    assert left == plain_left
