@@ -275,8 +275,14 @@ class Engine:
     def _run_select(self, stmt: ResolvedSelect, args: tuple) -> DataFrame:
         schema = stmt.schema
         st = self.store(schema.db, schema.name)
-        df = st.read(self.spark)
         conds = bind_conds(stmt.conds, args)
+        # leading-PK equality → hash-bucket partition pruning on the store
+        lead = schema.key_columns[0].name
+        leading_eq = next(
+            (c.equal for c in conds if c.col.name == lead and c.equal is not None),
+            None,
+        )
+        df = st.read(self.spark, leading_eq=leading_eq)
         if conds:
             df = df.filter(self._predicate(conds))
         if stmt.adjs:

@@ -56,10 +56,18 @@ _ARROW_TYPE = {
 
 SEQ_COL = "__seq"
 DEL_COL = "__del"
+BUCKET_COL = "__bucket"
 
 
 class TableStore:
-    """Read/write access to one PK-ordered table."""
+    """Read/write access to one PK-ordered table.
+
+    On-disk layout: ``data/log/`` holds append commits (one parquet file
+    or directory per atomic commit); ``data/base/`` holds the last
+    compaction — PK-sorted, optionally hash-bucket directory-partitioned
+    on the leading PK column. Reads union base+log and resolve
+    latest-wins; a bucketed base gives PK point/prefix queries partition
+    pruning on top of row-group stats."""
 
     def __init__(self, catalog: Catalog, db: str, name: str):
         self.catalog = catalog
@@ -67,7 +75,15 @@ class TableStore:
         self.name = name
         self.path = catalog.table_path(db, name)
         self.data_path = os.path.join(self.path, "data")
+        self.log_path = os.path.join(self.data_path, "log")
+        self.base_path = os.path.join(self.data_path, "base")
+        os.makedirs(self.log_path, exist_ok=True)
+        os.makedirs(self.base_path, exist_ok=True)
         self._lock = threading.RLock()
+
+    def _bucket_expr(self, nb: int):
+        lead = self.schema.key_columns[0].physical
+        return F.pmod(F.xxhash64(F.col(lead)), F.lit(nb)).cast("int")
 
     # ------------------------------------------------------------------
     @property
@@ -149,7 +165,7 @@ class TableStore:
         arrays.append(pa.array([base + i for i in range(n)], type=pa.int64()))
         arrays.append(pa.array([delete] * n, type=pa.bool_()))
         tbl = pa.Table.from_arrays(arrays, schema=arrow)
-        fname = os.path.join(self.data_path, f"commit-{seq:012d}.parquet")
+        fname = os.path.join(self.log_path, f"commit-{seq:012d}.parquet")
         tmp = fname + f".{uuid.uuid4().hex}.tmp"
         pq.write_table(tbl, tmp)
         os.replace(tmp, fname)  # atomic commit: file appears fully-written
@@ -169,31 +185,61 @@ class TableStore:
             F.lit(seq * (1 << 22)).cast("long")
             + F.monotonically_increasing_id() % (1 << 22),
         ).withColumn(DEL_COL, F.lit(False))
-        commit_dir = os.path.join(self.data_path, f"commit-{seq:012d}")
+        commit_dir = os.path.join(self.log_path, f"commit-{seq:012d}")
         out.write.mode("overwrite").parquet(commit_dir)
 
     # ------------------------------------------------------------------
     # read path (Spark)
     def _raw(self, spark: SparkSession) -> DataFrame:
-        files_exist = any(
-            f.endswith(".parquet") or f.startswith("commit-")
-            for f in os.listdir(self.data_path)
-        )
-        if not files_exist:
+        """Union of base (compacted) + log (commits), with a consistent
+        ``__bucket`` column when the base is hash-bucketed (log rows
+        compute it on the fly so pruning filters stay valid)."""
+        meta = self._meta()
+        nb = meta.get("hash_buckets")
+        parts = []
+        if os.listdir(self.base_path):
+            base = spark.read.parquet(self.base_path)
+            if nb:
+                base = base.withColumn(BUCKET_COL, F.col(BUCKET_COL).cast("int"))
+            parts.append(base)
+        if os.listdir(self.log_path):
+            log = (
+                spark.read.schema(self.spark_schema())
+                .option("recursiveFileLookup", "true")
+                .parquet(self.log_path)
+            )
+            if nb:
+                log = log.withColumn(BUCKET_COL, self._bucket_expr(nb))
+            parts.append(log)
+        if not parts:
             return spark.createDataFrame([], self.spark_schema())
-        return (
-            spark.read.schema(self.spark_schema())
-            .option("recursiveFileLookup", "true")
-            .parquet(self.data_path)
-        )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, leading_eq: Any = None) -> DataFrame:
         """Current table state: latest row per PK, tombstones dropped,
         logical column names, no meta columns. Not yet PK-sorted — the
-        query layer appends the implicit PK ordering (query.go:156-201)."""
+        query layer appends the implicit PK ordering (query.go:156-201).
+
+        ``leading_eq``: equality-bound value of the LEADING PK column,
+        when the query has one. On a hash-bucketed base this compiles to
+        a partition-pruning predicate on ``__bucket`` (whole bucket
+        directories skipped), mirroring the reference's point/prefix key
+        locality."""
         schema = self.schema
         df = self._raw(spark)
         meta = self._meta()
+        nb = meta.get("hash_buckets")
+        if nb and leading_eq is not None:
+            lead_type = spark_type(schema.key_columns[0].type)
+            target = F.pmod(
+                F.xxhash64(F.lit(leading_eq).cast(lead_type)), F.lit(nb)
+            ).cast("int")
+            df = df.filter(F.col(BUCKET_COL) == target)
+        if nb:
+            df = df.drop(BUCKET_COL)
         pk_phys = [c.physical for c in schema.key_columns]
         if not meta.get("compacted", False):
             # latest-wins as ONE hash aggregation (max_by over the commit
@@ -231,36 +277,66 @@ class TableStore:
             self.append_rows(rows, delete=True)
         return len(rows)
 
-    def compact(self, spark: SparkSession, target_partitions: int | None = None) -> None:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_partitions: int | None = None,
+        hash_buckets: int | None = None,
+    ) -> None:
         """Collapse the append-log into PK-sorted, PK-range-partitioned
         Parquet — restores the reference's physical-PK-order property and
-        makes subsequent reads window-free."""
+        makes subsequent reads window-free.
+
+        ``hash_buckets``: additionally directory-partition the layout by
+        ``__bucket = xxhash64(leading_pk) % hash_buckets``. Point and
+        PK-prefix queries then prune whole directories (the cluster-scale
+        analog of the reference's "WHERE compiles to an FDB key range" —
+        at 100 TB the bucket directory is the unit of locality, with
+        row-group min/max stats pruning inside it)."""
         schema = self.schema
         df = self.read(spark)
         pk = schema.pk_names
         n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
-        out = (
-            df.repartitionByRange(n, *[F.col(k) for k in pk])
-            .sortWithinPartitions(*pk)
-        )
         for c in schema.columns:
             if c.name != c.physical:
-                out = out.withColumnRenamed(c.name, c.physical)
+                df = df.withColumnRenamed(c.name, c.physical)
+        pk_phys = [c.physical for c in schema.key_columns]
         meta = self._meta()
         seq = meta["seq"] + 1
+        if hash_buckets:
+            df = df.withColumn(
+                BUCKET_COL,
+                F.pmod(F.xxhash64(F.col(pk_phys[0])), F.lit(hash_buckets)).cast(
+                    "int"
+                ),
+            )
+            out = (
+                df.repartition(max(1, n), F.col(BUCKET_COL))
+                .sortWithinPartitions(BUCKET_COL, *pk_phys)
+            )
+        else:
+            out = df.repartitionByRange(
+                n, *[F.col(k) for k in pk_phys]
+            ).sortWithinPartitions(*pk_phys)
         out = out.withColumn(SEQ_COL, F.lit(seq * (1 << 22)).cast("long")).withColumn(
             DEL_COL, F.lit(False)
         )
         tmp_dir = os.path.join(self.path, f"compact-{uuid.uuid4().hex}")
-        out.write.mode("overwrite").parquet(tmp_dir)
-        with self._lock:
-            old = self.data_path
-            stash = old + ".old"
-            os.rename(old, stash)
-            os.rename(tmp_dir, old)
-            import shutil
+        writer = out.write.mode("overwrite")
+        if hash_buckets:
+            writer = writer.partitionBy(BUCKET_COL)
+        writer.parquet(tmp_dir)
+        import shutil
 
+        with self._lock:
+            # swap in the new base and drop the consumed log commits
+            stash = self.base_path + ".old"
+            os.rename(self.base_path, stash)
+            os.rename(tmp_dir, self.base_path)
             shutil.rmtree(stash)
+            shutil.rmtree(self.log_path)
+            os.makedirs(self.log_path, exist_ok=True)
             meta["seq"] = seq
             meta["compacted"] = True
+            meta["hash_buckets"] = hash_buckets
             self._write_meta(meta)

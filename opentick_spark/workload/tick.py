@@ -68,8 +68,11 @@ def tick_engine(spark: SparkSession, sf_dir: str) -> Engine:
             F.when(dyadic, 2.0).otherwise(4.0).alias("vol"),
         )
         eng.store("ticks", "_adj_").append_dataframe(factors)
-        # compact both so reads take the window-free PK-sorted path
-        eng.store("ticks", "trades").compact(spark, target_partitions=4)
+        # compact so reads take the window-free PK-sorted path; trades get
+        # a hash-bucketed base → sec-point queries prune bucket dirs
+        eng.store("ticks", "trades").compact(
+            spark, target_partitions=8, hash_buckets=8
+        )
         eng.store("ticks", "_adj_").compact(spark, target_partitions=1)
         _engines[sf_dir] = eng
         return eng

@@ -268,3 +268,28 @@ def test_response_cache_ttl(spark, tmp_path):
             break
         _t.sleep(0.5)
     assert len(rows) == 0
+
+
+def test_bucketed_compaction_prunes_and_preserves(kv, spark):
+    """hash_buckets compaction: directory-partitioned base, identical
+    table state, and leading-PK point queries prune bucket partitions."""
+    eng = kv
+    eng.execute(
+        "create table if not exists bkt(k int, t timestamp, x double, primary key(k, t))"
+    )
+    pid = eng.prepare("insert into bkt(k, t, x) values(?, ?, ?)")
+    eng.batch_insert(pid, [(k, i, float(k * 100 + i)) for k in range(8) for i in range(20)])
+    before = eng.execute_rows("select k, t, x from bkt")
+    eng.store("d", "bkt").compact(spark, target_partitions=4, hash_buckets=4)
+    after = eng.execute_rows("select k, t, x from bkt")
+    assert before == after
+    # upserts after compaction still resolve latest-wins across base+log
+    eng.execute("insert into bkt(k, t, x) values(?, ?, ?)", 3, 5, 999.0)
+    rows = eng.execute_rows("select x from bkt where k=3 and t=?", [5, 0])
+    assert rows == [(999.0,)]
+    # partition pruning: the physical plan's scan reads a subset of
+    # bucket directories for a leading-key point query
+    df = eng.execute("select k, t, x from bkt where k=3")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan
+    assert len(df.collect()) == 20
