@@ -375,6 +375,64 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into connected components by iterative
+    min-label propagation: each node repeatedly adopts the smallest label
+    among itself and its neighbors until fixpoint. The component
+    representative is the minimum id — the dedup 'keeper'.
+
+    Per iteration: one equi-join + one min-agg (both on node id);
+    converges in O(component diameter) rounds — near-dup clusters are
+    shallow, so a handful. ``localCheckpoint`` truncates lineage so plans
+    don't grow with iterations (the standard Spark iterative-algorithm
+    hygiene; at cluster scale use checkpoint() to reliable storage).
+    Output: (id, cluster) for every id appearing in ``pairs``.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("__nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("__nbr"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

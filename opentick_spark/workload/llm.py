@@ -101,6 +101,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
 
 
+@q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (min-label propagation):
+    the step that turns pairwise similarity into dedup decisions — the
+    cluster id is the keeper. Oracle: DuckDB recursive CTE computing the
+    min reachable label over the same exact-Jaccard edges."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    comps = D.connected_components(pairs)
+    return comps.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups (rows-only: Hamming blocking has no clean SQL
     oracle; tests assert it finds the same pairs as exact Jaccard)."""

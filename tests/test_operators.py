@@ -284,3 +284,17 @@ def test_salted_join_matches_plain(spark):
         (r.k, r.v, r.tag) for r in big.join(small, ["k"], "left").collect()
     }
     assert left == plain_left
+
+
+def test_connected_components(spark):
+    # two components: {1,2,3,4} (chain) and {10,11}; 20-21-22 triangle
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comps = {r.id: r.cluster for r in D.connected_components(pairs).collect()}
+    assert comps == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
