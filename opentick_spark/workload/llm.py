@@ -216,8 +216,21 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over int8-quantized embeddings (4× smaller scans; rows-only —
+    recall vs exact asserted in tests)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.quantized_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 QUERIES["sim_topk_lsh"] = sim_topk_lsh
 QUERIES["sim_topk_ivf"] = sim_topk_ivf
+QUERIES["sim_topk_quantized"] = sim_topk_quantized
 
 
 # ---------------------------------------------------------------------------

@@ -298,3 +298,33 @@ def test_connected_components(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_int8_quantization_roundtrip(vectors):
+    import numpy as np
+
+    out = vectors.select(
+        "vec_id",
+        F.col("embedding").alias("orig"),
+        S.quantize_int8(F.col("embedding")).alias("qz"),
+    ).select(
+        "vec_id", "orig", S.dequantize_int8(F.col("qz.q"), F.col("qz.scale")).alias("deq")
+    )
+    for r in out.collect():
+        o = np.array(r.orig, dtype=np.float64)
+        d = np.array(r.deq, dtype=np.float64)
+        # symmetric int8: per-element error <= scale/2 = max|v|/254
+        assert np.abs(o - d).max() <= np.abs(o).max() / 254 + 1e-7
+
+
+def test_quantized_topk_recall(vectors):
+    queries = vectors.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(vectors, queries, k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in S.quantized_topk(vectors, queries, k=5).collect()
+    }
+    assert len(quant & exact) / len(exact) >= 0.8
