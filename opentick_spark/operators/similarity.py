@@ -263,6 +263,77 @@ def quantized_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def seed_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ncentroids: int = 16,
+) -> DataFrame:
+    """Deterministic centroid seed: the corpus vector whose id ranks
+    first per (id % ncentroids) stripe. Output: (centroid_id, centv)."""
+    w0 = Window.partitionBy(F.col(id_col) % ncentroids).orderBy(id_col)
+    return (
+        corpus.withColumn("__r", F.row_number().over(w0))
+        .filter(F.col("__r") == 1)
+        .select(
+            (F.col(id_col) % ncentroids).cast("int").alias("centroid_id"),
+            F.col(vec_col).alias("centv"),
+        )
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ncentroids: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means (cosine assignment, mean update) as DataFrame
+    iterations: assign via broadcast-centroid argmax, update via
+    ``applyInPandas`` per-centroid numpy mean. Deterministic seed, fixed
+    iteration count (convergence checking would add a driver action per
+    round; near-dup routing doesn't need it). Each round is one broadcast
+    join + one shuffle on centroid_id — linear in corpus size.
+    """
+
+    def _mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "centroid_id": [int(pdf["centroid_id"].iloc[0])],
+                "centv": [
+                    np.stack(pdf["cv"].to_numpy()).mean(axis=0).astype(np.float32)
+                ],
+            }
+        )
+
+    cents = seed_centroids(corpus, id_col, vec_col, ncentroids)
+    for _ in range(max(0, iters)):
+        assign = (
+            corpus.crossJoin(F.broadcast(cents))
+            .select(
+                F.col(id_col).alias("nid"),
+                F.col(vec_col).alias("cv"),
+                "centroid_id",
+                cosine_batch(F.col(vec_col), F.col("centv")).alias("__sim"),
+            )
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("nid").orderBy(
+                        F.col("__sim").desc(), F.col("centroid_id")
+                    )
+                ),
+            )
+            .filter(F.col("__rk") == 1)
+        )
+        cents = assign.groupBy("centroid_id").applyInPandas(
+            _mean_vec, "centroid_id int, centv array<float>"
+        )
+        cents = cents.localCheckpoint(eager=True)
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -271,25 +342,20 @@ def ivf_topk(
     k: int = 5,
     ncentroids: int = 16,
     nprobe: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
-    """IVF-style ANN: deterministic centroid sample, route corpus vectors
-    to nearest centroid, probe the ``nprobe`` nearest lists per query.
+    """IVF-style ANN: route corpus vectors to their nearest centroid,
+    probe the ``nprobe`` nearest lists per query.
 
-    Centroids are the corpus vectors whose id ranks first per
-    (id % ncentroids) stripe — deterministic without a training step (a
-    k-means refinement would slot in here unchanged). At scale the
+    ``train_iters=0`` uses the deterministic seed centroids;
+    ``train_iters>0`` refines them with k-means first. At scale the
     assignment becomes the table's partition key, making each query a
     partition-pruned scan of nprobe lists.
     """
-    w0 = Window.partitionBy(F.col(id_col) % ncentroids).orderBy(id_col)
-    cents = (
-        corpus.withColumn("__r", F.row_number().over(w0))
-        .filter(F.col("__r") == 1)
-        .select(
-            (F.col(id_col) % ncentroids).alias("centroid_id"),
-            F.col(vec_col).alias("centv"),
-        )
-    )
+    if train_iters > 0:
+        cents = kmeans_centroids(corpus, id_col, vec_col, ncentroids, train_iters)
+    else:
+        cents = seed_centroids(corpus, id_col, vec_col, ncentroids)
     c_assign = (
         corpus.crossJoin(F.broadcast(cents))
         .select(

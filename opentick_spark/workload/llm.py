@@ -339,6 +339,38 @@ def text_token_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "corpus_pipeline",
+    f"""
+    WITH norm AS (SELECT doc_id, lang, text, {_NORM} AS nrm FROM documents),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY nrm),
+    q AS (
+      SELECT n.doc_id, n.lang,
+             len(string_split_regex(trim(lower(n.text)), '\\s+'))::BIGINT AS n_ws_tokens,
+             CASE WHEN length(n.text) = 0 THEN 0 ELSE
+               length(regexp_replace(n.text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))::DOUBLE
+               / length(n.text) END AS punct_ratio
+      FROM norm n JOIN keepers k ON n.doc_id = k.doc_id
+    )
+    SELECT doc_id, lang, n_ws_tokens FROM q
+    WHERE n_ws_tokens >= 5 AND punct_ratio < 0.2
+    """,
+)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: exact-dedup keepers → quality
+    gates (token count, punctuation ratio) → clean corpus. One dedup
+    shuffle + narrow filters; the shape every corpus build runs before
+    tokenization."""
+    docs = load(spark, sf_dir, "documents")
+    keepers = D.exact_duplicates(docs).select(F.col("keeper").alias("doc_id"))
+    kept = docs.join(keepers, "doc_id")
+    scored = X.quality_metrics(kept)
+    return (
+        scored.filter((F.col("n_ws_tokens") >= 5) & (F.col("punct_ratio") < 0.2))
+        .select("doc_id", "lang", F.col("n_ws_tokens").cast("long"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 

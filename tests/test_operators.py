@@ -328,3 +328,22 @@ def test_quantized_topk_recall(vectors):
         for r in S.quantized_topk(vectors, queries, k=5).collect()
     }
     assert len(quant & exact) / len(exact) >= 0.8
+
+
+def test_kmeans_improves_ivf_recall(vectors):
+    queries = vectors.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(vectors, queries, k=5).collect()
+    }
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(
+            vectors, queries, k=5, ncentroids=5, nprobe=1, train_iters=3
+        ).collect()
+    }
+    # 5 true clusters, 5 trained centroids, nprobe=1: k-means routing
+    # should recover nearly all true neighbors (same-cluster by design)
+    assert len(trained & exact) / len(exact) >= 0.8
+    cents = S.kmeans_centroids(vectors, ncentroids=5, iters=3).collect()
+    assert len(cents) == 5
