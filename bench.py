@@ -104,6 +104,13 @@ def main():
         "asof_join_purchase_signup",
         "adj_forward",
         "adj_backward",
+        "vwap_hourly",
+        "session_windows",
+        "gap_fill_locf",
+        "json_props_stats",
+        "stats_by_event_type",
+        "scalar_subquery_filter",
+        "corpus_pipeline",
         "dedup_exact",
         "dedup_minhash_lsh",
         "sim_topk_bruteforce",
