@@ -1,0 +1,167 @@
+"""Drop-in client facade mirroring the reference Python client's API
+(bindings/python/opentick/client.py) over the in-process Spark engine.
+
+A reference user's call sites keep working:
+
+    conn = opentick_spark.client.connect(db_name="test", spark=spark,
+                                         warehouse="/path")
+    fut = conn.execute_async("insert into t(...) values(?, ?)", (1, tm))
+    fut.get()
+    rows = conn.execute("select * from t where sec=?", (1,))
+    conn.batch_insert(sql, args_array, batch_size=10000)
+
+Differences by construction (Spark is the server — no TCP):
+- ``addr``/``port`` are accepted and ignored; the "connection" owns a
+  SparkSession + warehouse path instead of a socket.
+- ``login`` succeeds unconditionally (the reference grants admin to
+  localhost connections, user.go:29-83 / server.go:106-110); user
+  management raises ``Error`` (ACLs are out of engine scope, SURVEY
+  §2.8 C7).
+- async execution is a bounded thread pool (the reference bounds
+  concurrency to 100 in-flight requests per connection, server.go:245);
+  results resolve through the same engine.
+
+Timestamps: args may be naive-UTC ``datetime`` (like the reference
+client, client.py:292-299); result timestamp columns come back as
+``datetime`` (reference sniffing behavior, client.py:467-476).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import tempfile
+from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as _FutTimeout
+from typing import Any, Iterable
+
+from opentick_spark.engine import Engine, split_range  # noqa: F401 (re-export)
+from opentick_spark.errors import OpentickError as Error
+
+
+class Future:
+    """Result handle matching the reference Future API: ``get(timeout)``
+    returns rows or raises ``Error('Timeout')`` (test.py:64-66)."""
+
+    def __init__(self, fut):
+        self._fut = fut
+
+    def get(self, timeout: float | None = None):
+        try:
+            return self._fut.result(timeout)
+        except _FutTimeout:
+            raise Error("Timeout") from None
+
+
+class Connection:
+    def __init__(
+        self,
+        spark,
+        warehouse: str,
+        db_name: str | None = None,
+        max_concurrency: int = 100,
+    ):
+        self._engine = Engine(spark, warehouse)
+        self._pool = ThreadPoolExecutor(max_workers=min(max_concurrency, 32))
+        if db_name:
+            self._engine.use(db_name)
+
+    # -- session ------------------------------------------------------
+    def start(self):  # parity no-op (reference spawns the recv thread)
+        return self
+
+    def is_connected(self) -> bool:
+        return True
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=True)
+
+    def login(self, username: str, password: str, db_name: str | None = None):
+        if db_name:
+            self._engine.use(db_name)
+        return True
+
+    def use(self, db_name: str) -> None:
+        self._engine.use(db_name)
+
+    # -- user management: out of engine scope (C7) ---------------------
+    def create_user(self, *a, **k):
+        raise Error("user management is not supported")
+
+    delete_user = update_user = list_users = reload_users = chgpasswd = create_user
+
+    # -- meta ----------------------------------------------------------
+    def list_databases(self) -> list[str]:
+        return self._engine.list_databases()
+
+    def list_tables(self) -> list[str]:
+        return self._engine.list_tables()
+
+    def schema(self, table_name: str):
+        return self._engine.table_meta(self._engine.current_db, table_name)
+
+    # -- execution -----------------------------------------------------
+    def _rows_out(self, rows):
+        if rows is None:
+            return None
+        return [
+            tuple(
+                _dt.datetime.fromtimestamp(v[0], _dt.timezone.utc).replace(
+                    tzinfo=None
+                )
+                + _dt.timedelta(microseconds=v[1] // 1000)
+                if isinstance(v, tuple) and len(v) == 2
+                else v
+                for v in row
+            )
+            for row in rows
+        ]
+
+    def execute(self, sql: str, args: Iterable[Any] = ()):  # noqa: B006-like
+        return self._rows_out(self._engine.execute_rows(sql, *tuple(args)))
+
+    def execute_async(self, sql: str, args: Iterable[Any] = ()) -> Future:
+        args = tuple(args)
+        return Future(self._pool.submit(self.execute, sql, args))
+
+    def prepare(self, sql: str) -> int:
+        return self._engine.prepare(sql)
+
+    def batch_insert(
+        self,
+        sql: str,
+        args_array: list[tuple],
+        batch_size: int | None = None,
+    ) -> None:
+        pid = self._engine.prepare(sql)
+        batch = batch_size or len(args_array) or 1
+        for i in range(0, len(args_array), batch):
+            self._engine.batch_insert(pid, args_array[i : i + batch])
+
+    def batch_insert_async(
+        self,
+        sql: str,
+        args_array: list[tuple],
+        batch_size: int | None = None,
+    ) -> Future:
+        return Future(
+            self._pool.submit(self.batch_insert, sql, args_array, batch_size)
+        )
+
+
+def connect(
+    addr: str = "localhost",
+    port: int = 0,
+    db_name: str | None = None,
+    *,
+    spark=None,
+    warehouse: str | None = None,
+) -> Connection:
+    """Reference-shaped constructor. ``addr``/``port`` are ignored (no
+    TCP); pass ``spark``/``warehouse`` or both are created on demand."""
+    if spark is None:
+        from opentick_spark.session import get_spark
+
+        spark = get_spark(app_name="opentick_client")
+    if warehouse is None:
+        warehouse = tempfile.mkdtemp(prefix="otspark_client_wh_")
+    return Connection(spark, warehouse, db_name)
