@@ -116,10 +116,14 @@ class Connection:
             for row in rows
         ]
 
-    def execute(self, sql: str, args: Iterable[Any] = ()):  # noqa: B006-like
+    def execute(self, sql: str, args: Iterable[Any] = (), cache: bool = True):
+        # ``cache`` accepted for signature parity (client.py:204); the
+        # engine-side TTL cache is configured on the Engine, not per call
         return self._rows_out(self._engine.execute_rows(sql, *tuple(args)))
 
-    def execute_async(self, sql: str, args: Iterable[Any] = ()) -> Future:
+    def execute_async(
+        self, sql: str, args: Iterable[Any] = (), cache: bool = True
+    ) -> Future:
         args = tuple(args)
         return Future(self._pool.submit(self.execute, sql, args))
 
