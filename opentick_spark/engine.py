@@ -195,7 +195,11 @@ class Engine:
         for lo, hi in ranges:
             df = self.execute(sql, *args, lo, hi)
             out = df if out is None else out.unionAll(df)
-        return out.dropDuplicates()
+        # the reference's merged result stays PK-ascending
+        # (client/opentick.go:302-317); restore it after the dedup shuffle
+        pid = self.prepare(sql) if isinstance(sql, str) else sql
+        resolved = self._prepared[pid][1]
+        return out.dropDuplicates().orderBy(*resolved.schema.pk_names)
 
     def execute_rows(self, sql: str | int, *args: Any) -> list[tuple] | None:
         """Reference-client result shape: list of row tuples with timestamp

@@ -171,9 +171,10 @@ class TableStore:
         os.replace(tmp, fname)  # atomic commit: file appears fully-written
         return n
 
-    def append_dataframe(self, df: DataFrame) -> None:
+    def append_dataframe(self, df: DataFrame, delete: bool = False) -> None:
         """Append a (possibly large) DataFrame as one commit — the Spark
-        write path for bulk loads / streaming foreachBatch."""
+        write path for bulk loads / streaming foreachBatch. ``delete``
+        writes the rows as tombstones."""
         schema = self.schema
         seq = self._next_seq()
         out = df
@@ -184,7 +185,7 @@ class TableStore:
             SEQ_COL,
             F.lit(seq * (1 << 22)).cast("long")
             + F.monotonically_increasing_id() % (1 << 22),
-        ).withColumn(DEL_COL, F.lit(False))
+        ).withColumn(DEL_COL, F.lit(delete))
         commit_dir = os.path.join(self.log_path, f"commit-{seq:012d}")
         out.write.mode("overwrite").parquet(commit_dir)
 
@@ -267,15 +268,14 @@ class TableStore:
         return df.select(*[c.name for c in sorted(schema.columns, key=lambda x: x.pos_col)])
 
     # ------------------------------------------------------------------
-    def delete_where(self, spark: SparkSession, predicate) -> int:
+    def delete_where(self, spark: SparkSession, predicate) -> None:
         """Append tombstones for current rows matching ``predicate``
-        (a pyspark Column over logical names)."""
-        current = self.read(spark)
-        doomed = current.filter(predicate)
-        rows = [r.asDict() for r in doomed.collect()]
-        if rows:
-            self.append_rows(rows, delete=True)
-        return len(rows)
+        (a pyspark Column over logical names) — fully distributed: the
+        matched rows stream straight into a tombstone commit, never
+        through the driver."""
+        doomed = self.read(spark).filter(predicate)
+        if not doomed.isEmpty():
+            self.append_dataframe(doomed, delete=True)
 
     def compact(
         self,
