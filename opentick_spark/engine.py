@@ -74,12 +74,19 @@ class Engine:
         spark: SparkSession,
         warehouse: str,
         cache_ttl: float | None = None,
+        auto_compact_every: int | None = None,
     ):
         """``cache_ttl``: optional TTL (seconds) for the SELECT response
         cache (--cache, server.go:27,37-40). Like the reference, cached
         results are served STALE within the TTL — deleted rows keep
         appearing until expiry (server_test.go:161-183). Off by default;
-        keep off for correctness runs."""
+        keep off for correctness runs.
+
+        ``auto_compact_every``: opt-in background-style maintenance —
+        after N commits to a table since its last compaction, the next
+        insert triggers a compaction (preserving its hash-bucket layout),
+        keeping reads on the window-free sorted-base path during long
+        ingest sessions (the LSM compaction analog)."""
         self.spark = spark
         self.catalog = Catalog(warehouse)
         self.current_db: str | None = None
@@ -90,6 +97,7 @@ class Engine:
         self._stores: dict[tuple[str, str], TableStore] = {}
         self.cache_ttl = cache_ttl
         self._response_cache: dict[tuple, tuple[float, list]] = {}
+        self.auto_compact_every = auto_compact_every
 
     # ------------------------------------------------------------------
     def use(self, db: str) -> None:
@@ -337,7 +345,15 @@ class Engine:
                         ) from None
                 row[col.name] = v
             out.append(row)
-        self.store(stmt.schema.db, stmt.schema.name).append_rows(out)
+        st = self.store(stmt.schema.db, stmt.schema.name)
+        st.append_rows(out)
+        if (
+            self.auto_compact_every
+            and st.commits_since_compact() >= self.auto_compact_every
+        ):
+            st.compact(
+                self.spark, hash_buckets=st._meta().get("hash_buckets")
+            )
 
     def batch_insert(self, sql_or_id: str | int, rows_args: list[tuple]) -> None:
         if isinstance(sql_or_id, str):

@@ -339,4 +339,9 @@ class TableStore:
             meta["seq"] = seq
             meta["compacted"] = True
             meta["hash_buckets"] = hash_buckets
+            meta["last_compact_seq"] = seq
             self._write_meta(meta)
+
+    def commits_since_compact(self) -> int:
+        meta = self._meta()
+        return meta["seq"] - meta.get("last_compact_seq", 0)

@@ -293,3 +293,19 @@ def test_bucketed_compaction_prunes_and_preserves(kv, spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "__bucket" in plan
     assert len(df.collect()) == 20
+
+
+def test_auto_compaction(spark, tmp_path):
+    from opentick_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_ac"), auto_compact_every=5)
+    eng.execute("create database a")
+    eng.use("a")
+    eng.execute("create table t(k int, t timestamp, x double, primary key(k, t))")
+    for i in range(12):
+        eng.execute("insert into t(k, t, x) values(?, ?, ?)", 1, i, float(i))
+    st = eng.store("a", "t")
+    # at least one compaction fired; log stays short
+    assert st.commits_since_compact() < 5
+    rows = eng.execute_rows("select k, t, x from t where k=1")
+    assert len(rows) == 12 and rows[0] == (1, (0, 0), 0.0)
