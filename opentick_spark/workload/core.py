@@ -703,6 +703,63 @@ def vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "twap_hourly",
+    """
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value,
+             epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+               AS next_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    w AS (
+      SELECT user_id, bucket_us, value,
+             LEAST(COALESCE(next_us, bucket_us + 3600000000),
+                   bucket_us + 3600000000) - ts_us AS dt
+      FROM t
+    )
+    SELECT user_id, bucket_us,
+           ROUND(SUM(value * dt) / SUM(dt), 6) AS twap
+    FROM w WHERE dt > 0 GROUP BY user_id, bucket_us
+    """,
+)
+def twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per hour: each tick's price is
+    weighted by its holding time (until the next tick or the bucket
+    end). One window pass for the next-tick time + one hash agg — the
+    classic tick-DB companion to VWAP, computed in µs so both engines
+    agree."""
+    hour_us = 3_600_000_000
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", ts_us().alias("t_us"), "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us")
+    bucket = (F.col("t_us") - F.pmod(F.col("t_us"), F.lit(hour_us))).alias(
+        "bucket_us"
+    )
+    t = ev.select(
+        "user_id",
+        "t_us",
+        "value",
+        bucket,
+        F.lead("t_us").over(w).alias("next_us"),
+    )
+    dt = (
+        F.least(
+            F.coalesce(F.col("next_us"), F.col("bucket_us") + hour_us),
+            F.col("bucket_us") + hour_us,
+        )
+        - F.col("t_us")
+    ).alias("dt")
+    weighted = t.select("user_id", "bucket_us", "value", dt).filter(F.col("dt") > 0)
+    return weighted.groupBy("user_id", "bucket_us").agg(
+        F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias("twap")
+    )
+
+
+@q(
     "gap_fill_locf",
     """
     WITH bars AS (
@@ -831,3 +888,16 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["approx_distinct_users"] = approx_distinct_users
+
+
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles (rows-only: sketch
+    internals differ across engines; the exact median variant above is
+    the value-checked one)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p50_p90_p99")
+    )
+
+
+QUERIES["approx_quantiles"] = approx_quantiles
