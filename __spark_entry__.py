@@ -23,14 +23,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+_RUNTIME_CONFS = {
+    # events.ts is parquet TIMESTAMP(NANOS): surface as epoch-nano longs
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # timestamp-literal casts are session-timezone-dependent; the DuckDB
+    # oracle treats naive timestamps as UTC, so the session must too
+    "spark.sql.session.timeZone": "UTC",
+}
 
 
 def _prep(spark: SparkSession) -> SparkSession:
-    try:
-        spark.conf.set(_NANOS_CONF, "true")
-    except Exception:
-        pass  # immutable in some contexts; reads will fail loudly if so
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in some contexts; reads will fail loudly if so
     return spark
 
 
