@@ -349,6 +349,57 @@ def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'view') AS view
+    FROM events WHERE user_id < 20 GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (extension): explicit value list so the plan is a single
+    hash agg with conditional counts — no second pass to discover
+    columns."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    # pivot leaves NULL for absent combos; the oracle's FILTER yields 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    )
+
+
+@q(
+    "window_rank_stats",
+    """
+    SELECT event_type, event_id,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           NTILE(4) OVER w AS quartile,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM events WHERE user_id < 10
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions (percent_rank / ntile / cume_dist) with
+    a deterministic tie-break on event_id."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@q(
     "set_ops_except",
     """
     SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 195
