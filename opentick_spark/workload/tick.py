@@ -40,9 +40,10 @@ _ORACLE_FACTORS = """
 def tick_engine(spark: SparkSession, sf_dir: str) -> Engine:
     """Build (once per sf_dir) a warehouse holding trades + _adj_ derived
     from events.parquet, ingested through the engine's own write path."""
+    key = (id(spark), sf_dir)  # re-ingest if the driver rotates sessions
     with _lock:
-        if sf_dir in _engines:
-            return _engines[sf_dir]
+        if key in _engines:
+            return _engines[key]
         eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_wh_"))
         eng.execute("create database ticks")
         eng.use("ticks")
@@ -74,7 +75,7 @@ def tick_engine(spark: SparkSession, sf_dir: str) -> Engine:
             spark, target_partitions=8, hash_buckets=8
         )
         eng.store("ticks", "_adj_").compact(spark, target_partitions=1)
-        _engines[sf_dir] = eng
+        _engines[key] = eng
         return eng
 
 
