@@ -25,7 +25,7 @@ from opentick_spark.workload.util import load
 QUERIES = {}
 ORACLES = {}
 
-_engines: dict[str, Engine] = {}
+_engines: dict[tuple, Engine] = {}
 _lock = threading.Lock()
 
 # factor derivation shared by the Spark ingest and the oracle SQL
