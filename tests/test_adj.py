@@ -141,3 +141,32 @@ def test_zero_factor_treated_as_one(engine):
     engine.execute("insert into bar(a, b, c) values(1, 1, 10)")
     rows = engine.execute_rows("select adj(c) from bar where a=1")
     assert rows == [(10.0,)]
+
+
+def test_adj_three_part_pk(engine):
+    """adj on the canonical (sec, interval, tm) table (server_test.go:53):
+    first key int + last key timestamp, middle keys untouched."""
+    engine.execute("create database adj3")
+    engine.use("adj3")
+    engine.execute(
+        "create table bars(sec int, interval int, tm timestamp, close double, "
+        "vol double, primary key(sec, interval, tm))"
+    )
+    pid = engine.prepare(
+        "insert into bars(sec, interval, tm, close, vol) values(?, ?, ?, ?, ?)"
+    )
+    engine.batch_insert(
+        pid, [(1, itv, t, 100.0, 10.0) for itv in (1, 2) for t in (1, 4, 100)]
+    )
+    engine.execute(
+        "insert into _adj_(sec, time, px, vol) values(?, ?, ?, ?)", 1, 5, 0.5, 2.0
+    )
+    rows = engine.execute_rows(
+        "select tm, adj(close), adj(vol) from bars where sec=1 and interval=2"
+    )
+    # events at t<=4 are before the factor at t=5 → adjusted; t=100 is after
+    assert rows == [
+        ((1, 0), 50.0, 20.0),
+        ((4, 0), 50.0, 20.0),
+        ((100, 0), 100.0, 10.0),
+    ]
