@@ -196,18 +196,31 @@ class Engine:
         dropping the boundary rows duplicated by the reference's
         inclusive sub-ranges. One Spark job; each branch prunes to its
         own row groups, which is the reference's n-concurrent-scans
-        pattern expressed as partitions."""
+        pattern expressed as partitions.
+
+        The dedup key is the PRIMARY KEY (boundary duplicates are the
+        same physical row), never the projected values — two distinct
+        rows that agree on a projected subset must both survive. PK
+        columns missing from the projection are carried internally and
+        dropped at the end; the merged result stays PK-ascending
+        (client/opentick.go:302-317)."""
         if not ranges:
             raise OpentickError("execute_split requires at least one range")
-        out = None
-        for lo, hi in ranges:
-            df = self.execute(sql, *args, lo, hi)
-            out = df if out is None else out.unionAll(df)
-        # the reference's merged result stays PK-ascending
-        # (client/opentick.go:302-317); restore it after the dedup shuffle
+        import dataclasses
+
         pid = self.prepare(sql) if isinstance(sql, str) else sql
         resolved = self._prepared[pid][1]
-        return out.dropDuplicates().orderBy(*resolved.schema.pk_names)
+        if not isinstance(resolved, ResolvedSelect):
+            raise OpentickError("execute_split requires a select")
+        pk = resolved.schema.pk_names
+        want = [c.name for c in resolved.cols]
+        missing = [k for k in resolved.schema.key_columns if k.name not in want]
+        widened = dataclasses.replace(resolved, cols=list(resolved.cols) + missing)
+        out = None
+        for lo, hi in ranges:
+            df = self._run_resolved(widened, (*args, lo, hi))
+            out = df if out is None else out.unionAll(df)
+        return out.dropDuplicates(pk).orderBy(*pk).select(*want)
 
     def execute_rows(self, sql: str | int, *args: Any) -> list[tuple] | None:
         """Reference-client result shape: list of row tuples with timestamp
@@ -218,7 +231,13 @@ class Engine:
         if self.cache_ttl is not None:
             sql_text = self._prepared[sql][0] if isinstance(sql, int) else sql
             if sql_text.lstrip().lower().startswith("select"):
-                cache_key = (sql_text, args)
+                # args may contain [sec, nsec] timestamp lists — hashable form
+                cache_key = (
+                    sql_text,
+                    tuple(
+                        tuple(a) if isinstance(a, list) else a for a in args
+                    ),
+                )
                 hit = self._response_cache.get(cache_key)
                 if hit is not None and time.time() < hit[0]:
                     return hit[1]

@@ -36,20 +36,25 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in on and c != right_time
     ]
+    # the as-of row is picked ATOMICALLY as one struct — per-column
+    # last/first(ignorenulls) would stitch together values from
+    # different right rows whenever payload columns contain NULLs
+    payload = F.struct(
+        F.col(right_time).alias("__rt"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
     tagged_r = right.select(
         *[F.col(c) for c in on],
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
-        F.col(right_time).alias("__rt"),
+        payload.alias("__vrow"),
     )
     left_cols = left.columns
     tagged_l = left.select(
         "*",
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[right_time].dataType).alias("__rt"),
+        F.lit(None).cast(tagged_r.schema["__vrow"].dataType).alias("__vrow"),
     )
     for c in left_cols:
         if c not in tagged_r.columns:
@@ -62,8 +67,7 @@ def asof_join(
             .orderBy(F.col("__t"), F.col("__is_left"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        picked = {c: F.last(f"__v_{c}", ignorenulls=True).over(w) for c in value_cols}
-        picked_t = F.last("__rt", ignorenulls=True).over(w)
+        picked = F.last("__vrow", ignorenulls=True).over(w)
     else:
         # right rows at equal time sort before left → excluded from the
         # strictly-following frame ⇒ first right row with time > left time
@@ -72,25 +76,17 @@ def asof_join(
             .orderBy(F.col("__t"), F.col("__is_left"))
             .rowsBetween(1, Window.unboundedFollowing)
         )
-        picked = {c: F.first(f"__v_{c}", ignorenulls=True).over(w) for c in value_cols}
-        picked_t = F.first("__rt", ignorenulls=True).over(w)
-    out = merged
-    for c, expr in picked.items():
-        out = out.withColumn(f"__p_{c}", expr)
-    out = out.withColumn("__p_t", picked_t)
-    out = out.filter(F.col("__is_left") == 1)
+        picked = F.first("__vrow", ignorenulls=True).over(w)
+    out = merged.withColumn("__p", picked).filter(F.col("__is_left") == 1)
     if tolerance is not None:
         gap = (
-            (F.col("__t") - F.col("__p_t"))
+            (F.col("__t") - F.col("__p.__rt"))
             if direction == "backward"
-            else (F.col("__p_t") - F.col("__t"))
+            else (F.col("__p.__rt") - F.col("__t"))
         )
-        keep = F.col("__p_t").isNotNull() & (gap <= tolerance)
-        for c in value_cols:
-            out = out.withColumn(
-                f"__p_{c}", F.when(keep, F.col(f"__p_{c}"))
-            )
+        keep = F.col("__p").isNotNull() & (gap <= tolerance)
+        out = out.withColumn("__p", F.when(keep, F.col("__p")))
     sel = [F.col(c) for c in left_cols] + [
-        F.col(f"__p_{c}").alias(c) for c in value_cols
+        F.col(f"__p.{c}").alias(c) for c in value_cols
     ]
     return out.select(*sel)

@@ -341,7 +341,11 @@ def simhash_pairs(
     if not 0 <= max_hamming <= 31:
         raise ValueError("max_hamming must be in [0, 31]")
     n_chunks = max_hamming + 1
-    chunk_bits = 64 // n_chunks
+    # cap at 31 bits so the mask literal fits a positive int (the
+    # pigeonhole guarantee only needs the chunks disjoint, not that they
+    # cover all 64 bits — differing bits outside any chunk can't make a
+    # chunk unequal)
+    chunk_bits = min(31, 64 // n_chunks)
     mask = F.lit((1 << chunk_bits) - 1).cast("long")
     sigs = simhash_signatures(df, id_col, text_col, token_ngram)
     chunks = sigs.select(

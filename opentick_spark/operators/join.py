@@ -32,6 +32,10 @@ def salted_join(
     ``big`` dominates; costs ``salt``× duplication of the small side,
     which must stay broadcast-sized after explosion.
     """
+    if how not in ("inner", "left", "left_outer", "leftsemi", "left_semi"):
+        # right/full outer would emit each unmatched small row salt times
+        # (the small side is exploded before the join)
+        raise ValueError(f"salted_join does not support how={how!r}")
     if salt < 2:
         return big.join(small, on, how)
     shard = (

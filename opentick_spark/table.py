@@ -248,8 +248,13 @@ class TableStore:
             # sort, unlike a row_number window — the cheaper plan at any
             # scale, and the same single shuffle on the PK
             val_phys = [c.physical for c in schema.columns if not c.is_key]
+            # ordering key = (seq, content): bulk commits can collide on
+            # the partition-local sub-seq (monotonically_increasing_id
+            # mod 2^22 drops partition bits), so ties break on row
+            # content — deterministic instead of partition-layout-luck
             latest = F.max_by(
-                F.struct(*val_phys, DEL_COL), F.col(SEQ_COL)
+                F.struct(*val_phys, DEL_COL),
+                F.struct(F.col(SEQ_COL), *val_phys, F.col(DEL_COL)),
             ).alias("__latest")
             df = (
                 df.groupBy(*[F.col(p) for p in pk_phys])
@@ -274,8 +279,9 @@ class TableStore:
         matched rows stream straight into a tombstone commit, never
         through the driver."""
         doomed = self.read(spark).filter(predicate)
-        if not doomed.isEmpty():
-            self.append_dataframe(doomed, delete=True)
+        # write unconditionally: an empty tombstone commit is harmless,
+        # while an isEmpty() probe would execute the full read plan twice
+        self.append_dataframe(doomed, delete=True)
 
     def compact(
         self,
@@ -293,7 +299,23 @@ class TableStore:
         analog of the reference's "WHERE compiles to an FDB key range" —
         at 100 TB the bucket directory is the unit of locality, with
         row-group min/max stats pruning inside it)."""
+        # the whole compaction holds the store lock: _next_seq shares it,
+        # so no commit can land between the snapshot read and the log
+        # swap (a commit written after the snapshot would be deleted)
+        self._lock.acquire()
+        try:
+            self._compact_locked(spark, target_partitions, hash_buckets)
+        finally:
+            self._lock.release()
+
+    def _compact_locked(
+        self,
+        spark: SparkSession,
+        target_partitions: int | None,
+        hash_buckets: int | None,
+    ) -> None:
         schema = self.schema
+        consumed_log = sorted(os.listdir(self.log_path))
         df = self.read(spark)
         pk = schema.pk_names
         n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
@@ -328,19 +350,23 @@ class TableStore:
         writer.parquet(tmp_dir)
         import shutil
 
-        with self._lock:
-            # swap in the new base and drop the consumed log commits
-            stash = self.base_path + ".old"
-            os.rename(self.base_path, stash)
-            os.rename(tmp_dir, self.base_path)
-            shutil.rmtree(stash)
-            shutil.rmtree(self.log_path)
-            os.makedirs(self.log_path, exist_ok=True)
-            meta["seq"] = seq
-            meta["compacted"] = True
-            meta["hash_buckets"] = hash_buckets
-            meta["last_compact_seq"] = seq
-            self._write_meta(meta)
+        # swap in the new base; remove exactly the log commits that were
+        # in the snapshot (lock already held by compact())
+        stash = self.base_path + ".old"
+        os.rename(self.base_path, stash)
+        os.rename(tmp_dir, self.base_path)
+        shutil.rmtree(stash)
+        for entry in consumed_log:
+            p = os.path.join(self.log_path, entry)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            elif os.path.exists(p):
+                os.remove(p)
+        meta["seq"] = seq
+        meta["compacted"] = True
+        meta["hash_buckets"] = hash_buckets
+        meta["last_compact_seq"] = seq
+        self._write_meta(meta)
 
     def commits_since_compact(self) -> int:
         meta = self._meta()

@@ -40,7 +40,9 @@ _ORACLE_FACTORS = """
 def tick_engine(spark: SparkSession, sf_dir: str) -> Engine:
     """Build (once per sf_dir) a warehouse holding trades + _adj_ derived
     from events.parquet, ingested through the engine's own write path."""
-    key = (id(spark), sf_dir)  # re-ingest if the driver rotates sessions
+    # applicationId is a stable session-identity token (id() could be
+    # reused by a new session at the same address after GC)
+    key = (spark.sparkContext.applicationId, sf_dir)
     with _lock:
         if key in _engines:
             return _engines[key]

@@ -309,3 +309,33 @@ def test_auto_compaction(spark, tmp_path):
     assert st.commits_since_compact() < 5
     rows = eng.execute_rows("select k, t, x from t where k=1")
     assert len(rows) == 12 and rows[0] == (1, (0, 0), 0.0)
+
+
+def test_execute_split_projection_without_pk(kv):
+    """Split reads must dedup on the PK even when the projection omits it
+    (two rows sharing a projected value must both survive)."""
+    from opentick_spark.engine import split_range
+
+    eng = kv
+    eng.execute(
+        "create table if not exists kvp(k int, t timestamp, x double, primary key(k, t))"
+    )
+    pid = eng.prepare("insert into kvp(k, t, x) values(?, ?, ?)")
+    eng.batch_insert(pid, [(9, i, 1.0) for i in range(50)])  # identical x
+    df = eng.execute_split(
+        "select x from kvp where k=9 and t>=? and t<=?", split_range(0, 49, 4)
+    )
+    assert len(df.collect()) == 50
+
+
+def test_cache_with_list_timestamp_args(spark, tmp_path):
+    from opentick_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_lc"), cache_ttl=60)
+    eng.execute("create database lc")
+    eng.use("lc")
+    eng.execute("create table t(k int, tm timestamp, x double, primary key(k, tm))")
+    eng.execute("insert into t(k, tm, x) values(?, ?, ?)", 1, [5, 7], 2.0)
+    rows = eng.execute_rows("select x from t where k=1 and tm=?", [5, 7])
+    assert rows == [(2.0,)]
+    assert eng.execute_rows("select x from t where k=1 and tm=?", [5, 7]) == rows

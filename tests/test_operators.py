@@ -347,3 +347,33 @@ def test_kmeans_improves_ivf_recall(vectors):
     assert len(trained & exact) / len(exact) >= 0.8
     cents = S.kmeans_centroids(vectors, ncentroids=5, iters=3).collect()
     assert len(cents) == 5
+
+
+def test_asof_null_payload_not_stitched(spark):
+    """The as-of match is one atomic right row — NULL payload fields must
+    not be backfilled from older rows."""
+    left = spark.createDataFrame([(1, 3)], "k int, t long")
+    right = spark.createDataFrame(
+        [(1, 1, 5, None), (1, 2, None, 7)],
+        "k int, rt long, a int, b int",
+    )
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="rt").collect()
+    assert len(out) == 1
+    r = out[0]
+    # correct as-of row is rt=2: (a=NULL, b=7) — NOT the chimera (5, 7)
+    assert r.a is None and r.b == 7
+
+
+def test_simhash_zero_radius(spark):
+    rows = [(1, "same text here"), (2, "same text here"), (3, "other words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in D.simhash_pairs(df, max_hamming=0).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_salted_join_rejects_outer(spark):
+    from opentick_spark.operators.join import salted_join
+
+    df = spark.createDataFrame([(1, 1)], "k int, v int")
+    with pytest.raises(ValueError):
+        salted_join(df, df, on=["k"], salt=4, how="full")
