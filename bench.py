@@ -63,6 +63,43 @@ def bench_ingest_batch_100k(spark, sf_dir):
     return eng, dt
 
 
+def bench_ingest_async_100k(spark):
+    """Reference headline: 100k single-row ASYNC inserts, all futures
+    resolved (BASELINE.md rows 1/6: Go 5.50s, Python 6.73s). Rides the
+    client's group-commit buffer — durability per future, batched
+    commits."""
+    import tempfile
+
+    from opentick_spark import client as otc
+
+    conn = otc.connect(
+        spark=spark, warehouse=tempfile.mkdtemp(prefix="otspark_async_")
+    )
+    conn.execute("create database b")
+    conn.use("b")
+    conn.execute(
+        "create table test(sec int, interval int, tm timestamp, open double, "
+        "high double, low double, close double, v double, vwap double, "
+        "primary key(sec, interval, tm))"
+    )
+    sql = (
+        "insert into test(sec, interval, tm, open, high, low, close, v, vwap) "
+        "values(?, ?, ?, ?, ?, ?, ?, ?, ?)"
+    )
+    t0 = time.time()
+    futs = [
+        conn.execute_async(sql, (1, 1, i, 2.2, 2.4, 2.1, 2.3, 1e6, 2.25))
+        for i in range(100_000)
+    ]
+    for f in futs:
+        f.get(120)
+    dt = time.time() - t0
+    n = len(conn.execute("select open from test where sec=1 and interval=1"))
+    assert n == 100_000, n
+    conn.close()
+    return dt
+
+
 def main():
     from opentick_spark.session import get_spark
     from opentick_spark.workload import QUERIES
@@ -83,6 +120,7 @@ def main():
     timings: dict[str, float] = {}
 
     # --- reference harness shape: ingest + scan-back ---------------------
+    timings["ingest_async_100k"] = bench_ingest_async_100k(spark)
     eng, timings["ingest_batch_100k"] = bench_ingest_batch_100k(spark, SF_DIR)
     t0 = time.time()
     materialize(eng.execute("select * from test where sec=1"))

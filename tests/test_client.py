@@ -76,3 +76,25 @@ def test_client_async_select_and_ranges(conn):
     assert len(futs[0].get()) == 100
     parts = otc.split_range(0, 99, 4)
     assert len(parts) == 4
+
+
+def test_async_insert_group_commit(conn, spark):
+    """100k-style async insert firehose: futures resolve after their
+    group commit; the log holds few files, not one per row."""
+    tm = dt.datetime(2024, 3, 1)
+    futs = [
+        conn.execute_async(
+            "insert into test(sec, interval, tm, open) values(?, ?, ?, ?)",
+            (9, 1, tm + dt.timedelta(microseconds=k), float(k)),
+        )
+        for k in range(5000)
+    ]
+    for f in futs:
+        f.get(30)
+    rows = conn.execute("select open from test where sec=9 and interval=1")
+    assert len(rows) == 5000
+    st = conn._engine.store("test", "test")
+    import os
+
+    n_commits = len(os.listdir(st.log_path))
+    assert n_commits < 100  # group commit, not commit-per-row
