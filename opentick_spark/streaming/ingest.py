@@ -96,3 +96,38 @@ def windowed_event_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_window_counts(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    sink_table: str,
+    checkpoint_dir: str,
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Streaming sessionization: ``F.session_window`` merges events per
+    user whose gaps stay under ``gap`` — the built-in stateful session
+    operator (state = open sessions per key, closed by the watermark).
+    Complete-mode memory sink for deterministic comparison on finite
+    input."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(events_dir)
+    )
+    agg = (
+        stream.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts_ts", watermark)
+        .groupBy(F.session_window("ts_ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -445,6 +445,57 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "streaming_session_windows",
+    """
+    WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE user_id < 10),
+    m AS (
+      SELECT user_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                       OR ts_us - LAG(ts_us) OVER w >= 3600000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    s AS (
+      SELECT user_id, ts_us,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM m
+    )
+    SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming sessionization (F.session_window stateful
+    operator). Oracle: batch gaps-and-islands with the session_window
+    boundary convention (a gap of exactly the threshold starts a NEW
+    session — the window end is exclusive)."""
+    from opentick_spark.streaming.ingest import session_window_counts
+
+    schema = load(spark, sf_dir, "events").schema
+    name = "session_sink_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="otspark_sess_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    q_ = session_window_counts(
+        spark,
+        src_dir,
+        schema,
+        name,
+        tempfile.mkdtemp(prefix="otspark_sess_ck_"),
+    )
+    q_.awaitTermination()
+    out = spark.table(name).filter(F.col("user_id") < 10)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("win.start")).alias("session_start_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+@q(
     "streaming_window_counts",
     """
     SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
