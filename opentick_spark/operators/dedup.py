@@ -390,12 +390,15 @@ def connected_components(
     among itself and its neighbors until fixpoint. The component
     representative is the minimum id — the dedup 'keeper'.
 
-    Per iteration: one equi-join + one min-agg (both on node id);
-    converges in O(component diameter) rounds — near-dup clusters are
-    shallow, so a handful. ``localCheckpoint`` truncates lineage so plans
-    don't grow with iterations (the standard Spark iterative-algorithm
-    hygiene; at cluster scale use checkpoint() to reliable storage).
-    Output: (id, cluster) for every id appearing in ``pairs``.
+    Per iteration: one equi-join + one min-agg (both on node id), then a
+    pointer-jumping step (``cluster := cluster[cluster]``) that halves
+    remaining chain depth — total rounds O(log diameter), so long
+    near-dup chains converge too. ``localCheckpoint`` truncates lineage
+    so plans don't grow with iterations (the standard Spark
+    iterative-algorithm hygiene; at cluster scale use checkpoint() to
+    reliable storage). Raises RuntimeError if ``max_iter`` is exhausted
+    with changes still pending — never silently returns non-converged
+    labels. Output: (id, cluster) for every id appearing in ``pairs``.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.unionByName(
@@ -408,18 +411,31 @@ def connected_components(
         .withColumn("cluster", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster").alias("__nbr"))
         )
+        prop = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
+            "id",
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("__nbr"), F.col("cluster"))
+            ).alias("cluster"),
+        )
+        # pointer jumping: cluster := cluster[cluster] — collapses label
+        # chains exponentially (large-star-style shortcutting)
+        lut = prop.select(
+            F.col("id").alias("__lid"), F.col("cluster").alias("__lcluster")
+        )
         new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            prop.join(lut, prop.cluster == F.col("__lid"), "left")
             .select(
                 "id",
                 F.least(
-                    F.col("cluster"), F.coalesce(F.col("__nbr"), F.col("cluster"))
+                    F.col("cluster"),
+                    F.coalesce(F.col("__lcluster"), F.col("cluster")),
                 ).alias("cluster"),
             )
             .localCheckpoint(eager=True)
@@ -433,7 +449,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "iterations; raise max_iter"
+        )
     return labels
 
 

@@ -27,11 +27,17 @@ storage concern; all query compute is Spark.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import threading
 import uuid
 from typing import Any, Iterable
+
+try:
+    import fcntl
+except ImportError:  # non-POSIX: cross-process locking degrades to in-process
+    fcntl = None
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -54,7 +60,8 @@ _ARROW_TYPE = {
     "text": pa.string(),
 }
 
-SEQ_COL = "__seq"
+SEQ_COL = "__seq"  # commit sequence (one per atomic commit)
+SUB_COL = "__sub"  # intra-commit write order (full 64-bit, no overflow)
 DEL_COL = "__del"
 BUCKET_COL = "__bucket"
 
@@ -104,20 +111,50 @@ class TableStore:
             json.dump(meta, f)
         os.replace(tmp, p)
 
+    @contextlib.contextmanager
+    def _file_lock(self):
+        """OS-level exclusive lock serializing commit-seq allocation and
+        compaction across Engine/Connection instances AND processes
+        sharing one warehouse (the reference gets this from FDB
+        transactions; plain files need fcntl)."""
+        if fcntl is None:
+            yield
+            return
+        fd = os.open(os.path.join(self.path, ".lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
     def _next_seq(self) -> int:
-        with self._lock:
+        with self._lock, self._file_lock():
             meta = self._meta()
             meta["seq"] += 1
             meta["compacted"] = False
             self._write_meta(meta)
             return meta["seq"]
 
+    @staticmethod
+    def _publish(tmp: str, final: str) -> None:
+        """Publish a fully-written commit file under its sequence name.
+        ``os.link`` (unlike ``os.replace``) fails with FileExistsError if
+        the seq was double-allocated — a collision surfaces loudly instead
+        of silently losing a committed file."""
+        os.link(tmp, final)
+        os.remove(tmp)
+
     def arrow_schema(self, with_meta: bool = True) -> pa.Schema:
         fields = [
             pa.field(c.physical, _ARROW_TYPE[c.type]) for c in self.schema.columns
         ]
         if with_meta:
-            fields += [pa.field(SEQ_COL, pa.int64()), pa.field(DEL_COL, pa.bool_())]
+            fields += [
+                pa.field(SEQ_COL, pa.int64()),
+                pa.field(SUB_COL, pa.int64()),
+                pa.field(DEL_COL, pa.bool_()),
+            ]
         return pa.schema(fields)
 
     def spark_schema(self, with_meta: bool = True) -> T.StructType:
@@ -128,6 +165,7 @@ class TableStore:
         if with_meta:
             fields += [
                 T.StructField(SEQ_COL, T.LongType(), False),
+                T.StructField(SUB_COL, T.LongType(), False),
                 T.StructField(DEL_COL, T.BooleanType(), False),
             ]
         return T.StructType(fields)
@@ -156,19 +194,22 @@ class TableStore:
             for lname, phys in logical_to_physical.items():
                 cols[phys].append(r.get(lname))
         n = len(rows)
-        # per-row sub-sequence so intra-batch PK collisions resolve last-wins
+        # per-row sub-sequence so intra-batch PK collisions resolve
+        # last-wins (tr.Set is sequential, query.go:294-307); __sub is a
+        # full 64-bit column, so no batch size can overflow into the next
+        # commit's key space
         arrays = []
         arrow = self.arrow_schema()
         for c in schema.columns:
             arrays.append(pa.array(cols[c.physical], type=_ARROW_TYPE[c.type]))
-        base = seq * (1 << 22)
-        arrays.append(pa.array([base + i for i in range(n)], type=pa.int64()))
+        arrays.append(pa.array([seq] * n, type=pa.int64()))
+        arrays.append(pa.array(list(range(n)), type=pa.int64()))
         arrays.append(pa.array([delete] * n, type=pa.bool_()))
         tbl = pa.Table.from_arrays(arrays, schema=arrow)
         fname = os.path.join(self.log_path, f"commit-{seq:012d}.parquet")
         tmp = fname + f".{uuid.uuid4().hex}.tmp"
         pq.write_table(tbl, tmp)
-        os.replace(tmp, fname)  # atomic commit: file appears fully-written
+        self._publish(tmp, fname)  # atomic + loud on seq collision
         return n
 
     def append_dataframe(self, df: DataFrame, delete: bool = False) -> None:
@@ -181,13 +222,23 @@ class TableStore:
         for c in schema.columns:
             if c.name != c.physical:
                 out = out.withColumnRenamed(c.name, c.physical)
-        out = out.withColumn(
-            SEQ_COL,
-            F.lit(seq * (1 << 22)).cast("long")
-            + F.monotonically_increasing_id() % (1 << 22),
-        ).withColumn(DEL_COL, F.lit(delete))
+        # full monotonically_increasing_id (partition_id<<33 | row-in-
+        # partition): unique within the commit, keeps partition bits, so
+        # duplicate PKs in one bulk commit resolve by DataFrame row
+        # position — the sequential-write-order analog of tr.Set
+        out = (
+            out.withColumn(SEQ_COL, F.lit(seq).cast("long"))
+            .withColumn(SUB_COL, F.monotonically_increasing_id())
+            .withColumn(DEL_COL, F.lit(delete))
+        )
         commit_dir = os.path.join(self.log_path, f"commit-{seq:012d}")
-        out.write.mode("overwrite").parquet(commit_dir)
+        # stage OUTSIDE log/ so concurrent readers never see a half-written
+        # commit, then rename in (atomic; fails loudly if seq double-used)
+        tmp_dir = os.path.join(
+            self.data_path, f"commit-{seq:012d}.{uuid.uuid4().hex}.tmp"
+        )
+        out.write.mode("overwrite").parquet(tmp_dir)
+        os.rename(tmp_dir, commit_dir)
 
     # ------------------------------------------------------------------
     # read path (Spark)
@@ -199,7 +250,12 @@ class TableStore:
         nb = meta.get("hash_buckets")
         parts = []
         if os.listdir(self.base_path):
-            base = spark.read.parquet(self.base_path)
+            # explicit schema: a compacted-empty base (only _SUCCESS, no
+            # part files) must read as zero rows, not fail inference
+            base_schema = self.spark_schema()
+            if nb:
+                base_schema = base_schema.add(BUCKET_COL, T.IntegerType(), True)
+            base = spark.read.schema(base_schema).parquet(self.base_path)
             if nb:
                 base = base.withColumn(BUCKET_COL, F.col(BUCKET_COL).cast("int"))
             parts.append(base)
@@ -248,13 +304,11 @@ class TableStore:
             # sort, unlike a row_number window — the cheaper plan at any
             # scale, and the same single shuffle on the PK
             val_phys = [c.physical for c in schema.columns if not c.is_key]
-            # ordering key = (seq, content): bulk commits can collide on
-            # the partition-local sub-seq (monotonically_increasing_id
-            # mod 2^22 drops partition bits), so ties break on row
-            # content — deterministic instead of partition-layout-luck
+            # ordering key = (commit seq, intra-commit write order) — a
+            # total order per row, mirroring sequential tr.Set last-wins
             latest = F.max_by(
                 F.struct(*val_phys, DEL_COL),
-                F.struct(F.col(SEQ_COL), *val_phys, F.col(DEL_COL)),
+                F.struct(F.col(SEQ_COL), F.col(SUB_COL)),
             ).alias("__latest")
             df = (
                 df.groupBy(*[F.col(p) for p in pk_phys])
@@ -265,7 +319,7 @@ class TableStore:
                     *[F.col(f"__latest.{p}").alias(p) for p in val_phys],
                 )
             )
-        df = df.drop(SEQ_COL, DEL_COL)
+        df = df.drop(SEQ_COL, SUB_COL, DEL_COL)
         for c in schema.columns:
             if c.physical != c.name:
                 df = df.withColumnRenamed(c.physical, c.name)
@@ -302,11 +356,8 @@ class TableStore:
         # the whole compaction holds the store lock: _next_seq shares it,
         # so no commit can land between the snapshot read and the log
         # swap (a commit written after the snapshot would be deleted)
-        self._lock.acquire()
-        try:
+        with self._lock, self._file_lock():
             self._compact_locked(spark, target_partitions, hash_buckets)
-        finally:
-            self._lock.release()
 
     def _compact_locked(
         self,
@@ -340,8 +391,10 @@ class TableStore:
             out = df.repartitionByRange(
                 n, *[F.col(k) for k in pk_phys]
             ).sortWithinPartitions(*pk_phys)
-        out = out.withColumn(SEQ_COL, F.lit(seq * (1 << 22)).cast("long")).withColumn(
-            DEL_COL, F.lit(False)
+        out = (
+            out.withColumn(SEQ_COL, F.lit(seq).cast("long"))
+            .withColumn(SUB_COL, F.lit(0).cast("long"))
+            .withColumn(DEL_COL, F.lit(False))
         )
         tmp_dir = os.path.join(self.path, f"compact-{uuid.uuid4().hex}")
         writer = out.write.mode("overwrite")

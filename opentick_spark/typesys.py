@@ -93,7 +93,11 @@ def to_epoch_nanos(value: Any) -> int:
     if isinstance(value, _dt.datetime):
         if value.tzinfo is None:
             value = value.replace(tzinfo=_dt.timezone.utc)
-        return int(value.timestamp()) * NS_PER_SEC + value.microsecond * 1000
+        # timedelta arithmetic, not timestamp(): int(ts) truncates toward
+        # zero while .microsecond is positive-within-second, which skews
+        # pre-1970 datetimes by up to ~1s
+        d = value - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        return (d.days * 86400 + d.seconds) * NS_PER_SEC + d.microseconds * 1000
     if isinstance(value, str):
         try:
             dt = _dt.datetime.fromisoformat(value.replace("Z", "+00:00"))

@@ -560,7 +560,8 @@ def split_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "json_props_stats",
     """
-    SELECT event_type, SUM(json_extract(props, '$.k')::BIGINT) AS sum_k,
+    SELECT event_type,
+           CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -731,7 +732,7 @@ def stats_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bar_ts_us,
            ROUND(SUM(value * json_extract(props, '$.k')::BIGINT)
                  / SUM(json_extract(props, '$.k')::BIGINT), 6) AS vwap,
-           SUM(json_extract(props, '$.k')::BIGINT) AS volume
+           CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS volume
     FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
     """,
 )
@@ -944,10 +945,13 @@ QUERIES["approx_distinct_users"] = approx_distinct_users
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate percentiles (rows-only: sketch
     internals differ across engines; the exact median variant above is
-    the value-checked one)."""
+    the value-checked one). Output is scalar columns (one per quantile)
+    so downstream tooling never sees array-typed cells."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p50_p90_p99")
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
     )
 
 

@@ -288,12 +288,12 @@ def meta_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     db,
                     tbl,
-                    [f"{n}:{t}" for n, t in key_cols],
-                    [f"{n}:{t}" for n, t in val_cols],
+                    ",".join(f"{n}:{t}" for n, t in key_cols),
+                    ",".join(f"{n}:{t}" for n, t in val_cols),
                 )
             )
     return spark.createDataFrame(
-        rows, "db string, tbl string, key_cols array<string>, value_cols array<string>"
+        rows, "db string, tbl string, key_cols string, value_cols string"
     )
 
 

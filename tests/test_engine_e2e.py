@@ -339,3 +339,66 @@ def test_cache_with_list_timestamp_args(spark, tmp_path):
     rows = eng.execute_rows("select x from t where k=1 and tm=?", [5, 7])
     assert rows == [(2.0,)]
     assert eng.execute_rows("select x from t where k=1 and tm=?", [5, 7]) == rows
+
+def test_pre_1970_timestamp_roundtrip(spark, tmp_path):
+    """Negative-epoch datetimes must not skew by the sub-second part
+    (timedelta arithmetic, not int(timestamp())+microsecond)."""
+    import datetime as dt
+
+    from opentick_spark.typesys import from_epoch_nanos, to_epoch_nanos
+
+    d = dt.datetime(1969, 12, 31, 23, 59, 59, 500000, tzinfo=dt.timezone.utc)
+    ns = to_epoch_nanos(d)
+    assert ns == -500_000_000
+    sec, nsec = from_epoch_nanos(ns)
+    assert sec * 1_000_000_000 + nsec == ns
+    # positive epoch unaffected
+    d2 = dt.datetime(1970, 1, 1, 0, 0, 1, 250000, tzinfo=dt.timezone.utc)
+    assert to_epoch_nanos(d2) == 1_250_000_000
+
+
+def test_compact_empty_table_still_readable(kv, spark):
+    """Compacting a fully-deleted table leaves a part-less base; reads
+    must return zero rows, not fail schema inference."""
+    kv.execute("delete from test where a=2")
+    store = kv.store("d", "test")
+    store.compact(spark)
+    assert kv.execute_rows("select * from test") == []
+    # and the table accepts new writes afterwards
+    kv.execute("insert into test(a, b, b2, c, d) values(1, 1, true, 1, 1.5)")
+    assert kv.execute_rows("select a, c, d from test") == [(1, 1, 1.5)]
+
+
+def test_cross_instance_seq_no_overwrite(spark, tmp_path):
+    """Two Engine instances sharing one warehouse must never allocate the
+    same commit seq (fcntl file lock) — both commits survive."""
+    from opentick_spark.engine import Engine
+
+    wh = str(tmp_path / "wh")
+    e1 = Engine(spark, wh)
+    e1.execute("create database d")
+    e1.use("d")
+    e1.execute("create table t(a int, v int, primary key(a))")
+    e2 = Engine(spark, wh)
+    e2.use("d")
+    e1.execute("insert into t(a, v) values(1, 10)")
+    e2.execute("insert into t(a, v) values(2, 20)")
+    e1.execute("insert into t(a, v) values(3, 30)")
+    assert e2.execute_rows("select * from t") == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_bulk_commit_intra_batch_last_wins(spark, tmp_path):
+    """Duplicate PKs inside ONE bulk (append_dataframe) commit resolve by
+    row position — the later row wins, mirroring sequential tr.Set."""
+    from opentick_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.execute("create database d")
+    eng.use("d")
+    eng.execute("create table t(a int, v int, primary key(a))")
+    store = eng.store("d", "t")
+    df = spark.createDataFrame(
+        [(1, 100), (2, 200), (1, 111)], "a int, v int"
+    ).coalesce(1)
+    store.append_dataframe(df)
+    assert eng.execute_rows("select * from t") == [(1, 111), (2, 200)]

@@ -377,3 +377,27 @@ def test_salted_join_rejects_outer(spark):
     df = spark.createDataFrame([(1, 1)], "k int, v int")
     with pytest.raises(ValueError):
         salted_join(df, df, on=["k"], salt=4, how="full")
+
+
+def test_connected_components_long_chain(spark):
+    """A path graph of diameter 40 must converge well inside max_iter=10
+    (pointer jumping gives O(log n) rounds) with one cluster rooted at 0."""
+    import opentick_spark.operators.dedup as D
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    comps = {r.id: r.cluster for r in D.connected_components(pairs, max_iter=10).collect()}
+    assert set(comps.values()) == {0}
+    assert len(comps) == 41
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import opentick_spark.operators.dedup as D
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        D.connected_components(pairs, max_iter=1)
