@@ -59,6 +59,20 @@ def word_ngrams(col: Column, n: int = 2) -> Column:
     return F.array_distinct(F.transform(starts, shingle))
 
 
+def _spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition a narrow input on the doc id before CPU-heavy
+    per-shingle work. A small/compacted table can arrive as 1-2 parquet
+    splits; without this the tokenize→shingle→hash chain (plus the
+    consumer's map-side partial aggregation) runs on one core. The
+    explicit user repartition is not AQE-coalescible, and because it
+    hash-partitions on the id, the downstream window/groupBy on id needs
+    NO further shuffle — one exchange total, sized to the cluster."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(id_col))
+    return df
+
+
 def exploded_shingles(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -69,12 +83,14 @@ def exploded_shingles(
     """(id, g) rows of word n-gram shingles — the bulk-path shingler.
 
     Tokenizes each document exactly once (posexplode), then forms
-    n-grams with window ``lead`` over token position: one shuffle on id,
-    every expression codegen-friendly, zero re-evaluation of the
-    normalize/tokenize regex chain. Docs with fewer than n tokens
-    produce no rows.
+    n-grams with window ``lead`` over token position: every expression
+    codegen-friendly (per-element lambdas would be interpreted), zero
+    re-evaluation of the normalize/tokenize regex chain, and the single
+    exchange comes from ``_spread_by_id`` so the window sort and the
+    consumer's aggregation stay shuffle-free on top of it. Docs with
+    fewer than n tokens produce no rows.
     """
-    toks = df.select(
+    toks = _spread_by_id(df, id_col).select(
         F.col(id_col).alias("id"),
         F.posexplode(ws_tokens(normalize_text(F.col(text_col)))).alias(
             "__pos", "__tok"
@@ -186,6 +202,7 @@ def minhash_signatures(
     n: int = 2,
     num_hashes: int = 128,
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures over word-n-gram shingles.
 
@@ -200,8 +217,14 @@ def minhash_signatures(
     Output: (id, sig: array<long>[k]); shingle-less docs are absent.
     """
     params = _minhash_params(num_hashes, seed)
-    # min is duplicate-insensitive → skip the distinct shuffle
-    e = exploded_shingles(df, id_col, text_col, n, distinct=False)
+    # min is duplicate-insensitive → skip the distinct shuffle;
+    # ``shingles``: optional precomputed (id, g) frame so callers that
+    # also need the shingle sets (LSH verification) tokenize only once
+    e = (
+        shingles
+        if shingles is not None
+        else exploded_shingles(df, id_col, text_col, n, distinct=False)
+    )
     e = e.select("id", (F.abs(F.xxhash64("g")) % _MERSENNE).alias("__h"))
     aggs = [
         F.min((F.col("__h") * a + b) % _MERSENNE).alias(f"__m{i}")
@@ -230,22 +253,33 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jac) — same contract as ngram_jaccard_pairs.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # one tokenize pass: materialize shingle SETS first (co-partitioned
+    # on id by exploded_shingles' spread), derive both the signatures and
+    # the verification arrays from that shared subplan — Catalyst reuses
+    # the exchange, and the post-explode groupBy(id) needs no shuffle
+    sh = (
+        exploded_shingles(df, id_col, text_col, n, distinct=False)
+        .groupBy("id")
+        .agg(F.collect_set("g").alias("sh"))
+    )
+    re_exploded = sh.select("id", F.explode("sh").alias("g"))
+    sigs = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, seed, shingles=re_exploded
+    )
+    # band bucket = xxhash64 over the band's signature longs directly
+    # (multi-arg hash — no string casts, small plan, codegen-friendly)
     banded = sigs.select(
         "id",
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[i].cast("string")
-                                for i in range(
-                                    b * rows_per_band, (b + 1) * rows_per_band
-                                )
-                            ],
-                        )
+                        *[
+                            F.col("sig")[i]
+                            for i in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ]
                     )
                     for b in range(bands)
                 ]
@@ -263,14 +297,8 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard on MATERIALIZED shingle sets
-    # (collect_set over the exploded form — attaching word_ngrams() arrays
-    # in the join would re-run the tokenize chain per candidate side)
-    sh = (
-        exploded_shingles(df, id_col, text_col, n)
-        .groupBy("id")
-        .agg(F.collect_set("g").alias("sh"))
-    )
+    # verify candidates with exact Jaccard on the same materialized
+    # shingle sets (subplan shared with the signature path above)
     return (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
