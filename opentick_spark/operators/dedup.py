@@ -187,6 +187,34 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination check: corpus documents sharing at least
+    ``min_shared`` distinct word n-grams with any benchmark document —
+    the standard eval-decontamination pass of a training pipeline.
+
+    Inverted-index equi-join on the shingle (the benchmark side is tiny
+    and broadcast), so cost scales with n-gram collisions, not
+    |corpus| × |benchmark|. Output: (corpus_id, bench_id, n_shared).
+    """
+    c = exploded_shingles(corpus, id_col, text_col, n)
+    b = exploded_shingles(benchmark, id_col, text_col, n)
+    return (
+        c.join(
+            F.broadcast(b.withColumnsRenamed({"id": "bench_id"})), "g"
+        )
+        .groupBy(F.col("id").alias("corpus_id"), "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # ---------------------------------------------------------------------------
 def _minhash_params(k: int, seed: int) -> list[tuple[int, int]]:
     rnd = random.Random(seed)

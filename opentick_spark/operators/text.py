@@ -126,6 +126,99 @@ def rolling_hash(col: Column, base: int = 31, mod: int = 2147483647) -> Column:
     )
 
 
+PII_PATTERNS: list[tuple[str, str]] = [
+    # order matters: emails before bare word runs; IPs before phone-ish
+    # digit runs so dotted quads never half-match as phone numbers
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub emails / IPv4s / phone-number-ish digit runs to typed
+    placeholder tokens — the standard pre-training privacy pass, fully
+    JVM-side (chained regexp_replace, codegen-friendly)."""
+    out = col
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preparation step of a training pipeline.
+
+    Chunks start every ``chunk_tokens - overlap`` whitespace tokens; the
+    final chunk may be short. Per-document array work (tokenize once,
+    slice per start position) followed by one posexplode — no shuffle at
+    all; chunking is embarrassingly parallel over input splits.
+    Output: (id, chunk_idx, chunk_text, n_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = ws_tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(step))
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s, chunk_tokens), " ")
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("__n"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+    # drop degenerate trailing starts (start > n happens only when n == 0)
+    return out.select(
+        "id",
+        "chunk_idx",
+        "chunk_text",
+        F.least(
+            F.lit(chunk_tokens), F.col("__n") - F.col("chunk_idx") * step
+        ).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences —
+    context-window packing by cumulative fill.
+
+    Documents are laid out in deterministic ``id_col`` order within each
+    group; sequence k covers the docs whose preceding cumulative token
+    count falls in [k*budget, (k+1)*budget). A doc may straddle a
+    boundary (it belongs to the sequence where it starts) — the
+    streaming-friendly definition that one prefix-sum window expresses
+    exactly, identically in any engine. One shuffle on the group key.
+    Output: group cols + (seq_id, doc_id, tokens_before).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    return df.select(
+        *group_cols,
+        F.col(id_col),
+        before.alias("tokens_before"),
+        (before / F.lit(budget)).cast("long").alias("seq_id"),
+    )
+
+
 def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Standard quality-scoring columns used for corpus filtering."""
     c = F.col(text_col)

@@ -929,6 +929,147 @@ def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "cohort_retention",
+    """
+    WITH a AS (
+      SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+    ),
+    c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM a GROUP BY user_id)
+    SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM a JOIN c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: users bucketed by first-activity week,
+    counted per week offset. Two hash aggs + one equi-join on user_id —
+    the cohort frame is tiny (one row per user) and stays co-partitioned
+    with the activity frame, so the join adds no extra exchange."""
+    week_us = 604_800_000_000
+    a = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.expr("(ts div 1000) div 604800000000").alias("wk"))
+        .distinct()
+    )
+    c = a.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        a.join(c, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@q(
+    "funnel_signup_purchase",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT s.user_id, MIN(epoch_us(e.ts)) AS first_purchase_us
+      FROM s JOIN events e ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND epoch_us(e.ts) >= s.signup_us
+      GROUP BY s.user_id
+    )
+    SELECT COUNT(*) AS n_signup_users,
+           CAST(COUNT(p.user_id) AS BIGINT) AS n_converted,
+           CAST(COUNT(CASE WHEN p.first_purchase_us - s.signup_us
+                                <= 604800000000 THEN 1 END) AS BIGINT)
+             AS n_converted_7d
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: first signup → first purchase at-or-after it,
+    with a 7-day-conversion count. Per-user min-aggregations co-partition
+    on user_id, so the funnel join chain is one shuffle end-to-end."""
+    week_us = 604_800_000_000
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(ts_us()).alias("signup_us"))
+    )
+    p = (
+        s.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", ts_us().alias("p_us")
+            ),
+            "user_id",
+        )
+        .filter(F.col("p_us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("first_purchase_us"))
+    )
+    joined = s.join(p, "user_id", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.count("first_purchase_us").cast("long").alias("n_converted"),
+        F.count(
+            F.when(
+                F.col("first_purchase_us") - F.col("signup_us") <= week_us, 1
+            )
+        )
+        .cast("long")
+        .alias("n_converted_7d"),
+    )
+
+
+@q(
+    "except_all_high_value",
+    """
+    SELECT user_id FROM events WHERE value > 30
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def except_all_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (bag semantics — Spark exceptAll): high-value
+    event occurrences minus signup occurrences per user."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("value") > 30).select("user_id").exceptAll(
+        ev.filter(F.col("event_type") == "signup").select("user_id")
+    )
+
+
+@q(
+    "conditional_agg_filter",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+           ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'purchase'), 0), 4)
+             AS purchase_value,
+           ROUND(COALESCE(MAX(value) FILTER (WHERE event_type = 'error'), 0), 4)
+             AS max_error_value
+    FROM events WHERE user_id < 50 GROUP BY user_id
+    """,
+)
+def conditional_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause ≡ count_if/sum(when)):
+    several per-type metrics in ONE pass — no per-type re-scan, one
+    partial+final hash agg."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    is_p = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.count_if(is_p).alias("n_purchase"),
+        F.count_if(F.col("event_type") == "click").alias("n_click"),
+        F.round(
+            F.coalesce(F.sum(F.when(is_p, F.col("value"))), F.lit(0.0)), 4
+        ).alias("purchase_value"),
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == "error", F.col("value"))),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("max_error_value"),
+    )
+
+
 # rows-only (no SQL oracle): approximate distinct — engines' sketches differ
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate count-distinct (extension; sketch-based, so no

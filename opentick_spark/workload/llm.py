@@ -371,6 +371,131 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WS_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@q(
+    "text_chunking",
+    f"""
+    WITH t AS (SELECT doc_id, {_WS_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 1) + 1, 24)) AS st
+      FROM t
+    )
+    SELECT doc_id AS id, ((st - 1) // 24)::BIGINT AS chunk_idx,
+           array_to_string(toks[st:st+31], ' ') AS chunk_text,
+           LEAST(32, len(toks) - st + 1)::INT AS n_tokens
+    FROM s WHERE len(toks) - st + 1 > 0
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, 8-token
+    overlap) — context-window prep; zero-shuffle, parallel over splits."""
+    docs = load(spark, sf_dir, "documents")
+    out = X.chunk_documents(docs, chunk_tokens=32, overlap=8)
+    return out.select(
+        "id", F.col("chunk_idx").cast("long"), "chunk_text", "n_tokens"
+    )
+
+
+@q(
+    "text_pii_redaction",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             text || ' reach me at user' || doc_id ||
+             '@mail.example.com or 192.168.1.' || (doc_id % 200) ||
+             ' call +1 415-555-0' || (1000 + doc_id % 1000) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+             '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS clean
+    FROM t
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / IPv4 / phone runs → typed placeholders).
+    The corpus has no organic PII, so deterministic PII is synthesized
+    per doc and redacted — exercising every pattern on every row."""
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" reach me at user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 192.168.1."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(" call +1 415-555-0"),
+        (1000 + F.col("doc_id") % 1000).cast("string"),
+    )
+    return docs.select("doc_id", X.redact_pii(raw).alias("clean"))
+
+
+_NGRAM8 = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(__toks) - 6, 1)), "
+    "i -> array_to_string(__toks[i:i+7], ' ')))"
+)
+
+
+@q(
+    "contamination_8gram",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_NGRAM8} AS sh
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS __toks FROM documents)
+    )
+    SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+           len(list_intersect(c.sh, b.sh))::BIGINT AS n_shared
+    FROM t c JOIN t b ON c.doc_id >= 50 AND b.doc_id < 50
+    WHERE len(list_intersect(c.sh, b.sh)) >= 3
+    """,
+)
+def contamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-decontamination: corpus docs sharing >= 3 distinct 8-grams
+    with any 'benchmark' doc (doc_id < 50 stands in for the eval set).
+    Inverted-index join, benchmark side broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    out = D.ngram_contamination(
+        docs.filter(F.col("doc_id") >= 50),
+        docs.filter(F.col("doc_id") < 50),
+        n=8,
+        min_shared=3,
+    )
+    return out.select("corpus_id", "bench_id", F.col("n_shared").cast("long"))
+
+
+@q(
+    "pack_sequences_by_lang",
+    f"""
+    WITH t AS (
+      SELECT lang, doc_id, len({_WS_TOKS})::BIGINT AS n_tokens FROM documents
+    )
+    SELECT lang, doc_id,
+           COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS tokens_before,
+           (COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 2048)::BIGINT AS seq_id
+    FROM t
+    """,
+)
+def pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: docs laid out in id order per language,
+    assigned to 2048-token training sequences by prefix-sum fill — one
+    window pass, one shuffle on the group key."""
+    docs = load(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "lang", "doc_id", X.ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    return X.pack_sequences(with_counts, ["lang"], budget=2048)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 

@@ -401,3 +401,83 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with _pytest.raises(RuntimeError, match="converge"):
         D.connected_components(pairs, max_iter=1)
+
+
+def test_chunk_documents_shapes(spark):
+    from opentick_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    # doc 1: 10 tokens, step 2 -> starts 1,3,5,7,9 -> 5 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert len(c1) == 5
+    assert c1[0].chunk_text == "w0 w1 w2 w3" and c1[0].n_tokens == 4
+    assert c1[-1].chunk_text == "w8 w9" and c1[-1].n_tokens == 2
+    # overlap: chunk i starts 2 tokens after chunk i-1
+    assert c1[1].chunk_text == "w2 w3 w4 w5"
+    assert [r.n_tokens for r in by_doc[2]] == [2]
+    assert [r.chunk_text for r in by_doc[3]] == ["solo"]
+
+
+def test_pack_sequences_budget(spark):
+    from opentick_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [("en", i, 600) for i in range(10)] + [("de", 100, 50)],
+        "lang string, doc_id long, n_tokens long",
+    )
+    out = {
+        (r.lang, r.doc_id): (r.seq_id, r.tokens_before)
+        for r in pack_sequences(docs, ["lang"], budget=2048).collect()
+    }
+    # 600-token docs: docs 0-3 start below 2048 (0,600,1200,1800) -> seq 0
+    assert [out[("en", i)][0] for i in range(10)] == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+    assert out[("en", 4)] == (1, 2400)
+    assert out[("de", 100)] == (0, 0)
+
+
+def test_redact_pii_patterns(spark):
+    from pyspark.sql import functions as F
+
+    from opentick_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.co.uk now"),
+            (2, "server at 10.0.255.3 down"),
+            (3, "call +1 415-555-0100 today"),
+            (4, "clean text stays"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.c for r in df.select("id", redact_pii(F.col("text")).alias("c")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "server at <IP> down"
+    assert got[3] == "call <PHONE> today"
+    assert got[4] == "clean text stays"
+
+
+def test_ngram_contamination(spark):
+    import opentick_spark.operators.dedup as D
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "prefix words the quick brown fox jumps over the lazy dog today suffix"),
+            (11, "completely different content with no shared phrases at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = D.ngram_contamination(corpus, bench, n=8, min_shared=1).collect()
+    assert {(r.corpus_id, r.bench_id) for r in out} == {(10, 1)}
+    # bench doc has 10 tokens -> 3 distinct 8-grams, all present in doc 10
+    assert out[0].n_shared == 3
