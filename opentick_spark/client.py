@@ -13,10 +13,10 @@ A reference user's call sites keep working:
 Differences by construction (Spark is the server — no TCP):
 - ``addr``/``port`` are accepted and ignored; the "connection" owns a
   SparkSession + warehouse path instead of a socket.
-- ``login`` succeeds unconditionally (the reference grants admin to
-  localhost connections, user.go:29-83 / server.go:106-110); user
-  management raises ``Error`` (ACLs are out of engine scope, SURVEY
-  §2.8 C7).
+- ``login`` without permission control succeeds unconditionally (the
+  reference grants admin to localhost connections, user.go:29-83 /
+  server.go:106-110); with ``permission_control=True`` it authenticates
+  against ``_meta_.user`` and ACLs are enforced (C7, users.py).
 - async execution is a bounded thread pool (the reference bounds
   concurrency to 100 in-flight requests per connection, server.go:245);
   results resolve through the same engine.
@@ -120,8 +120,9 @@ class Connection:
         max_concurrency: int = 100,
         group_commit_rows: int = 10_000,
         group_commit_ms: float = 2.0,
+        permission_control: bool = False,
     ):
-        self._engine = Engine(spark, warehouse)
+        self._engine = Engine(spark, warehouse, permission_control=permission_control)
         self._pool = ThreadPoolExecutor(max_workers=min(max_concurrency, 32))
         self._buffer = _GroupCommitBuffer(
             self._engine, group_commit_rows, group_commit_ms
@@ -141,6 +142,11 @@ class Connection:
         self._pool.shutdown(wait=True)
 
     def login(self, username: str, password: str, db_name: str | None = None):
+        """Authenticate against _meta_.user (no-op success when the
+        engine runs without permission control, mirroring the implicit
+        localhost-admin grant, server.go:106-110)."""
+        if self._engine.permission_control:
+            self._engine.login(username, password)
         if db_name:
             self._engine.use(db_name)
         return True
@@ -148,11 +154,22 @@ class Connection:
     def use(self, db_name: str) -> None:
         self._engine.use(db_name)
 
-    # -- user management: out of engine scope (C7) ---------------------
-    def create_user(self, *a, **k):
-        raise Error("user management is not supported")
+    # -- user management (C7: user.go + server.go meta commands) -------
+    def create_user(
+        self, name: str, password: str, is_admin: bool = False, perm: str = ""
+    ) -> None:
+        self._engine.create_user(name, password, is_admin, perm)
 
-    delete_user = update_user = list_users = reload_users = chgpasswd = create_user
+    def chgpasswd(self, new_password: str) -> None:
+        self._engine.chgpasswd(new_password)
+
+    def reload_users(self) -> None:
+        self._engine.reload_users()
+
+    def list_users(self) -> list[str]:
+        if not self._engine.users.users:
+            self._engine.users.load()
+        return sorted(self._engine.users.users)
 
     # -- meta ----------------------------------------------------------
     def list_databases(self) -> list[str]:
@@ -234,6 +251,7 @@ def connect(
     *,
     spark=None,
     warehouse: str | None = None,
+    permission_control: bool = False,
 ) -> Connection:
     """Reference-shaped constructor. ``addr``/``port`` are ignored (no
     TCP); pass ``spark``/``warehouse`` or both are created on demand."""
@@ -243,4 +261,4 @@ def connect(
         spark = get_spark(app_name="opentick_client")
     if warehouse is None:
         warehouse = tempfile.mkdtemp(prefix="otspark_client_wh_")
-    return Connection(spark, warehouse, db_name)
+    return Connection(spark, warehouse, db_name, permission_control=permission_control)

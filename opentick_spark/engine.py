@@ -45,6 +45,16 @@ from opentick_spark.errors import OpentickError
 from opentick_spark.operators.adj import apply_adj
 from opentick_spark.table import TableStore
 from opentick_spark.typesys import from_epoch_nanos, validate_value
+from opentick_spark.users import (
+    READ_PERM,
+    WRITE_PERM,
+    User,
+    UserRegistry,
+    get_perm,
+    parse_perm,
+    require_perm,
+    sha1_string,
+)
 
 
 def split_range(start, end, num_parts: int) -> list[tuple]:
@@ -75,6 +85,7 @@ class Engine:
         warehouse: str,
         cache_ttl: float | None = None,
         auto_compact_every: int | None = None,
+        permission_control: bool = False,
     ):
         """``cache_ttl``: optional TTL (seconds) for the SELECT response
         cache (--cache, server.go:27,37-40). Like the reference, cached
@@ -98,10 +109,64 @@ class Engine:
         self.cache_ttl = cache_ttl
         self._response_cache: dict[tuple, tuple[float, list]] = {}
         self.auto_compact_every = auto_compact_every
+        # C7 permission control (user.go; server.go:34-35): off → every
+        # caller is an implicit admin (user=None short-circuits get_perm)
+        self.permission_control = permission_control
+        self.users = UserRegistry(self)
+        self.user: User | None = User() if permission_control else None
+        if permission_control:
+            self.users.load()
 
     # ------------------------------------------------------------------
     def use(self, db: str) -> None:
+        # server.go:437-438: `use` rejects a db the user can't even read
+        if get_perm(self.user, db) == 0:
+            raise OpentickError("No permission")
         self.current_db = db
+
+    # -- C7 session/user commands (server.go:399-421, 478-496) ---------
+    def login(self, name: str, password: str) -> None:
+        if not name or not password:
+            raise OpentickError("Both username and password required")
+        if not self.users.users:
+            self.users.load()
+        u = self.users.get(name)
+        if u is None:
+            raise OpentickError("Unknown username")
+        if not u.check_password(password):
+            raise OpentickError("Password mismatch")
+        self.user = u
+
+    def chgpasswd(self, new_password: str) -> None:
+        if self.user is None or not self.user.name:
+            raise OpentickError("Not logged in")
+        self.user.password = sha1_string(new_password)
+        self.users.save(self.user)
+
+    def reload_users(self) -> None:
+        if self.user is not None and not self.user.is_admin:
+            raise OpentickError("No permission")
+        self.users.load()
+
+    def create_user(
+        self,
+        name: str,
+        password: str,
+        is_admin: bool = False,
+        perm: str = "",
+    ) -> None:
+        """Admin helper: upsert a user row (the reference does this with a
+        plain INSERT into _meta_.user; perm syntax 'db=read;db.tbl=write')."""
+        if self.user is not None and not self.user.is_admin:
+            raise OpentickError("No permisssion")
+        self.users.save(
+            User(
+                name=name,
+                password=sha1_string(password),
+                is_admin=is_admin,
+                perm=parse_perm(perm),
+            )
+        )
 
     def store(self, db: str, table: str) -> TableStore:
         with self._lock:
@@ -137,14 +202,19 @@ class Engine:
             return pid
 
     def _resolve(self, node):
+        # permission checks live at resolve time, like the reference
+        # (resolveSelect/Insert/Delete, query.go:351-354, 465-468, 524-527)
         if isinstance(node, ast.Select):
             db = self._db_of(node.table)
+            require_perm(self.user, db, node.table.name, READ_PERM)
             return resolve_select(self.catalog.get_schema(db, node.table.name), node)
         if isinstance(node, ast.Insert):
             db = self._db_of(node.table)
+            require_perm(self.user, db, node.table.name, WRITE_PERM)
             return resolve_insert(self.catalog.get_schema(db, node.table.name), node)
         if isinstance(node, ast.Delete):
             db = self._db_of(node.table)
+            require_perm(self.user, db, node.table.name, WRITE_PERM)
             return resolve_delete(self.catalog.get_schema(db, node.table.name), node)
         raise OpentickError("Only select/insert/delete can be resolved")
 
@@ -159,34 +229,46 @@ class Engine:
                 raise OpentickError(f"Unknown prepared id {sql}") from None
             return self._run_resolved(resolved, args)
         node = parse(sql)
-        # DDL dispatches straight to the catalog (Execute, query.go:44-119)
+        # DDL dispatches straight to the catalog (Execute, query.go:44-119);
+        # perm gates mirror query.go:51-54 (db DDL: admin), 68-71 (create
+        # table: db write), 99-102 (drop table: table write)
         if isinstance(node, ast.CreateDatabase):
+            self._require_admin()
             self.catalog.create_database(node.name, node.if_not_exists)
             return None
         if isinstance(node, ast.DropDatabase):
+            self._require_admin()
             self.catalog.drop_database(node.name)
             return None
         if isinstance(node, ast.CreateTable):
             db = self._db_of(node.table)
+            require_perm(self.user, db, "", WRITE_PERM)
             self.catalog.create_table(
                 db, node.table.name, node.cols, node.pk, node.if_not_exists
             )
             return None
         if isinstance(node, ast.DropTable):
             db = self._db_of(node.table)
+            require_perm(self.user, db, node.table.name, WRITE_PERM)
             self.catalog.drop_table(db, node.table.name)
             self._stores.pop((db, node.table.name), None)
             return None
         if isinstance(node, ast.RenameTable):
             db = self._db_of(node.table)
+            require_perm(self.user, db, node.table.name, WRITE_PERM)
             self.catalog.rename_table(db, node.table.name, node.new_name)
             self._stores.pop((db, node.table.name), None)
             return None
         if isinstance(node, ast.RenameColumn):
             db = self._db_of(node.table)
+            require_perm(self.user, db, node.table.name, WRITE_PERM)
             self.catalog.rename_column(db, node.table.name, node.old, node.new)
             return None
         return self._run_resolved(self._resolve(node), args)
+
+    def _require_admin(self) -> None:
+        if self.user is not None and not self.user.is_admin:
+            raise OpentickError("No permisssion")
 
     def execute_split(
         self, sql: str | int, ranges: list[tuple], *args: Any

@@ -58,8 +58,10 @@ def test_client_flow(conn):
     keys, values = conn.schema("test")
     assert [n for n, _ in keys] == ["sec", "interval", "tm"]
     assert conn.login("u", "p") is True
-    with pytest.raises(otc.Error):
-        conn.create_user("u", "p")
+    # without permission control the connection is implicit admin and may
+    # manage users (localhost-admin grant, server.go:106-110)
+    conn.create_user("u", "p")
+    assert "u" in conn.list_users()
 
 
 def test_client_async_select_and_ranges(conn):
