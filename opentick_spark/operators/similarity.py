@@ -98,13 +98,16 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
+    # JVM fold, not the pandas UDF: no Python worker round-trip on the
+    # scoring path, and the sequential fold accumulates in the same
+    # order as reference SQL engines' cosine (numpy sums pairwise)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_batch(F.col("qv"), F.col("cv")).alias("cos"),
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -112,6 +112,37 @@ def gap_fill(
     return out
 
 
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Exponentially weighted moving average per key:
+    ``y_0 = x_0;  y_t = (1-alpha) * y_{t-1} + alpha * x_t``.
+
+    The recurrence has no bounded-window form (every output depends on
+    the entire prefix) and the closed-form rewrite ``(1-alpha)^{-t}``
+    overflows doubles after ~1k rows, so this is the textbook case for
+    ``applyInPandas``: one shuffle on the key, then each key's series is
+    a single vectorized ``Series.ewm`` call in C — Arrow in, Arrow out,
+    no per-row Python. Output: input columns + ``ewma``.
+    """
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", ewma double"
+
+    def per_key(pdf):
+        pdf = pdf.sort_values(ts_col)
+        pdf["ewma"] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(per_key, out_schema)
+
+
 def session_windows(
     df: DataFrame,
     key_cols: list[str],

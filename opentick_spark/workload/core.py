@@ -1070,6 +1070,51 @@ def conditional_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "ewma_final_price",
+    """
+    SELECT user_id,
+           ROUND(list_reduce(list(value ORDER BY epoch_us(ts)),
+                             (acc, x) -> 0.9 * acc + 0.1 * x), 6) AS ewma_last,
+           COUNT(*) AS n_ticks
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    """,
+)
+def ewma_final_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA(alpha=0.1) over each user's purchase-price series — the
+    classic tick smoother. Sequential recurrence → applyInPandas (one
+    shuffle on the key, vectorized ewm per series); checked on the final
+    EWMA value per key, which DuckDB folds with list_reduce."""
+    from opentick_spark.operators.timeseries import ewma
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", ts_us().alias("t_us"), "value")
+    )
+    sm = ewma(ev, ["user_id"], "t_us", "value", alpha=0.1)
+    return sm.groupBy("user_id").agg(
+        F.round(F.max_by("ewma", "t_us"), 6).alias("ewma_last"),
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Bernoulli sampling (df.sampleBy, seeded) — the
+    corpus-balancing primitive. Deterministic for a fixed seed but
+    engine-specific RNG, so rows-only here; sampling proportions are
+    asserted in tests."""
+    ev = load(spark, sf_dir, "events")
+    fractions = {"purchase": 0.5, "click": 0.1, "view": 0.1, "signup": 1.0,
+                 "error": 0.0}
+    return ev.sampleBy("event_type", fractions, seed=42).select(
+        "event_id", "event_type", "user_id"
+    )
+
+
+QUERIES["stratified_sample"] = stratified_sample
+
+
 # rows-only (no SQL oracle): approximate distinct — engines' sketches differ
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate count-distinct (extension; sketch-based, so no

@@ -481,3 +481,31 @@ def test_ngram_contamination(spark):
     assert {(r.corpus_id, r.bench_id) for r in out} == {(10, 1)}
     # bench doc has 10 tokens -> 3 distinct 8-grams, all present in doc 10
     assert out[0].n_shared == 3
+
+
+def test_ewma_golden(spark):
+    from opentick_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 1, 20.0), (1, 2, 30.0), (2, 0, 5.0)],
+        "k long, t long, v double",
+    )
+    got = {
+        (r.k, r.t): r.ewma
+        for r in ewma(df, ["k"], "t", "v", alpha=0.5).collect()
+    }
+    # y0=10; y1=.5*10+.5*20=15; y2=.5*15+.5*30=22.5
+    assert got[(1, 0)] == 10.0
+    assert got[(1, 1)] == 15.0
+    assert got[(1, 2)] == 22.5
+    assert got[(2, 0)] == 5.0
+
+
+def test_stratified_sample_proportions(spark):
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 2 == 0).cast("string").alias("s"), "id"
+    )
+    out = df.sampleBy("s", {"true": 0.5, "false": 0.1}, seed=7)
+    counts = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["true"] / 10000 - 0.5) < 0.05
+    assert abs(counts["false"] / 10000 - 0.1) < 0.03

@@ -56,3 +56,37 @@ def test_dedup_text_paths_have_no_python_udf(spark, queries):
     for name in ["dedup_exact", "dedup_ngram_jaccard", "text_quality", "text_token_count_total"]:
         plan = plan_of(queries[name](spark, SF))
         assert "EvalPython" not in plan, name
+
+
+def test_contamination_broadcasts_benchmark(spark, queries):
+    plan = plan_of(queries["contamination_8gram"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_chunking_has_no_exchange(spark, queries):
+    # chunking is embarrassingly parallel: no shuffle anywhere
+    plan = plan_of(queries["text_chunking"](spark, SF))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_pii_redaction_jvm_only(spark, queries):
+    plan = plan_of(queries["text_pii_redaction"](spark, SF))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_packing_single_shuffle(spark, queries):
+    # one exchange (the window's partitionBy) and nothing else
+    plan = plan_of(queries["pack_sequences_by_lang"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+
+
+def test_ewma_is_arrow_not_row_python(spark, queries):
+    # the sequential recurrence runs as ONE Arrow-batched FlatMapGroups,
+    # never a row-at-a-time BatchEvalPython
+    plan = plan_of(queries["ewma_final_price"](spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
