@@ -326,10 +326,18 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify candidates with exact Jaccard on the same materialized
-    # shingle sets (subplan shared with the signature path above)
+    # shingle sets (subplan shared with the signature path above); the
+    # size-ratio bound J <= min(|A|,|B|)/max(|A|,|B|) discards impossible
+    # pairs BEFORE the expensive array intersection — pure loss-free
+    # pruning
+    na, nb = F.size("sh_a"), F.size("sh_b")
     return (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .filter(
+            F.least(na, nb).cast("double")
+            >= F.lit(threshold) * F.greatest(na, nb)
+        )
         .select(
             "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jac")
         )
