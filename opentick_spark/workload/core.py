@@ -1099,6 +1099,55 @@ def ewma_final_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "interval_join_windows",
+    """
+    WITH b AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+    w AS (
+      SELECT i AS window_id,
+             t0 + i * 604800000000 AS lo,
+             t0 + i * 604800000000 + 86400000000 AS hi
+      FROM b, range(0, 6) r(i)
+    )
+    SELECT w.window_id, COUNT(e.user_id) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM w LEFT JOIN events e
+      ON epoch_us(e.ts) >= w.lo AND epoch_us(e.ts) < w.hi
+    GROUP BY w.window_id
+    """,
+)
+def interval_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via time-bucket equi-join: six 1-day audit
+    windows (one per week from the corpus start) matched against the
+    event stream. A naive BETWEEN join would plan BroadcastNestedLoop —
+    O(points × intervals); bucketing keys both sides on a day-width
+    bucket so Catalyst plans a hash join (see interval_join)."""
+    from opentick_spark.operators.join import interval_join
+
+    day_us = 86_400_000_000
+    week_us = 604_800_000_000
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", ts_us().alias("t_us")
+    )
+    t0 = ev.agg(F.min("t_us").alias("t0"))
+    windows = t0.select(
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("window_id"), "t0"
+    ).select(
+        "window_id",
+        (F.col("t0") + F.col("window_id") * week_us).alias("lo"),
+        (F.col("t0") + F.col("window_id") * week_us + day_us).alias("hi"),
+    )
+    joined = interval_join(ev, windows, "t_us", "lo", "hi", day_us)
+    return (
+        windows.join(joined.drop("lo", "hi"), "window_id", "left")
+        .groupBy("window_id")
+        .agg(
+            F.count("user_id").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum Bernoulli sampling (df.sampleBy, seeded) — the
     corpus-balancing primitive. Deterministic for a fixed seed but

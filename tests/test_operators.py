@@ -509,3 +509,39 @@ def test_stratified_sample_proportions(spark):
     counts = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
     assert abs(counts["true"] / 10000 - 0.5) < 0.05
     assert abs(counts["false"] / 10000 - 0.1) < 0.03
+
+
+def test_interval_join_matches_between_join(spark):
+    from opentick_spark.operators.join import interval_join
+
+    pts = spark.createDataFrame(
+        [(i, i * 7) for i in range(40)], "pid long, t long"
+    )
+    iv = spark.createDataFrame(
+        [(1, 10, 30), (2, 25, 26), (3, 100, 100), (4, 250, 500)],
+        "iid long, lo long, hi long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(pts, iv, "t", "lo", "hi", 16).collect()
+    }
+    expect = {
+        (p, i)
+        for p in range(40)
+        for (i, lo, hi) in [(1, 10, 30), (2, 25, 26), (3, 100, 100), (4, 250, 500)]
+        if lo <= p * 7 < hi
+    }
+    assert got == expect and expect  # non-trivial
+    # bucket width not dividing bounds, hi on an exact boundary
+    iv2 = spark.createDataFrame([(9, 0, 32)], "iid long, lo long, hi long")
+    got2 = {r.pid for r in interval_join(pts, iv2, "t", "lo", "hi", 16).collect()}
+    assert got2 == {p for p in range(40) if 0 <= p * 7 < 32}
+
+
+def test_interval_join_left_outer(spark):
+    from opentick_spark.operators.join import interval_join
+
+    pts = spark.createDataFrame([(1, 5), (2, 50)], "pid long, t long")
+    iv = spark.createDataFrame([(1, 0, 10)], "iid long, lo long, hi long")
+    rows = {r.pid: r.iid for r in interval_join(pts, iv, "t", "lo", "hi", 8, how="left").collect()}
+    assert rows == {1: 1, 2: None}

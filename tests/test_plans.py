@@ -90,3 +90,8 @@ def test_ewma_is_arrow_not_row_python(spark, queries):
     plan = plan_of(queries["ewma_final_price"](spark, SF))
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_interval_join_is_hash_not_nested_loop(spark, queries):
+    plan = plan_of(queries["interval_join_windows"](spark, SF))
+    assert "NestedLoop" not in plan
