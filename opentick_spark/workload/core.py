@@ -1148,6 +1148,67 @@ def interval_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "grouping_sets_mixed",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond cube/rollup): three chosen
+    granularities in one pass, disambiguated by GROUPING() ids — Spark
+    expands the sets and still runs a single partial+final agg."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS LONG) AS n,
+               ROUND(SUM(o_totalprice), 2) AS sum_price,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS LONG) AS gid
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+@q(
+    "window_count_distinct",
+    """
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           CAST(COUNT(DISTINCT event_type) OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_types_so_far
+    FROM events WHERE user_id < 5
+    """,
+)
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per key — Spark has no native
+    count-distinct window, so it's expressed as size(collect_set() OVER):
+    same single shuffle + sort as any window, set state bounded by the
+    distinct-value cardinality (5 event types here)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        ts_us().alias("ts_us"),
+        F.size(F.collect_set("event_type").over(w))
+        .cast("long")
+        .alias("distinct_types_so_far"),
+    )
+
+
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum Bernoulli sampling (df.sampleBy, seeded) — the
     corpus-balancing primitive. Deterministic for a fixed seed but
