@@ -553,10 +553,14 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.abspath(f"{sf_dir}/events.parquet"),
         os.path.join(src_dir, "events.parquet"),
     )
-    query = stateful_running_totals(
-        spark, src_dir, schema, name, tempfile.mkdtemp(prefix="otspark_state_ck_")
-    )
-    query.awaitTermination()
+    from opentick_spark.streaming.ingest import state_partitions
+
+    with state_partitions(spark, 8):
+        query = stateful_running_totals(
+            spark, src_dir, schema, name,
+            tempfile.mkdtemp(prefix="otspark_state_ck_"),
+        )
+        query.awaitTermination()
     sink = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
     return (
@@ -598,8 +602,6 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator). Oracle: batch gaps-and-islands with the session_window
     boundary convention (a gap of exactly the threshold starts a NEW
     session — the window end is exclusive)."""
-    from opentick_spark.streaming.ingest import session_window_counts
-
     schema = load(spark, sf_dir, "events").schema
     name = "session_sink_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="otspark_sess_src_")
@@ -607,14 +609,17 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.abspath(f"{sf_dir}/events.parquet"),
         os.path.join(src_dir, "events.parquet"),
     )
-    q_ = session_window_counts(
-        spark,
-        src_dir,
-        schema,
-        name,
-        tempfile.mkdtemp(prefix="otspark_sess_ck_"),
-    )
-    q_.awaitTermination()
+    from opentick_spark.streaming.ingest import session_window_counts, state_partitions
+
+    with state_partitions(spark, 8):
+        q_ = session_window_counts(
+            spark,
+            src_dir,
+            schema,
+            name,
+            tempfile.mkdtemp(prefix="otspark_sess_ck_"),
+        )
+        q_.awaitTermination()
     out = spark.table(name).filter(F.col("user_id") < 10)
     return out.select(
         "user_id",
@@ -647,8 +652,11 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.abspath(f"{sf_dir}/events.parquet"),
         os.path.join(src_dir, "events.parquet"),
     )
-    query = windowed_event_counts(spark, src_dir, schema, name, ckpt)
-    query.awaitTermination()
+    from opentick_spark.streaming.ingest import state_partitions
+
+    with state_partitions(spark, 8):
+        query = windowed_event_counts(spark, src_dir, schema, name, ckpt)
+        query.awaitTermination()
     out = spark.table(name)
     return out.select(
         F.unix_micros(F.col("win.start")).alias("win_start_us"),
