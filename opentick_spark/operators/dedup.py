@@ -66,9 +66,19 @@ def _spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
     consumer's map-side partial aggregation) runs on one core. The
     explicit user repartition is not AQE-coalescible, and because it
     hash-partitions on the id, the downstream window/groupBy on id needs
-    NO further shuffle — one exchange total, sized to the cluster."""
+    NO further shuffle — one exchange total, sized to the cluster.
+
+    Narrowness is judged by ``inputFiles()`` (cheap metadata — a
+    ``.rdd.getNumPartitions()`` probe would force full physical planning
+    and cost seconds of driver time on a wide plan): at real scale the
+    source has >= parallelism files and this is a no-op; an in-memory
+    test frame reports no files and gets spread, which is always safe."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target, F.col(id_col))
     return df
 
@@ -254,12 +264,17 @@ def minhash_signatures(
         else exploded_shingles(df, id_col, text_col, n, distinct=False)
     )
     e = e.select("id", (F.abs(F.xxhash64("g")) % _MERSENNE).alias("__h"))
+    # single-string expressions: the Column-operator form costs ~6 py4j
+    # round-trips per aggregate (~2s of driver time for k=128); one
+    # F.expr per aggregate keeps DataFrame construction milliseconds
     aggs = [
-        F.min((F.col("__h") * a + b) % _MERSENNE).alias(f"__m{i}")
+        F.expr(f"min((__h * {a}L + {b}L) % {_MERSENNE}L) AS __m{i}")
         for i, (a, b) in enumerate(params)
     ]
     g = e.groupBy("id").agg(*aggs)
-    sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    sig = F.expr(
+        "array(" + ", ".join(f"__m{i}" for i in range(num_hashes)) + ")"
+    )
     return g.select("id", sig.alias("sig"))
 
 
@@ -295,24 +310,19 @@ def minhash_lsh_pairs(
         df, id_col, text_col, n, num_hashes, seed, shingles=re_exploded
     )
     # band bucket = xxhash64 over the band's signature longs directly
-    # (multi-arg hash — no string casts, small plan, codegen-friendly)
+    # (multi-arg hash — no string casts, small plan, codegen-friendly);
+    # built as ONE expression string to avoid py4j chatter
+    band_exprs = ", ".join(
+        "xxhash64("
+        + ", ".join(
+            f"sig[{i}]" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        + ")"
+        for b in range(bands)
+    )
     banded = sigs.select(
         "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.col("sig")[i]
-                            for i in range(
-                                b * rows_per_band, (b + 1) * rows_per_band
-                            )
-                        ]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.expr(f"array({band_exprs})")).alias("band", "bucket"),
     )
     cand = (
         banded.alias("x")
