@@ -121,6 +121,84 @@ def windowed_event_counts(
     )
 
 
+def dedup_stream(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    sink_table: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+):
+    """Streaming deduplication: each key is emitted exactly once across
+    all micro-batches (state = seen keys) — the exactly-once ingest
+    guard for at-least-once sources. Finite-input test shape keeps full
+    key state; production should bound state with
+    ``dropDuplicatesWithinWatermark`` once a delay bound is known.
+    Append-mode memory sink."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(events_dir)
+    )
+    deduped = stream.dropDuplicates(key_cols)
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_stream_join(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    sink_table: str,
+    checkpoint_dir: str,
+    join_window: str = "7 days",
+    watermark: str = "30 days",
+):
+    """Stream-stream inner join with an event-time bound: purchases
+    matched to the same user's signups within ``join_window`` AFTER the
+    signup. Watermarks on both sides bound the join state (signups older
+    than watermark+window are evicted); the time-range condition is what
+    lets Spark prune state at all — an unbounded-time stream-stream join
+    would grow state forever. Append-mode memory sink."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(events_dir)
+    )
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    s = (
+        stream.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), ts.alias("s_ts"))
+        .withWatermark("s_ts", watermark)
+    )
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), ts.alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    joined = p.join(
+        s,
+        F.expr(
+            f"s_user = p_user AND p_ts >= s_ts "
+            f"AND p_ts < s_ts + INTERVAL {join_window}"
+        ),
+    )
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def session_window_counts(
     spark: SparkSession,
     events_dir: str,

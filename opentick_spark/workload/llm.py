@@ -629,6 +629,88 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "streaming_dedup_ingest",
+    """
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once deduplication: the source directory stages
+    the events file TWICE (an at-least-once delivery), dropDuplicates on
+    the PK emits each event exactly once — the aggregate over the sink
+    must equal the batch aggregate over the ORIGINAL (unduplicated)
+    table."""
+    from opentick_spark.streaming.ingest import dedup_stream, state_partitions
+
+    schema = load(spark, sf_dir, "events").schema
+    name = "dedup_sink_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="otspark_dedup_src_")
+    for i in range(2):  # duplicate delivery
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(src_dir, f"events_{i}.parquet"),
+        )
+    with state_partitions(spark, 8):
+        q_ = dedup_stream(
+            spark, src_dir, schema, name,
+            tempfile.mkdtemp(prefix="otspark_dedup_ck_"), ["event_id"],
+        )
+        q_.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@q(
+    "streaming_join_purchases",
+    """
+    WITH s AS (SELECT user_id, epoch_us(ts) AS s_us FROM events
+               WHERE event_type = 'signup'),
+    p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.user_id, COUNT(*) AS n_pairs,
+           CAST(COUNT(DISTINCT p.p_us) AS BIGINT) AS n_purchases
+    FROM p JOIN s ON p.user_id = s.user_id
+     AND p.p_us >= s.s_us AND p.p_us < s.s_us + 604800000000
+    GROUP BY p.user_id
+    """,
+)
+def streaming_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream join: purchases x signups of the same user
+    within 7 days after signup, watermarks bounding the join state.
+    Oracle: the equivalent batch time-range join."""
+    from opentick_spark.streaming.ingest import state_partitions, stream_stream_join
+
+    schema = load(spark, sf_dir, "events").schema
+    name = "ssj_sink_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="otspark_ssj_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    with state_partitions(spark, 8):
+        q_ = stream_stream_join(
+            spark, src_dir, schema, name,
+            tempfile.mkdtemp(prefix="otspark_ssj_ck_"),
+        )
+        q_.awaitTermination()
+    sink = spark.table(name)
+    return (
+        sink.groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count_distinct(F.unix_micros("p_ts")).cast("long").alias("n_purchases"),
+        )
+    )
+
+
+@q(
     "streaming_window_counts",
     """
     SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
