@@ -208,10 +208,21 @@ def adj_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "dialect_upsert_delete",
+    """
+    SELECT 1 AS a,
+           CASE WHEN i % 2 = 0 THEN i * 10.0 ELSE i * 1.0 END AS x,
+           i * 1000000 AS ts_us
+    FROM range(0, 80) r(i)
+    """,
+)
 def dialect_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful roundtrip (rows-only check): upsert-by-PK overwrite + range
-    delete through the dialect, returning the final table state. Mirrors
-    server_test.go:96-99 and query_test.go:134-138 semantics."""
+    """Stateful roundtrip: upsert-by-PK overwrite + range delete through
+    the dialect, returning the final table state. Mirrors
+    server_test.go:96-99 and query_test.go:134-138 semantics. The final
+    state is a closed-form constant (evens overwritten x10, b>=80
+    deleted), so the oracle is a VALUES-style range expression."""
     eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_dml_"))
     eng.execute("create database t")
     eng.use("t")
@@ -227,7 +238,6 @@ def dialect_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["dialect_upsert_delete"] = dialect_upsert_delete
 
 
 @q(
