@@ -402,3 +402,28 @@ def test_bulk_commit_intra_batch_last_wins(spark, tmp_path):
     ).coalesce(1)
     store.append_dataframe(df)
     assert eng.execute_rows("select * from t") == [(1, 111), (2, 200)]
+
+
+def test_partial_staged_commit_invisible(spark, tmp_path):
+    """A crashed bulk writer leaves its staging dir under data/ (never
+    inside log/): readers must not see half-written commits, and a retry
+    of the same seq must fail loudly rather than silently merge."""
+    import os
+
+    from opentick_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.execute("create database d")
+    eng.use("d")
+    eng.execute("create table t(a int, v int, primary key(a))")
+    eng.execute("insert into t(a, v) values(1, 10)")
+    store = eng.store("d", "t")
+    # simulate a dead writer: staged parquet junk next to (not inside) log/
+    staged = os.path.join(store.data_path, "commit-000000000099.deadbeef.tmp")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet at all")
+    assert eng.execute_rows("select * from t") == [(1, 10)]
+    # normal writes continue to work around the junk
+    eng.execute("insert into t(a, v) values(2, 20)")
+    assert eng.execute_rows("select * from t") == [(1, 10), (2, 20)]
