@@ -102,7 +102,7 @@ def bench_ingest_async_100k(spark):
 
 def main():
     from opentick_spark.session import get_spark
-    from opentick_spark.workload import QUERIES
+    from opentick_spark.workload import ALL_QUERIES as QUERIES
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     spark = get_spark(app_name="opentick_spark_bench", shuffle_partitions=2 * cpus)
@@ -128,6 +128,16 @@ def main():
     t0 = time.time()
     materialize(eng.execute("select * from test where sec=1 and interval=1 limit -1000"))
     timings["scan_tail_1k"] = time.time() - t0
+    # split-range parallel read of the same 100k rows over 10 sub-ranges
+    # (BASELINE.md rows 3/8: Go 0.81s / Python 1.27s via SplitRange)
+    t0 = time.time()
+    materialize(
+        eng.execute_split(
+            "select * from test where sec=1 and interval=1 and tm>=? and tm<=?",
+            [(b * 10_000, (b + 1) * 10_000 - 1) for b in range(10)],
+        )
+    )
+    timings["scan_split_10"] = time.time() - t0
 
     # --- headline analytical / extension queries -------------------------
     headline = [

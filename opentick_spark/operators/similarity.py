@@ -153,14 +153,20 @@ def lsh_topk(
     bits: int = 8,
     dim: int = 64,
     seed: int = 7,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact re-rank within hyperplane-LSH buckets.
 
-    Multi-probe: each query also probes all buckets at Hamming distance 1
-    (bits+1 probes) to recover near-boundary neighbors. Corpus is hashed
-    once; the join is on bucket id — at scale this is a co-partitioned
-    join instead of a cross product.
+    Multi-probe: each query also probes all buckets within Hamming
+    distance ``probe_hamming`` of its own (1 → bits+1 probes, 2 adds the
+    C(bits,2) two-bit flips). Deeper probing trades candidate volume for
+    recall — at bits=8, probe_hamming=2 scans 37/256 buckets (~14% of
+    the corpus) instead of 9/256. Corpus is hashed once; the join is on
+    bucket id — at scale this is a co-partitioned join instead of a
+    cross product.
     """
+    if probe_hamming not in (0, 1, 2):
+        raise ValueError("probe_hamming must be 0, 1, or 2")
     planes = _hyperplanes(dim, bits, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -172,12 +178,20 @@ def lsh_topk(
         F.col(vec_col).alias("qv"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket0"),
     )
-    probes = F.array(
-        F.col("bucket0"),
-        *[
-            F.col("bucket0").bitwiseXOR(F.lit(1 << i).cast("long"))
+    flips = [0]
+    if probe_hamming >= 1:
+        flips += [1 << i for i in range(bits)]
+    if probe_hamming >= 2:
+        flips += [
+            (1 << i) | (1 << j)
             for i in range(bits)
-        ],
+            for j in range(i + 1, bits)
+        ]
+    probes = F.array(
+        *[
+            F.col("bucket0").bitwiseXOR(F.lit(m).cast("long"))
+            for m in flips
+        ]
     )
     q = q0.select(
         "query_id", "qv", F.explode(probes).alias("bucket")

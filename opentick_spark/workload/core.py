@@ -1209,46 +1209,127 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "stratified_sample",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS base_n,
+           TRUE AS within_tolerance
+    FROM events GROUP BY event_type
+    """,
+)
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum Bernoulli sampling (df.sampleBy, seeded) — the
-    corpus-balancing primitive. Deterministic for a fixed seed but
-    engine-specific RNG, so rows-only here; sampling proportions are
-    asserted in tests."""
+    corpus-balancing primitive. The sampled rows themselves are
+    engine-specific RNG, so the *checkable contract* is emitted instead:
+    per-stratum base counts (oracle-exact) plus a 5-sigma binomial bound
+    on the sampled count — fractions 0.0/1.0 degenerate to exact
+    equality, so the boolean is a hard gate on the sampler, not a
+    formality."""
     ev = load(spark, sf_dir, "events")
     fractions = {"purchase": 0.5, "click": 0.1, "view": 0.1, "signup": 1.0,
                  "error": 0.0}
-    return ev.sampleBy("event_type", fractions, seed=42).select(
-        "event_id", "event_type", "user_id"
+    sampled = ev.sampleBy("event_type", fractions, seed=42)
+    samp = sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("samp_n")
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("base_n")
+    )
+    frac = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(fractions.items()) for x in kv]
+        ),
+        F.col("event_type"),
+    )
+    expected = frac * F.col("base_n")
+    tol = F.lit(5.0) * F.sqrt(expected * (F.lit(1.0) - frac))
+    return (
+        base.join(samp, "event_type", "left")
+        .na.fill({"samp_n": 0})
+        .select(
+            "event_type",
+            "base_n",
+            (F.abs(F.col("samp_n") - expected) <= tol).alias(
+                "within_tolerance"
+            ),
+        )
     )
 
 
-QUERIES["stratified_sample"] = stratified_sample
-
-
-# rows-only (no SQL oracle): approximate distinct — engines' sketches differ
+@q(
+    "approx_distinct_users",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate count-distinct (extension; sketch-based, so no
-    cross-engine oracle — the exact variant above is the checked one)."""
+    """HLL++ approximate count-distinct next to the exact value: the
+    sketch internals aren't cross-engine, so the query emits the exact
+    count (oracle-matched) plus a 4-sigma boolean on the sketch's error
+    (rsd=0.02 → |approx-exact| ≤ max(2, 8% of exact)) — deterministic
+    for fixed input, so it hash-checks."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+            F.count_distinct("user_id").cast("long").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= F.greatest(
+                    F.lit(2.0), F.lit(0.08) * F.col("exact_users")
+                )
+            ).alias("within_bound"),
+        )
     )
 
 
-QUERIES["approx_distinct_users"] = approx_distinct_users
-
-
+@q(
+    "approx_quantiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greenwald-Khanna approximate percentiles (rows-only: sketch
-    internals differ across engines; the exact median variant above is
-    the value-checked one). Output is scalar columns (one per quantile)
-    so downstream tooling never sees array-typed cells."""
+    """Greenwald-Khanna approximate percentiles, gated against the exact
+    ones: the exact interpolated quantiles are the oracle-matched values
+    and the GK estimates must land inside the exact [q-0.015, q+0.015]
+    rank bracket (accuracy=10000 → rank error 1e-4, so the bracket is a
+    150× margin; a broken sketch still trips it). Scalar columns only —
+    array cells break the driver's canonicalizer."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, 10000).alias("p50"),
-        F.percentile_approx("value", 0.9, 10000).alias("p90"),
-        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+    ag = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+        ).alias("__ap"),
+        F.expr(
+            "percentile(value, array(0.485D, 0.5D, 0.515D, "
+            "0.885D, 0.9D, 0.915D, 0.985D, 0.99D, 0.995D))"
+        ).alias("__ex"),
     )
-
-
-QUERIES["approx_quantiles"] = approx_quantiles
+    in_bracket = (
+        (F.col("__ap")[0] >= F.col("__ex")[0])
+        & (F.col("__ap")[0] <= F.col("__ex")[2])
+        & (F.col("__ap")[1] >= F.col("__ex")[3])
+        & (F.col("__ap")[1] <= F.col("__ex")[5])
+        & (F.col("__ap")[2] >= F.col("__ex")[6])
+        & (F.col("__ap")[2] <= F.col("__ex")[8])
+    )
+    return ag.select(
+        "event_type",
+        F.round(F.col("__ex")[1], 4).alias("p50"),
+        F.round(F.col("__ex")[4], 4).alias("p90"),
+        F.round(F.col("__ex")[7], 4).alias("p99"),
+        in_bracket.alias("within_bound"),
+    )

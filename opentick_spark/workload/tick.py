@@ -285,10 +285,21 @@ def streaming_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _us(eng.execute("select sec, tm, px from ticks"))
 
 
+@q(
+    "meta_catalog",
+    """
+    SELECT * FROM (VALUES
+      ('ticks', '_adj_', 'sec:int,time:timestamp', 'px:double,vol:double'),
+      ('ticks', 'trades', 'sec:int,tm:timestamp', 'px:double,vol:double')
+    ) AS t(db, tbl, key_cols, value_cols)
+    """,
+)
 def meta_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog surface (reference S15/S16, meta commands server.go:440-499):
-    list databases/tables + `meta schema` shape, returned as rows
-    (rows-only check — catalog state, not table data)."""
+    list databases/tables + `meta schema` shape, returned as rows. The
+    warehouse catalog is a static function of tick_engine's DDL, so the
+    oracle is the expected catalog as a VALUES literal — a real
+    value-hash check on the DDL + introspection path."""
     eng = tick_engine(spark, sf_dir)
     rows = []
     for db in eng.list_databases():
@@ -305,6 +316,3 @@ def meta_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "db string, tbl string, key_cols string, value_cols string"
     )
-
-
-QUERIES["meta_catalog"] = meta_catalog

@@ -44,10 +44,16 @@ def norm_rows(cols, rows):
 def main():
     import __spark_entry__ as entrymod
     from opentick_spark.session import get_spark
+    from opentick_spark.workload import EXTRA_ORACLES, EXTRA_QUERIES
 
     spark = get_spark(app_name="oracle_check", shuffle_partitions=8)
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # driver-window queries (via the driver's own entry points) PLUS the
+    # extra relational registry the driver doesn't see — all oracle-checked
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    for name, fn in EXTRA_QUERIES.items():
+        qs[name] = lambda spark, sf_dir, fn=fn: fn(spark, sf_dir)
+    oracles.update(EXTRA_ORACLES)
     only = set(sys.argv[1:])
 
     con = duckdb.connect()

@@ -13,9 +13,9 @@ def plan_of(df) -> str:
 
 @pytest.fixture(scope="module")
 def queries():
-    from opentick_spark.workload import QUERIES
+    from opentick_spark.workload import ALL_QUERIES
 
-    return QUERIES
+    return ALL_QUERIES
 
 
 def test_range_scan_pushdown(spark, queries):
