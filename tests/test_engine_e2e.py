@@ -404,6 +404,44 @@ def test_bulk_commit_intra_batch_last_wins(spark, tmp_path):
     assert eng.execute_rows("select * from t") == [(1, 111), (2, 200)]
 
 
+def test_bulk_commit_multi_partition_last_wins(spark, tmp_path):
+    """Same contract across MULTIPLE input partitions: __sub is
+    monotonically_increasing_id = (partition_id << 33) | row-in-partition,
+    so 'DataFrame row order' means partition-index order first, then row
+    position within the partition — duplicate PKs in a later partition
+    beat any in an earlier one, regardless of which executor finishes
+    first. This pins the semantics append_dataframe's docstring claims
+    (table.py) on a genuinely multi-partition commit."""
+    from pyspark.sql import Row
+
+    from opentick_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.execute("create database d")
+    eng.use("d")
+    eng.execute("create table t(a int, v int, primary key(a))")
+    store = eng.store("d", "t")
+    # 8 rows over 4 even slices of 2: PK 1 spans partitions 0/1/2 (444
+    # last, in partition 2), PK 2 spans 0/1 (222 last), PK 3 collides
+    # twice INSIDE partition 3 (row position breaks the tie → 333)
+    rows = [
+        Row(a=1, v=100), Row(a=2, v=200),   # partition 0
+        Row(a=1, v=110), Row(a=2, v=222),   # partition 1
+        Row(a=4, v=400), Row(a=1, v=444),   # partition 2
+        Row(a=3, v=300), Row(a=3, v=333),   # partition 3
+    ]
+    rdd = spark.sparkContext.parallelize(rows, numSlices=4)
+    df = spark.createDataFrame(rdd, "a int, v int")
+    assert df.rdd.getNumPartitions() == 4
+    store.append_dataframe(df)
+    assert eng.execute_rows("select * from t") == [
+        (1, 444),
+        (2, 222),
+        (3, 333),
+        (4, 400),
+    ]
+
+
 def test_partial_staged_commit_invisible(spark, tmp_path):
     """A crashed bulk writer leaves its staging dir under data/ (never
     inside log/): readers must not see half-written commits, and a retry
