@@ -290,12 +290,45 @@ class Engine:
             raise OpentickError("execute_split requires at least one range")
         import dataclasses
 
+        from opentick_spark.dialect.resolver import bind_conds
+
         pid = self.prepare(sql) if isinstance(sql, str) else sql
         resolved = self._prepared[pid][1]
         if not isinstance(resolved, ResolvedSelect):
             raise OpentickError("execute_split requires a select")
         pk = resolved.schema.pk_names
         want = [c.name for c in resolved.cols]
+        if not resolved.limit and not resolved.adjs:
+            # fast path: ONE scan filtered by the OR of the sub-range
+            # predicates. Set-identical to union+dedup (a boundary row
+            # satisfies two disjuncts but is still one row of one scan),
+            # with none of the n-subplan union, the dropDuplicates
+            # shuffle, or n passes over the upsert-resolution window —
+            # this is the "native Spark parallelism" form of SplitRange.
+            # (LIMIT/adj are per-sub-range semantics in the reference →
+            # those fall back to the branch-union path below.)
+            pred = None
+            leading_eq = None
+            lead = resolved.schema.key_columns[0].name
+            for i, (lo, hi) in enumerate(ranges):
+                conds = bind_conds(resolved.conds, (*args, lo, hi))
+                if i == 0:
+                    # shared leading-PK equality (same for every range —
+                    # only the last two placeholders vary) → keep the
+                    # hash-bucket partition pruning of the single-range path
+                    leading_eq = next(
+                        (
+                            c.equal
+                            for c in conds
+                            if c.col.name == lead and c.equal is not None
+                        ),
+                        None,
+                    )
+                p = self._predicate(conds)
+                pred = p if pred is None else (pred | p)
+            st = self.store(resolved.schema.db, resolved.schema.name)
+            df = st.read(self.spark, leading_eq=leading_eq).filter(pred)
+            return df.orderBy(*pk).select(*want)
         missing = [k for k in resolved.schema.key_columns if k.name not in want]
         widened = dataclasses.replace(resolved, cols=list(resolved.cols) + missing)
         out = None
