@@ -254,7 +254,9 @@ def connect(
     permission_control: bool = False,
 ) -> Connection:
     """Reference-shaped constructor. ``addr``/``port`` are ignored (no
-    TCP); pass ``spark``/``warehouse`` or both are created on demand."""
+    TCP); pass ``spark``/``warehouse`` or both are created on demand.
+    For an actual wire connection to a running :class:`~opentick_spark.
+    server.OpentickServer`, use :func:`connect_tcp`."""
     if spark is None:
         from opentick_spark.session import get_spark
 
@@ -262,3 +264,193 @@ def connect(
     if warehouse is None:
         warehouse = tempfile.mkdtemp(prefix="otspark_client_wh_")
     return Connection(spark, warehouse, db_name, permission_control=permission_control)
+
+
+class TCPConnection:
+    """Wire client for :class:`opentick_spark.server.OpentickServer` —
+    the reference client's transport behavior (bindings/python/opentick/
+    client.py: recv thread, ticketed futures, heartbeat tolerance
+    client.py:364-387, auto-reconnect) over the length-prefixed JSON
+    protocol. API mirrors :class:`Connection` where transport-meaningful.
+    """
+
+    def __init__(self, addr: str, port: int, db_name: str | None = None):
+        self._addr, self._port = addr, port
+        self._db = db_name
+        # RLock: the reconnect path re-enters _request while holding it
+        self._lock = threading.RLock()
+        self._futures: dict[int, CFuture] = {}
+        self._prepared_sql: dict[str, int] = {}
+        self._ticket = 0
+        self._sock = None
+        self._connect()
+        if db_name:
+            self.use(db_name)
+
+    # -- transport -----------------------------------------------------
+    def _connect(self) -> None:
+        import socket as _socket
+
+        from opentick_spark.server import send_frame  # codec-shared
+
+        self._send_frame = send_frame
+        self._sock = _socket.create_connection((self._addr, self._port))
+        # fresh futures dict per socket generation: a dying recv loop must
+        # only fail ITS in-flight tickets, never a successor connection's
+        self._futures = {}
+        self._recv_thread = threading.Thread(
+            target=self._recv_loop, args=(self._sock, self._futures), daemon=True
+        )
+        self._recv_thread.start()
+
+    def _recv_loop(self, sock, futures: dict) -> None:
+        from opentick_spark.server import _loads, recv_frame
+
+        try:
+            while True:
+                body = recv_frame(sock)
+                if body is None:
+                    break
+                if body == b"H":  # server heartbeat (C10) — liveness only
+                    continue
+                msg = _loads(body)
+                fut = futures.pop(msg.get("0"), None)
+                if fut is not None and not fut.done():
+                    fut.set_result(msg.get("1"))
+        except OSError:
+            pass
+        # drop in-flight futures so callers fail fast instead of hanging
+        for fut in list(futures.values()):
+            if not fut.done():
+                fut.set_exception(Error("Connection closed"))
+        futures.clear()
+
+    def _request(self, msg: dict, retried: bool = False) -> CFuture:
+        from opentick_spark.server import _dumps
+
+        with self._lock:
+            self._ticket += 1
+            msg["0"] = self._ticket
+            fut: CFuture = CFuture()
+            self._futures[msg["0"]] = fut
+            try:
+                self._send_frame(self._sock, _dumps(msg))
+            except OSError:
+                self._futures.pop(msg["0"], None)
+                if retried:
+                    raise Error("Connection closed") from None
+                # auto-reconnect (reference client.py:364-387): fresh
+                # socket, prepared ids are connection-scoped → re-prepare
+                self._reconnect_locked()
+                return self._request(dict(msg), retried=True)
+        return fut
+
+    def _reconnect_locked(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        self._prepared_sql.clear()
+        self._connect()
+        if self._db:
+            from opentick_spark.server import _dumps
+
+            self._ticket += 1
+            fut: CFuture = CFuture()
+            self._futures[self._ticket] = fut
+            self._send_frame(
+                self._sock, _dumps({"0": self._ticket, "1": "use", "2": self._db})
+            )
+            # dispatch is concurrent server-side — the session-db switch
+            # must complete before the retried request is resent
+            fut.result(30)
+
+    @staticmethod
+    def _result(fut: CFuture, timeout: float | None = None):
+        try:
+            res = fut.result(timeout)
+        except _FutTimeout:
+            raise Error("Timeout") from None
+        if isinstance(res, str):  # errors travel as strings in key "1"
+            raise Error(res)
+        return res
+
+    # -- session -------------------------------------------------------
+    def is_connected(self) -> bool:
+        return self._sock is not None
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def use(self, db_name: str) -> None:
+        self._db = db_name
+        self._result(self._request({"1": "use", "2": db_name}))
+
+    def login(self, username: str, password: str, db_name: str | None = None):
+        self._result(self._request({"1": "login", "2": username, "3": password}))
+        if db_name:
+            self.use(db_name)
+        return True
+
+    # -- execution -----------------------------------------------------
+    def _rows_in(self, rows):
+        if rows is None:
+            return None
+        return [
+            tuple(tuple(v) if isinstance(v, list) else v for v in row)
+            for row in rows
+        ]
+
+    def prepare(self, sql: str) -> int:
+        pid = self._prepared_sql.get(sql)
+        if pid is None:
+            pid = self._result(self._request({"1": "prepare", "2": sql}))
+            self._prepared_sql[sql] = pid
+        return pid
+
+    def execute(self, sql: str | int, args: Iterable[Any] = (), timeout=60.0):
+        return self._result(self.execute_async(sql, args)._fut, timeout)
+
+    def execute_async(self, sql: str | int, args: Iterable[Any] = ()) -> Future:
+        args = list(args)
+        fut = self._request({"1": "run", "2": sql, "3": args})
+        wrapped: CFuture = CFuture()
+
+        def chain(f):
+            try:
+                res = f.result()
+            except Exception as e:
+                wrapped.set_exception(e)
+                return
+            if isinstance(res, str):
+                wrapped.set_exception(Error(res))
+            else:
+                wrapped.set_result(self._rows_in(res))
+
+        fut.add_done_callback(chain)
+        return Future(wrapped)
+
+    def batch_insert(self, sql: str, args_array: list[tuple]) -> None:
+        pid = self.prepare(sql)
+        self._result(
+            self._request({"1": "batch", "2": pid, "3": [list(a) for a in args_array]})
+        )
+
+    def list_databases(self) -> list[str]:
+        return self._result(self._request({"1": "meta", "2": "list_databases"}))
+
+    def list_tables(self) -> list[str]:
+        return self._result(self._request({"1": "meta", "2": "list_tables"}))
+
+    def schema(self, table_name: str):
+        return self._result(
+            self._request({"1": "meta", "2": "schema", "3": table_name})
+        )
+
+
+def connect_tcp(addr: str, port: int, db_name: str | None = None) -> TCPConnection:
+    """Connect to a running OpentickServer over TCP (C9/C10 wire path)."""
+    return TCPConnection(addr, port, db_name)

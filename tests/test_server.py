@@ -1,0 +1,159 @@
+"""Wire-surface tests (C9/C10): length-prefixed JSON protocol, ticketed
+futures, per-connection sessions, heartbeat, auto-reconnect — the real
+server + real TCP client over localhost, one shared SparkSession."""
+
+import threading
+import time
+
+import pytest
+
+from opentick_spark.client import connect_tcp
+from opentick_spark.errors import OpentickError
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    from opentick_spark.server import OpentickServer
+
+    wh = str(tmp_path_factory.mktemp("wire_wh"))
+    srv = OpentickServer(spark, wh, heartbeat_s=0.2).start()
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture()
+def conn(server):
+    c = connect_tcp("127.0.0.1", server.port)
+    yield c
+    c.close()
+
+
+def _mkdb(conn, name):
+    if name not in conn.list_databases():
+        conn.execute(f"create database {name}")
+    conn.use(name)
+
+
+def test_wire_roundtrip(conn):
+    _mkdb(conn, "w1")
+    conn.execute(
+        "create table t(sec int, tm timestamp, px double, primary key(sec, tm))"
+    )
+    conn.execute("insert into t(sec, tm, px) values(?, ?, ?)", (1, [5, 0], 2.5))
+    conn.execute("insert into t(sec, tm, px) values(2, 7, 3.5)")
+    rows = conn.execute("select * from t where sec=1")
+    # timestamps come back as (epoch_sec, nanosec) pairs like the reference
+    assert rows == [(1, (5, 0), 2.5)]
+    assert conn.execute("select px from t where sec=2") == [(3.5,)]
+
+
+def test_wire_prepared_and_batch(conn):
+    _mkdb(conn, "w2")
+    conn.execute("create table t(a int, v double, primary key(a))")
+    pid = conn.prepare("insert into t(a, v) values(?, ?)")
+    assert isinstance(pid, int)
+    conn.execute(pid, (1, 1.5))
+    conn.batch_insert(
+        "insert into t(a, v) values(?, ?)", [(2, 2.5), (3, 3.5)]
+    )
+    sel = conn.prepare("select * from t where a=?")
+    assert conn.execute(sel, (2,)) == [(2, 2.5)]
+    assert len(conn.execute("select * from t")) == 3
+
+
+def test_wire_errors_are_strings(conn):
+    _mkdb(conn, "w3")
+    with pytest.raises(OpentickError, match="Table .* does not exist"):
+        conn.execute("select * from missing_table")
+    with pytest.raises(OpentickError):
+        conn.execute("select bogus syntax here")
+
+
+def test_wire_async_out_of_order(conn):
+    _mkdb(conn, "w4")
+    conn.execute("create table t(a int, v int, primary key(a))")
+    conn.batch_insert(
+        "insert into t(a, v) values(?, ?)", [(i, i * 10) for i in range(20)]
+    )
+    futs = [conn.execute_async("select v from t where a=?", (i,)) for i in range(20)]
+    got = [f.get(60) for f in futs]
+    assert got == [[(i * 10,)] for i in range(20)]
+
+
+def test_wire_session_isolation(server):
+    """use/login are per-connection state (server.go:399-439): two
+    concurrent connections on different dbs must not interfere."""
+    c1 = connect_tcp("127.0.0.1", server.port)
+    c2 = connect_tcp("127.0.0.1", server.port)
+    try:
+        _mkdb(c1, "iso_a")
+        _mkdb(c2, "iso_b")
+        c1.execute("create table t(a int, primary key(a))")
+        c2.execute("create table t(a int, primary key(a))")
+        c1.execute("insert into t(a) values(1)")
+        c2.execute("insert into t(a) values(2)")
+        assert c1.execute("select * from t") == [(1,)]
+        assert c2.execute("select * from t") == [(2,)]
+        assert sorted(c1.list_tables()) == ["_adj_", "t"]  # auto _adj_ (S10)
+    finally:
+        c1.close()
+        c2.close()
+
+
+def test_wire_meta_schema(conn):
+    _mkdb(conn, "w5")
+    conn.execute(
+        "create table bars(sec int, tm timestamp, px double, primary key(sec, tm))"
+    )
+    sch = conn.schema("bars")
+    assert (["sec", "int", True]) in [list(r) for r in sch]
+    assert (["px", "double", False]) in [list(r) for r in sch]
+
+
+def test_wire_heartbeat_liveness(conn):
+    """Server pushes 'H' frames every 0.2s; the client must absorb them
+    and keep the request/reply stream intact across several beats."""
+    _mkdb(conn, "w6")
+    conn.execute("create table t(a int, primary key(a))")
+    time.sleep(0.7)  # at least 3 heartbeats traverse the socket
+    conn.execute("insert into t(a) values(1)")
+    time.sleep(0.5)
+    assert conn.execute("select * from t") == [(1,)]
+
+
+def test_wire_auto_reconnect(conn):
+    """Dropping the socket mid-session must transparently reconnect,
+    restore the session db, and re-prepare (connection-scoped ids)."""
+    _mkdb(conn, "w7")
+    conn.execute("create table t(a int, v int, primary key(a))")
+    conn.prepare("insert into t(a, v) values(?, ?)")
+    conn._sock.close()  # simulate a dropped connection
+    conn.execute("insert into t(a, v) values(1, 10)")  # reconnect + resend
+    assert conn.execute("select * from t") == [(1, 10)]
+
+
+def test_wire_concurrent_clients(server):
+    """Bounded-dispatch smoke: 4 threads × 5 inserts through one server,
+    all rows land, no cross-talk."""
+    c = connect_tcp("127.0.0.1", server.port)
+    _mkdb(c, "w8")
+    c.execute("create table t(a int, primary key(a))")
+    errs = []
+
+    def worker(base):
+        try:
+            cc = connect_tcp("127.0.0.1", server.port, db_name="w8")
+            for i in range(5):
+                cc.execute("insert into t(a) values(?)", (base + i,))
+            cc.close()
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(b * 100,)) for b in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert len(c.execute("select * from t")) == 20
+    c.close()
