@@ -219,6 +219,113 @@ def pack_sequences(
     )
 
 
+def bigrams(col: Column) -> Column:
+    """Word-bigram array ('a b c' → ['a b', 'b c']); empty for <2 words."""
+    toks = ws_tokens(col)
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, entirely per-row.
+
+    Adds ``n_words``, ``dup_word_frac`` (1 − distinct/total words) and
+    ``top_bigram`` / ``top_bigram_frac`` (most frequent word bigram and
+    the fraction of bigram slots it covers; ties break to the
+    lexicographically smallest bigram; empty/0.0 when the doc has <2
+    words).
+
+    Scale shape: the naive plan (explode bigrams → groupBy(doc, bigram)
+    → per-doc argmax) shuffles every token of the corpus. Instead the
+    top bigram is found *inside the row*: sort the bigram array, then a
+    single higher-order ``aggregate`` scans for the longest run —
+    O(k log k) per doc, zero Exchange, embarrassingly parallel over
+    input splits. No UDF; everything stays in codegen.
+    """
+    c = F.col(text_col)
+    toks = ws_tokens(c)
+    bg = F.array_sort(bigrams(c))
+    # longest-run scan over the sorted bigrams: acc tracks the run in
+    # progress and the best so far; strict '>' keeps the earliest (i.e.
+    # lexicographically smallest) bigram on count ties.
+    run = F.aggregate(
+        bg,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("cur"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit("").alias("best_bg"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["cur"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("cur"),
+            F.when(
+                F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1))
+                > acc["best"],
+                F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
+            )
+            .otherwise(acc["best"])
+            .cast("long")
+            .alias("best"),
+            F.when(
+                F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1))
+                > acc["best"],
+                x,
+            )
+            .otherwise(acc["best_bg"])
+            .alias("best_bg"),
+        ),
+    )
+    n = F.size(toks)
+    nbg = F.size(bg)
+    return df.withColumns(
+        {
+            "n_words": n.cast("long"),
+            "dup_word_frac": F.when(n == 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct(toks)).cast("double") / n
+            ),
+            "top_bigram": run["best_bg"],
+            "top_bigram_frac": F.when(nbg == 0, F.lit(0.0)).otherwise(
+                run["best"].cast("double") / nbg
+            ),
+        }
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: list[tuple[str, int]] = (("train", 80), ("val", 10), ("test", 10)),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent id
+    hash — the reproducible dataset-split step of a training pipeline.
+
+    Bucket = first 8 hex chars of md5(id) as an integer, mod 100; split
+    boundaries are the cumulative weights. md5 (not the engine's native
+    ``hash``) so the assignment is stable across engines, Spark
+    versions, and partitionings. Pure per-row projection: no shuffle,
+    no UDF.
+    """
+    weights = [w for _, w in splits]
+    if sum(weights) != 100:
+        raise ValueError("split weights must sum to 100")
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    expr = None
+    hi = 0
+    for name, w in splits:
+        hi += w
+        cond = bucket < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
 def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Standard quality-scoring columns used for corpus filtering."""
     c = F.col(text_col)

@@ -832,3 +832,128 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round("sum_value", 4).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# extended text ops (EXTRA registry — oracle-checked by tests/oracle_check.py)
+
+@q(
+    "text_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)
+    ),
+    cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    top AS (
+      SELECT doc_id, b, c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, b ASC) rn
+      FROM cnt
+    )
+    SELECT w.doc_id,
+           len(ws)::BIGINT AS n_words,
+           ROUND(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 6)
+             AS dup_word_frac,
+           COALESCE(t.b, '') AS top_bigram,
+           ROUND(COALESCE(t.c::DOUBLE / (len(ws) - 1), 0.0), 6)
+             AS top_bigram_frac
+    FROM w LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (dup-word fraction, top-bigram
+    coverage) computed per-row with a sorted-run higher-order aggregate —
+    zero Exchange, no exploded-token shuffle (see
+    operators/text.repetition_metrics)."""
+    docs = load(spark, sf_dir, "documents")
+    out = X.repetition_metrics(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        "top_bigram",
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+_BM25_TERMS = ["spark", "window", "join"]
+
+@q(
+    "text_bm25_search",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*)::DOUBLE AS n_docs, AVG(len(ws)::DOUBLE) AS avgdl
+      FROM base
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf
+      FROM (SELECT doc_id, len(ws)::DOUBLE AS dl, unnest(ws) AS term
+            FROM base)
+      WHERE term IN ('spark', 'window', 'join')
+      GROUP BY doc_id, dl, term
+    ),
+    dft AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+           ROUND(SUM( ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * tf * 2.2
+                      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ), 6)
+             AS score
+    FROM tf JOIN dft USING (term), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search: postings filtered before any shuffle, term
+    stats broadcast, one doc-keyed aggregation (operators/search.py).
+    Rounded-then-ranked so the top-20 cut is engine-stable."""
+    from opentick_spark.operators import search as SE
+
+    docs = load(spark, sf_dir, "documents")
+    return SE.bm25_topk(docs, _BM25_TERMS, top_n=20)
+
+
+@q(
+    "corpus_split_stats",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_toks,
+             list_reduce(
+               list_transform(range(1, 9),
+                 i -> strpos('0123456789abcdef',
+                             substr(md5(doc_id::VARCHAR), i, 1)) - 1),
+               (a, b) -> a * 16 + b) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+    FROM t GROUP BY 1
+    """,
+)
+def corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test split (80/10/10) with
+    per-split doc and token accounting — reproducible across engines and
+    partitionings, pure projection + one tiny aggregate
+    (operators/text.hash_split)."""
+    docs = load(spark, sf_dir, "documents")
+    split = X.hash_split(docs)
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(X.ws_token_count(F.col("text"))).cast("long").alias("total_tokens"),
+        )
+    )

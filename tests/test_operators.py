@@ -545,3 +545,63 @@ def test_interval_join_left_outer(spark):
     iv = spark.createDataFrame([(1, 0, 10)], "iid long, lo long, hi long")
     rows = {r.pid: r.iid for r in interval_join(pts, iv, "t", "lo", "hi", 8, how="left").collect()}
     assert rows == {1: 1, 2: None}
+
+
+def test_repetition_metrics_golden(spark):
+    from opentick_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),        # bigrams: ab, ba, ab, bc → top 'a b'×2/4
+            (2, "x x x x"),          # 'x x'×3/3; dup_word 1 - 1/4
+            (3, "solo"),             # no bigram
+            (4, "p q r s"),          # all distinct; tie → smallest 'p q'
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert rows[1].n_words == 5
+    assert rows[1].top_bigram == "a b" and abs(rows[1].top_bigram_frac - 0.5) < 1e-9
+    assert abs(rows[1].dup_word_frac - (1 - 3 / 5)) < 1e-9
+    assert rows[2].top_bigram == "x x" and rows[2].top_bigram_frac == 1.0
+    assert abs(rows[2].dup_word_frac - 0.75) < 1e-9
+    assert rows[3].top_bigram == "" and rows[3].top_bigram_frac == 0.0
+    assert rows[4].top_bigram == "p q" and abs(rows[4].top_bigram_frac - 1 / 3) < 1e-9
+
+
+def test_bm25_golden(spark):
+    import math
+
+    from opentick_spark.operators.search import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "spark join spark"), (2, "spark window"), (3, "other words here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.score for r in bm25_scores(df, ["spark", "join"]).collect()}
+    assert set(got) == {1, 2}  # doc 3 matches no term
+
+    def bm25(tf, df_t, dl, n=3.0, avgdl=8 / 3, k1=1.2, b=0.75):
+        idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1)
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp1 = bm25(2, 2, 3) + bm25(1, 1, 3)  # spark×2 + join×1
+    exp2 = bm25(1, 2, 2)
+    assert abs(got[1] - exp1) < 1e-9 and abs(got[2] - exp2) < 1e-9
+    assert got[1] > got[2]
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from opentick_spark.operators.text import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = hash_split(df)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 1000
+    # md5 buckets ≈ uniform: 80/10/10 within generous slack
+    assert 700 < counts["train"] < 900
+    assert 50 < counts["val"] < 160 and 50 < counts["test"] < 160
+    # deterministic: same assignment on recompute and under repartition
+    again = {r.doc_id: r.split for r in hash_split(df.repartition(7)).collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert first == again

@@ -95,3 +95,27 @@ def test_ewma_is_arrow_not_row_python(spark, queries):
 def test_interval_join_is_hash_not_nested_loop(spark, queries):
     plan = plan_of(queries["interval_join_windows"](spark, SF))
     assert "NestedLoop" not in plan
+
+
+def test_repetition_is_narrow_only(spark, queries):
+    # top-bigram found inside the row (sorted-run aggregate): the whole
+    # metric pass is projection-only — no exploded-token shuffle, no UDF
+    plan = plan_of(queries["text_repetition"](spark, SF))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bm25_broadcasts_term_stats(spark, queries):
+    # df(term) and (N, avgdl) are broadcast; the only data-sized
+    # shuffle keys on doc_id for the score sum
+    plan = plan_of(queries["text_bm25_search"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_hash_split_no_udf_single_agg_exchange(spark, queries):
+    # md5-bucket assignment is a pure projection; the per-split rollup is
+    # the one hash exchange
+    plan = plan_of(queries["corpus_split_stats"](spark, SF))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
