@@ -426,3 +426,42 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def label_centroid_stats(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid statistics: vector count, L2 norm of the mean
+    vector, and mean per-vector L2 norm — the embedding-space health
+    check (cluster tightness / drift) of a training pipeline.
+
+    The distributed vector mean is posexplode → partial-avg on
+    (label, position): aggregation state is |labels|·dim cells, never the
+    vectors themselves — no collect_list, no driver math, scales to any
+    corpus. Per-vector norms are an in-row fold (deterministic
+    left-to-right double sum, engine-portable). Both aggregates are
+    map-side combinable; the shuffles move only (label, pos, partial)
+    triples.
+    """
+    lab = F.col(label_col).cast("long").alias("label")
+    pos = df.select(
+        lab,
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda v: v.cast("double"))
+        ).alias("pos", "x"),
+    )
+    centroid = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("centroid_norm"))
+    )
+    per_vec = df.select(lab, norm(F.col(vec_col)).alias("__n")).groupBy(
+        "label"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("__n").alias("avg_norm"),
+    )
+    return per_vec.join(F.broadcast(centroid), "label").select(
+        "label", "n", "centroid_norm", "avg_norm"
+    )

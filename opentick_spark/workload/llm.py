@@ -957,3 +957,44 @@ def corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(X.ws_token_count(F.col("text"))).cast("long").alias("total_tokens"),
         )
     )
+
+
+@q(
+    "embedding_label_stats",
+    """
+    WITH e AS (SELECT label, embedding FROM embeddings),
+    pos AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             unnest(list_transform(embedding, v -> v::DOUBLE)) AS x
+      FROM e
+    ),
+    cen AS (SELECT label, pos, AVG(x) AS m FROM pos GROUP BY label, pos),
+    cn AS (SELECT label, SQRT(SUM(m * m)) AS centroid_norm FROM cen GROUP BY label),
+    vn AS (
+      SELECT label,
+             COUNT(*)::BIGINT AS n,
+             AVG(SQRT(list_reduce(
+               list_transform(embedding, v -> v::DOUBLE * v::DOUBLE),
+               (a, b) -> a + b))) AS avg_norm
+      FROM e GROUP BY label
+    )
+    SELECT vn.label::BIGINT AS label, vn.n,
+           ROUND(cn.centroid_norm, 6) AS centroid_norm,
+           ROUND(vn.avg_norm, 6) AS avg_norm
+    FROM vn JOIN cn USING (label)
+    """,
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm + mean vector norm: the distributed vector
+    mean (posexplode → (label, pos) partial agg — state is labels×dim,
+    never the vectors) with an in-row fold for per-vector norms
+    (operators/similarity.label_centroid_stats)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = S.label_centroid_stats(emb)
+    return out.select(
+        "label",
+        "n",
+        F.round("centroid_norm", 6).alias("centroid_norm"),
+        F.round("avg_norm", 6).alias("avg_norm"),
+    )

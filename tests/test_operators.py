@@ -605,3 +605,24 @@ def test_hash_split_deterministic_and_complete(spark):
     again = {r.doc_id: r.split for r in hash_split(df.repartition(7)).collect()}
     first = {r.doc_id: r.split for r in out.collect()}
     assert first == again
+
+
+def test_label_centroid_stats_golden(spark):
+    import math
+
+    from opentick_spark.operators.similarity import label_centroid_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (0, [0.0, 1.0]),   # centroid (.5,.5) → norm √.5; avg_norm 1
+            (1, [3.0, 4.0]),   # centroid (3,4) → norm 5; avg_norm 5
+        ],
+        "label int, embedding array<float>",
+    )
+    rows = {r.label: r for r in label_centroid_stats(df).collect()}
+    assert rows[0].n == 2 and rows[1].n == 1
+    assert abs(rows[0].centroid_norm - math.sqrt(0.5)) < 1e-9
+    assert abs(rows[0].avg_norm - 1.0) < 1e-9
+    assert abs(rows[1].centroid_norm - 5.0) < 1e-9
+    assert abs(rows[1].avg_norm - 5.0) < 1e-9
