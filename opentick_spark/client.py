@@ -274,9 +274,18 @@ class TCPConnection:
     protocol. API mirrors :class:`Connection` where transport-meaningful.
     """
 
-    def __init__(self, addr: str, port: int, db_name: str | None = None):
+    def __init__(
+        self,
+        addr: str,
+        port: int,
+        db_name: str | None = None,
+        protocol: str = "json",
+    ):
+        from opentick_spark.server import _codecs
+
         self._addr, self._port = addr, port
         self._db = db_name
+        self._enc, self._dec = _codecs()[protocol]
         # RLock: the reconnect path re-enters _request while holding it
         self._lock = threading.RLock()
         self._futures: dict[int, CFuture] = {}
@@ -304,7 +313,7 @@ class TCPConnection:
         self._recv_thread.start()
 
     def _recv_loop(self, sock, futures: dict) -> None:
-        from opentick_spark.server import _loads, recv_frame
+        from opentick_spark.server import recv_frame
 
         try:
             while True:
@@ -313,7 +322,7 @@ class TCPConnection:
                     break
                 if body == b"H":  # server heartbeat (C10) — liveness only
                     continue
-                msg = _loads(body)
+                msg = self._dec(body)
                 fut = futures.pop(msg.get("0"), None)
                 if fut is not None and not fut.done():
                     fut.set_result(msg.get("1"))
@@ -326,15 +335,13 @@ class TCPConnection:
         futures.clear()
 
     def _request(self, msg: dict, retried: bool = False) -> CFuture:
-        from opentick_spark.server import _dumps
-
         with self._lock:
             self._ticket += 1
             msg["0"] = self._ticket
             fut: CFuture = CFuture()
             self._futures[msg["0"]] = fut
             try:
-                self._send_frame(self._sock, _dumps(msg))
+                self._send_frame(self._sock, self._enc(msg))
             except OSError:
                 self._futures.pop(msg["0"], None)
                 if retried:
@@ -353,13 +360,12 @@ class TCPConnection:
         self._prepared_sql.clear()
         self._connect()
         if self._db:
-            from opentick_spark.server import _dumps
-
             self._ticket += 1
             fut: CFuture = CFuture()
             self._futures[self._ticket] = fut
             self._send_frame(
-                self._sock, _dumps({"0": self._ticket, "1": "use", "2": self._db})
+                self._sock,
+                self._enc({"0": self._ticket, "1": "use", "2": self._db}),
             )
             # dispatch is concurrent server-side — the session-db switch
             # must complete before the retried request is resent
@@ -451,6 +457,13 @@ class TCPConnection:
         )
 
 
-def connect_tcp(addr: str, port: int, db_name: str | None = None) -> TCPConnection:
-    """Connect to a running OpentickServer over TCP (C9/C10 wire path)."""
-    return TCPConnection(addr, port, db_name)
+def connect_tcp(
+    addr: str,
+    port: int,
+    db_name: str | None = None,
+    protocol: str = "json",
+) -> TCPConnection:
+    """Connect to a running OpentickServer over TCP (C9/C10 wire path).
+    ``protocol`` must match the server's: ``"json"`` or ``"bson"`` (the
+    reference's default)."""
+    return TCPConnection(addr, port, db_name, protocol=protocol)

@@ -53,6 +53,14 @@ def _loads(body: bytes) -> dict:
     return json.loads(body.decode("utf-8"))
 
 
+def _codecs() -> dict:
+    from opentick_spark import wire_bson
+
+    # reference default is BSON with a protocol=json switch
+    # (server.go:186-207); both ride the same length-prefixed framing
+    return {"json": (_dumps, _loads), "bson": (wire_bson.dumps, wire_bson.loads)}
+
+
 def send_frame(sock: socket.socket, payload: bytes) -> None:
     sock.sendall(_LEN.pack(len(payload)) + payload)
 
@@ -109,7 +117,7 @@ class _Session:
 
     def reply(self, ticket: Any, result: Any) -> None:
         try:
-            self.send(_dumps({"0": ticket, "1": result}))
+            self.send(self.server._enc({"0": ticket, "1": result}))
         except OSError:
             self.alive = False
 
@@ -121,7 +129,7 @@ class _Session:
                     break
                 if body in (b"H", b""):
                     continue  # client-side heartbeat/noop
-                msg = _loads(body)
+                msg = self.server._dec(body)
                 self.server._dispatch(self, msg)
         except OSError:
             pass
@@ -208,11 +216,17 @@ class OpentickServer:
         max_concurrency: int = 100,
         heartbeat_s: float = 10.0,
         permission_control: bool = False,
+        protocol: str = "json",
     ):
         self.spark = spark
         self.warehouse = warehouse
         self.host = host
         self._port = port
+        try:
+            self._enc, self._dec = _codecs()[protocol]
+        except KeyError:
+            raise ValueError(f"Unknown protocol: {protocol!r}") from None
+        self.protocol = protocol
         self.heartbeat_s = heartbeat_s
         self.permission_control = permission_control
         self._pool = ThreadPoolExecutor(max_workers=min(max_concurrency, 64))

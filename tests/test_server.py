@@ -157,3 +157,111 @@ def test_wire_concurrent_clients(server):
     assert not errs
     assert len(c.execute("select * from t")) == 20
     c.close()
+
+
+# -- BSON protocol (the reference's default codec) -------------------------
+
+def test_bson_codec_roundtrip():
+    from opentick_spark import wire_bson as B
+
+    msg = {
+        "0": 42,
+        "1": "run",
+        "2": [[1, (5, 0), 2.5, None], [2**40, "s", True, [1.5, -3]]],
+        "3": {"nested": {"k": -(2**35)}, "empty": []},
+    }
+    got = B.loads(B.dumps(msg))
+    # tuples encode as BSON arrays → decode as lists
+    assert got == {
+        "0": 42,
+        "1": "run",
+        "2": [[1, [5, 0], 2.5, None], [2**40, "s", True, [1.5, -3]]],
+        "3": {"nested": {"k": -(2**35)}, "empty": []},
+    }
+
+
+def test_bson_codec_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from opentick_spark import wire_bson as B
+
+    scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.floats(allow_nan=False),
+        # BSON strings are UTF-8: lone surrogates are unencodable by spec
+        st.text(st.characters(blacklist_categories=("Cs",))),
+    )
+    values = st.recursive(
+        scalars,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=4),
+            st.dictionaries(
+                st.text(
+                    st.characters(
+                        blacklist_categories=("Cs",),
+                        blacklist_characters="\x00",
+                    ),
+                    min_size=1,
+                ),
+                inner,
+                max_size=4,
+            ),
+        ),
+        max_leaves=10,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(
+                st.characters(
+                    blacklist_categories=("Cs",), blacklist_characters="\x00"
+                ),
+                min_size=1,
+            ),
+            values,
+            max_size=5,
+        )
+    )
+    def check(doc):
+        assert B.loads(B.dumps(doc)) == doc
+
+    check()
+
+
+@pytest.fixture(scope="module")
+def bson_server(spark, tmp_path_factory):
+    from opentick_spark.server import OpentickServer
+
+    wh = str(tmp_path_factory.mktemp("bson_wh"))
+    srv = OpentickServer(spark, wh, heartbeat_s=0.2, protocol="bson").start()
+    yield srv
+    srv.stop()
+
+
+def test_bson_wire_session(bson_server):
+    c = connect_tcp("127.0.0.1", bson_server.port, protocol="bson")
+    try:
+        _mkdb(c, "bs1")
+        c.execute(
+            "create table t(sec int, tm timestamp, px double, primary key(sec, tm))"
+        )
+        c.batch_insert(
+            "insert into t(sec, tm, px) values(?, ?, ?)",
+            [(1, t, 0.5 + t) for t in range(4)],
+        )
+        assert c.execute("select px from t where sec=1 and tm=2") == [(2.5,)]
+        assert c.execute("select * from t where sec=1 limit -1") == [
+            (1, (3, 0), 3.5)
+        ]
+        with pytest.raises(OpentickError, match="does not exist"):
+            c.execute("select * from nope")
+        # big int64 values survive the int32/int64 split
+        c.execute("create table big(a bigint, v bigint, primary key(a))")
+        c.execute("insert into big(a, v) values(?, ?)", (2**40, -(2**50)))
+        assert c.execute("select * from big") == [(2**40, -(2**50))]
+    finally:
+        c.close()
