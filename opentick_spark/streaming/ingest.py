@@ -151,6 +151,45 @@ def dedup_stream(
     )
 
 
+def dedup_stream_within_watermark(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    sink_table: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    watermark: str = "30 days",
+):
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    evicts a key's state once the event-time watermark passes it, so
+    state size is delivery-delay-bounded instead of growing with every
+    key ever seen — the 100 TB-stream counterpart of ``dedup_stream``.
+    Duplicates arriving within ``watermark`` of the first occurrence are
+    dropped (the at-least-once redelivery contract); the finite test
+    input redelivers everything well inside the bound, so the sink must
+    equal a global dedup. ts arrives as epoch-nanos long → µs timestamp
+    for the watermark clock."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(events_dir)
+    )
+    deduped = (
+        stream.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts_ts", watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+        .drop("ts_ts")
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_stream_join(
     spark: SparkSession,
     events_dir: str,

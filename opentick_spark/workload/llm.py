@@ -998,3 +998,45 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("centroid_norm", 6).alias("centroid_norm"),
         F.round("avg_norm", 6).alias("avg_norm"),
     )
+
+
+@q(
+    "streaming_dedup_watermark",
+    """
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark):
+    duplicate delivery within the watermark is dropped and key state is
+    evicted as event time advances — state scales with delivery delay,
+    not corpus size. Same exactly-once contract (and oracle) as
+    streaming_dedup_ingest."""
+    from opentick_spark.streaming.ingest import (
+        dedup_stream_within_watermark,
+        state_partitions,
+    )
+
+    schema = load(spark, sf_dir, "events").schema
+    name = "dedup_wm_sink_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="otspark_dedup_wm_src_")
+    for i in range(2):  # duplicate delivery
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(src_dir, f"events_{i}.parquet"),
+        )
+    with state_partitions(spark, 8):
+        q_ = dedup_stream_within_watermark(
+            spark, src_dir, schema, name,
+            tempfile.mkdtemp(prefix="otspark_dedup_wm_ck_"), ["event_id"],
+        )
+        q_.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
