@@ -65,6 +65,9 @@ def send_frame(sock: socket.socket, payload: bytes) -> None:
     sock.sendall(_LEN.pack(len(payload)) + payload)
 
 
+MAX_FRAME = 256 * 1024 * 1024  # corrupt/hostile length prefix guard
+
+
 def recv_frame(sock: socket.socket) -> bytes | None:
     """Read one length-prefixed frame; None on clean EOF."""
     head = _recv_exact(sock, 4)
@@ -73,6 +76,8 @@ def recv_frame(sock: socket.socket) -> bytes | None:
     (n,) = _LEN.unpack(head)
     if n == 0:
         return b""
+    if n > MAX_FRAME:
+        raise OSError(f"frame length {n} exceeds MAX_FRAME")
     return _recv_exact(sock, n)
 
 
@@ -129,7 +134,10 @@ class _Session:
                     break
                 if body in (b"H", b""):
                     continue  # client-side heartbeat/noop
-                msg = self.server._dec(body)
+                try:
+                    msg = self.server._dec(body)
+                except Exception:
+                    break  # undecodable frame: drop THIS session only
                 self.server._dispatch(self, msg)
         except OSError:
             pass

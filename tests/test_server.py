@@ -265,3 +265,24 @@ def test_bson_wire_session(bson_server):
         assert c.execute("select * from big") == [(2**40, -(2**50))]
     finally:
         c.close()
+
+
+def test_wire_malformed_frame_kills_only_that_session(server):
+    """A client sending garbage must lose ITS connection only; the
+    server keeps serving other sessions (and a bogus length prefix never
+    triggers a giant allocation — MAX_FRAME guard)."""
+    import socket as _socket
+    import struct
+
+    bad = _socket.create_connection(("127.0.0.1", server.port))
+    bad.sendall(struct.pack("<I", 12) + b"not valid js")
+    bad2 = _socket.create_connection(("127.0.0.1", server.port))
+    bad2.sendall(struct.pack("<I", 2**31 - 1))  # hostile length prefix
+    time.sleep(0.3)
+    c = connect_tcp("127.0.0.1", server.port)
+    try:
+        assert isinstance(c.list_databases(), list)  # server still alive
+    finally:
+        c.close()
+        bad.close()
+        bad2.close()
