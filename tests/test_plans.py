@@ -119,3 +119,13 @@ def test_hash_split_no_udf_single_agg_exchange(spark, queries):
     plan = plan_of(queries["corpus_split_stats"](spark, SF))
     assert "EvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_dialect_adj_uses_broadcast_interval(spark, queries):
+    # the dialect adj() path resolves factors via the broadcast-interval
+    # join (skew-immune; row stream keeps its partitioning): no merge-
+    # strategy Union of rows+events; the only Window sits on the tiny
+    # broadcast (factor) side
+    plan = plan_of(queries["adj_forward"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Union" not in plan
