@@ -339,3 +339,39 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
             "avg_word_len": avg_word_len(c),
         }
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    unigram language model — the CCNet-style LM-quality signal (docs far
+    from the corpus distribution score high/surprising).
+
+    p(t) = count(t) / total_tokens over the whole corpus;
+    score(d) = − mean_t ln p(t) over the doc's tokens.
+
+    Two aggregates, both map-side combinable: the model build keys on
+    token (vocabulary-sized result, broadcast back), the scoring keys on
+    doc id. The model stays a DataFrame end-to-end — no driver-side
+    vocabulary, so a 100 TB corpus trains the same way.
+    Output: (id, n_tokens, nll).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("t"),
+    )
+    model = toks.groupBy("t").agg(F.count("*").alias("c"))
+    total = model.agg(F.sum("c").cast("double").alias("total"))
+    scored = (
+        toks.join(F.broadcast(model), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (-F.avg(F.log(F.col("c") / F.col("total")))).alias("nll"),
+        )
+    )
+    return scored

@@ -1040,3 +1040,29 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+@q(
+    "text_unigram_nll",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    model AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+    total AS (SELECT SUM(c)::DOUBLE AS total FROM model)
+    SELECT id,
+           COUNT(*)::BIGINT AS n_tokens,
+           ROUND(-AVG(ln(c / total)), 6) AS nll
+    FROM toks JOIN model USING (t), total
+    GROUP BY id
+    """,
+)
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality scoring (CCNet-style): the corpus trains its
+    own token model (vocabulary-sized aggregate, broadcast back), each
+    doc scores as mean −ln p(token) (operators/text.unigram_logprob)."""
+    docs = load(spark, sf_dir, "documents")
+    out = X.unigram_logprob(docs)
+    return out.select("id", "n_tokens", F.round("nll", 6).alias("nll"))

@@ -626,3 +626,21 @@ def test_label_centroid_stats_golden(spark):
     assert abs(rows[0].avg_norm - 1.0) < 1e-9
     assert abs(rows[1].centroid_norm - 5.0) < 1e-9
     assert abs(rows[1].avg_norm - 5.0) < 1e-9
+
+
+def test_unigram_logprob_golden(spark):
+    import math
+
+    from opentick_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # corpus counts: a=2, b=2, c=1, total=5
+    rows = {r.id: r for r in unigram_logprob(df).collect()}
+    exp1 = -(2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp2 = -(math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert rows[1].n_tokens == 3 and rows[2].n_tokens == 2
+    assert abs(rows[1].nll - exp1) < 1e-9
+    assert abs(rows[2].nll - exp2) < 1e-9
+    assert rows[2].nll > rows[1].nll  # rarer tokens → more surprising
