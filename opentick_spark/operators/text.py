@@ -375,3 +375,80 @@ def unigram_logprob(
         )
     )
     return scored
+
+
+def _adjacent_pairs(col: Column) -> Column:
+    """structs of adjacent element pairs of an array column."""
+    n = F.size(col)
+    return F.zip_with(
+        F.slice(col, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(col, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+def _merge_pair(col: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) into a+b — one
+    in-row fold, matching textbook BPE application order."""
+    return F.aggregate(
+        col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 32,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Train BPE merge rules over a corpus (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units") —
+    the vocabulary-training step of an LLM data pipeline, distributed.
+
+    Classic formulation: train on the WORD-FREQUENCY table (one hash
+    aggregation compresses the corpus to its vocabulary — at 100 TB this
+    is the only pass that touches every token), then iterate: count
+    adjacent symbol pairs weighted by word count, take the global
+    argmax (deterministic tie-break: highest count, then lexicographic
+    pair), merge it greedily in every word. Each round is one small
+    explode+aggregate over the vocabulary plus a per-row fold; only the
+    single winning pair is collected. Lineage is cut with
+    ``localCheckpoint`` every ``checkpoint_every`` rounds (the k-means
+    pattern). Returns the ordered merge list.
+    """
+    words = (
+        df.select(F.explode(ws_tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    syms = words.select(
+        "cnt", F.filter(F.split("w", ""), lambda c: c != "").alias("syms")
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        top = (
+            syms.select("cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("p.a"), F.asc("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+        merges.append((a, b))
+        syms = syms.withColumn("syms", _merge_pair(F.col("syms"), a, b))
+        if (i + 1) % checkpoint_every == 0:
+            syms = syms.localCheckpoint()
+    return merges

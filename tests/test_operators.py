@@ -644,3 +644,55 @@ def test_unigram_logprob_golden(spark):
     assert abs(rows[1].nll - exp1) < 1e-9
     assert abs(rows[2].nll - exp2) < 1e-9
     assert rows[2].nll > rows[1].nll  # rarer tokens → more surprising
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Textbook BPE (Sennrich et al. 2016) on a word-frequency dict,
+    same tie-break as the operator: max count, then lexicographic."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_reference(spark):
+    from opentick_spark.operators.text import bpe_merges
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider new new",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_merges(df, n_merges=8, checkpoint_every=3)
+
+    counts: dict = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    want = _bpe_reference(counts, 8)
+    assert got == want
+    # ('e','w') dominates: newest×6 + new×2 = 8 occurrences
+    assert len(got) == 8 and got[0] == ("e", "w")
