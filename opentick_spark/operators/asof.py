@@ -27,12 +27,25 @@ def asof_join(
     direction: str = "backward",
     value_cols: list[str] | None = None,
     tolerance: int | None = None,
+    strategy: str = "merge",
 ) -> DataFrame:
     """Attach the as-of row's ``value_cols`` from ``right`` to each row of
     ``left``. NULLs when no right row qualifies (or it is farther than
-    ``tolerance`` in the time column's own units)."""
+    ``tolerance`` in the time column's own units).
+
+    ``strategy="merge"`` (default) is the sorted-merge window above — no
+    size assumption on either side. ``strategy="broadcast"`` is the
+    skew-immune plan for a broadcastable right side (reference data,
+    corporate events, …): each right row becomes a half-open validity
+    interval per key ([t, next_t) backward; [prev_t, t) forward), the
+    interval table is broadcast, and the left stream resolves its as-of
+    row with a broadcast-hash join + interval filter — the left side
+    keeps its partitioning, so one hyper-hot key cannot bound the stage
+    (same tradeoff as operators/adj.with_adj_factors)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
+    if strategy not in ("merge", "broadcast"):
+        raise ValueError(f"strategy must be merge|broadcast, got {strategy}")
     value_cols = value_cols or [
         c for c in right.columns if c not in on and c != right_time
     ]
@@ -43,6 +56,42 @@ def asof_join(
         F.col(right_time).alias("__rt"),
         *[F.col(c).alias(c) for c in value_cols],
     )
+    if strategy == "broadcast":
+        wiv = Window.partitionBy(*on).orderBy(right_time)
+        if direction == "backward":
+            lo, hi = F.col(right_time), F.lead(right_time).over(wiv)
+        else:
+            lo, hi = F.lag(right_time).over(wiv), F.col(right_time)
+        iv = right.select(
+            *[F.col(c).alias(f"__k_{c}") for c in on],
+            payload.alias("__vrow"),
+            lo.alias("__lo"),
+            hi.alias("__hi"),
+        )
+        lt = F.col(left_time)
+        cond = F.lit(True)
+        for c in on:
+            cond = cond & (F.col(c) == F.col(f"__k_{c}"))
+        cond = (
+            cond
+            & (F.col("__lo").isNull() | (lt >= F.col("__lo")))
+            & (F.col("__hi").isNull() | (lt < F.col("__hi")))
+        )
+        out = left.join(F.broadcast(iv), cond, "left")
+        if tolerance is not None:
+            gap = (
+                (lt - F.col("__vrow.__rt"))
+                if direction == "backward"
+                else (F.col("__vrow.__rt") - lt)
+            )
+            out = out.withColumn(
+                "__vrow",
+                F.when(F.col("__vrow").isNotNull() & (gap <= tolerance), F.col("__vrow")),
+            )
+        sel = [F.col(c) for c in left.columns] + [
+            F.col(f"__vrow.{c}").alias(c) for c in value_cols
+        ]
+        return out.select(*sel)
     tagged_r = right.select(
         *[F.col(c) for c in on],
         F.col(right_time).alias("__t"),

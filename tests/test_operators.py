@@ -696,3 +696,45 @@ def test_bpe_merges_match_reference(spark):
     assert got == want
     # ('e','w') dominates: newest×6 + new×2 = 8 occurrences
     assert len(got) == 8 and got[0] == ("e", "w")
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("tolerance", [None, 25])
+def test_asof_broadcast_matches_merge(spark, direction, tolerance):
+    """Skew-immune broadcast-interval as-of must be value-identical to
+    the sorted-merge window, incl. equal-time boundaries, keys with no
+    right rows, and tolerance cutoffs."""
+    import random
+
+    from opentick_spark.operators.asof import asof_join
+
+    rng = random.Random(11)
+    left = spark.createDataFrame(
+        [(k, t * 10, t) for k in range(4) for t in rng.sample(range(100), 25)],
+        "k long, lt long, seq long",
+    )
+    right = spark.createDataFrame(
+        # key 3 has no right rows; times distinct per key, some exactly
+        # equal to left times (t*10) to pin the boundary conventions
+        [(k, t, float(k * 1000 + t)) for k in range(3)
+         for t in rng.sample(range(0, 1000, 10), 12)],
+        "k long, rt long, v double",
+    )
+    kw = dict(on=["k"], left_time="lt", right_time="rt",
+              direction=direction, tolerance=tolerance)
+    a = sorted(map(tuple, asof_join(left, right, **kw).collect()))
+    b = sorted(map(tuple, asof_join(left, right, strategy="broadcast", **kw).collect()))
+    assert a == b and len(a) == 100
+
+
+def test_asof_broadcast_plan_no_left_exchange(spark):
+    from opentick_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5, 1.0)], "k long, lt long, x double")
+    right = spark.createDataFrame([(1, 3, 2.0)], "k long, rt long, v double")
+    plan = asof_join(
+        left, right, ["k"], "lt", "rt", strategy="broadcast"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only Exchange feeds the broadcast (right/interval side)
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[0]
