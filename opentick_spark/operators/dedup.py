@@ -566,3 +566,40 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def dup_ngram_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Duplicate n-gram coverage: the fraction of a document's distinct
+    word n-grams that also appear in at least one OTHER document — the
+    corpus-level repetition signal used by modern web-corpus quality
+    filters (alongside the per-doc Gopher metrics), and the shingle-level
+    view of near-duplication that pairwise methods summarize.
+
+    Shape: one inverted index (shingle → doc-frequency, map-side
+    combinable) joined back on the shingle key the groupBy already
+    partitioned by, then a per-doc aggregate. No pairwise work at all —
+    cost scales with |corpus shingles|, not documents².
+
+    Output: (id, n_shingles, n_shared, dup_frac) for documents with at
+    least one n-gram (docs shorter than n words produce no shingles and
+    are absent, matching the filter's domain).
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    docfreq = sh.groupBy("g").agg(F.count("*").alias("__df"))
+    return (
+        sh.join(docfreq, "g")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("__df") >= 2).cast("long")).alias("n_shared"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_shared").cast("double") / F.col("n_shingles"),
+        )
+    )

@@ -1066,3 +1066,38 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = X.unigram_logprob(docs)
     return out.select("id", "n_tokens", F.round("nll", 6).alias("nll"))
+
+
+@q(
+    "text_dup_ngram_coverage",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ws) - 6),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                    ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                    ws[i+6] || ' ' || ws[i+7])) AS sh
+      FROM w
+    ),
+    dfq AS (SELECT sh, COUNT(*) AS df FROM g GROUP BY sh)
+    SELECT doc_id AS id, COUNT(*)::BIGINT AS n_shingles,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           ROUND(SUM(CASE WHEN df >= 2 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+             AS dup_frac
+    FROM g JOIN dfq USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each doc's distinct 8-grams shared with other docs —
+    inverted-index shape, no pairwise work
+    (operators/dedup.dup_ngram_coverage)."""
+    docs = load(spark, sf_dir, "documents")
+    out = D.dup_ngram_coverage(docs, n=8)
+    return out.select(
+        "id", "n_shingles", "n_shared", F.round("dup_frac", 6).alias("dup_frac")
+    )

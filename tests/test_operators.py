@@ -738,3 +738,21 @@ def test_asof_broadcast_plan_no_left_exchange(spark):
     assert "BroadcastHashJoin" in plan
     # the only Exchange feeds the broadcast (right/interval side)
     assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[0]
+
+
+def test_dup_ngram_coverage_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # bigrams: ab bc cd de
+            (2, "a b c x y"),   # shares ab bc with 1 → 2/4
+            (3, "p q r s"),     # no sharing → 0/3
+            (4, "zz"),          # <2 words → no shingles, absent
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in D.dup_ngram_coverage(df, n=2).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].n_shingles == 4 and rows[1].n_shared == 2
+    assert rows[1].dup_frac == pytest.approx(0.5)
+    assert rows[2].dup_frac == pytest.approx(0.5)
+    assert rows[3].n_shared == 0 and rows[3].dup_frac == 0.0
