@@ -603,3 +603,70 @@ def dup_ngram_coverage(
             F.col("n_shared").cast("double") / F.col("n_shingles"),
         )
     )
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """LSH-blocked embedding near-dup pairs — the scale path whose
+    brute-force baseline is ``embedding_cosine_pairs``.
+
+    ``tables`` independent hyperplane sketches bucket each vector;
+    candidate pairs share a (table, bucket); exact cosine verifies, so
+    precision is 1 by construction and recall ≈
+    1 − (1 − p^bits)^tables with p = 1 − θ/π per Charikar's SimHash
+    bound. Pairwise work happens only INSIDE buckets: the shuffle keys
+    on (table, bucket), cost scales with collision counts, never n².
+    For true near-dup thresholds (θ small) a few 8-bit tables reach
+    ~0.9 recall. Output: (id_a, id_b, cos) — same contract as the
+    brute-force operator, guaranteed a subset of it.
+    """
+    from opentick_spark.operators.similarity import (
+        _hyperplanes,
+        cosine_batch,
+        lsh_bucket,
+    )
+
+    t = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    parts = []
+    for ti in range(tables):
+        planes = _hyperplanes(dim, bits, seed + 31 * ti)
+        parts.append(
+            t.select(
+                "id",
+                "v",
+                F.lit(ti).alias("tbl"),
+                lsh_bucket(F.col("v"), planes).alias("bkt"),
+            )
+        )
+    b = parts[0]
+    for x in parts[1:]:
+        b = b.unionByName(x)
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("__va"),
+            F.col("b.v").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # a pair may collide in many tables
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        cosine_batch(F.col("__va"), F.col("__vb")).alias("cos"),
+    ).filter(F.col("cos") >= threshold)

@@ -1101,3 +1101,44 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", "n_shingles", "n_shared", F.round("dup_frac", 6).alias("dup_frac")
     )
+
+
+@q(
+    "dedup_embedding_lsh",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           TRUE AS subset_ok, TRUE AS recall_ok
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked embedding near-dup pairs, self-checked vs the exact
+    brute-force pairs: the oracle pins the true pair count; the booleans
+    verify the LSH output is a subset (precision 1 by construction) with
+    recall ≥ 0.7 (measured 0.81 at sf0.01 / 0.76 at sf0.1 with 8 tables
+    × 4 bits; deterministic seeded hyperplanes)."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = D.embedding_cosine_pairs(emb, threshold=0.4).select("id_a", "id_b")
+    approx = D.embedding_lsh_pairs(
+        emb, threshold=0.4, dim=64, bits=4, tables=8
+    ).select("id_a", "id_b")
+    hits = approx.join(exact, ["id_a", "id_b"])
+    n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    n_extra = approx.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("__extra")
+    )
+    n_hits = hits.agg(F.count(F.lit(1)).alias("__hits"))
+    return (
+        n_true.crossJoin(n_extra)
+        .crossJoin(n_hits)
+        .select(
+            "n_true_pairs",
+            (F.col("__extra") == 0).alias("subset_ok"),
+            (
+                F.col("__hits").cast("double")
+                >= 0.7 * F.col("n_true_pairs")
+            ).alias("recall_ok"),
+        )
+    )

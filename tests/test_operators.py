@@ -756,3 +756,24 @@ def test_dup_ngram_coverage_golden(spark):
     assert rows[1].dup_frac == pytest.approx(0.5)
     assert rows[2].dup_frac == pytest.approx(0.5)
     assert rows[3].n_shared == 0 and rows[3].dup_frac == 0.0
+
+
+def test_embedding_lsh_pairs_subset_and_recall(vectors):
+    # clustered corpus: LSH must find most true pairs and nothing false
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in D.embedding_cosine_pairs(
+            vectors, id_col="vec_id", threshold=0.9
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cos
+        for r in D.embedding_lsh_pairs(
+            vectors, id_col="vec_id", threshold=0.9, dim=16, bits=6, tables=6
+        ).collect()
+    }
+    assert exact  # non-trivial fixture
+    assert set(approx) <= set(exact)  # precision 1 (exact verify inside)
+    assert len(set(approx) & set(exact)) / len(exact) >= 0.8
+    for k, v in approx.items():
+        assert v == pytest.approx(exact[k], abs=1e-9)
