@@ -1333,3 +1333,58 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__ex")[7], 4).alias("p99"),
         in_bracket.alias("within_bound"),
     )
+
+
+@q(
+    "profile_orders",
+    """
+    SELECT col, n_rows, n_null, n_distinct, min_s, max_s FROM (
+      SELECT 'o_custkey' AS col, COUNT(*)::BIGINT AS n_rows,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+             CAST(MAX(o_custkey) AS VARCHAR) AS max_s
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*)::BIGINT,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+             MIN(o_orderstatus), MAX(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*)::BIGINT,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+             CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+             CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+      FROM orders
+    )
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling rollup (the pipeline health check run before any
+    training job): per-column row/null/distinct counts and extremes in
+    ONE scan — every metric is an aggregate expression, so Spark computes
+    all columns' profiles in a single partial+final aggregation pass,
+    then the tiny per-column reshape is a literal stack. No per-column
+    scans, no driver loops."""
+    orders = load(spark, sf_dir, "orders")
+
+    def prof(c, render):
+        return F.struct(
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
+            F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
+            render(F.min(c)).alias("min_s"),
+            render(F.max(c)).alias("max_s"),
+        )
+
+    agg = orders.agg(
+        prof("o_custkey", lambda x: x.cast("string")).alias("p1"),
+        prof("o_orderstatus", lambda x: x.cast("string")).alias("p2"),
+        prof("o_totalprice", lambda x: F.round(x, 2).cast("string")).alias("p3"),
+    )
+    return agg.select(
+        F.explode(F.array("p1", "p2", "p3")).alias("p")
+    ).select("p.col", "p.n_rows", "p.n_null", "p.n_distinct", "p.min_s", "p.max_s")
