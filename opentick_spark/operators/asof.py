@@ -28,6 +28,7 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance: int | None = None,
     strategy: str = "merge",
+    skew_buckets: int | None = None,
 ) -> DataFrame:
     """Attach the as-of row's ``value_cols`` from ``right`` to each row of
     ``left``. NULLs when no right row qualifies (or it is farther than
@@ -41,7 +42,16 @@ def asof_join(
     interval table is broadcast, and the left stream resolves its as-of
     row with a broadcast-hash join + interval filter — the left side
     keeps its partitioning, so one hyper-hot key cannot bound the stage
-    (same tradeoff as operators/adj.with_adj_factors)."""
+    (same tradeoff as operators/adj.with_adj_factors).
+
+    ``skew_buckets=N`` (merge strategy only) time-buckets the sorted-merge
+    window: the heavy window partitions by (keys, time-bucket) instead of
+    (keys,), so a single hyper-hot key splits across N partitions instead
+    of bounding the stage on one. Left rows whose bucket holds no earlier
+    (resp. later) right row take the carry-in — the per-(key, bucket)
+    as-of payload rolled across buckets, an aggregate that is tiny
+    (#keys × N rows) regardless of data volume. Results are identical to
+    the unbucketed merge; tests/test_adj.py pins the equivalence."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
     if strategy not in ("merge", "broadcast"):
@@ -109,6 +119,10 @@ def asof_join(
         if c not in tagged_r.columns:
             tagged_r = tagged_r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     merged = tagged_l.unionByName(tagged_r.select(*tagged_l.columns))
+    if skew_buckets is not None and skew_buckets > 1:
+        return _merge_bucketed(
+            merged, on, left_cols, value_cols, direction, tolerance, skew_buckets
+        )
     if direction == "backward":
         # right rows sort before left rows at equal time → inclusive
         w = (
@@ -135,6 +149,93 @@ def asof_join(
         )
         keep = F.col("__p").isNotNull() & (gap <= tolerance)
         out = out.withColumn("__p", F.when(keep, F.col("__p")))
+    sel = [F.col(c) for c in left_cols] + [
+        F.col(f"__p.{c}").alias(c) for c in value_cols
+    ]
+    return out.select(*sel)
+
+
+def _merge_bucketed(
+    merged: DataFrame,
+    on: list[str],
+    left_cols: list[str],
+    value_cols: list[str],
+    direction: str,
+    tolerance: int | None,
+    n_buckets: int,
+) -> DataFrame:
+    """Skew-split sorted merge: the heavy window partitions by
+    (keys, time-bucket) so a hot key spreads over ``n_buckets`` tasks.
+
+    Cross-bucket correctness comes from a carry join: per (key, bucket)
+    the extreme right-side payload (latest for backward, earliest for
+    forward) is aggregated — #keys × N rows, trivially small at any data
+    volume — then rolled across buckets with a window so every bucket
+    knows its as-of answer from outside the bucket. A left row prefers
+    its in-bucket pick and falls back to the carry. Costs one extra
+    min/max pass over the unioned stream for the bucket bounds (column-
+    pruned to the time column, typically answered by parquet stats)."""
+    bounds = merged.agg(F.min("__t").alias("lo"), F.max("__t").alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    is_left = F.col("__is_left") == 1
+    if lo is None or hi == lo:
+        width, lo = 1, 0 if lo is None else lo
+    else:
+        width = (hi - lo) // n_buckets + 1
+    merged = merged.withColumn("__b", F.expr(f"(__t - {lo}L) div {width}L"))
+    part = [*on, "__b"]
+    # extreme right payload per (key, bucket): struct max/min orders by
+    # __t first; left rows contribute NULL and are ignored by the agg
+    rpay = F.when(~is_left, F.struct(F.col("__t"), F.col("__vrow")))
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*part)
+            .orderBy(F.col("__t"), F.col("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        picked_in = F.last("__vrow", ignorenulls=True).over(w)
+        edge = F.max(rpay).alias("__e")
+        cw = (
+            Window.partitionBy(*on)
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carried = F.last("__e", ignorenulls=True).over(cw)
+    else:
+        w = (
+            Window.partitionBy(*part)
+            .orderBy(F.col("__t"), F.col("__is_left"))
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        picked_in = F.first("__vrow", ignorenulls=True).over(w)
+        edge = F.min(rpay).alias("__e")
+        cw = (
+            Window.partitionBy(*on)
+            .orderBy("__b")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        carried = F.first("__e", ignorenulls=True).over(cw)
+    carry = (
+        merged.groupBy(*part)
+        .agg(edge)
+        .withColumn("__cv", carried["__vrow"])
+        .select(*part, "__cv")
+    )
+    out = (
+        merged.withColumn("__pin", picked_in)
+        .filter(is_left)
+        .join(carry, part, "left")
+        .withColumn("__p", F.coalesce("__pin", "__cv"))
+    )
+    if tolerance is not None:
+        gap = (
+            (F.col("__t") - F.col("__p.__rt"))
+            if direction == "backward"
+            else (F.col("__p.__rt") - F.col("__t"))
+        )
+        out = out.withColumn(
+            "__p", F.when(F.col("__p").isNotNull() & (gap <= tolerance), F.col("__p"))
+        )
     sel = [F.col(c) for c in left_cols] + [
         F.col(f"__p.{c}").alias(c) for c in value_cols
     ]

@@ -81,23 +81,31 @@ _DRIVER_WINDOW = [
     "adj_forward",
     "adj_backward",
     "meta_catalog",
-    # relational keeps (shape-distinct; the rest live in EXTRA_QUERIES)
-    "full_scan_agg",
+    # round-3 additions, never driver-checked before
+    "dedup_embedding_lsh",
+    "streaming_dedup_watermark",
+    "text_repetition",
+    "text_bm25_search",
+    "text_unigram_nll",
+    "text_dup_ngram_coverage",
+    "corpus_split_stats",
+    "embedding_label_stats",
+    "profile_orders",
+    # relational keeps: queries whose implementation changed this round
+    # (split_range fast path, asof broadcast/skew strategies), the
+    # flagship rollup, the approx ops with their new bound-check oracles,
+    # and one pushdown representative. The rotated-out r2-green entries
+    # (full_scan_agg, salted_join_revenue, interval_join_windows,
+    # ewma_final_price, gap_fill_locf, session_windows, vwap_hourly,
+    # revenue_by_nation, pricing_summary) keep their r2 driver rows and
+    # tests/oracle_check.py coverage.
     "pk_range_scan",
     "split_range_scan",
     "stratified_sample",
     "approx_distinct_users",
     "approx_quantiles",
     "asof_join_purchase_signup",
-    "interval_join_windows",
-    "salted_join_revenue",
-    "ewma_final_price",
-    "gap_fill_locf",
-    "session_windows",
     "ohlcv_rollup",
-    "vwap_hourly",
-    "revenue_by_nation",
-    "pricing_summary",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -232,3 +232,41 @@ def test_invalid_strategy_rejected(spark):
     rdf, adf = _skewed_frames(spark)
     with pytest.raises(ValueError):
         with_adj_factors(rdf, adf, "sec", "tm", False, strategy="bogus")
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("tolerance", [None, 120])
+def test_skew_buckets_matches_merge(spark, direction, tolerance):
+    """Skew hardening #2: time-bucketed sub-partitioning of the sorted
+    merge (asof.py skew_buckets) must be value-identical to the plain
+    merge — hot key, both directions, with/without tolerance. Bucket
+    boundaries land inside, between, and exactly on event times."""
+    from opentick_spark.operators.asof import asof_join
+
+    rdf, adf = _skewed_frames(spark)
+    kw = dict(
+        on=["sec"], left_time="tm", right_time="time",
+        value_cols=["px", "vol"], direction=direction, tolerance=tolerance,
+    )
+    rdf = rdf.withColumn("sec", rdf["sec"].cast("long"))
+    plain = sorted(map(tuple, asof_join(rdf, adf, **kw).collect()))
+    for n in (2, 8, 64):  # 64 > span/… exercises near-empty buckets
+        bucketed = sorted(
+            map(tuple, asof_join(rdf, adf, skew_buckets=n, **kw).collect())
+        )
+        assert bucketed == plain, (n, bucketed[:3], plain[:3])
+
+
+def test_skew_buckets_window_partitions_on_bucket(spark):
+    """The heavy window must hash-partition on (key, time-bucket), not
+    (key,) alone — that is the entire point of skew_buckets."""
+    from opentick_spark.operators.asof import asof_join
+
+    rdf, adf = _skewed_frames(spark)
+    rdf = rdf.withColumn("sec", rdf["sec"].cast("long"))
+    df = asof_join(
+        rdf, adf, on=["sec"], left_time="tm", right_time="time",
+        value_cols=["px"], skew_buckets=8,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(sec" in plan and "__b" in plan, plan
