@@ -452,3 +452,95 @@ def bpe_merges(
         if (i + 1) % checkpoint_every == 0:
             syms = syms.localCheckpoint()
     return merges
+
+
+def mixture_sample(
+    docs: DataFrame,
+    budgets: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic data mixing: fill each source's token budget
+    (``budgets[source]``, in tokens) with that source's documents taken
+    in md5(id) order — a reproducible pseudo-random sample with no seed
+    exchange, the standard way pre-training mixtures are cut from a
+    weighted source recipe. A document is selected iff the tokens before
+    it (in hash order, within its source) are still under the budget, so
+    each source fills to its budget with at most one overflowing doc.
+
+    Scale shape: source cardinality is tiny (tens), so a naive running
+    total windowed by source would funnel each source's entire corpus
+    through one task. The running total here is a two-level prefix sum:
+    cumsum within (source, 2-hex-char hash prefix) — 256-way parallel per
+    source — plus per-bucket offsets from a #sources×256-row aggregate
+    rolled with a cheap window and broadcast-joined back. Ordering by
+    (bucket, hash) ≡ ordering by hash, so the selection is identical to
+    the naive plan (pinned by test_mixture_sample_matches_naive_cumsum).
+    """
+    from pyspark.sql import Window
+
+    src_b = F.create_map(
+        *[x for k, v in budgets.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    d = docs.filter(F.col(source_col).isin(list(budgets))).select(
+        source_col,
+        id_col,
+        ws_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+    )
+    d = d.withColumn("__b", F.substring("__h", 1, 2))
+    win_in = (
+        Window.partitionBy(source_col, "__b")
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_w = (
+        Window.partitionBy(source_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        d.groupBy(source_col, "__b")
+        .agg(F.sum("n_tokens").alias("__bt"))
+        .withColumn("__off", F.coalesce(F.sum("__bt").over(off_w), F.lit(0)))
+        .select(source_col, "__b", "__off")
+    )
+    return (
+        d.withColumn("__cin", F.coalesce(F.sum("n_tokens").over(win_in), F.lit(0)))
+        .join(F.broadcast(offsets), [source_col, "__b"])
+        .withColumn("tokens_before", F.col("__cin") + F.col("__off"))
+        .filter(F.col("tokens_before") < src_b[F.col(source_col)])
+        .select(source_col, id_col, "n_tokens", "tokens_before")
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Apply trained BPE merge rules (from ``bpe_merges``) to tokenize
+    each document into subword symbols — the encode half of the
+    tokenizer. Whitespace pre-tokenization, then each word's character
+    array folds through the merge list in training order (same greedy
+    left-to-right ``_merge_pair`` the trainer uses, so train→encode is
+    self-consistent).
+
+    Scale shape: entirely JVM-side expression chaining inside one
+    ``transform`` — a narrow, zero-shuffle plan that scales with
+    partitions. The alternative (encode the distinct-word table once and
+    join back) trades that repeated per-occurrence CPU for a join
+    shuffle; at 100 TB the narrow plan keeps the stage
+    pipeline-breaker-free and is preferred for moderate merge counts."""
+
+    def enc(w: Column) -> Column:
+        syms = F.filter(F.split(w, ""), lambda c: c != "")
+        for a, b in merges:
+            syms = _merge_pair(syms, a, b)
+        return syms
+
+    return df.withColumn(
+        out_col, F.flatten(F.transform(ws_tokens(F.col(text_col)), enc))
+    )

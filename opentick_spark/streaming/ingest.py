@@ -271,3 +271,52 @@ def session_window_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_ohlcv_bars(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    sink_table: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Live tick→bar rollup: the streaming twin of
+    ``operators/timeseries.ohlcv_bars`` (the reference pre-aggregates bar
+    tables offline; here the bars maintain themselves as ticks land).
+    min_by/max_by are declarative aggregates, so open/close run in the
+    same windowed state store as high/low/volume — one stateful operator,
+    state bounded by (#keys × #open-windows) with the watermark closing
+    windows. Complete-mode memory sink for deterministic comparison on
+    finite input."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(events_dir)
+    )
+    agg = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts_ts", watermark)
+        .groupBy(F.window("ts_ts", window).alias("win"), F.col("user_id"))
+        .agg(
+            # order open/close by the raw ns-long ts, not the µs-truncated
+            # event-time column — exact parity with the batch rollup even
+            # if two ticks ever share a µs
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum("value").alias("volume"),
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -834,6 +834,49 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "streaming_ohlcv",
+    """
+    SELECT user_id,
+           epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bar_ts_us,
+           min_by(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
+           max_by(value, ts) AS close, COUNT(*) AS n_ticks,
+           ROUND(SUM(value), 4) AS volume
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    """,
+)
+def streaming_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live tick→bar maintenance: REAL Structured Streaming execution of
+    the hourly OHLCV rollup (streaming/ingest.streaming_ohlcv_bars) —
+    the streaming twin of the batch `ohlcv_rollup`. The oracle is the
+    batch SQL: on complete input the self-maintaining bars must equal the
+    offline rollup exactly (open/close ordered by the raw ns ts)."""
+    from opentick_spark.streaming.ingest import state_partitions, streaming_ohlcv_bars
+
+    schema = load(spark, sf_dir, "events").schema
+    name = "stream_sink_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="otspark_ckpt_")
+    src_dir = tempfile.mkdtemp(prefix="otspark_stream_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    with state_partitions(spark, 8):
+        query = streaming_ohlcv_bars(spark, src_dir, schema, name, ckpt)
+        query.awaitTermination()
+    out = spark.table(name)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("win.start")).alias("bar_ts_us"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col("n_ticks").cast("long").alias("n_ticks"),
+        F.round("volume", 4).alias("volume"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # extended text ops (EXTRA registry — oracle-checked by tests/oracle_check.py)
 
@@ -1141,4 +1184,94 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= 0.7 * F.col("n_true_pairs")
             ).alias("recall_ok"),
         )
+    )
+
+
+@q(
+    "mixture_sample",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens,
+             md5(doc_id::VARCHAR) AS h
+      FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    ), c AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tokens_before
+      FROM t
+    ), b(source, budget) AS (
+      VALUES ('src0', 800), ('src1', 400), ('src2', 200), ('src3', 200)
+    )
+    SELECT c.source AS source, doc_id, n_tokens, tokens_before
+    FROM c JOIN b ON c.source = b.source WHERE tokens_before < budget
+    """,
+)
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture cut: per-source token budgets (a 4:2:1:1 recipe)
+    filled deterministically in md5(doc_id) order — reproducible weighted
+    sampling with no seed exchange. The running total is a two-level
+    prefix sum (see operators/text.mixture_sample) so a hot source never
+    funnels through one task; the oracle is the naive windowed cumsum."""
+    docs = load(spark, sf_dir, "documents")
+    return X.mixture_sample(
+        docs, {"src0": 800, "src1": 400, "src2": 200, "src3": 200}
+    )
+
+
+# BPE merge rules pinned for the encode query (trained by
+# operators/text.bpe_merges over the sf0.01 documents corpus; any fixed
+# list is a valid tokenizer — pinning makes the query deterministic and
+# its oracle expressible).
+_BPE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"), ("m", "er"),
+    ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"),
+]
+
+
+def _bpe_word_sql() -> str:
+    """DuckDB expression encoding one word `s` with _BPE_MERGES: wrap
+    every char in \\x01 sentinels, then each merge is one left-to-right
+    non-overlapping `replace` — exactly the greedy textbook merge order
+    the Spark-side fold applies."""
+    e = "regexp_replace(s, '(.)', chr(1) || '\\1' || chr(1), 'g')"
+    for a, b in _BPE_MERGES:
+        pat = f"chr(1)||'{a}'||chr(1)||chr(1)||'{b}'||chr(1)"
+        rep = f"chr(1)||'{a}{b}'||chr(1)"
+        e = f"replace({e}, {pat}, {rep})"
+    return f"trim(replace({e}, chr(1)||chr(1), ','), chr(1))"
+
+
+@q(
+    "bpe_encode_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               string_split_regex(trim(lower(text)), '\\s+'),
+               s -> {_bpe_word_sql()}), ',') AS tokens_csv
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN tokens_csv = '' THEN 0
+                ELSE len(string_split(tokens_csv, ',')) END AS BIGINT)
+             AS n_tokens,
+           tokens_csv
+    FROM t
+    """,
+)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the pinned BPE merge list — value-exact
+    oracle: DuckDB replays the same greedy merges as sentinel-delimited
+    string replaces, so every token of every document is hash-checked
+    (flattened to CSV; array columns break the driver canonicalizer)."""
+    docs = load(spark, sf_dir, "documents")
+    enc = X.bpe_encode(docs, _BPE_MERGES)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.array_join("tokens", ",").alias("tokens_csv"),
     )

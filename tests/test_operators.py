@@ -777,3 +777,100 @@ def test_embedding_lsh_pairs_subset_and_recall(vectors):
     assert len(set(approx) & set(exact)) / len(exact) >= 0.8
     for k, v in approx.items():
         assert v == pytest.approx(exact[k], abs=1e-9)
+
+
+# ----------------------------------------------------------------- mixture
+def test_mixture_sample_matches_naive_cumsum(spark):
+    """The two-level prefix sum (bucketed cumsum + offset join) must
+    select exactly the docs the naive per-source windowed cumsum selects,
+    with identical tokens_before values."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"src{i % 3}", " ".join("w" for _ in range(rng.randint(1, 40))))
+        for i in range(400)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budgets = {"src0": 900, "src1": 300, "src2": 50}
+    got = sorted(
+        map(tuple, X.mixture_sample(d, budgets).collect())
+    )
+    naive = (
+        d.filter(F.col("source").isin(list(budgets)))
+        .select(
+            "source",
+            "doc_id",
+            X.ws_token_count(F.col("text")).cast("long").alias("n_tokens"),
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .withColumn(
+            "tokens_before",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    Window.partitionBy("source")
+                    .orderBy("h")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "budget",
+            F.create_map(
+                *[x for k, v in budgets.items() for x in (F.lit(k), F.lit(float(v)))]
+            )[F.col("source")],
+        )
+        .filter(F.col("tokens_before") < F.col("budget"))
+        .select("source", "doc_id", "n_tokens", "tokens_before")
+    )
+    assert got == sorted(map(tuple, naive.collect()))
+    assert got  # non-trivial
+
+
+def test_mixture_sample_fills_budgets(spark):
+    """Each source fills to its budget: selected tokens reach the budget
+    (or the source is exhausted), and at most the final doc overflows."""
+    rows = [(i, "srcA" if i % 2 else "srcB", "w " * (5 + i % 11)) for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budgets = {"srcA": 100, "srcB": 10_000_000}
+    out = X.mixture_sample(d, budgets).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    a = by_src["srcA"]
+    assert sum(r.n_tokens for r in a) >= 100  # filled
+    assert max(r.tokens_before for r in a) < 100  # nothing starts past it
+    # unlimited budget takes every doc of the source
+    assert len(by_src["srcB"]) == 100
+
+
+def test_bpe_encode_matches_reference(spark):
+    """bpe_encode must reproduce the textbook greedy left-to-right merge
+    application per word, including overlapping-pair and multi-level
+    merge cases."""
+    merges = [("l", "o"), ("lo", "w"), ("e", "r"), ("a", "a")]
+
+    def ref_encode(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    texts = ["low lower lowest", "aaa aaaa a", "er lo low", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.tokens for r in X.bpe_encode(df, merges).collect()}
+    for i, t in enumerate(texts):
+        want = [s for w in t.lower().split() for s in ref_encode(w)]
+        assert got[i] == want, (t, got[i], want)
