@@ -1,0 +1,129 @@
+"""Continuous aggregates: incrementally-maintained rollup tables.
+
+The reference's deployment pattern keeps pre-aggregated bar tables next
+to raw ticks (SURVEY §1 — `bar`/`adj` tables are first-class); this
+module maintains such a rollup *incrementally* as data streams in, the
+TimescaleDB/Materialize "continuous aggregate" shape re-expressed on
+Structured Streaming + the engine's atomic upsert commits:
+
+  micro-batch → partial aggregate (batch-sized, tiny)
+             → semi-join fetch of only the AFFECTED rollup rows
+             → re-combine partial + current
+             → one atomic latest-wins commit of just those rows
+
+Per-batch work scales with the batch and the touched buckets — never
+with the rollup's total size — and a crash between batches is safe: the
+checkpoint replays the batch, the re-merge is idempotent per (key, bar)
+because combine(current, partial) is deterministic and the commit is
+latest-wins by PK.
+
+OHLCV combine is exact because the partials carry their boundary
+timestamps: open/close of a merged bar are the open/close of the partial
+with the min open_ts / max close_ts; high/low/volume/n_ticks are
+associative min/max/sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opentick_spark.operators.timeseries import NS, time_bucket
+from opentick_spark.table import TableStore
+
+_BAR_COLS = [
+    "open_ts", "open", "high", "low", "close_ts", "close", "n_ticks", "volume",
+]
+
+
+def _partial_bars(
+    ticks: DataFrame, key_cols: list[str], ts_col: str, price_col: str,
+    size_col: str, bucket_seconds: int,
+) -> DataFrame:
+    bucket = time_bucket(F.col(ts_col), bucket_seconds * NS).alias("bar_ts")
+    return ticks.groupBy(*key_cols, bucket).agg(
+        F.min(ts_col).alias("open_ts"),
+        F.min_by(price_col, ts_col).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.max(ts_col).alias("close_ts"),
+        F.max_by(price_col, ts_col).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(size_col).alias("volume"),
+    )
+
+
+def _combine_bars(parts: DataFrame, key_cols: list[str]) -> DataFrame:
+    return parts.groupBy(*key_cols, "bar_ts").agg(
+        F.min("open_ts").alias("open_ts"),
+        F.min_by("open", "open_ts").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max("close_ts").alias("close_ts"),
+        F.max_by("close", "close_ts").alias("close"),
+        F.sum("n_ticks").alias("n_ticks"),
+        F.sum("volume").alias("volume"),
+    )
+
+
+def continuous_ohlcv(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    store: TableStore,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    price_col: str = "value",
+    size_col: str | None = None,
+    bucket_seconds: int = 3600,
+    pre_filter=None,
+    transform=None,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Maintain an OHLCV bar table in ``store`` from a file stream.
+
+    ``store``'s table must have PK (*key_cols, bar_ts) followed by the
+    bar columns (open_ts, open, high, low, close_ts, close, n_ticks,
+    volume). ``transform`` reshapes the raw batch before aggregation;
+    ``pre_filter`` is an optional Column predicate. Returns the
+    StreamingQuery."""
+    size_col = size_col or price_col
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    out_cols = [*key_cols, "bar_ts", *_BAR_COLS]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        if pre_filter is not None:
+            batch_df = batch_df.filter(pre_filter)
+        if batch_df.isEmpty():
+            return
+        partial = _partial_bars(
+            batch_df, key_cols, ts_col, price_col, size_col, bucket_seconds
+        )
+        keys = [*key_cols, "bar_ts"]
+        # fetch ONLY the rollup rows this batch touches — the broadcast
+        # semi-join prunes the rollup scan to the touched buckets, so a
+        # batch's cost never scales with the rollup's history
+        current = store.read(spark).join(
+            F.broadcast(partial.select(*keys)), keys, "left_semi"
+        )
+        merged = _combine_bars(
+            current.select(*out_cols).unionByName(partial.select(*out_cols)),
+            key_cols,
+        )
+        store.append_dataframe(merged.select(*out_cols))
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

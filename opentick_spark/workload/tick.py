@@ -286,6 +286,68 @@ def streaming_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "continuous_ohlcv",
+    """
+    SELECT CAST(user_id AS INTEGER) AS sec,
+           epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bar_ts_us,
+           min_by(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
+           max_by(value, ts) AS close, COUNT(*) AS n_ticks,
+           ROUND(SUM(value), 4) AS volume
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    """,
+)
+def continuous_ohlcv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (the reference's pre-aggregated bar tables,
+    maintained incrementally — streaming/rollup.py): events split into 4
+    parquet files → 4 micro-batches, each merging its partial bars into
+    a PK bar table via affected-rows-only atomic upserts. The oracle is
+    the one-shot batch rollup: incremental maintenance must converge to
+    it exactly (open/close carried with boundary timestamps)."""
+    import os
+
+    from opentick_spark.streaming.rollup import continuous_ohlcv
+    from opentick_spark.workload.util import load as _load
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_cagg_wh_"))
+    eng.execute("create database r")
+    eng.use("r")
+    eng.execute(
+        "create table bars(sec int, bar_ts timestamp, open_ts timestamp, "
+        "open double, high double, low double, close_ts timestamp, "
+        "close double, n_ticks bigint, volume double, "
+        "primary key(sec, bar_ts))"
+    )
+    ev = _load(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="otspark_cagg_in_")
+    # 4 source files → 4 real micro-batches (maxFilesPerTrigger=1)
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    ckpt = tempfile.mkdtemp(prefix="otspark_cagg_ck_")
+    query = continuous_ohlcv(
+        spark,
+        src_dir,
+        ev.schema,
+        eng.store("r", "bars"),
+        ckpt,
+        key_cols=["sec"],
+        pre_filter=F.col("event_type") == "purchase",
+        transform=lambda df: df.select(
+            F.col("user_id").cast("int").alias("sec"), "ts", "value"
+        ),
+    )
+    query.awaitTermination()
+    return eng.store("r", "bars").read(spark).select(
+        "sec",
+        F.expr("bar_ts div 1000").alias("bar_ts_us"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col("n_ticks").cast("long").alias("n_ticks"),
+        F.round("volume", 4).alias("volume"),
+    )
+
+
+@q(
     "meta_catalog",
     """
     SELECT * FROM (VALUES

@@ -92,3 +92,65 @@ def test_stateful_running_totals(spark, tmp_path):
     assert final[1].n == 3 and final[1].sum_value == 6.0
     assert final[1].min_value == 1.0 and final[1].max_value == 3.0
     assert final[2].n == 3 and final[2].sum_value == 60.0
+
+
+def test_continuous_ohlcv_incremental_merge(spark, tmp_path):
+    """A bar spanning several micro-batches must merge exactly: open from
+    the earliest tick, close from the latest, sums/extremes combined —
+    regardless of which batch carried which tick."""
+    from opentick_spark.streaming.rollup import continuous_ohlcv
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.execute("create database r")
+    eng.use("r")
+    eng.execute(
+        "create table bars(sec int, bar_ts timestamp, open_ts timestamp, "
+        "open double, high double, low double, close_ts timestamp, "
+        "close double, n_ticks bigint, volume double, "
+        "primary key(sec, bar_ts))"
+    )
+    hour = 3_600 * 10**9
+    # batches deliberately deliver the bar's ticks OUT of time order:
+    # batch0 has the middle ticks, batch1 the bar's true close, batch2
+    # its true open. Second key (sec=2) lives in one batch only.
+    batches = [
+        [(1, hour + 300, 5.0), (1, hour + 400, 1.0)],
+        [(1, hour + 900, 7.5), (2, 5 * hour + 1, 42.0)],
+        [(1, hour + 100, 3.0), (1, 2 * hour, 9.0)],  # second tick: next bar
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "sec": pa.array([r[0] for r in rows], pa.int32()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+        path = src / f"part-{i}.parquet"
+        pq.write_table(tbl, str(path))
+        mtime = time.time() - 30 + i * 10
+        os.utime(path, (mtime, mtime))
+
+    store = eng.store("r", "bars")
+    q = continuous_ohlcv(
+        spark,
+        str(src),
+        "sec int, ts long, value double",
+        store,
+        str(tmp_path / "ck"),
+        key_cols=["sec"],
+        ts_col="ts",
+        price_col="value",
+    )
+    q.awaitTermination()
+    got = {
+        (r.sec, r.bar_ts): (r.open, r.high, r.low, r.close, r.n_ticks, r.volume)
+        for r in store.read(spark).collect()
+    }
+    assert got == {
+        (1, hour): (3.0, 7.5, 1.0, 7.5, 4, 16.5),
+        (1, 2 * hour): (9.0, 9.0, 9.0, 9.0, 1, 9.0),
+        (2, 5 * hour): (42.0, 42.0, 42.0, 42.0, 1, 42.0),
+    }
