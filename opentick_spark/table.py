@@ -424,3 +424,39 @@ class TableStore:
     def commits_since_compact(self) -> int:
         meta = self._meta()
         return meta["seq"] - meta.get("last_compact_seq", 0)
+
+
+    def export_data(
+        self, spark: SparkSession, path: str, fmt: str = "csv"
+    ) -> None:
+        """Write the CURRENT table state (latest row per PK, tombstones
+        resolved) to ``path`` as csv (with header), json (JSONL), or
+        parquet — the bulk-unload half of the interchange surface.
+        Distributed write: one file per partition, no driver collect."""
+        if fmt not in ("csv", "json", "parquet"):
+            raise ValueError(f"unsupported export format: {fmt}")
+        df = self.read(spark)
+        w = df.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.format(fmt).save(path)
+
+    def import_data(
+        self, spark: SparkSession, path: str, fmt: str = "csv"
+    ) -> None:
+        """Bulk-load ``path`` (csv with header / JSONL / parquet) as ONE
+        atomic upsert commit — the interchange twin of the reference's
+        BatchInsert (S8): readers see all rows or none, duplicate PKs
+        within the file resolve by row position, existing PKs upsert.
+        The file is schema-projected to the table's logical columns, so
+        column order in the file doesn't matter. Values use the stored
+        representation (timestamps = epoch nanoseconds), matching what
+        ``export_data`` writes — export→import roundtrips exactly."""
+        if fmt not in ("csv", "json", "parquet"):
+            raise ValueError(f"unsupported import format: {fmt}")
+        schema = self.spark_schema(with_meta=False)
+        r = spark.read
+        if fmt == "csv":
+            r = r.option("header", "true")
+        df = r.schema(schema).format(fmt).load(path)
+        self.append_dataframe(df.select(*[f.name for f in schema.fields]))

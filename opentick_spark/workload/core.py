@@ -902,6 +902,46 @@ def session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "hop_window_counts",
+    """
+    WITH h AS (
+      SELECT event_type, value,
+             epoch_us(time_bucket(INTERVAL '30 minutes', ts)) - off AS win_start_us
+      FROM events,
+           (SELECT unnest([0, 1800000000]) AS off)
+    )
+    SELECT win_start_us, event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM h GROUP BY 1, 2
+    """,
+)
+def hop_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 1-hour windows every 30 minutes via
+    F.window's multi-assignment — each event lands in window_len/slide
+    windows, expanded JVM-side before one hash agg (the streaming twin is
+    the same expression under a watermark). Oracle replays the expansion
+    as an unnest cross join of the two hop offsets."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(
+            F.window("ts_ts", "1 hour", "30 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@q(
     "scalar_subquery_filter",
     """
     SELECT l_partkey, COUNT(*) AS n,

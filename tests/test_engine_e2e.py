@@ -4,6 +4,7 @@ messages, upsert-by-PK, tail limit, placeholder binding, rename."""
 
 import pytest
 
+from opentick_spark.engine import Engine
 from opentick_spark.errors import OpentickError
 
 
@@ -465,3 +466,57 @@ def test_partial_staged_commit_invisible(spark, tmp_path):
     # normal writes continue to work around the junk
     eng.execute("insert into t(a, v) values(2, 20)")
     assert eng.execute_rows("select * from t") == [(1, 10), (2, 20)]
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "parquet"])
+def test_export_import_roundtrip(spark, tmp_path, fmt):
+    """Interchange surface: export the current state, import it into an
+    identically-shaped empty table, and the two must read back equal —
+    including upserted/deleted rows being resolved before export."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.execute("create database x")
+    eng.use("x")
+    ddl = (
+        "create table {n}(sec int, tm timestamp, px double, note text, "
+        "primary key(sec, tm))"
+    )
+    eng.execute(ddl.format(n="a"))
+    eng.execute(ddl.format(n="b"))
+    pid = eng.prepare("insert into a(sec, tm, px, note) values(?, ?, ?, ?)")
+    eng.batch_insert(pid, [(1, i, float(i), f"r{i}") for i in range(20)])
+    eng.execute("insert into a(sec, tm, px, note) values(?, ?, ?, ?)", 1, 5, 99.0, "upserted")
+    eng.execute("delete from a where sec=1 and tm>=15 and tm<20")
+
+    out = tmp_path / f"dump.{fmt}"
+    eng.store("x", "a").export_data(spark, str(out), fmt)
+    eng.store("x", "b").import_data(spark, str(out), fmt)
+
+    a = sorted(map(tuple, eng.execute("select sec, tm, px, note from a").collect()))
+    b = sorted(map(tuple, eng.execute("select sec, tm, px, note from b").collect()))
+    assert a == b and len(a) == 15
+    assert [r for r in a if r[1] == 5_000_000_000][0][2] == 99.0
+
+
+def test_import_is_one_atomic_upsert_commit(spark, tmp_path):
+    """An import lands as exactly one commit (S8 batch-insert semantics)
+    and upserts into existing data by PK."""
+    import glob
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.execute("create database x")
+    eng.use("x")
+    eng.execute("create table t(a int, b timestamp, x double, primary key(a, b))")
+    eng.execute("insert into t(a, b, x) values(?, ?, ?)", 1, 1, 1.0)
+    store = eng.store("x", "t")
+    n_before = len(glob.glob(store.log_path + "/commit-*"))
+
+    src = tmp_path / "in.csv"
+    spark.createDataFrame(
+        [(1, 1_000_000_000, 100.0), (1, 2_000_000_000, 2.0)], "a int, b long, x double"
+    ).coalesce(1).write.option("header", "true").mode("overwrite").csv(str(src))
+    store.import_data(spark, str(src), "csv")
+
+    n_after = len(glob.glob(store.log_path + "/commit-*"))
+    assert n_after == n_before + 1
+    rows = sorted(map(tuple, eng.execute("select a, b, x from t").collect()))
+    assert rows == [(1, 1_000_000_000, 100.0), (1, 2_000_000_000, 2.0)]
