@@ -72,10 +72,9 @@ _DRIVER_WINDOW = [
     "streaming_dedup_ingest",
     "streaming_join_purchases",
     "streaming_window_counts",
-    "streaming_upsert_ingest",
+    "streaming_ohlcv",
+    "continuous_ohlcv",
     # reference-parity dialect/tick surface
-    "dialect_point_get",
-    "dialect_prefix_scan",
     "dialect_range_tail",
     "dialect_upsert_delete",
     "adj_forward",
@@ -91,21 +90,23 @@ _DRIVER_WINDOW = [
     "corpus_split_stats",
     "embedding_label_stats",
     "profile_orders",
+    "mixture_sample",
+    "bpe_encode_docs",
+    "hop_window_counts",
     # relational keeps: queries whose implementation changed this round
-    # (split_range fast path, asof broadcast/skew strategies), the
-    # flagship rollup, the approx ops with their new bound-check oracles,
-    # and one pushdown representative. The rotated-out r2-green entries
-    # (full_scan_agg, salted_join_revenue, interval_join_windows,
+    # (split_range fast path, asof broadcast/skew strategies) and the
+    # approx ops with their new bound-check oracles. Every rotated-out
+    # entry (full_scan_agg, salted_join_revenue, interval_join_windows,
     # ewma_final_price, gap_fill_locf, session_windows, vwap_hourly,
-    # revenue_by_nation, pricing_summary) keep their r2 driver rows and
-    # tests/oracle_check.py coverage.
-    "pk_range_scan",
+    # revenue_by_nation, pricing_summary, pk_range_scan, ohlcv_rollup,
+    # dialect_point_get, dialect_prefix_scan, streaming_upsert_ingest)
+    # was driver-green in r1/r2 with an unchanged implementation and
+    # keeps tests/oracle_check.py coverage every round.
     "split_range_scan",
     "stratified_sample",
     "approx_distinct_users",
     "approx_quantiles",
     "asof_join_purchase_signup",
-    "ohlcv_rollup",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
