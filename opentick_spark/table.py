@@ -275,7 +275,12 @@ class TableStore:
             out = out.unionByName(p)
         return out
 
-    def read(self, spark: SparkSession, leading_eq: Any = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        leading_eq: Any = None,
+        as_of_seq: int | None = None,
+    ) -> DataFrame:
         """Current table state: latest row per PK, tombstones dropped,
         logical column names, no meta columns. Not yet PK-sorted — the
         query layer appends the implicit PK ordering (query.go:156-201).
@@ -284,7 +289,15 @@ class TableStore:
         when the query has one. On a hash-bucketed base this compiles to
         a partition-pruning predicate on ``__bucket`` (whole bucket
         directories skipped), mirroring the reference's point/prefix key
-        locality."""
+        locality.
+
+        ``as_of_seq``: time-travel — resolve the state as of that commit
+        sequence (inclusive; see ``current_seq``). The append-log IS the
+        history, so a snapshot is just ``__seq <= S`` before latest-wins
+        resolution: zero storage overhead, pure partition/file pruning.
+        Compaction collapses history — snapshots older than the last
+        compact raise rather than silently return post-compaction
+        state."""
         schema = self.schema
         df = self._raw(spark)
         meta = self._meta()
@@ -298,7 +311,17 @@ class TableStore:
         if nb:
             df = df.drop(BUCKET_COL)
         pk_phys = [c.physical for c in schema.key_columns]
-        if not meta.get("compacted", False):
+        if as_of_seq is not None:
+            if as_of_seq < meta.get("last_compact_seq", 0):
+                raise ValueError(
+                    f"snapshot as_of_seq={as_of_seq} predates the last "
+                    f"compaction (seq {meta.get('last_compact_seq')}); "
+                    "history before a compact is collapsed"
+                )
+            df = df.filter(F.col(SEQ_COL) <= as_of_seq)
+        # a compacted base alone needs no latest-wins agg; any snapshot
+        # read re-resolves because post-compact commits may be excluded
+        if not (meta.get("compacted", False) and as_of_seq is None):
             # latest-wins as ONE hash aggregation (max_by over the commit
             # seq): partial-aggregates map-side and needs no per-partition
             # sort, unlike a row_number window — the cheaper plan at any
@@ -420,6 +443,11 @@ class TableStore:
         meta["hash_buckets"] = hash_buckets
         meta["last_compact_seq"] = seq
         self._write_meta(meta)
+
+    def current_seq(self) -> int:
+        """Latest commit sequence — the token to pass to
+        ``read(as_of_seq=...)`` for a repeatable snapshot."""
+        return self._meta()["seq"]
 
     def commits_since_compact(self) -> int:
         meta = self._meta()

@@ -520,3 +520,43 @@ def test_import_is_one_atomic_upsert_commit(spark, tmp_path):
     assert n_after == n_before + 1
     rows = sorted(map(tuple, eng.execute("select a, b, x from t").collect()))
     assert rows == [(1, 1_000_000_000, 100.0), (1, 2_000_000_000, 2.0)]
+
+
+def test_time_travel_read(spark, tmp_path):
+    """Snapshot reads on the commit log: as_of_seq replays the table as
+    of any commit; deletes/upserts after the snapshot are invisible;
+    snapshots predating a compaction raise."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.execute("create database x")
+    eng.use("x")
+    eng.execute("create table t(a int, b timestamp, x double, primary key(a, b))")
+    store = eng.store("x", "t")
+
+    eng.execute("insert into t(a, b, x) values(?, ?, ?)", 1, 1, 1.0)
+    s1 = store.current_seq()
+    eng.execute("insert into t(a, b, x) values(?, ?, ?)", 1, 1, 2.0)  # upsert
+    eng.execute("insert into t(a, b, x) values(?, ?, ?)", 1, 2, 3.0)
+    s2 = store.current_seq()
+    eng.execute("delete from t where a=1 and b>=1 and b<2")
+    s3 = store.current_seq()
+
+    def snap(s=None):
+        return sorted(
+            (r.a, r.b, r.x) for r in store.read(spark, as_of_seq=s).collect()
+        )
+
+    ns = 1_000_000_000
+    assert snap(s1) == [(1, 1 * ns, 1.0)]
+    assert snap(s2) == [(1, 1 * ns, 2.0), (1, 2 * ns, 3.0)]
+    assert snap(s3) == [(1, 2 * ns, 3.0)]
+    assert snap() == snap(s3)
+
+    # compaction collapses history: old snapshots error, newer ones work
+    store.compact(spark)
+    sc = store.current_seq()
+    with pytest.raises(ValueError, match="predates"):
+        store.read(spark, as_of_seq=s2)
+    assert snap(sc) == snap()
+    eng.execute("insert into t(a, b, x) values(?, ?, ?)", 9, 9, 9.0)
+    assert snap(sc) == [(1, 2 * ns, 3.0)]  # post-compact commit excluded
+    assert snap() == [(1, 2 * ns, 3.0), (9, 9 * ns, 9.0)]
