@@ -874,3 +874,30 @@ def test_bpe_encode_matches_reference(spark):
     for i, t in enumerate(texts):
         want = [s for w in t.lower().split() for s in ref_encode(w)]
         assert got[i] == want, (t, got[i], want)
+
+
+def test_pq_encode_shapes_and_rerank_recall(vectors):
+    """PQ codes are m int8s per vector; ADC shortlist + exact re-rank
+    recovers high recall on the clustered corpus."""
+    cb = S.pq_train(vectors, m=4, k=8, iters=2)
+    codes = S.pq_encode(vectors, cb)
+    rows = codes.collect()
+    assert len(rows) == 50 and all(len(r.codes) == 4 for r in rows)
+
+    queries = vectors.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(vectors, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in S.pq_topk_rerank(
+            vectors, queries, k=5, shortlist=15, m=4, ncentroids=8, iters=2
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_pq_train_rejects_indivisible_dim(vectors):
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_train(vectors, m=5, k=4)
