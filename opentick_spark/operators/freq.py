@@ -1,0 +1,74 @@
+"""Frequent-item (heavy-hitter) mining at corpus scale.
+
+The scalable exact algorithm is two-pass: (1) a per-partition
+Misra–Gries summary generates a candidate set with NO false negatives —
+any item with global frequency ≥ 1/k must exceed n_p/k in at least one
+partition (pigeonhole over ratios) and Misra–Gries with capacity > k
+retains every such item; (2) candidates (a tiny set, ≤ capacity ×
+partitions) are exactly counted with a broadcast semi-join. The full
+term dictionary is never shuffled — only candidate occurrences — which
+is the difference between this and a naive groupBy at 100 TB with a
+long-tailed vocabulary.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_update(counters: dict, batch_counts, cap: int) -> dict:
+    """Batched Misra–Gries merge: add a batch's value_counts, then if
+    over capacity subtract the (cap+1)-th largest weight from everything
+    and drop the non-positive — equivalent to that many single-item
+    decrement rounds, preserving the MG undercount bound."""
+    for w, c in batch_counts.items():
+        counters[w] = counters.get(w, 0) + int(c)
+    if len(counters) > cap:
+        sub = sorted(counters.values(), reverse=True)[cap]
+        counters = {w: c - sub for w, c in counters.items() if c > sub}
+    return counters
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str = "w",
+    min_freq_num: int = 1,
+    min_freq_den: int = 100,
+    slack: int = 4,
+) -> DataFrame:
+    """All items whose count ≥ (min_freq_num/min_freq_den) × total,
+    with exact counts — threshold arithmetic stays integral so engines
+    can't disagree on a float boundary.
+
+    Output: (item, cnt, total) for qualifying items."""
+    if min_freq_num <= 0 or min_freq_den <= 0:
+        raise ValueError("min_freq must be a positive rational")
+    cap = (min_freq_den // min_freq_num + 1) * slack
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            counters = _mg_update(
+                counters, pdf[item_col].value_counts().to_dict(), cap
+            )
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    src = items.select(F.col(item_col))
+    candidates = src.mapInPandas(mg, f"{item_col} string").distinct()
+    total = src.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    counted = (
+        src.join(F.broadcast(candidates), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        counted.crossJoin(total)
+        .filter(
+            F.col("cnt") * min_freq_den >= F.lit(min_freq_num) * F.col("total")
+        )
+        .select(item_col, "cnt", "total")
+    )

@@ -320,3 +320,33 @@ def streaming_ohlcv_bars(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    static_dim: DataFrame,
+    sink_table: str,
+    checkpoint_dir: str,
+    on: str = "user_id",
+):
+    """Stream-static broadcast enrichment: each micro-batch joins the
+    event stream against a static dimension — stateless (no watermark,
+    no state store), the dimension is broadcast per batch, append-mode
+    sink. The everyday "attach reference data to a firehose" operator;
+    at scale the stream side never shuffles."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(events_dir)
+    )
+    enriched = stream.join(F.broadcast(static_dim), on, "left")
+    return (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

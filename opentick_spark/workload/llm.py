@@ -852,6 +852,54 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "streaming_enrich",
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(MIN(ts)) AS signup_ts_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT e.user_id AS user_id, epoch_us(e.ts) AS ts_us, e.value AS value,
+           s.signup_ts_us AS signup_ts_us
+    FROM events e LEFT JOIN s ON e.user_id = s.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (stateless): the purchase
+    firehose joins each micro-batch against a static per-user signup-time
+    dimension — reference data attached in flight, stream side never
+    shuffles. Oracle is the batch left join."""
+    from opentick_spark.streaming.ingest import stream_static_enrich
+
+    ev = load(spark, sf_dir, "events")
+    schema = ev.schema
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.expr("min(ts) div 1000").alias("signup_ts_us"))
+    )
+    name = "stream_sink_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="otspark_ckpt_")
+    src_dir = tempfile.mkdtemp(prefix="otspark_stream_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    query = stream_static_enrich(spark, src_dir, schema, dim, name, ckpt)
+    query.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "value",
+            "signup_ts_us",
+        )
+    )
+
+
+@q(
     "streaming_ohlcv",
     """
     SELECT user_id,
@@ -1292,3 +1340,31 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tokens").cast("long").alias("n_tokens"),
         F.array_join("tokens", ",").alias("tokens_csv"),
     )
+
+
+@q(
+    "heavy_hitter_words",
+    """
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM w WHERE w <> '')
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt, t.total AS total
+    FROM w, t WHERE w <> ''
+    GROUP BY w, t.total
+    HAVING COUNT(*) * 800 >= 27 * t.total
+    """,
+)
+def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (words with frequency ≥ 27/800 = 3.375%): exact
+    counts via the two-pass Misra–Gries candidate + verify pipeline —
+    the vocabulary never shuffles, only candidate occurrences
+    (operators/freq.py). Integral threshold arithmetic; oracle is the
+    naive GROUP BY ... HAVING."""
+    from opentick_spark.operators.freq import heavy_hitters
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(X.ws_tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    return heavy_hitters(words, "w", min_freq_num=27, min_freq_den=800)

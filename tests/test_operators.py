@@ -901,3 +901,38 @@ def test_pq_encode_shapes_and_rerank_recall(vectors):
 def test_pq_train_rejects_indivisible_dim(vectors):
     with pytest.raises(ValueError, match="not divisible"):
         S.pq_train(vectors, m=5, k=4)
+
+
+# ------------------------------------------------------------- heavy hitters
+def test_heavy_hitters_exact_on_skewed_multipartition(spark):
+    """Two-pass Misra–Gries must find EXACTLY the items over threshold —
+    no false negatives by the pigeonhole guarantee, no false positives
+    because candidates are exactly recounted — on a long-tailed corpus
+    spread over many partitions."""
+    from opentick_spark.operators.freq import heavy_hitters
+
+    rows = []
+    rows += [("hot1",)] * 400 + [("hot2",)] * 180 + [("warm",)] * 99
+    rows += [(f"rare{i}",) for i in range(9321)]  # total 10000
+    df = spark.createDataFrame(rows, "w string").repartition(16)
+    got = {(r.w, r.cnt) for r in heavy_hitters(df, "w", 1, 100).collect()}
+    assert got == {("hot1", 400), ("hot2", 180)}  # warm = 99 < 1% of 10000
+    tot = heavy_hitters(df, "w", 1, 100).collect()[0].total
+    assert tot == 10000
+
+
+def test_mg_update_preserves_guarantee():
+    from opentick_spark.operators.freq import _mg_update
+
+    counters = {}
+    stream = ["a"] * 50 + ["b"] * 30 + [f"x{i}" for i in range(100)]
+    # feed in chunks of 7 to exercise the batched subtract path
+    for i in range(0, len(stream), 7):
+        chunk = stream[i : i + 7]
+        counts: dict = {}
+        for w in chunk:
+            counts[w] = counts.get(w, 0) + 1
+        counters = _mg_update(counters, counts, cap=8)
+    # any item with freq > n/(cap+1) = 180/9 = 20 must survive
+    assert "a" in counters and "b" in counters
+    assert len(counters) <= 8 + 1
