@@ -129,3 +129,32 @@ def test_dialect_adj_uses_broadcast_interval(spark, queries):
     plan = plan_of(queries["adj_forward"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "Union" not in plan
+
+
+def test_bpe_encode_zero_exchange_no_python(spark, queries):
+    """Encoding is a narrow JVM transform: no shuffle, no Python UDF."""
+    plan = plan_of(queries["bpe_encode_docs"](spark, SF))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_mixture_sample_broadcast_offsets_no_python(spark, queries):
+    """The offset table joins back via broadcast; everything JVM-side."""
+    plan = plan_of(queries["mixture_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_heavy_hitters_broadcast_semi_join(spark, queries):
+    """Candidate verification must be a broadcast LEFT SEMI join — the
+    word stream never shuffles on the word."""
+    plan = plan_of(queries["heavy_hitter_words"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_hop_window_single_agg(spark, queries):
+    """Hop expansion happens in-plan (Expand/explode), one partial+final
+    agg pair, no self-union second scan."""
+    plan = plan_of(queries["hop_window_counts"](spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 2
