@@ -510,6 +510,28 @@ class Engine:
 
     # ------------------------------------------------------------------
     # meta surface (server.go:440-499)
+    def sql(self, query: str, db: str | None = None) -> DataFrame:
+        """Full ANSI/Spark SQL over the warehouse — the relational
+        extension surface as a first-class entry point. Every table of
+        ``db`` (default: the session db) is registered as a temp view of
+        its CURRENT resolved state (latest-wins, tombstones dropped), so
+        joins/windows/CTEs/set-ops run against exactly what the dialect
+        surface would read; Catalyst handles pushdown/pruning from there.
+        Views are session-scoped and refreshed on every call (cheap —
+        view registration is metadata only; plans re-resolve lazily).
+        Permission control applies per table (READ) like the dialect
+        path."""
+        target = db or self.current_db
+        if not target:
+            raise OpentickError(
+                "No database name has been specified. USE a database name, "
+                "or explicitly specify databasename.tablename"
+            )
+        for t in self.catalog.list_tables(target):
+            require_perm(self.user, target, t, READ_PERM)
+            self.store(target, t).read(self.spark).createOrReplaceTempView(t)
+        return self.spark.sql(query)
+
     def list_databases(self) -> list[str]:
         return self.catalog.list_databases()
 

@@ -560,3 +560,48 @@ def test_time_travel_read(spark, tmp_path):
     eng.execute("insert into t(a, b, x) values(?, ?, ?)", 9, 9, 9.0)
     assert snap(sc) == [(1, 2 * ns, 3.0)]  # post-compact commit excluded
     assert snap() == [(1, 2 * ns, 3.0), (9, 9 * ns, 9.0)]
+
+
+def test_engine_sql_full_relational_surface(spark, tmp_path):
+    """Engine.sql: full Spark SQL (joins, windows, CTEs) over warehouse
+    tables' resolved current state — upserts and deletes visible, ACLs
+    enforced per table."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.execute("create database x")
+    eng.use("x")
+    eng.execute("create table px(sec int, tm timestamp, p double, primary key(sec, tm))")
+    eng.execute("create table names(sec int, nm text, primary key(sec))")
+    pid = eng.prepare("insert into px(sec, tm, p) values(?, ?, ?)")
+    eng.batch_insert(pid, [(s, t, float(10 * s + t)) for s in (1, 2) for t in (1, 2, 3)])
+    eng.execute("insert into px(sec, tm, p) values(?, ?, ?)", 1, 1, 99.0)  # upsert
+    eng.execute("insert into names(sec, nm) values(?, ?)", 1, "AAPL")
+    eng.execute("insert into names(sec, nm) values(?, ?)", 2, "MSFT")
+
+    out = eng.sql(
+        """
+        WITH ranked AS (
+          SELECT n.nm, p.p,
+                 ROW_NUMBER() OVER (PARTITION BY p.sec ORDER BY p.tm DESC) rk
+          FROM px p JOIN names n ON p.sec = n.sec
+        )
+        SELECT nm, p FROM ranked WHERE rk = 1 ORDER BY nm
+        """
+    ).collect()
+    assert [(r.nm, r.p) for r in out] == [("AAPL", 13.0), ("MSFT", 23.0)]
+    # upsert visible through the view
+    first = eng.sql("SELECT p FROM px WHERE sec=1 ORDER BY tm LIMIT 1").collect()
+    assert first[0].p == 99.0
+
+
+def test_engine_sql_respects_read_acl(spark, tmp_path):
+    from opentick_spark.errors import OpentickError as E
+
+    admin = Engine(spark, str(tmp_path / "wh"))  # control off -> admin
+    admin.execute("create database x")
+    admin.use("x")
+    admin.execute("create table t(a int, primary key(a))")
+    admin.create_user("bob", "pw", perm="other=read")
+    restricted = Engine(spark, str(tmp_path / "wh"), permission_control=True)
+    restricted.login("bob", "pw")
+    with pytest.raises(E, match="No permisssion"):
+        restricted.sql("SELECT * FROM t", db="x")
