@@ -57,18 +57,24 @@ def stream_upsert(
     available_now: bool = True,
     transform=None,
     max_files_per_trigger: int = 8,
+    fmt: str = "parquet",
 ):
     """File-stream → atomic per-batch upsert into a PK table.
 
     ``transform`` (optional) maps each micro-batch DataFrame to the
-    table's column shape before the commit. Returns the StreamingQuery
-    (await/stop is the caller's job).
+    table's column shape before the commit. ``fmt`` selects the source
+    file format (parquet / json = JSONL / csv-with-header) — the
+    streaming twin of ``TableStore.import_data``. Returns the
+    StreamingQuery (await/stop is the caller's job).
     """
-    stream = (
-        spark.readStream.schema(source_schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(source_dir)
+    if fmt not in ("parquet", "json", "csv"):
+        raise ValueError(f"unsupported stream source format: {fmt}")
+    reader = spark.readStream.schema(source_schema).option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
     )
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    stream = reader.format(fmt).load(source_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if transform is not None:

@@ -154,3 +154,38 @@ def test_continuous_ohlcv_incremental_merge(spark, tmp_path):
         (1, 2 * hour): (9.0, 9.0, 9.0, 9.0, 1, 9.0),
         (2, 5 * hour): (42.0, 42.0, 42.0, 42.0, 1, 42.0),
     }
+
+
+def test_stream_upsert_jsonl_source(spark, tmp_path):
+    """The streaming ingest path accepts JSONL drops — the common
+    "log files land in a directory" pipeline — with identical upsert
+    semantics."""
+    import json as _json
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.execute("create database s")
+    eng.use("s")
+    eng.execute("create table t(sec int, tm timestamp, px double, primary key(sec, tm))")
+    store = eng.store("s", "t")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, px in enumerate([1.0, 2.0]):
+        with open(src / f"drop-{i}.json", "w") as f:
+            for tm in (10, 20):
+                f.write(_json.dumps({"sec": 1, "tm": tm, "px": px * tm}) + "\n")
+        mtime = time.time() - 20 + i * 10
+        os.utime(src / f"drop-{i}.json", (mtime, mtime))
+
+    q = stream_upsert(
+        spark,
+        str(src),
+        store.spark_schema(with_meta=False),
+        store,
+        str(tmp_path / "ck"),
+        fmt="json",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    rows = sorted((r.sec, r.tm, r.px) for r in store.read(spark).collect())
+    assert rows == [(1, 10, 20.0), (1, 20, 40.0)]  # later file wins
