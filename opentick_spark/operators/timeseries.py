@@ -10,7 +10,7 @@ hash aggregation — no window, no shuffle beyond the groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 NS = 1_000_000_000
@@ -176,3 +176,72 @@ def session_windows(
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     ).drop("__sid")
+
+
+def log_returns(
+    ticks: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    price_col: str,
+) -> DataFrame:
+    """Per-key log returns ln(p_t / p_{t-1}) in time order — NULL on each
+    key's first tick. One shuffle on the keys; the lag window and any
+    downstream per-key aggregation share that partitioning."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    prev = F.lag(price_col).over(w)
+    return ticks.withColumn(
+        "log_ret", F.when(prev.isNotNull(), F.log(F.col(price_col) / prev))
+    )
+
+
+def realized_volatility(
+    ticks: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    price_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Realized volatility per (key, bucket): sqrt(Σ r²) over the
+    bucket's log returns (returns computed across the full series, then
+    bucketed — the standard convention where a bucket's first return
+    looks back across the boundary). Lag window and aggregation use the
+    same key partitioning: one shuffle total."""
+    r = log_returns(ticks, key_cols, ts_col, price_col)
+    bucket = time_bucket(F.col(ts_col), bucket_seconds * NS).alias("bucket_ts")
+    return (
+        r.filter(F.col("log_ret").isNotNull())
+        .groupBy(*key_cols, bucket)
+        .agg(
+            F.sqrt(F.sum(F.col("log_ret") * F.col("log_ret"))).alias("rvol"),
+            F.count(F.lit(1)).cast("long").alias("n_returns"),
+        )
+    )
+
+
+def pairwise_correlation(
+    series: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pearson correlation for every key pair over time-aligned values
+    (inner-aligned: only timestamps both keys observe contribute). The
+    self-join is an equi-join on the time column — at scale this
+    shuffles on time once and never materializes the n_keys² cross
+    product per row. Output: (key_a, key_b, corr, n_obs), key_a <
+    key_b."""
+    a = series.select(
+        F.col(key_col).alias("key_a"),
+        F.col(time_col).alias("__t"),
+        F.col(value_col).alias("__va"),
+    )
+    b = series.select(
+        F.col(key_col).alias("key_b"),
+        F.col(time_col).alias("__t"),
+        F.col(value_col).alias("__vb"),
+    )
+    joined = a.join(b, "__t").filter(F.col("key_a") < F.col("key_b"))
+    return joined.groupBy("key_a", "key_b").agg(
+        F.corr("__va", "__vb").alias("corr"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )

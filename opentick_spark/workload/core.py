@@ -902,6 +902,74 @@ def session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "realized_vol_hourly",
+    """
+    WITH r AS (
+      SELECT user_id, ts,
+             ln(value / lag(value) OVER (PARTITION BY user_id ORDER BY ts)) AS lr
+      FROM events WHERE event_type = 'purchase' AND value > 0
+    )
+    SELECT user_id,
+           epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
+           ROUND(sqrt(SUM(lr * lr)), 6) AS rvol,
+           CAST(COUNT(*) AS BIGINT) AS n_returns
+    FROM r WHERE lr IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def realized_vol_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly realized volatility per user over the purchase stream:
+    lag-window log returns and the bucket aggregation share one key
+    shuffle (operators/timeseries.realized_volatility)."""
+    from opentick_spark.operators.timeseries import realized_volatility
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 0))
+    )
+    rv = realized_volatility(ev, ["user_id"], "ts", "value", bucket_seconds=3600)
+    return rv.select(
+        "user_id",
+        F.expr("bucket_ts div 1000").alias("bucket_us"),
+        F.round("rvol", 6).alias("rvol"),
+        "n_returns",
+    )
+
+
+@q(
+    "return_correlation",
+    """
+    WITH s AS (
+      SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS h,
+             AVG(value) AS v
+      FROM events WHERE event_type = 'purchase' AND user_id < 30
+      GROUP BY 1, 2
+    )
+    SELECT a.user_id AS key_a, b.user_id AS key_b,
+           ROUND(corr(a.v, b.v), 4) AS corr, CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM s a JOIN s b ON a.h = b.h AND a.user_id < b.user_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+)
+def return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-asset correlation matrix: hourly mean series per user,
+    inner-aligned equi-join on the hour (never an n² row cross product),
+    Pearson corr per pair (operators/timeseries.pairwise_correlation)."""
+    from opentick_spark.operators.timeseries import pairwise_correlation
+
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 30)
+    )
+    daily = ev.groupBy(
+        "user_id",
+        F.expr(f"ts - pmod(ts, {86400 * 10**9})").alias("h"),
+    ).agg(F.avg("value").alias("v"))
+    pc = pairwise_correlation(daily, "user_id", "h", "v")
+    return pc.filter(F.col("n_obs") >= 3).select(
+        "key_a", "key_b", F.round("corr", 4).alias("corr"), "n_obs"
+    )
+
+
+@q(
     "hop_window_counts",
     """
     WITH h AS (
