@@ -670,3 +670,67 @@ def embedding_lsh_pairs(
         "id_b",
         cosine_batch(F.col("__va"), F.col("__vb")).alias("cos"),
     ).filter(F.col("cos") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_stride: int = 50,
+    threshold: float = 0.85,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space into cells, then
+    within each cell mark every vector that has a semantically
+    near-identical predecessor as a duplicate (keep-lowest-id policy).
+
+    Deterministic variant for reproducible pipelines: cells are defined
+    by nearest-anchor assignment over a *fixed* anchor subset
+    (``id % anchor_stride == 0``) instead of k-means centroids (seed-
+    and iteration-order-dependent), so the same corpus always dedups
+    identically. The assignment is the IVF coarse-quantizer shape
+    (similarity.ivf_topk): anchors broadcast, Arrow-batched cosine per
+    (row, anchor), argmax by (cos desc, anchor_id) — n*K work with no
+    shuffle. The near-dup test then self-joins WITHIN a cell only (one
+    shuffle on cell_id), never the global n^2 cross product; at scale,
+    anchor_stride grows so cells stay bounded (SemDeDup uses k ~ 1e5
+    clusters for 5B docs).
+
+    Output: (id, cell_id, is_dup) — one row per input vector.
+    """
+    from opentick_spark.operators.similarity import cosine_batch
+
+    t = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    anchors = t.filter(F.col("id") % anchor_stride == 0).select(
+        F.col("id").alias("anchor_id"), F.col("v").alias("avec")
+    )
+    scored = t.join(F.broadcast(anchors)).select(
+        "id", "v", "anchor_id", cosine_batch(F.col("v"), F.col("avec")).alias("cos")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("anchor_id"))
+    assign = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", F.col("anchor_id").alias("cell_id"), "v")
+    )
+    pairs = (
+        assign.alias("a")
+        .join(
+            assign.alias("b"),
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("b.id").alias("id"),
+            cosine_batch(F.col("a.v"), F.col("b.v")).alias("pcos"),
+        )
+        .filter(F.col("pcos") > threshold)
+        .select("id")
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return assign.join(pairs, "id", "left").select(
+        "id",
+        F.col("cell_id").cast("long").alias("cell_id"),
+        F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+    )

@@ -1253,6 +1253,46 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "semantic_dedup",
+    """
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding AS avec
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    s AS (
+      SELECT e.vec_id AS id, e.embedding AS v, a.anchor_id,
+             list_cosine_similarity(e.embedding::DOUBLE[],
+                                    a.avec::DOUBLE[]) AS cos
+      FROM embeddings e CROSS JOIN a
+    ),
+    asg AS (
+      SELECT id, v, anchor_id AS cell_id
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY id ORDER BY cos DESC, anchor_id) AS rn FROM s)
+      WHERE rn = 1
+    ),
+    d AS (
+      SELECT DISTINCT y.id
+      FROM asg x JOIN asg y ON x.cell_id = y.cell_id AND x.id < y.id
+      WHERE list_cosine_similarity(x.v::DOUBLE[], y.v::DOUBLE[]) > 0.35
+    )
+    SELECT asg.id AS id, CAST(asg.cell_id AS BIGINT) AS cell_id,
+           (d.id IS NOT NULL) AS is_dup
+    FROM asg LEFT JOIN d ON asg.id = d.id
+    """,
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.semantic_dedup):
+    fixed-anchor cells (IVF coarse-quantizer shape, broadcast + Arrow
+    cosine, no shuffle) then keep-lowest-id near-dup marking within each
+    cell only — the oracle replays the exact assignment + in-cell test
+    naively. Both sides compute cosine in float64, so the argmax and the
+    threshold comparison agree bitwise."""
+    emb = load(spark, sf_dir, "embeddings")
+    return D.semantic_dedup(emb, anchor_stride=50, threshold=0.35)
+
+
+@q(
     "mixture_sample",
     """
     WITH t AS (

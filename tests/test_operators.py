@@ -136,6 +136,30 @@ def test_embedding_cosine_pairs(spark):
     assert pairs[(1, 2)] == pytest.approx(0.999 / math.hypot(0.999, 0.01), abs=1e-6)
 
 
+def test_semantic_dedup_keep_lowest_id(spark):
+    # two tight clusters around anchors 0 and 4, plus one singleton
+    rows = [
+        (0, [1.0, 0.0, 0.0]),       # anchor / cell 0 keeper
+        (1, [0.99, 0.14, 0.0]),     # dup of 0
+        (2, [0.98, 0.19, 0.0]),     # dup of 0 (and 1)
+        (3, [0.0, 0.2, 0.98]),      # dup of 4 but LOWER id → keeper
+        (4, [0.0, 0.0, 1.0]),       # anchor / dup of 3
+        (5, [0.5, 0.5, 0.70]),      # in cell 4, below threshold → keeper
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.id: (r.cell_id, r.is_dup)
+        for r in D.semantic_dedup(
+            df, anchor_stride=4, threshold=0.95
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    assert out[0] == (0, False) and out[1] == (0, True) and out[2] == (0, True)
+    # keep-lowest-id: 3 predates its anchor 4, so 4 is the duplicate
+    assert out[3] == (4, False) and out[4] == (4, True)
+    assert out[5] == (4, False)
+
+
 # ---------------------------------------------------------------- similarity
 @pytest.fixture(scope="module")
 def vectors(spark):
