@@ -5,12 +5,12 @@ dialect SQL → adj as-of).  ``queries()`` / ``oracle_sql()`` — one entry per
 implemented operator from SURVEY.md §2 plus the LLM-pipeline extension
 surface; DuckDB oracles included wherever the op is SQL-expressible.
 
-NOTE: the driver must create its SparkSession with
-``spark.sql.legacy.parquet.nanosAsLong=true`` semantics already handled:
-our queries read events.ts as epoch-nano longs. If the provided session
-lacks that conf, ``queries()`` callables set it per-read is not possible —
-so ``entry``/each query defensively set the conf on the session (it is a
-session conf, settable at runtime).
+NOTE: events.ts is normalized to epoch-nano longs by the workload's own
+load path regardless of how the parquet stores it (TIMESTAMP(MICROS) →
+``unix_micros×1000``; TIMESTAMP(NANOS) → ns-longs via the nanosAsLong
+conf, which ``entry``/each query defensively set on the session — it is
+a runtime-settable session conf). The session timezone is pinned UTC to
+match the DuckDB oracle's naive-timestamp semantics.
 """
 
 from __future__ import annotations

@@ -27,6 +27,24 @@ from pyspark.sql import functions as F
 from opentick_spark.table import TableStore
 
 
+def _normalize_event_times(stream: DataFrame) -> DataFrame:
+    """events.ts → epoch-nano long on the stream, whatever the stored
+    parquet representation (TIMESTAMP(NANOS) generations arrive as
+    ns-longs via nanosAsLong; TIMESTAMP(MICROS) generations as
+    timestamp_ntz). Downstream watermark/window/upsert logic is written
+    against the engine-native ns-long and stays generation-independent.
+    A pure projection — streaming-safe, applied before any state."""
+    t = dict(stream.dtypes).get("ts")
+    if t and t.startswith("timestamp"):
+        stream = stream.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                "long"
+            ),
+        )
+    return stream
+
+
 @contextlib.contextmanager
 def state_partitions(spark: SparkSession, n: int):
     """Size the state store for a stateful streaming query.
@@ -108,6 +126,7 @@ def windowed_event_counts(
         .option("maxFilesPerTrigger", "8")
         .parquet(events_dir)
     )
+    stream = _normalize_event_times(stream)
     agg = (
         # integer div, NOT /1000: float division routes the nano long
         # through double and loses precision above 2^53 (~12% of values
@@ -146,6 +165,7 @@ def dedup_stream(
         .option("maxFilesPerTrigger", "4")
         .parquet(events_dir)
     )
+    stream = _normalize_event_times(stream)
     deduped = stream.dropDuplicates(key_cols)
     return (
         deduped.writeStream.outputMode("append")
@@ -180,6 +200,7 @@ def dedup_stream_within_watermark(
         .option("maxFilesPerTrigger", "4")
         .parquet(events_dir)
     )
+    stream = _normalize_event_times(stream)
     deduped = (
         stream.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
         .withWatermark("ts_ts", watermark)
@@ -216,6 +237,7 @@ def stream_stream_join(
         .option("maxFilesPerTrigger", "4")
         .parquet(events_dir)
     )
+    stream = _normalize_event_times(stream)
     ts = F.timestamp_micros(F.expr("ts div 1000"))
     s = (
         stream.filter(F.col("event_type") == "signup")
@@ -263,6 +285,7 @@ def session_window_counts(
         .option("maxFilesPerTrigger", "8")
         .parquet(events_dir)
     )
+    stream = _normalize_event_times(stream)
     agg = (
         stream.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
         .withWatermark("ts_ts", watermark)
@@ -301,6 +324,7 @@ def streaming_ohlcv_bars(
         .option("maxFilesPerTrigger", "8")
         .parquet(events_dir)
     )
+    stream = _normalize_event_times(stream)
     agg = (
         stream.filter(F.col("event_type") == "purchase")
         .withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -347,6 +371,7 @@ def stream_static_enrich(
         .option("maxFilesPerTrigger", "8")
         .parquet(events_dir)
     )
+    stream = _normalize_event_times(stream)
     enriched = stream.join(F.broadcast(static_dim), on, "left")
     return (
         enriched.writeStream.outputMode("append")

@@ -6,9 +6,13 @@ surface) is represented as a registered callable
 producing identical column names and values. Conventions shared by both
 sides:
 
-- events.ts is epoch-nanos in Spark but µs-truncated in DuckDB's parquet
-  reader, so every ts-derived output is µs (``ts div 1000`` ≡
-  ``epoch_us(ts)``).
+- events.ts is normalized to epoch-nano longs at load, whatever the
+  parquet stores (TIMESTAMP(NANOS) → ns-longs via nanosAsLong;
+  TIMESTAMP(MICROS) → timestamp_ntz → ``unix_micros×1000``; see
+  ``util.normalize_events``), and every ts-derived output is µs
+  (``ts div 1000`` ≡ DuckDB ``epoch_us(ts)``). Scan-range predicates are
+  applied on the STORED representation (``util.ts_range_cond``) so they
+  still push down to parquet row-group pruning.
 - every numeric output is explicitly cast: integers → long, floats →
   double, and float aggregates are rounded (r4/r6) so cross-engine
   summation-order ulps can't flip the driver's value hash.

@@ -15,7 +15,13 @@ from pyspark.sql import functions as F
 
 from opentick_spark.operators.asof import asof_join
 from opentick_spark.operators.timeseries import gap_fill, ohlcv_bars, session_windows
-from opentick_spark.workload.util import load, ts_us
+from opentick_spark.workload.util import (
+    load,
+    load_raw,
+    normalize_events,
+    ts_range_cond,
+    ts_us,
+)
 
 QUERIES = {}
 ORACLES = {}
@@ -70,13 +76,16 @@ def pk_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pk_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix + range on the trailing key (reference S3/P6/P7): inclusive
-    start, exclusive end — both push to parquet row-group pruning."""
-    ev = load(spark, sf_dir, "events")
+    start, exclusive end — both push to parquet row-group pruning (the
+    range predicate is applied on the stored ts representation, BEFORE
+    the ns-long normalization projection)."""
+    raw = load_raw(spark, sf_dir, "events")
     lo = 1704844800 * 1_000_000_000  # 2024-01-10
     hi = 1705708800 * 1_000_000_000  # 2024-01-20
-    return ev.filter(
-        (F.col("user_id") == 7) & (F.col("ts") >= lo) & (F.col("ts") < hi)
-    ).select("user_id", ts_us().alias("ts_us"), "event_type", "value")
+    ev = normalize_events(
+        raw.filter((F.col("user_id") == 7) & ts_range_cond(raw, lo, hi))
+    )
+    return ev.select("user_id", ts_us().alias("ts_us"), "event_type", "value")
 
 
 @q(
@@ -537,17 +546,18 @@ def split_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedups the shared boundary row. Spark-native: n half-open sub-ranges
     union to exactly the original range — no boundary dedup needed, and
     the union's branches prune to disjoint row groups."""
-    ev = load(spark, sf_dir, "events")
+    raw = load_raw(spark, sf_dir, "events")
     lo = 1704412800 * 1_000_000_000  # 2024-01-05
     hi = 1708387200 * 1_000_000_000  # 2024-02-20
     n = 4
     step = (hi - lo) // n
     bounds = [lo + i * step for i in range(n)] + [hi]
     parts = [
-        ev.filter(
-            (F.col("user_id") == 7)
-            & (F.col("ts") >= bounds[i])
-            & (F.col("ts") < bounds[i + 1])
+        normalize_events(
+            raw.filter(
+                (F.col("user_id") == 7)
+                & ts_range_cond(raw, bounds[i], bounds[i + 1])
+            )
         ).select("user_id", ts_us().alias("ts_us"), "value")
         for i in range(n)
     ]

@@ -19,7 +19,7 @@ from opentick_spark.operators import dedup as D
 from opentick_spark.operators import multimodal as M
 from opentick_spark.operators import similarity as S
 from opentick_spark.operators import text as X
-from opentick_spark.workload.util import load
+from opentick_spark.workload.util import load, load_raw
 
 QUERIES = {}
 ORACLES = {}
@@ -649,7 +649,7 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from opentick_spark.streaming.stateful import stateful_running_totals
 
-    schema = load(spark, sf_dir, "events").schema
+    schema = load_raw(spark, sf_dir, "events").schema
     name = "stateful_sink_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="otspark_state_src_")
     os.symlink(
@@ -705,7 +705,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator). Oracle: batch gaps-and-islands with the session_window
     boundary convention (a gap of exactly the threshold starts a NEW
     session — the window end is exclusive)."""
-    schema = load(spark, sf_dir, "events").schema
+    schema = load_raw(spark, sf_dir, "events").schema
     name = "session_sink_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="otspark_sess_src_")
     os.symlink(
@@ -746,7 +746,7 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     table."""
     from opentick_spark.streaming.ingest import dedup_stream, state_partitions
 
-    schema = load(spark, sf_dir, "events").schema
+    schema = load_raw(spark, sf_dir, "events").schema
     name = "dedup_sink_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="otspark_dedup_src_")
     for i in range(2):  # duplicate delivery
@@ -790,7 +790,7 @@ def streaming_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the equivalent batch time-range join."""
     from opentick_spark.streaming.ingest import state_partitions, stream_stream_join
 
-    schema = load(spark, sf_dir, "events").schema
+    schema = load_raw(spark, sf_dir, "events").schema
     name = "ssj_sink_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="otspark_ssj_src_")
     os.symlink(
@@ -828,7 +828,7 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent — streaming and batch must agree on complete data."""
     from opentick_spark.streaming.ingest import windowed_event_counts
 
-    schema = load(spark, sf_dir, "events").schema
+    schema = load_raw(spark, sf_dir, "events").schema
     name = "stream_sink_" + uuid.uuid4().hex[:8]
     ckpt = tempfile.mkdtemp(prefix="otspark_ckpt_")
     # the streaming file source needs a directory; stage a symlink
@@ -872,7 +872,7 @@ def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentick_spark.streaming.ingest import stream_static_enrich
 
     ev = load(spark, sf_dir, "events")
-    schema = ev.schema
+    schema = load_raw(spark, sf_dir, "events").schema
     dim = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -918,7 +918,7 @@ def streaming_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
     offline rollup exactly (open/close ordered by the raw ns ts)."""
     from opentick_spark.streaming.ingest import state_partitions, streaming_ohlcv_bars
 
-    schema = load(spark, sf_dir, "events").schema
+    schema = load_raw(spark, sf_dir, "events").schema
     name = "stream_sink_" + uuid.uuid4().hex[:8]
     ckpt = tempfile.mkdtemp(prefix="otspark_ckpt_")
     src_dir = tempfile.mkdtemp(prefix="otspark_stream_src_")
@@ -1126,7 +1126,7 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions,
     )
 
-    schema = load(spark, sf_dir, "events").schema
+    schema = load_raw(spark, sf_dir, "events").schema
     name = "dedup_wm_sink_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="otspark_dedup_wm_src_")
     for i in range(2):  # duplicate delivery

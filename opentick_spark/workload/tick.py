@@ -254,7 +254,8 @@ def streaming_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from opentick_spark.streaming.ingest import stream_upsert
-    from opentick_spark.workload.util import load as _load
+    from opentick_spark.workload.util import load_raw as _load_raw
+    from opentick_spark.workload.util import normalize_events as _norm
 
     eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_stream_wh_"))
     eng.execute("create database s")
@@ -262,7 +263,7 @@ def streaming_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.execute(
         "create table ticks(sec int, tm timestamp, px double, primary key(sec, tm))"
     )
-    schema = _load(spark, sf_dir, "events").schema
+    schema = _load_raw(spark, sf_dir, "events").schema
     src_dir = tempfile.mkdtemp(prefix="otspark_stream_in_")
     os.symlink(
         os.path.abspath(f"{sf_dir}/events.parquet"),
@@ -271,6 +272,7 @@ def streaming_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = eng.store("s", "ticks")
 
     def shape(df):
+        df = _norm(df)  # stored µs timestamps → engine-native ns longs
         return df.select(
             F.col("user_id").cast("int").alias("sec"),
             (F.expr("ts div 1000") * 1000).alias("tm"),
