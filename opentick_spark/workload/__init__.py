@@ -78,12 +78,16 @@ _DRIVER_WINDOW = [
     "streaming_window_counts",
     "streaming_ohlcv",
     "continuous_ohlcv",
-    # reference-parity dialect/tick surface
-    "dialect_range_tail",
+    # reference-parity dialect/tick surface (dialect_range_tail and
+    # adj_backward rotate out this round — driver-green r1+r2, their
+    # machinery stays driver-covered via dialect_upsert_delete /
+    # adj_forward and pytest goldens — freeing slots for two never-
+    # checked round-3 ops)
     "dialect_upsert_delete",
     "adj_forward",
-    "adj_backward",
     "meta_catalog",
+    "semantic_dedup",
+    "sim_topk_pq",
     # round-3 additions, never driver-checked before
     "dedup_embedding_lsh",
     "streaming_dedup_watermark",
