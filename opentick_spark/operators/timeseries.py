@@ -28,12 +28,17 @@ def ohlcv_bars(
     price_col: str,
     size_col: str | None = None,
     bucket_seconds: int = 60,
+    with_boundaries: bool = False,
 ) -> DataFrame:
     """Roll raw ticks into OHLCV bars per (key_cols..., bar_ts).
 
     open/close = price at min/max timestamp (min_by/max_by — ties resolve
     to the smallest/largest ts's row deterministically when ts is unique
     per key, which PK semantics guarantee).
+
+    ``with_boundaries`` additionally emits ``open_ts``/``close_ts`` (the
+    bar's first/last tick timestamps) — required for EXACT hierarchical
+    re-aggregation via ``downsample_bars``.
     """
     bucket = time_bucket(F.col(ts_col), bucket_seconds * NS).alias("bar_ts")
     aggs = [
@@ -43,6 +48,12 @@ def ohlcv_bars(
         F.max_by(price_col, ts_col).alias("close"),
         F.count(F.lit(1)).alias("n_ticks"),
     ]
+    if with_boundaries:
+        aggs = [
+            F.min(ts_col).alias("open_ts"),
+            F.max(ts_col).alias("close_ts"),
+            *aggs,
+        ]
     if size_col:
         aggs.append(F.sum(size_col).alias("volume"))
         # try_divide: zero-volume bars yield NULL vwap (ANSI-safe, and
@@ -53,6 +64,55 @@ def ohlcv_bars(
             ).alias("vwap")
         )
     return ticks.groupBy(*key_cols, bucket).agg(*aggs)
+
+
+def downsample_bars(
+    bars: DataFrame,
+    key_cols: list[str],
+    bar_ts_col: str = "bar_ts",
+    from_bucket_seconds: int = 3600,
+    to_bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Re-aggregate fine OHLCV bars into coarser bars EXACTLY.
+
+    The hierarchical-rollup pattern behind the reference's per-interval
+    bar tables (sec, interval, tm): maintain only the FINEST interval from
+    raw ticks (e.g. the continuous aggregate), then derive every coarser
+    interval from the bar table — at 100 TB this reads bucket-ratio× less
+    data than re-scanning ticks, and the result is bit-identical because
+    open/close resolve through the carried boundary timestamps
+    (``open_ts``/``close_ts`` from ``ohlcv_bars(with_boundaries=True)``),
+    not through lossy bar-order heuristics. min/max/count/sum re-combine
+    losslessly by algebra. One hash aggregation, shuffle keyed on
+    (keys, coarse bucket).
+
+    Input must carry open_ts/open/high/low/close_ts/close/n_ticks and
+    optionally volume. vwap (if present) is dropped — recombine it from
+    Σ(px·size) instead of averaging averages; with volume present it is
+    re-derived exactly as sum(vwap·volume)/sum(volume) only when the fine
+    bars were built with size_col=price-weighted semantics, so we leave
+    that to the caller.
+    """
+    if to_bucket_seconds % from_bucket_seconds != 0:
+        raise ValueError(
+            f"coarse bucket ({to_bucket_seconds}s) must be a multiple of "
+            f"the fine bucket ({from_bucket_seconds}s)"
+        )
+    bucket = time_bucket(F.col(bar_ts_col), to_bucket_seconds * NS).alias(
+        bar_ts_col
+    )
+    aggs = [
+        F.min("open_ts").alias("open_ts"),
+        F.max("close_ts").alias("close_ts"),
+        F.min_by("open", "open_ts").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", "close_ts").alias("close"),
+        F.sum("n_ticks").alias("n_ticks"),
+    ]
+    if "volume" in bars.columns:
+        aggs.append(F.sum("volume").alias("volume"))
+    return bars.groupBy(*key_cols, bucket).agg(*aggs)
 
 
 def resample_last(

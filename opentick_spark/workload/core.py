@@ -980,6 +980,57 @@ def return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "bar_downsample_daily",
+    """
+    SELECT user_id,
+           epoch_us(time_bucket(INTERVAL '1 day', ts)) AS day_ts_us,
+           min_by(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
+           max_by(value, ts) AS close, COUNT(*) AS n_ticks,
+           ROUND(SUM(value), 4) AS volume
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    """,
+)
+def bar_downsample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical bar rollup (the reference's per-interval bar tables,
+    sec/interval/tm): hourly bars carrying boundary timestamps →
+    downsample_bars → daily bars. The oracle computes the daily bars
+    DIRECTLY from raw ticks, so the hash check asserts hierarchical ≡
+    direct exactly — open/close resolve through the carried
+    open_ts/close_ts, min/max/count/sum recombine by algebra. At scale
+    every coarser interval derives from the finest bar table (24× less
+    data here) instead of re-scanning raw ticks."""
+    from opentick_spark.operators.timeseries import downsample_bars
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    hourly = ohlcv_bars(
+        ev,
+        ["user_id"],
+        "ts",
+        "value",
+        size_col="value",
+        bucket_seconds=3600,
+        with_boundaries=True,
+    )
+    daily = downsample_bars(
+        hourly.drop("vwap"),
+        ["user_id"],
+        "bar_ts",
+        from_bucket_seconds=3600,
+        to_bucket_seconds=86400,
+    )
+    return daily.select(
+        "user_id",
+        F.expr("bar_ts div 1000").alias("day_ts_us"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col("n_ticks").cast("long").alias("n_ticks"),
+        F.round("volume", 4).alias("volume"),
+    )
+
+
+@q(
     "hop_window_counts",
     """
     WITH h AS (

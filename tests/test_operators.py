@@ -960,3 +960,51 @@ def test_mg_update_preserves_guarantee():
     # any item with freq > n/(cap+1) = 180/9 = 20 must survive
     assert "a" in counters and "b" in counters
     assert len(counters) <= 8 + 1
+
+
+def test_downsample_bars_equals_direct_rollup(spark):
+    """Hierarchical rollup exactness: hourly bars (with boundary
+    timestamps) downsampled to daily must equal daily bars computed
+    directly from the raw ticks — open/close included."""
+    from opentick_spark.operators.timeseries import downsample_bars, ohlcv_bars
+    from opentick_spark.workload.util import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hourly = ohlcv_bars(
+        ev, ["user_id"], "ts", "value", size_col="value",
+        bucket_seconds=3600, with_boundaries=True,
+    )
+    via_hourly = downsample_bars(
+        hourly.drop("vwap"), ["user_id"], "bar_ts",
+        from_bucket_seconds=3600, to_bucket_seconds=86400,
+    )
+    direct = ohlcv_bars(
+        ev, ["user_id"], "ts", "value", size_col="value",
+        bucket_seconds=86400, with_boundaries=True,
+    ).drop("vwap")
+    cols = ["user_id", "bar_ts", "open_ts", "close_ts", "open", "high",
+            "low", "close", "n_ticks", "volume"]
+    a = sorted(tuple(r) for r in via_hourly.select(*cols).collect())
+    b = sorted(tuple(r) for r in direct.select(*cols).collect())
+    assert len(a) > 10
+    # volume is a float sum in different association orders: compare
+    # exactly on everything else, to 1e-9 relative on volume
+    for ra, rb in zip(a, b):
+        assert ra[:9] == rb[:9]
+        assert abs(ra[9] - rb[9]) <= 1e-9 * max(1.0, abs(rb[9]))
+
+
+def test_downsample_bars_rejects_non_multiple(spark):
+    import pytest as _pytest
+
+    from opentick_spark.operators.timeseries import downsample_bars
+
+    df = spark.range(1).selectExpr(
+        "1 AS user_id", "0L AS bar_ts", "0L AS open_ts", "0L AS close_ts",
+        "1.0 AS open", "1.0 AS high", "1.0 AS low", "1.0 AS close",
+        "1L AS n_ticks",
+    )
+    with _pytest.raises(ValueError, match="multiple"):
+        downsample_bars(df, ["user_id"], "bar_ts", 3600, 5000)
