@@ -278,6 +278,56 @@ def realized_volatility(
     )
 
 
+def drawdown(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    price_col: str,
+) -> DataFrame:
+    """Running peak and drawdown per key:
+    ``peak_t = max(p_s, s<=t)``, ``drawdown_t = p_t/peak_t - 1`` (≤ 0).
+    One window pass (running max) — the same single key shuffle as any
+    per-key series op; downstream per-key aggregation (max drawdown)
+    reuses the partitioning."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max(price_col).over(w)
+    return df.withColumn("peak", peak).withColumn(
+        "drawdown", F.col(price_col) / F.col("peak") - 1
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_rows: int = 20,
+    min_obs: int = 5,
+) -> DataFrame:
+    """Rolling z-score per key over the TRAILING ``window_rows`` rows
+    EXCLUDING the current one (a point must not partially explain
+    itself): ``z_t = (x_t - mean) / stddev_samp``. NULL until ``min_obs``
+    prior observations exist or when the window is constant. The
+    train-data outlier gate (|z| > k) and any per-key consumer share the
+    one key shuffle."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(-window_rows, -1)
+    )
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = F.when(
+        (n >= min_obs) & (sd > 0), (F.col(value_col) - mu) / sd
+    )
+    return df.withColumn("n_window", n).withColumn("zscore", z)
+
+
 def pairwise_correlation(
     series: DataFrame,
     key_col: str,

@@ -1031,6 +1031,85 @@ def bar_downsample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "max_drawdown",
+    """
+    WITH d AS (
+      SELECT user_id, value,
+             value / MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS dd
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, ROUND(MIN(dd), 6) AS max_drawdown,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM d GROUP BY user_id
+    """,
+)
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the purchase price series: running
+    peak + per-key min in one key shuffle
+    (operators/timeseries.drawdown)."""
+    from opentick_spark.operators.timeseries import drawdown
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    dd = drawdown(
+        ev.withColumn("__ord", F.struct("ts", "event_id")),
+        ["user_id"],
+        "__ord",
+        "value",
+    )
+    return dd.groupBy("user_id").agg(
+        F.round(F.min("drawdown"), 6).alias("max_drawdown"),
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+    )
+
+
+@q(
+    "rolling_zscore_outliers",
+    """
+    WITH z AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value,
+             COUNT(value) OVER w AS n_window,
+             AVG(value) OVER w AS mu,
+             STDDEV_SAMP(value) OVER w AS sd
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, ts_us, value,
+           ROUND((value - mu) / sd, 4) AS z
+    FROM z
+    WHERE n_window >= 5 AND sd > 0 AND ROUND((value - mu) / sd, 4) >= 2.5
+    """,
+)
+def rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-z-score outlier gate (the numeric twin of the text quality
+    filters): trailing-20-row mean/std EXCLUDING the current row, outliers
+    cut on the ROUNDED z so the threshold is engine-stable
+    (operators/timeseries.rolling_zscore). One key shuffle."""
+    from opentick_spark.operators.timeseries import rolling_zscore
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    z = rolling_zscore(
+        ev.withColumn("__ord", F.struct("ts", "event_id")),
+        ["user_id"],
+        "__ord",
+        "value",
+        window_rows=20,
+        min_obs=5,
+    )
+    z4 = F.round("zscore", 4)
+    return (
+        z.filter(z4 >= 2.5)
+        .select(
+            "user_id",
+            ts_us().alias("ts_us"),
+            "value",
+            z4.alias("z"),
+        )
+    )
+
+
+@q(
     "hop_window_counts",
     """
     WITH h AS (

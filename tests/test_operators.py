@@ -1008,3 +1008,37 @@ def test_downsample_bars_rejects_non_multiple(spark):
     )
     with _pytest.raises(ValueError, match="multiple"):
         downsample_bars(df, ["user_id"], "bar_ts", 3600, 5000)
+
+
+def test_drawdown_golden(spark):
+    from opentick_spark.operators.timeseries import drawdown
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 8.0), (1, 3, 12.0), (1, 4, 6.0), (2, 1, 5.0)],
+        "k int, t long, px double",
+    )
+    out = {(r.k, r.t): (r.peak, r.drawdown) for r in drawdown(df, ["k"], "t", "px").collect()}
+    assert out[(1, 1)] == (10.0, 0.0)
+    assert out[(1, 2)] == (10.0, pytest.approx(-0.2))
+    assert out[(1, 3)] == (12.0, 0.0)
+    assert out[(1, 4)] == (12.0, pytest.approx(-0.5))
+    assert out[(2, 1)] == (5.0, 0.0)
+
+
+def test_rolling_zscore_excludes_current_and_gates(spark):
+    from opentick_spark.operators.timeseries import rolling_zscore
+
+    rows = [(1, t, float(v)) for t, v in enumerate([1, 1, 3, 1, 1, 9])]
+    df = spark.createDataFrame(rows, "k int, t long, x double")
+    out = {r.t: (r.n_window, r.zscore) for r in
+           rolling_zscore(df, ["k"], "t", "x", window_rows=10, min_obs=3).collect()}
+    # first rows: too few prior observations -> NULL
+    assert out[0] == (0, None) and out[2][1] is None
+    # t=5: prior window [1,1,3,1,1] mean=1.4 sd=sqrt(0.8); z=(9-1.4)/sd
+    import math
+    assert out[5][0] == 5
+    assert out[5][1] == pytest.approx((9 - 1.4) / math.sqrt(0.8))
+    # constant prior window gives sd=0 -> NULL, not inf
+    df2 = spark.createDataFrame([(1, t, 2.0) for t in range(5)], "k int, t long, x double")
+    z2 = rolling_zscore(df2, ["k"], "t", "x", window_rows=10, min_obs=3)
+    assert all(r.zscore is None for r in z2.collect())
