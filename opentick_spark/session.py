@@ -40,10 +40,23 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
     )
-    if os.environ.get("SPARK_DRIVER_MEMORY"):
-        builder = builder.config(
-            "spark.driver.memory", os.environ["SPARK_DRIVER_MEMORY"]
-        )
+    # In local mode the driver JVM IS the whole cluster (all executor
+    # threads share its heap); pyspark's 1g default is sized for a
+    # cluster driver that only coordinates, and 32 concurrent hash
+    # aggregations starve it into OutOfMemoryError long before the
+    # machine is loaded. Size the heap to half of physical RAM (capped),
+    # overridable via SPARK_DRIVER_MEMORY. Must be set before the JVM
+    # launches — ignored on getOrCreate of an existing session.
+    mem = os.environ.get("SPARK_DRIVER_MEMORY")
+    if not mem:
+        try:
+            total_gb = (
+                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            ) / (1 << 30)
+            mem = f"{max(2, min(int(total_gb * 0.5), 96))}g"
+        except (ValueError, OSError, AttributeError):
+            mem = "4g"
+    builder = builder.config("spark.driver.memory", mem)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -449,6 +449,56 @@ class TableStore:
         ``read(as_of_seq=...)`` for a repeatable snapshot."""
         return self._meta()["seq"]
 
+    def diff(
+        self, spark: SparkSession, from_seq: int, to_seq: int | None = None
+    ) -> DataFrame:
+        """Row-level diff between two snapshots of this table:
+        one row per PK whose state differs, with ``change`` ∈
+        ``added | removed | changed`` and the value columns from the
+        ``to_seq`` side (NULL for removed rows).
+
+        The incremental-pipeline primitive: downstream work (dedup,
+        tokenization, feature extraction) re-runs only on the diff
+        instead of the full corpus. Plan: both snapshots resolve from
+        the same base+log scan lineage, full-outer-join on the PK —
+        the two latest-wins aggregations and the join all shuffle on
+        the same PK keys, so AQE/exchange reuse co-partitions them.
+        Raises (via ``read``) if ``from_seq`` predates the last
+        compaction — collapsed history cannot be diffed."""
+        if to_seq is None:
+            to_seq = self.current_seq()
+        schema = self.schema
+        pk = [c.name for c in schema.key_columns]
+        vals = [c.name for c in schema.columns if not c.is_key]
+        a = self.read(spark, as_of_seq=from_seq)
+        b = self.read(spark, as_of_seq=to_seq)
+        a = a.select(*pk, F.lit(True).alias("__in_a"), *[
+            F.col(v).alias(f"__a_{v}") for v in vals
+        ])
+        b = b.select(*pk, F.lit(True).alias("__in_b"), *[
+            F.col(v).alias(f"__b_{v}") for v in vals
+        ])
+        j = a.join(b, pk, "full_outer")
+        # NULL-safe equality per value column: a changed row is one
+        # present on both sides with any value differing
+        same = F.lit(True)
+        for v in vals:
+            same = same & F.col(f"__a_{v}").eqNullSafe(F.col(f"__b_{v}"))
+        change = (
+            F.when(F.col("__in_a").isNull(), F.lit("added"))
+            .when(F.col("__in_b").isNull(), F.lit("removed"))
+            .when(~same, F.lit("changed"))
+        )
+        return (
+            j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(
+                *pk,
+                "change",
+                *[F.col(f"__b_{v}").alias(v) for v in vals],
+            )
+        )
+
     def commits_since_compact(self) -> int:
         meta = self._meta()
         return meta["seq"] - meta.get("last_compact_seq", 0)
