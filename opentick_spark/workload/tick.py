@@ -238,6 +238,39 @@ def dialect_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "snapshot_diff",
+    """
+    SELECT * FROM (VALUES
+      (3, 'changed', 330.0),
+      (5, 'removed', CAST(NULL AS DOUBLE)),
+      (9, 'added', 90.0)
+    ) AS t(doc_id, change, score)
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff over the commit log (TableStore.diff): the
+    incremental-curation primitive — classify every PK as added /
+    removed / changed between two time-travel snapshots so downstream
+    pipeline stages re-run on the delta, not the corpus. Both snapshots
+    and the full-outer join shuffle on the same PK. The workload is a
+    closed-form DML script, so the oracle is the expected delta as a
+    VALUES literal."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_diff_"))
+    eng.execute("create database v")
+    eng.use("v")
+    eng.execute("create table docs(doc_id int, score double, primary key(doc_id))")
+    pid = eng.prepare("insert into docs(doc_id, score) values(?, ?)")
+    eng.batch_insert(pid, [(i, float(i) * 10) for i in range(1, 9)])
+    st = eng.store("v", "docs")
+    seq_a = st.current_seq()
+    eng.batch_insert(pid, [(3, 330.0), (9, 90.0)])  # change 3, add 9
+    eng.execute("delete from docs where doc_id=5")
+    return st.diff(spark, seq_a).select(
+        F.col("doc_id").cast("int").alias("doc_id"), "change", "score"
+    )
+
+
 
 
 @q(

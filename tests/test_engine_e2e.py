@@ -605,3 +605,43 @@ def test_engine_sql_respects_read_acl(spark, tmp_path):
     restricted.login("bob", "pw")
     with pytest.raises(E, match="No permisssion"):
         restricted.sql("SELECT * FROM t", db="x")
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    """TableStore.diff: added/removed/changed classification between two
+    snapshots, empty diff for identical snapshots, and the compaction
+    guard inherited from time-travel reads."""
+    import pytest as _pytest
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.execute("create database x")
+    eng.use("x")
+    eng.execute("create table t(a int, b timestamp, x double, primary key(a, b))")
+    store = eng.store("x", "t")
+    pid = eng.prepare("insert into t(a, b, x) values(?, ?, ?)")
+    eng.batch_insert(pid, [(1, i, float(i)) for i in range(4)])
+    s1 = store.current_seq()
+
+    # no-op window: identical snapshots diff to zero rows
+    assert store.diff(spark, s1, s1).count() == 0
+
+    eng.batch_insert(pid, [(1, 2, 22.0), (1, 9, 9.0)])  # change b=2, add b=9
+    eng.execute("delete from t where a=1 and b>=0 and b<1")  # remove b=0
+    ns = 1_000_000_000
+    got = sorted(
+        (r.a, r.b, r.change, r.x)
+        for r in store.diff(spark, s1).collect()
+    )
+    assert got == [
+        (1, 0 * ns, "removed", None),
+        (1, 2 * ns, "changed", 22.0),
+        (1, 9 * ns, "added", 9.0),
+    ]
+    # upserting an identical value is NOT a change
+    s2 = store.current_seq()
+    eng.execute("insert into t(a, b, x) values(?, ?, ?)", 1, 3, 3.0)
+    assert store.diff(spark, s2).count() == 0
+
+    store.compact(spark)
+    with _pytest.raises(ValueError, match="predates"):
+        store.diff(spark, s1)
