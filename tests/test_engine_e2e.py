@@ -645,3 +645,72 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
     store.compact(spark)
     with _pytest.raises(ValueError, match="predates"):
         store.diff(spark, s1)
+
+
+def test_storage_model_random_ops(spark, tmp_path):
+    """Model-based check of the storage engine: a seeded random sequence
+    of batch upserts (with intra-batch PK collisions) and range deletes
+    runs against both the TableStore and a plain dict model with
+    last-wins semantics. The final read, every intermediate time-travel
+    snapshot, and every snapshot-pair diff must agree with the model."""
+    import random
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.execute("create database m")
+    eng.use("m")
+    ns = 1_000_000_000
+
+    for seed in (7, 41):
+        tbl = f"t{seed}"
+        eng.execute(
+            f"create table {tbl}(a int, b timestamp, x double, primary key(a, b))"
+        )
+        store = eng.store("m", tbl)
+        pid = eng.prepare(f"insert into {tbl}(a, b, x) values(?, ?, ?)")
+        rnd = random.Random(seed)
+        model: dict[tuple[int, int], float] = {}
+        snapshots: list[tuple[int, dict]] = []
+        for _ in range(12):
+            if rnd.random() < 0.75:
+                rows = [
+                    (rnd.randint(0, 2), rnd.randint(0, 9), round(rnd.random() * 100, 3))
+                    for _ in range(rnd.randint(1, 6))
+                ]
+                eng.batch_insert(pid, rows)
+                for a, b, x in rows:  # batch order = last wins
+                    model[(a, b * ns)] = x
+            else:
+                a = rnd.randint(0, 2)
+                lo = rnd.randint(0, 9)
+                hi = lo + rnd.randint(1, 4)
+                eng.execute(
+                    f"delete from {tbl} where a=? and b>=? and b<?", a, lo, hi
+                )
+                for k in [k for k in model if k[0] == a and lo * ns <= k[1] < hi * ns]:
+                    del model[k]
+            snapshots.append((store.current_seq(), dict(model)))
+
+        def state(as_of=None):
+            return {
+                (r.a, r.b): r.x
+                for r in store.read(spark, as_of_seq=as_of).collect()
+            }
+
+        assert state() == snapshots[-1][1]
+        for s, m in snapshots[::3]:
+            assert state(s) == m, f"seed={seed} snapshot seq={s}"
+        # diff between two random snapshots matches the model delta
+        (sa, ma), (sb, mb) = snapshots[2], snapshots[-1]
+        got = {
+            (r.a, r.b): (r.change, r.x)
+            for r in store.diff(spark, sa, sb).collect()
+        }
+        want = {}
+        for k in mb.keys() - ma.keys():
+            want[k] = ("added", mb[k])
+        for k in ma.keys() - mb.keys():
+            want[k] = ("removed", None)
+        for k in ma.keys() & mb.keys():
+            if ma[k] != mb[k]:
+                want[k] = ("changed", mb[k])
+        assert got == want, f"seed={seed}"
