@@ -135,6 +135,51 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
 
 
+def audio_windows(
+    df: DataFrame,
+    meta_col: str = "media_meta",
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window_seconds: int = 1,
+    bytes_per_sample: int = 2,
+) -> DataFrame:
+    """Fixed-duration audio windowing WITHOUT decode: for PCM-shaped
+    payloads the window byte width is sample_rate × bytes_per_sample ×
+    window_seconds, so chunk boundaries are pure integer math on the
+    metadata and each chunk is a JVM-side binary slice
+    (``Column.substr`` — no Python, no codec). One row per window with
+    the actual byte slice; the decode/resample of a chunk is the stubbed
+    kernel, exactly like image features. Narrow plan: sequence+explode,
+    no shuffle, partitioning preserved."""
+    sr = F.col(meta_col).getField("sample_rate")
+    win_bytes = (sr * F.lit(bytes_per_sample * window_seconds)).cast("long")
+    n = F.length(F.col(payload_col)).cast("long")
+    n_win = F.ceil(n / win_bytes).cast("long")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(payload_col).alias("__p"),
+        n.alias("__n"),
+        win_bytes.alias("__w"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.greatest(n_win - 1, F.lit(0)))
+        ).alias("win_idx"),
+    )
+    start = F.col("win_idx") * F.col("__w")
+    clen = F.least(F.col("__w"), F.col("__n") - start)
+    return (
+        base.filter(F.col("__n") > 0)
+        .select(
+            "id",
+            "win_idx",
+            start.alias("start_byte"),
+            clen.alias("n_bytes"),
+            F.col("__p").substr(
+                (start + 1).cast("int"), clen.cast("int")
+            ).alias("chunk"),
+        )
+    )
+
+
 def frame_sample(
     df: DataFrame,
     meta_col: str = "media_meta",

@@ -629,6 +629,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.col("frame_idx").cast("long").alias("frame_idx"))
 
 
+@q(
+    "multimodal_audio_windows",
+    """
+    WITH t AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ),
+    w AS (
+      SELECT doc_id, n,
+             unnest(range(0, CAST(ceil(n / 400.0) AS BIGINT))) AS i
+      FROM t WHERE n > 0
+    )
+    SELECT doc_id AS id, i AS win_idx, i * 400 AS start_byte,
+           LEAST(400, n - i * 400) AS n_bytes
+    FROM w
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing without decode: chunk boundaries are integer math
+    on (sample_rate × bytes_per_sample × window), each chunk a JVM-side
+    binary slice (operators/multimodal.audio_windows — narrow plan, no
+    shuffle). The boundary arithmetic is fully deterministic, so the
+    oracle replays it from octet_length; the byte slices themselves are
+    pinned by the reassembly unit test."""
+    docs = load(spark, sf_dir, "documents")
+    wp = M.attach_payload(docs, media_type="audio").withColumn(
+        "media_meta",
+        F.col("media_meta").withField("sample_rate", F.lit(200)),
+    )
+    out = M.audio_windows(wp, window_seconds=1, bytes_per_sample=2)
+    return out.select("id", "win_idx", "start_byte", "n_bytes")
+
+
 # ---------------------------------------------------------------------------
 # streaming
 

@@ -1042,3 +1042,28 @@ def test_rolling_zscore_excludes_current_and_gates(spark):
     df2 = spark.createDataFrame([(1, t, 2.0) for t in range(5)], "k int, t long, x double")
     z2 = rolling_zscore(df2, ["k"], "t", "x", window_rows=10, min_obs=3)
     assert all(r.zscore is None for r in z2.collect())
+
+
+def test_audio_windows_slice_and_reassemble(spark):
+    from opentick_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xyz"), (3, "")], "doc_id long, text string"
+    )
+    wp = MM.attach_payload(df, media_type="audio").withColumn(
+        "media_meta", F.col("media_meta").withField("sample_rate", F.lit(2))
+    )
+    # window bytes = 2 (sr) * 2 (bytes/sample) * 1 s = 4
+    out = MM.audio_windows(wp, window_seconds=1, bytes_per_sample=2)
+    rows = sorted((r.id, r.win_idx, r.start_byte, r.n_bytes, bytes(r.chunk))
+                  for r in out.collect())
+    # doc 1: 10 bytes -> 4+4+2; doc 2: 3 bytes -> one short window; doc 3 empty -> none
+    assert rows == [
+        (1, 0, 0, 4, b"abcd"),
+        (1, 1, 4, 4, b"efgh"),
+        (1, 2, 8, 2, b"ij"),
+        (2, 0, 0, 3, b"xyz"),
+    ]
+    # chunks reassemble to the original payload
+    joined = b"".join(c for i, _, _, _, c in rows if i == 1)
+    assert joined == b"abcdefghij"
