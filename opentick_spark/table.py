@@ -360,11 +360,50 @@ class TableStore:
         # while an isEmpty() probe would execute the full read plan twice
         self.append_dataframe(doomed, delete=True)
 
+    @staticmethod
+    def _zorder_value(df: DataFrame, cols: list[str], bits: int = 21):
+        """Z-order (Morton) key over up to 3 numeric/timestamp columns:
+        each column is min-max scaled to ``bits`` bits, then the bits are
+        interleaved — rows close in EVERY dimension land close in the
+        sort, so parquet row-group min/max stats prune on all of them,
+        not just the leading sort column. Pure foldable JVM expressions
+        (k × bits shift/or terms, whole-stage codegen); the per-column
+        bounds come from one tiny aggregate."""
+        if not 1 <= len(cols) <= 3:
+            raise ValueError("zorder takes 1-3 columns")
+        bounds = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
+        ).collect()[0]
+        scale = (1 << bits) - 1
+        z = F.lit(0).cast("long")
+        for ci, c in enumerate(cols):
+            lo = float(bounds[f"lo_{c}"] if bounds[f"lo_{c}"] is not None else 0.0)
+            hi = float(bounds[f"hi_{c}"] if bounds[f"hi_{c}"] is not None else 0.0)
+            span = (hi - lo) or 1.0
+            ranked = F.least(
+                F.lit(scale),
+                F.greatest(
+                    F.lit(0),
+                    ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+                     * F.lit(scale)).cast("long"),
+                ),
+            )
+            for b in range(bits):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(ranked, b).bitwiseAND(F.lit(1)),
+                        b * len(cols) + ci,
+                    )
+                )
+        return z
+
     def compact(
         self,
         spark: SparkSession,
         target_partitions: int | None = None,
         hash_buckets: int | None = None,
+        zorder: list[str] | None = None,
     ) -> None:
         """Collapse the append-log into PK-sorted, PK-range-partitioned
         Parquet — restores the reference's physical-PK-order property and
@@ -375,18 +414,29 @@ class TableStore:
         PK-prefix queries then prune whole directories (the cluster-scale
         analog of the reference's "WHERE compiles to an FDB key range" —
         at 100 TB the bucket directory is the unit of locality, with
-        row-group min/max stats pruning inside it)."""
+        row-group min/max stats pruning inside it).
+
+        ``zorder``: cluster the layout on a Morton interleave of the
+        given (≤3, logical-name) columns instead of PK range order —
+        row-group stats then prune on EVERY z column, for tables queried
+        on more dimensions than the leading PK (the Delta/Iceberg
+        OPTIMIZE ZORDER analog). Reads stay correct either way: the
+        query layer applies the implicit PK ordering, storage order is a
+        pruning concern. Mutually exclusive with ``hash_buckets``."""
+        if zorder and hash_buckets:
+            raise ValueError("zorder and hash_buckets are mutually exclusive")
         # the whole compaction holds the store lock: _next_seq shares it,
         # so no commit can land between the snapshot read and the log
         # swap (a commit written after the snapshot would be deleted)
         with self._lock, self._file_lock():
-            self._compact_locked(spark, target_partitions, hash_buckets)
+            self._compact_locked(spark, target_partitions, hash_buckets, zorder)
 
     def _compact_locked(
         self,
         spark: SparkSession,
         target_partitions: int | None,
         hash_buckets: int | None,
+        zorder: list[str] | None = None,
     ) -> None:
         schema = self.schema
         consumed_log = sorted(os.listdir(self.log_path))
@@ -409,6 +459,16 @@ class TableStore:
             out = (
                 df.repartition(max(1, n), F.col(BUCKET_COL))
                 .sortWithinPartitions(BUCKET_COL, *pk_phys)
+            )
+        elif zorder:
+            name_to_phys = {c.name: c.physical for c in schema.columns}
+            zcols = [name_to_phys[c] for c in zorder]
+            zv = self._zorder_value(df, zcols)
+            out = (
+                df.withColumn("__z", zv)
+                .repartitionByRange(n, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
             )
         else:
             out = df.repartitionByRange(

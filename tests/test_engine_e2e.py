@@ -714,3 +714,77 @@ def test_storage_model_random_ops(spark, tmp_path):
             if ma[k] != mb[k]:
                 want[k] = ("changed", mb[k])
         assert got == want, f"seed={seed}"
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """compact(zorder=[a, x]) must make row-group min/max stats selective
+    on BOTH z columns, where the PK-range layout is selective only on
+    the leading PK. Measured directly from the parquet footers: the
+    fraction of files whose [min,max] straddles a point predicate."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    def overlap_fraction(base, col, val):
+        files = [f for f in glob.glob(f"{base}/**/*.parquet", recursive=True)]
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        if s.min <= val <= s.max:
+                            hit += 1
+        total = sum(
+            pq.ParquetFile(f).metadata.num_row_groups for f in files
+        )
+        return hit / max(1, total), total
+
+    def build(name, **compact_kw):
+        eng = Engine(spark, str(tmp_path / name))
+        eng.execute("create database z")
+        eng.use("z")
+        eng.execute(
+            "create table t(a int, b timestamp, x double, primary key(a, b))"
+        )
+        pid = eng.prepare("insert into t(a, b, x) values(?, ?, ?)")
+        rows = [
+            (i % 100, i, float((i * 37) % 100)) for i in range(20000)
+        ]
+        for off in range(0, 20000, 5000):
+            eng.batch_insert(pid, rows[off : off + 5000])
+        st = eng.store("z", "t")
+        st.compact(spark, target_partitions=8, **compact_kw)
+        # state identical regardless of layout
+        assert st.read(spark).count() == 20000
+        return st
+
+    pk_store = build("pk")
+    z_store = build("zord", zorder=["a", "x"])
+
+    pk_a, n1 = overlap_fraction(pk_store.base_path, "a", 50)
+    pk_x, _ = overlap_fraction(pk_store.base_path, "x", 50.0)
+    z_a, n2 = overlap_fraction(z_store.base_path, "a", 50)
+    z_x, _ = overlap_fraction(z_store.base_path, "x", 50.0)
+    assert n1 >= 8 and n2 >= 8
+    # PK layout: leading key prunes, the value column does not
+    assert pk_a <= 0.5
+    assert pk_x == 1.0
+    # z layout: BOTH dimensions prune
+    assert z_a <= 0.75 and z_x <= 0.75, (z_a, z_x)
+
+
+def test_zorder_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    eng = Engine(spark, str(tmp_path / "zv"))
+    eng.execute("create database z")
+    eng.use("z")
+    eng.execute("create table t(a int, b timestamp, x double, primary key(a, b))")
+    st = eng.store("z", "t")
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        st.compact(spark, hash_buckets=4, zorder=["a"])
+    with _pytest.raises(ValueError, match="1-3"):
+        st.compact(spark, zorder=["a", "b", "x", "a"])
