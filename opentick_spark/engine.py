@@ -510,17 +510,28 @@ class Engine:
 
     # ------------------------------------------------------------------
     # meta surface (server.go:440-499)
-    def sql(self, query: str, db: str | None = None) -> DataFrame:
+    def sql(
+        self,
+        query: str,
+        db: str | None = None,
+        as_of: int | dict[str, int] | None = None,
+    ) -> DataFrame:
         """Full ANSI/Spark SQL over the warehouse — the relational
         extension surface as a first-class entry point. Every table of
         ``db`` (default: the session db) is registered as a temp view of
-        its CURRENT resolved state (latest-wins, tombstones dropped), so
+        its resolved state (latest-wins, tombstones dropped), so
         joins/windows/CTEs/set-ops run against exactly what the dialect
         surface would read; Catalyst handles pushdown/pruning from there.
         Views are session-scoped and refreshed on every call (cheap —
         view registration is metadata only; plans re-resolve lazily).
         Permission control applies per table (READ) like the dialect
-        path."""
+        path.
+
+        ``as_of``: time-travel SQL — an int pins EVERY view to that
+        commit sequence (a consistent cross-table snapshot when the
+        tables share a commit clock is not assumed: each table's own log
+        is filtered to ``__seq <= as_of``); a dict pins only the named
+        tables, others read current state."""
         target = db or self.current_db
         if not target:
             raise OpentickError(
@@ -529,7 +540,10 @@ class Engine:
             )
         for t in self.catalog.list_tables(target):
             require_perm(self.user, target, t, READ_PERM)
-            self.store(target, t).read(self.spark).createOrReplaceTempView(t)
+            seq = as_of.get(t) if isinstance(as_of, dict) else as_of
+            self.store(target, t).read(
+                self.spark, as_of_seq=seq
+            ).createOrReplaceTempView(t)
         return self.spark.sql(query)
 
     def list_databases(self) -> list[str]:

@@ -788,3 +788,33 @@ def test_zorder_validation(spark, tmp_path):
         st.compact(spark, hash_buckets=4, zorder=["a"])
     with _pytest.raises(ValueError, match="1-3"):
         st.compact(spark, zorder=["a", "b", "x", "a"])
+
+
+def test_engine_sql_time_travel(spark, tmp_path):
+    """Engine.sql(as_of=...) runs full SQL against a snapshot: global int
+    pins every view, dict pins per table."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.execute("create database q")
+    eng.use("q")
+    eng.execute("create table t(a int, x double, primary key(a))")
+    pid = eng.prepare("insert into t(a, x) values(?, ?)")
+    eng.batch_insert(pid, [(i, float(i)) for i in range(5)])
+    s1 = eng.store("q", "t").current_seq()
+    eng.batch_insert(pid, [(1, 100.0), (9, 9.0)])
+
+    cur = eng.sql("SELECT COUNT(*) AS n, SUM(x) AS s FROM t").collect()[0]
+    old = eng.sql("SELECT COUNT(*) AS n, SUM(x) AS s FROM t", as_of=s1).collect()[0]
+    assert (cur.n, cur.s) == (6, 0 + 100.0 + 2 + 3 + 4 + 9)
+    assert (old.n, old.s) == (5, 10.0)
+    perd = eng.sql(
+        "SELECT COUNT(*) AS n FROM t", as_of={"t": s1}
+    ).collect()[0]
+    assert perd.n == 5
+    # dict leaves unnamed tables at current state
+    eng.execute("create table u(a int, y double, primary key(a))")
+    eng.execute("insert into u(a, y) values(1, 5.0)")
+    both = eng.sql(
+        "SELECT (SELECT COUNT(*) FROM t) AS nt, (SELECT COUNT(*) FROM u) AS nu",
+        as_of={"t": s1},
+    ).collect()[0]
+    assert (both.nt, both.nu) == (5, 1)
