@@ -44,16 +44,21 @@ def get_spark(
     # threads share its heap); pyspark's 1g default is sized for a
     # cluster driver that only coordinates, and 32 concurrent hash
     # aggregations starve it into OutOfMemoryError long before the
-    # machine is loaded. Size the heap to half of physical RAM (capped),
-    # overridable via SPARK_DRIVER_MEMORY. Must be set before the JVM
-    # launches — ignored on getOrCreate of an existing session.
+    # machine is loaded. But BIGGER IS NOT BETTER: a half-RAM (62g)
+    # heap made GC so lazy that the ContextCleaner's weak-ref cleanup
+    # starved and the bench's later queries degraded 3-10× (measured:
+    # suite 24s @1g-when-it-survives, 28s @8g, 45s @62g). Production
+    # executor JVMs are sized 8-16g for exactly this GC-health reason —
+    # mirror that: a quarter of RAM clamped to [4g, 16g], overridable
+    # via SPARK_DRIVER_MEMORY. Must be set before the JVM launches —
+    # ignored on getOrCreate of an existing session.
     mem = os.environ.get("SPARK_DRIVER_MEMORY")
     if not mem:
         try:
             total_gb = (
                 os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
             ) / (1 << 30)
-            mem = f"{max(2, min(int(total_gb * 0.5), 96))}g"
+            mem = f"{max(4, min(int(total_gb * 0.25), 16))}g"
         except (ValueError, OSError, AttributeError):
             mem = "4g"
     builder = builder.config("spark.driver.memory", mem)
