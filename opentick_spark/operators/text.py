@@ -544,3 +544,64 @@ def bpe_encode(
     return df.withColumn(
         out_col, F.flatten(F.transform(ws_tokens(F.col(text_col)), enc))
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    buckets: int = 32,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for every anchor id, ``k`` pseudo-random partners drawn without any
+    RNG state — partner choice is pure md5 arithmetic, so the pairing is
+    reproducible across engines, Spark versions, partitionings, and
+    reruns (the property that makes a training dataset auditable).
+
+    Scheme: ids hash into ``buckets``; slot j of anchor a targets bucket
+    md5(a#j) and takes the candidate with the smallest md5(d@a#j) rank,
+    excluding a itself. Plan: one equi-join on the bucket id (shuffle
+    keyed on a well-distributed small int — never an n² cross join; join
+    output is k·n/buckets rows per anchor partition) + one min_by hash
+    aggregation. A slot whose target bucket holds no other doc emits no
+    row (probability (1-1/B)^(n-1) — negligible beyond toy corpora).
+
+    Output: (id_col, slot long, neg_id) — one row per filled slot.
+    """
+    h8 = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")  # noqa: E731
+    ids = df.select(F.col(id_col).cast("long").alias("__id"))
+    cand = ids.select(
+        F.col("__id").alias("neg_id"),
+        (h8(F.col("__id").cast("string")) % buckets).alias("__b"),
+    )
+    slots = ids.select(
+        "__id",
+        F.explode(F.array([F.lit(j).cast("long") for j in range(k)])).alias(
+            "slot"
+        ),
+    ).withColumn(
+        "__b",
+        h8(
+            F.concat(
+                F.col("__id").cast("string"),
+                F.lit("#"),
+                F.col("slot").cast("string"),
+            )
+        )
+        % buckets,
+    )
+    joined = slots.join(cand, "__b").filter(F.col("neg_id") != F.col("__id"))
+    rank = F.md5(
+        F.concat(
+            F.col("neg_id").cast("string"),
+            F.lit("@"),
+            F.col("__id").cast("string"),
+            F.lit("#"),
+            F.col("slot").cast("string"),
+        )
+    )
+    return (
+        joined.groupBy("__id", "slot")
+        .agg(F.min_by("neg_id", rank).alias("neg_id"))
+        .select(F.col("__id").alias(id_col), "slot", "neg_id")
+    )

@@ -516,6 +516,49 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# first-8-hex-chars-of-md5 → integer, DuckDB side (matches Spark's
+# conv(substring(md5(x), 1, 8), 16, 10))
+_H8 = (
+    "list_reduce(list_transform(range(1, 9), "
+    "i -> strpos('0123456789abcdef', substr(md5({x}), i, 1)) - 1), "
+    "(a, b) -> a * 16 + b)"
+)
+
+
+@q(
+    "negative_sampling",
+    f"""
+    WITH ids AS (SELECT doc_id FROM documents),
+    cand AS (
+      SELECT doc_id AS neg_id,
+             {_H8.format(x="doc_id::VARCHAR")} % 32 AS b
+      FROM ids
+    ),
+    slots AS (
+      SELECT doc_id, j AS slot,
+             {_H8.format(x="doc_id::VARCHAR || '#' || j::VARCHAR")} % 32 AS b
+      FROM ids, (SELECT unnest(range(0, 4)) AS j)
+    ),
+    cj AS (
+      SELECT s.doc_id, s.slot, c.neg_id,
+             md5(c.neg_id::VARCHAR || '@' || s.doc_id::VARCHAR
+                 || '#' || s.slot::VARCHAR) AS r
+      FROM slots s JOIN cand c ON c.b = s.b AND c.neg_id != s.doc_id
+    )
+    SELECT doc_id, slot, min_by(neg_id, r) AS neg_id
+    FROM cj GROUP BY doc_id, slot
+    """,
+)
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling
+    (operators/text.negative_samples): 4 md5-arithmetic partners per
+    doc, reproducible with no RNG state — bucket equi-join + min_by,
+    never a cross join. The oracle replays the identical md5 scheme in
+    DuckDB, so every sampled pair is value-checked."""
+    docs = load(spark, sf_dir, "documents")
+    return X.negative_samples(docs, id_col="doc_id", k=4, buckets=32)
+
+
 _WS_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
 
 

@@ -1067,3 +1067,36 @@ def test_audio_windows_slice_and_reassemble(spark):
     # chunks reassemble to the original payload
     joined = b"".join(c for i, _, _, _, c in rows if i == 1)
     assert joined == b"abcdefghij"
+
+
+def test_negative_samples_deterministic_golden(spark):
+    """negative_samples must reproduce a pure-python replay of the md5
+    scheme exactly: same partners, no self-pairs, stable across runs."""
+    import hashlib
+
+    from opentick_spark.operators.text import negative_samples
+
+    ids = list(range(1, 31))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    k, B = 3, 8
+
+    def h8(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    want = {}
+    bucket = {d: h8(str(d)) % B for d in ids}
+    for a in ids:
+        for j in range(k):
+            t = h8(f"{a}#{j}") % B
+            cands = [d for d in ids if bucket[d] == t and d != a]
+            if cands:
+                want[(a, j)] = min(
+                    cands, key=lambda d: hashlib.md5(f"{d}@{a}#{j}".encode()).hexdigest()
+                )
+    got1 = {(r.doc_id, r.slot): r.neg_id
+            for r in negative_samples(df, k=k, buckets=B).collect()}
+    got2 = {(r.doc_id, r.slot): r.neg_id
+            for r in negative_samples(df, k=k, buckets=B).collect()}
+    assert got1 == want
+    assert got1 == got2
+    assert all(neg != a for (a, _), neg in got1.items())
