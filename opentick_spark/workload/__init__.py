@@ -24,11 +24,15 @@ The driver's correctness gate checks the FIRST 50 entries of
   oracle: the full reference-parity tick/dialect surface, the complete
   LLM-pipeline + streaming extension surface, and the 16 most
   shape-distinct relational queries. Checked by the driver every round.
-- ``EXTRA_QUERIES``/``EXTRA_ORACLES`` — the remaining relational
-  variants (additional window frames, set ops, grouping sets, subquery
-  shapes …). Same oracle contract, verified by ``tests/oracle_check.py``
-  locally each round (driver-green in rounds 1-2 before the split; the
-  plans they exercise haven't changed).
+- ``EXTRA_QUERIES``/``EXTRA_ORACLES`` — everything else: relational
+  variants that were driver-green in earlier rounds (additional window
+  frames, set ops, grouping sets, subquery shapes …) plus operators
+  added after this round's window was frozen (snapshot diff,
+  incremental dedup, negative sampling, bar downsampling, drawdown,
+  z-score outliers, audio windowing …). Same oracle contract, verified
+  by ``tests/oracle_check.py`` locally each round; newest entries
+  rotate into the driver window next round in place of long-stable
+  ones.
 """
 
 from opentick_spark.workload.core import ORACLES as _CORE_O
