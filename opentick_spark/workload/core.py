@@ -980,6 +980,45 @@ def return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "market_beta",
+    """
+    WITH d AS (
+      SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS day, AVG(value) AS v
+      FROM events WHERE event_type = 'purchase' AND user_id < 50 GROUP BY 1, 2
+    ),
+    m AS (SELECT day, AVG(v) AS mv FROM d GROUP BY day)
+    SELECT user_id, ROUND(covar_pop(v, mv) / var_pop(mv), 4) AS beta,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM d JOIN m USING (day)
+    GROUP BY user_id HAVING COUNT(*) >= 10 AND var_pop(mv) > 0
+    """,
+)
+def market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user beta vs the equal-weight market series: daily mean
+    values, market = cross-user daily mean, beta = cov(u, m)/var(m).
+    Two hash aggregations + an equi-join on the day key — the market
+    side is day-cardinality (broadcastable at any scale); never a
+    per-pair cross product."""
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 50)
+    )
+    day = F.expr(f"ts - pmod(ts, {86400 * 10**9})").alias("day")
+    d = ev.groupBy("user_id", day).agg(F.avg("value").alias("v"))
+    m = d.groupBy("day").agg(F.avg("v").alias("mv"))
+    j = d.join(F.broadcast(m), "day")
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.round(F.covar_pop("v", "mv") / F.var_pop("mv"), 4).alias("beta"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.var_pop("mv").alias("__var"),
+        )
+        .filter((F.col("n_obs") >= 10) & (F.col("__var") > 0))
+        .drop("__var")
+    )
+
+
+@q(
     "bar_downsample_daily",
     """
     SELECT user_id,
