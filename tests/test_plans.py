@@ -161,3 +161,34 @@ def test_hop_window_single_agg(spark, queries):
     plan = plan_of(queries["hop_window_counts"](spark, SF))
     assert plan.count("Scan parquet") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_negative_sampling_no_cross_join(spark, queries):
+    """Partner choice is a bucket equi-join + min_by — never a cartesian
+    or nested-loop join, no Python."""
+    plan = plan_of(queries["negative_sampling"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_market_beta_broadcasts_market_series(spark, queries):
+    """The day-cardinality market side must broadcast; the per-user side
+    never shuffles for the join."""
+    plan = plan_of(queries["market_beta"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_audio_windows_no_shuffle_no_python(spark, queries):
+    """Chunk boundaries and byte slices are narrow JVM expressions."""
+    plan = plan_of(queries["multimodal_audio_windows"](spark, SF))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bar_downsample_two_agg_levels(spark, queries):
+    """ticks→hourly→daily: two partial+final hash-agg pairs, one scan."""
+    plan = plan_of(queries["bar_downsample_daily"](spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 4
