@@ -72,3 +72,35 @@ def heavy_hitters(
         )
         .select(item_col, "cnt", "total")
     )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str = "text", top_n: int = 100
+) -> DataFrame:
+    """Token coverage of the top-``top_n`` vocabulary — the
+    tokenizer-design metric (what fraction of the corpus a vocab of size
+    N explains). Exact: one word-count aggregation (shuffle keyed on the
+    word — vocabulary-sized and zipf-flattened by the map-side partial,
+    not corpus-sized), a deterministic top-N cut (count desc, word asc —
+    stable under ties), and a broadcast semi-join to sum the covered
+    mass. Output: 1 row (total_tokens, covered_tokens, coverage)."""
+    from opentick_spark.operators.text import ws_tokens
+
+    toks = df.select(
+        F.explode(ws_tokens(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.col("c").desc(), F.col("w")).limit(top_n)
+    covered = counts.join(F.broadcast(top.select("w")), "w", "left_semi")
+    tot = counts.agg(F.sum("c").alias("total_tokens"))
+    cov = covered.agg(F.sum("c").alias("covered_tokens"))
+    return (
+        tot.crossJoin(cov)
+        .select(
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("covered_tokens").cast("long").alias("covered_tokens"),
+            F.round(
+                F.col("covered_tokens") / F.col("total_tokens"), 6
+            ).alias("coverage"),
+        )
+    )

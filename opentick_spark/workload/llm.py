@@ -1534,3 +1534,31 @@ def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(X.ws_tokens(F.col("text"))).alias("w")
     ).filter(F.col("w") != "")
     return heavy_hitters(words, "w", min_freq_num=27, min_freq_den=800)
+
+
+@q(
+    "vocab_coverage_top100",
+    """
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    c AS (SELECT w, COUNT(*) AS c FROM w WHERE w <> '' GROUP BY w),
+    top AS (SELECT w FROM c ORDER BY c DESC, w LIMIT 100)
+    SELECT CAST(SUM(c.c) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN c.w IN (SELECT w FROM top) THEN c.c END) AS BIGINT)
+             AS covered_tokens,
+           ROUND(SUM(CASE WHEN c.w IN (SELECT w FROM top) THEN c.c END)::DOUBLE
+                 / SUM(c.c), 6) AS coverage
+    FROM c
+    """,
+)
+def vocab_coverage_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 vocabulary token coverage (operators/freq.vocab_coverage):
+    the tokenizer-design metric. One vocabulary-sized shuffle, a
+    deterministic tie-stable top-N cut, broadcast semi-join for the
+    covered mass; every value hash-checked against the DuckDB replay."""
+    from opentick_spark.operators.freq import vocab_coverage
+
+    docs = load(spark, sf_dir, "documents")
+    return vocab_coverage(docs, text_col="text", top_n=100)

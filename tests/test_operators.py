@@ -1100,3 +1100,18 @@ def test_negative_samples_deterministic_golden(spark):
     assert got1 == want
     assert got1 == got2
     assert all(neg != a for (a, _), neg in got1.items())
+
+
+def test_vocab_coverage_exact_and_tie_stable(spark):
+    from opentick_spark.operators.freq import vocab_coverage
+
+    # corpus: 'a'x5, 'b'x3, 'c'x3, 'd'x1 — top2 with the (count desc,
+    # word asc) tiebreak = {a, b}; coverage = 8/12
+    df = spark.createDataFrame(
+        [("a a a a a",), ("b b b c c",), ("c d",)], "text string"
+    )
+    r = vocab_coverage(df, top_n=2).collect()[0]
+    assert (r.total_tokens, r.covered_tokens) == (12, 8)
+    assert r.coverage == round(8 / 12, 6)
+    full = vocab_coverage(df, top_n=10).collect()[0]
+    assert full.covered_tokens == 12 and full.coverage == 1.0
