@@ -1562,3 +1562,40 @@ def vocab_coverage_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return vocab_coverage(docs, text_col="text", top_n=100)
+
+
+@q(
+    "seq_len_histogram",
+    """
+    WITH t AS (
+      SELECT len(string_split_regex(trim(lower(text)), '\\s+')) AS n
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT CAST(FLOOR(LOG2(n)) AS BIGINT) AS log2_bucket,
+           CAST(POWER(2, FLOOR(LOG2(n))) AS BIGINT) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM t GROUP BY 1, 2
+    """,
+)
+def seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution in power-of-two buckets — the metric
+    that sizes context windows and predicts packing efficiency. Pure
+    projection + one tiny hash agg (bucket cardinality ~log of max
+    length); whole-stage codegen end to end."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    n = F.size(X.ws_tokens(F.col("text")))
+    b = F.floor(F.log2(n))
+    return (
+        docs.select(n.alias("__n"), b.alias("log2_bucket"))
+        .groupBy(
+            F.col("log2_bucket").cast("long").alias("log2_bucket"),
+            F.pow(F.lit(2.0), F.col("log2_bucket")).cast("long").alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("total_tokens"),
+        )
+    )
