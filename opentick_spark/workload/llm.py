@@ -1599,3 +1599,59 @@ def seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__n").cast("long").alias("total_tokens"),
         )
     )
+
+
+@q(
+    "dedup_keeper_by_quality",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(label) AS cluster FROM reach GROUP BY id),
+    ql AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_toks
+      FROM documents
+    )
+    SELECT c.cluster,
+           max_by(c.doc_id, q.n_toks * 1000000 + c.doc_id) AS keeper,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(q.n_toks) AS keeper_toks
+    FROM comp c JOIN ql q ON q.doc_id = c.doc_id
+    GROUP BY c.cluster
+    """,
+)
+def dedup_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based keeper selection: near-dup clusters (exact-Jaccard
+    edges → connected components) keep their LONGEST member (ties → max
+    doc_id) instead of the lowest id — the SemDeDup-practice refinement
+    where the surviving copy is the best one, not the first one. The
+    cluster table is cluster-cardinality-sized, so the quality join and
+    argmax are a small-side aggregation after the dedup shuffle.
+    (Keeper key = lexicographic (n_toks, doc_id); the oracle encodes it
+    as n_toks*1e6+doc_id since doc ids are < 1e6.)"""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    comps = D.connected_components(pairs)
+    ql = docs.select(
+        "doc_id", F.size(X.ws_tokens(F.col("text"))).cast("long").alias("n_toks")
+    )
+    j = comps.select(F.col("id").alias("doc_id"), "cluster").join(ql, "doc_id")
+    return (
+        j.groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_toks"), -F.col("doc_id"))
+            ).cast("long").alias("keeper"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max("n_toks").alias("keeper_toks"),
+        )
+    )
