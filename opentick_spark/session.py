@@ -38,6 +38,9 @@ def get_spark(
         # README.md:9).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # carriage-return progress bars interleave with structured tool
+        # output (bench JSON, oracle_check lines) and glue log lines
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.maxResultSize", "4g")
         # With a production-sized heap, GC runs rarely — but Spark's
         # ContextCleaner depends on GC to reap weak references before it
