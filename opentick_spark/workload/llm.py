@@ -67,17 +67,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(docs).select("keeper", F.col("n_copies").cast("long"))
 
 
+# Inverted-index formulation (same semantics as pairwise
+# list_intersect over the distinct shingle sets: |A∪B| = |A|+|B|-|A∩B|),
+# but the oracle itself scales like the operator — the all-pairs
+# list_intersect version took DuckDB >1h at sf0.1; this runs in seconds.
 _JACCARD_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, {_SHINGLES} AS sh
       FROM (SELECT doc_id, {_NORM} AS __norm FROM documents)
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                 len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
-    FROM t a JOIN t b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-          len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(sh) AS n FROM t)
+    SELECT id_a, id_b,
+           ROUND(i::DOUBLE / (na.n + nb.n - i), 6) AS jac
+    FROM inter
+    JOIN sz na ON na.doc_id = inter.id_a
+    JOIN sz nb ON nb.doc_id = inter.id_b
+    WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.5
 """
 
 
@@ -1649,7 +1660,7 @@ def dedup_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy(F.col("cluster").cast("long").alias("cluster"))
         .agg(
             F.max_by(
-                "doc_id", F.struct(F.col("n_toks"), -F.col("doc_id"))
+                "doc_id", F.struct(F.col("n_toks"), F.col("doc_id"))
             ).cast("long").alias("keeper"),
             F.count(F.lit(1)).cast("long").alias("n_members"),
             F.max("n_toks").alias("keeper_toks"),
