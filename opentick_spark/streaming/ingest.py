@@ -117,10 +117,14 @@ def windowed_event_counts(
     checkpoint_dir: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ):
-    """Watermarked tumbling-window counts per event_type over the events
-    stream (ts arrives as epoch-nanos long → µs timestamp for the window
-    machinery). Writes a complete-mode memory sink named ``sink_table``."""
+    """Watermarked window counts per event_type over the events stream
+    (ts arrives as epoch-nanos long → µs timestamp for the window
+    machinery). Tumbling by default; ``slide`` makes the windows hop —
+    each event lands in window/slide windows, expanded JVM-side inside
+    the same stateful aggregation (state scales with open windows ×
+    keys). Writes a complete-mode memory sink named ``sink_table``."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "8")
@@ -133,7 +137,14 @@ def windowed_event_counts(
         # drift 1µs, landing boundary rows in the wrong window)
         stream.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
         .withWatermark("ts_ts", watermark)
-        .groupBy(F.window("ts_ts", window).alias("win"), F.col("event_type"))
+        .groupBy(
+            (
+                F.window("ts_ts", window, slide)
+                if slide
+                else F.window("ts_ts", window)
+            ).alias("win"),
+            F.col("event_type"),
+        )
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
     )
     return (

@@ -1666,3 +1666,50 @@ def dedup_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_toks").alias("keeper_toks"),
         )
     )
+
+
+@q(
+    "streaming_hop_counts",
+    """
+    WITH h AS (
+      SELECT event_type, value,
+             epoch_us(time_bucket(INTERVAL '30 minutes', ts)) - off AS win_start_us
+      FROM events, (SELECT unnest([0, 1800000000]) AS off)
+    )
+    SELECT win_start_us, event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM h GROUP BY 1, 2
+    """,
+)
+def streaming_hop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming hopping windows: 1h windows sliding
+    every 30min under a watermark — each event lands in two windows
+    inside ONE stateful aggregation (state = open windows × keys; the
+    streaming twin of the batch `hop_window_counts`). Oracle replays the
+    hop expansion as an unnest cross join, identical to the batch
+    query's."""
+    from opentick_spark.streaming.ingest import (
+        state_partitions,
+        windowed_event_counts,
+    )
+
+    schema = load_raw(spark, sf_dir, "events").schema
+    name = "hop_sink_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="otspark_hop_ck_")
+    src_dir = tempfile.mkdtemp(prefix="otspark_hop_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    with state_partitions(spark, 8):
+        query = windowed_event_counts(
+            spark, src_dir, schema, name, ckpt, slide="30 minutes"
+        )
+        query.awaitTermination()
+    out = spark.table(name)
+    return out.select(
+        F.unix_micros(F.col("win.start")).alias("win_start_us"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
