@@ -33,6 +33,14 @@ The driver's correctness gate checks the FIRST 50 entries of
   by ``tests/oracle_check.py`` locally each round; newest entries
   rotate into the driver window next round in place of long-stable
   ones.
+
+End of round 3 the ENTIRE registry (window + extras) was value-verified
+against DuckDB at BOTH sf0.01 (the driver's scale) and sf0.1 (10×) —
+the inverted-index rewrite of the Jaccard oracle made the heaviest
+oracles tractable at sf0.1, and that 10× run immediately caught a
+tie-break bug invisible at sf0.01 (see dedup_keeper_by_quality
+history). Run ``SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.1 python
+tests/oracle_check.py`` to reproduce.
 """
 
 from opentick_spark.workload.core import ORACLES as _CORE_O
