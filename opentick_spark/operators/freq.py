@@ -79,11 +79,16 @@ def vocab_coverage(
 ) -> DataFrame:
     """Token coverage of the top-``top_n`` vocabulary — the
     tokenizer-design metric (what fraction of the corpus a vocab of size
-    N explains). Exact: one word-count aggregation (shuffle keyed on the
+    N explains). Exact: a word-count aggregation (shuffle keyed on the
     word — vocabulary-sized and zipf-flattened by the map-side partial,
     not corpus-sized), a deterministic top-N cut (count desc, word asc —
-    stable under ties), and a broadcast semi-join to sum the covered
-    mass. Output: 1 row (total_tokens, covered_tokens, coverage)."""
+    stable under ties), then ONE final aggregation over counts
+    broadcast-marked with top membership — total and covered mass come
+    from the same pass, no crossJoin of scalar aggregates. The counts
+    lineage is consumed twice (the top-N cut and the marked agg — an
+    inherent data dependency); the duplicated word-count Exchange is
+    deduped by ReuseExchange. Output: 1 row (total_tokens,
+    covered_tokens, coverage)."""
     from opentick_spark.operators.text import ws_tokens
 
     toks = df.select(
@@ -91,16 +96,20 @@ def vocab_coverage(
     ).filter(F.col("w") != "")
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     top = counts.orderBy(F.col("c").desc(), F.col("w")).limit(top_n)
-    covered = counts.join(F.broadcast(top.select("w")), "w", "left_semi")
-    tot = counts.agg(F.sum("c").alias("total_tokens"))
-    cov = covered.agg(F.sum("c").alias("covered_tokens"))
-    return (
-        tot.crossJoin(cov)
-        .select(
-            F.col("total_tokens").cast("long").alias("total_tokens"),
-            F.col("covered_tokens").cast("long").alias("covered_tokens"),
-            F.round(
-                F.col("covered_tokens") / F.col("total_tokens"), 6
-            ).alias("coverage"),
-        )
+    marked = counts.join(
+        F.broadcast(top.select("w", F.lit(True).alias("__top"))),
+        "w",
+        "left_outer",
+    )
+    return marked.agg(
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("__top"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("covered_tokens"),
+    ).select(
+        "total_tokens",
+        "covered_tokens",
+        F.round(F.col("covered_tokens") / F.col("total_tokens"), 6).alias(
+            "coverage"
+        ),
     )

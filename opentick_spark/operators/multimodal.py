@@ -151,9 +151,18 @@ def audio_windows(
     the actual byte slice; the decode/resample of a chunk is the stubbed
     kernel, exactly like image features. Narrow plan: sequence+explode,
     no shuffle, partitioning preserved."""
+    if bytes_per_sample <= 0 or window_seconds <= 0:
+        raise ValueError(
+            f"bytes_per_sample and window_seconds must be positive, got "
+            f"{bytes_per_sample}, {window_seconds}"
+        )
     sr = F.col(meta_col).getField("sample_rate")
     win_bytes = (sr * F.lit(bytes_per_sample * window_seconds)).cast("long")
     n = F.length(F.col(payload_col)).cast("long")
+    # guard sample_rate <= 0 / NULL: n/win_bytes would double-divide to
+    # Infinity and ceil().cast('long') saturates to Long.MAX, blowing up
+    # sequence() at runtime — drop such rows before window math
+    df = df.filter(sr.isNotNull() & (sr > 0))
     n_win = F.ceil(n / win_bytes).cast("long")
     base = df.select(
         F.col(id_col).alias("id"),

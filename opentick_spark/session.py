@@ -42,14 +42,17 @@ def get_spark(
         # output (bench JSON, oracle_check lines) and glue log lines
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.maxResultSize", "4g")
-        # With a production-sized heap, GC runs rarely — but Spark's
-        # ContextCleaner depends on GC to reap weak references before it
-        # can clean shuffle files/broadcasts, so a lazy GC lets state
-        # accumulate and degrades long sessions (measured: sf0.1 suite
-        # 30.4s at the default 30min interval vs 27.2s at 45s). Tighten
-        # the periodic-GC safety net.
-        .config("spark.cleaner.periodicGC.interval", "45s")
     )
+    # ContextCleaner needs GC to reap weak refs before it can clean
+    # shuffle files/broadcasts; with a big lazy heap that cleanup starves
+    # on LONG sessions. But a short interval forces a full System.gc()
+    # stop-the-world into short runs (a 45s interval lands ~once inside
+    # the ~35s bench suite and cost 24% in r3's driver run — BENCH_r03 vs
+    # r02). Default: leave Spark's 30min default (right for bench-length
+    # sessions); override for long-lived servers via env.
+    gc_interval = os.environ.get("SPARK_GRAFT_PERIODIC_GC", "")
+    if gc_interval:
+        builder = builder.config("spark.cleaner.periodicGC.interval", gc_interval)
     # In local mode the driver JVM IS the whole cluster (all executor
     # threads share its heap); pyspark's 1g default is sized for a
     # cluster driver that only coordinates, and 32 concurrent hash

@@ -527,6 +527,11 @@ class TableStore:
         compaction — collapsed history cannot be diffed."""
         if to_seq is None:
             to_seq = self.current_seq()
+        if to_seq < from_seq:
+            raise ValueError(
+                f"diff requires from_seq <= to_seq, got {from_seq} > {to_seq}"
+                " (swapped arguments would silently invert added/removed)"
+            )
         schema = self.schema
         pk = [c.name for c in schema.key_columns]
         vals = [c.name for c in schema.columns if not c.is_key]

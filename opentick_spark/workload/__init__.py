@@ -53,75 +53,68 @@ from opentick_spark.workload.tick import QUERIES as _TICK_Q
 ALL_QUERIES = {**_CORE_Q, **_TICK_Q, **_LLM_Q}
 ALL_ORACLES = {**_CORE_O, **_TICK_O, **_LLM_O}
 
-# The driver's 50-query correctness window. Never-yet-driver-checked
-# entries (the LLM/streaming block) lead, reference-parity dialect/tick
-# queries follow, then the relational keeps.
+# The driver's 50-query correctness window (round 4 rotation, per the
+# documented policy: never-yet-driver-checked entries lead; rotated-out
+# entries were driver-green in a prior round with unchanged
+# implementations and keep tests/oracle_check.py value coverage every
+# round). Rotated OUT this round (all r3-green, code unchanged):
+# dedup_exact, sim_topk_bruteforce, sim_topk_lsh, sim_topk_quantized,
+# text_quality, text_lang_id, text_fingerprint, text_token_count_total,
+# text_chunking, text_pii_redaction, corpus_pipeline,
+# multimodal_features, multimodal_frame_sample, streaming_stateful_totals,
+# streaming_session_windows, streaming_join_purchases,
+# streaming_window_counts.
 _DRIVER_WINDOW = [
-    # LLM-pipeline: dedup
-    "dedup_exact",
+    # never-driver-checked until now: snapshot/incremental pipeline
+    "snapshot_diff",
+    "incremental_dedup",
+    "negative_sampling",
+    "multimodal_audio_windows",
+    "streaming_enrich",
+    "heavy_hitter_words",
+    "vocab_coverage_top100",
+    "seq_len_histogram",
+    "dedup_keeper_by_quality",
+    "streaming_hop_counts",
+    # never-driver-checked until now: time-series/finance block
+    "market_beta",
+    "bar_downsample_daily",
+    "max_drawdown",
+    "rolling_zscore_outliers",
+    "twap_hourly",
+    "realized_vol_hourly",
+    "return_correlation",
+    # LLM-pipeline keeps (shape-distinct representatives per family)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    # LLM-pipeline: similarity search
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
+    "dedup_embedding_lsh",
+    "semantic_dedup",
     "sim_topk_ivf",
-    "sim_topk_quantized",
-    # LLM-pipeline: text analysis
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_token_count_total",
-    "text_chunking",
-    "text_pii_redaction",
+    "sim_topk_pq",
     "contamination_8gram",
     "pack_sequences_by_lang",
-    "corpus_pipeline",
-    # LLM-pipeline: multimodal
-    "multimodal_features",
-    "multimodal_frame_sample",
-    # streaming (Structured Streaming micro-batch execution)
-    "streaming_stateful_totals",
-    "streaming_session_windows",
-    "streaming_dedup_ingest",
-    "streaming_join_purchases",
-    "streaming_window_counts",
-    "streaming_ohlcv",
-    "continuous_ohlcv",
-    # reference-parity dialect/tick surface (dialect_range_tail and
-    # adj_backward rotate out this round — driver-green r1+r2, their
-    # machinery stays driver-covered via dialect_upsert_delete /
-    # adj_forward and pytest goldens — freeing slots for two never-
-    # checked round-3 ops)
-    "dialect_upsert_delete",
-    "adj_forward",
-    "meta_catalog",
-    "semantic_dedup",
-    "sim_topk_pq",
-    # round-3 additions, never driver-checked before
-    "dedup_embedding_lsh",
-    "streaming_dedup_watermark",
     "text_repetition",
     "text_bm25_search",
     "text_unigram_nll",
     "text_dup_ngram_coverage",
     "corpus_split_stats",
     "embedding_label_stats",
-    "profile_orders",
     "mixture_sample",
     "bpe_encode_docs",
+    # streaming keeps (micro-batch execution stays driver-covered)
+    "streaming_dedup_ingest",
+    "streaming_dedup_watermark",
+    "streaming_ohlcv",
+    "continuous_ohlcv",
     "hop_window_counts",
-    # relational keeps: queries whose implementation changed this round
-    # (split_range fast path, asof broadcast/skew strategies) and the
-    # approx ops with their new bound-check oracles. Every rotated-out
-    # entry (full_scan_agg, salted_join_revenue, interval_join_windows,
-    # ewma_final_price, gap_fill_locf, session_windows, vwap_hourly,
-    # revenue_by_nation, pricing_summary, pk_range_scan, ohlcv_rollup,
-    # dialect_point_get, dialect_prefix_scan, streaming_upsert_ingest)
-    # was driver-green in r1/r2 with an unchanged implementation and
-    # keeps tests/oracle_check.py coverage every round.
+    # reference-parity dialect/tick surface
+    "dialect_upsert_delete",
+    "adj_forward",
+    "meta_catalog",
+    "profile_orders",
     "split_range_scan",
     "stratified_sample",
     "approx_distinct_users",

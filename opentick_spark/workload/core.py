@@ -1025,7 +1025,7 @@ def market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_us(time_bucket(INTERVAL '1 day', ts)) AS day_ts_us,
            min_by(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
            max_by(value, ts) AS close, COUNT(*) AS n_ticks,
-           ROUND(SUM(value), 4) AS volume
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4) AS volume
     FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
     """,
 )
@@ -1037,16 +1037,24 @@ def bar_downsample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct exactly — open/close resolve through the carried
     open_ts/close_ts, min/max/count/sum recombine by algebra. At scale
     every coarser interval derives from the finest bar table (24× less
-    data here) instead of re-scanning raw ticks."""
+    data here) instead of re-scanning raw ticks. Volume sums through
+    DECIMAL(30,6) on BOTH sides: decimal addition is exact/associative,
+    so hierarchical (hourly→daily) and direct (raw ticks) summation
+    cannot diverge by association order the way double partials can —
+    no ulp-boundary ROUND flips across data generations."""
     from opentick_spark.operators.timeseries import downsample_bars
 
-    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("vol6", F.col("value").cast("decimal(30,6)"))
+    )
     hourly = ohlcv_bars(
         ev,
         ["user_id"],
         "ts",
         "value",
-        size_col="value",
+        size_col="vol6",
         bucket_seconds=3600,
         with_boundaries=True,
     )
@@ -1065,7 +1073,7 @@ def bar_downsample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low",
         "close",
         F.col("n_ticks").cast("long").alias("n_ticks"),
-        F.round("volume", 4).alias("volume"),
+        F.round(F.col("volume").cast("double"), 4).alias("volume"),
     )
 
 

@@ -1633,7 +1633,7 @@ def seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT c.cluster,
-           max_by(c.doc_id, q.n_toks * 1000000 + c.doc_id) AS keeper,
+           first(c.doc_id ORDER BY q.n_toks DESC, c.doc_id DESC) AS keeper,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            MAX(q.n_toks) AS keeper_toks
     FROM comp c JOIN ql q ON q.doc_id = c.doc_id
@@ -1647,8 +1647,8 @@ def dedup_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the surviving copy is the best one, not the first one. The
     cluster table is cluster-cardinality-sized, so the quality join and
     argmax are a small-side aggregation after the dedup shuffle.
-    (Keeper key = lexicographic (n_toks, doc_id); the oracle encodes it
-    as n_toks*1e6+doc_id since doc ids are < 1e6.)"""
+    (Keeper key = lexicographic (n_toks, doc_id); the oracle uses an
+    ordered FIRST aggregate — exact tuple order at any doc_id scale.)"""
     docs = load(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, n=2, threshold=0.5)
     comps = D.connected_components(pairs)
