@@ -290,6 +290,11 @@ class TCPConnection:
         self._lock = threading.RLock()
         self._futures: dict[int, CFuture] = {}
         self._prepared_sql: dict[str, int] = {}
+        # old wire pid -> current wire pid across reconnects: prepared ids
+        # are connection-scoped server-side, but callers hold them across
+        # reconnects — the reference client keeps ids stable by
+        # re-preparing (bindings/python/opentick/client.py reconnect path)
+        self._pid_remap: dict[int, int] = {}
         self._ticket = 0
         self._sock = None
         self._connect()
@@ -323,6 +328,18 @@ class TCPConnection:
                 if body == b"H":  # server heartbeat (C10) — liveness only
                     continue
                 msg = self._dec(body)
+                if "2" in msg:
+                    # server cache hit: key "2" carries the PRE-SERIALIZED
+                    # original reply (BSON: raw bytes; JSON: base64 text —
+                    # matching Go json.Marshal of []byte). Unwrap to its
+                    # "1" exactly like the reference client
+                    # (bindings/python/opentick/client.py:371-374).
+                    blob = msg["2"]
+                    if isinstance(blob, str):
+                        import base64 as _b64
+
+                        blob = _b64.b64decode(blob)
+                    msg["1"] = self._dec(blob).get("1")
                 fut = futures.pop(msg.get("0"), None)
                 if fut is not None and not fut.done():
                     fut.set_result(msg.get("1"))
@@ -336,6 +353,10 @@ class TCPConnection:
 
     def _request(self, msg: dict, retried: bool = False) -> CFuture:
         with self._lock:
+            if msg.get("1") in ("run", "batch") and isinstance(
+                msg.get("2"), int
+            ):
+                msg["2"] = self._pid_remap.get(msg["2"], msg["2"])
             self._ticket += 1
             msg["0"] = self._ticket
             fut: CFuture = CFuture()
@@ -352,24 +373,47 @@ class TCPConnection:
                 return self._request(dict(msg), retried=True)
         return fut
 
+    def _rpc_locked(self, msg: dict):
+        """Send one request on the fresh socket and wait — used only
+        inside the reconnect path (lock already held, no retry)."""
+        self._ticket += 1
+        fut: CFuture = CFuture()
+        self._futures[self._ticket] = fut
+        self._send_frame(
+            self._sock, self._enc({**msg, "0": self._ticket})
+        )
+        res = fut.result(30)
+        if isinstance(res, str):
+            raise Error(res)
+        return res
+
     def _reconnect_locked(self) -> None:
         try:
             self._sock.close()
         except OSError:
             pass
+        # resolve every pid the caller may still hold to its sql text so
+        # it can be re-prepared on the new connection
+        old_sql_by_pid: dict[int, str] = {
+            pid: sql for sql, pid in self._prepared_sql.items()
+        }
+        for old_pid, cur_pid in self._pid_remap.items():
+            if cur_pid in old_sql_by_pid:
+                old_sql_by_pid.setdefault(old_pid, old_sql_by_pid[cur_pid])
         self._prepared_sql.clear()
         self._connect()
+        # dispatch is concurrent server-side — the session-db switch must
+        # complete before anything else is resent
         if self._db:
-            self._ticket += 1
-            fut: CFuture = CFuture()
-            self._futures[self._ticket] = fut
-            self._send_frame(
-                self._sock,
-                self._enc({"0": self._ticket, "1": "use", "2": self._db}),
-            )
-            # dispatch is concurrent server-side — the session-db switch
-            # must complete before the retried request is resent
-            fut.result(30)
+            self._rpc_locked({"1": "use", "2": self._db})
+        remap: dict[int, int] = {}
+        for sql in sorted(set(old_sql_by_pid.values())):
+            new_pid = self._rpc_locked({"1": "prepare", "2": sql})
+            self._prepared_sql[sql] = new_pid
+            for old_pid, s in old_sql_by_pid.items():
+                if s == sql:
+                    remap[old_pid] = new_pid
+        self._pid_remap = remap
 
     @staticmethod
     def _result(fut: CFuture, timeout: float | None = None):
@@ -417,12 +461,30 @@ class TCPConnection:
             self._prepared_sql[sql] = pid
         return pid
 
-    def execute(self, sql: str | int, args: Iterable[Any] = (), timeout=60.0):
-        return self._result(self.execute_async(sql, args)._fut, timeout)
+    def execute(
+        self,
+        sql: str | int,
+        args: Iterable[Any] = (),
+        timeout=60.0,
+        cache: bool = True,
+    ):
+        return self._result(self.execute_async(sql, args, cache)._fut, timeout)
 
-    def execute_async(self, sql: str | int, args: Iterable[Any] = ()) -> Future:
+    def execute_async(
+        self, sql: str | int, args: Iterable[Any] = (), cache: bool = True
+    ) -> Future:
+        # "4" is the use-cache flag (Go client always sends 1,
+        # client/opentick.go:351); only meaningful for prepared selects
+        # on a --cache server
         args = list(args)
-        fut = self._request({"1": "run", "2": sql, "3": args})
+        if isinstance(sql, str) and args:
+            # parameterized sql auto-prepares like the reference client
+            # (client/opentick.go:340-347) — this is what routes repeat
+            # queries through the server's response cache
+            sql = self.prepare(sql)
+        fut = self._request(
+            {"1": "run", "2": sql, "3": args, "4": 1 if cache else 0}
+        )
         wrapped: CFuture = CFuture()
 
         def chain(f):

@@ -32,10 +32,12 @@ only carries SQL in and collected client-sized results out.
 
 from __future__ import annotations
 
+import base64
 import json
 import socket
 import struct
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
@@ -112,6 +114,7 @@ class _Session:
             permission_control=server.permission_control,
         )
         self.prepared: dict[int, int] = {}  # wire id -> engine prepared id
+        self.prepared_sql: dict[int, str] = {}  # wire id -> sql text
         self._next_id = 0
         self._wlock = threading.Lock()
         self.alive = True
@@ -121,8 +124,11 @@ class _Session:
             send_frame(self.sock, payload)
 
     def reply(self, ticket: Any, result: Any) -> None:
+        self.reply_raw(self.server._enc({"0": ticket, "1": result}))
+
+    def reply_raw(self, payload: bytes) -> None:
         try:
-            self.send(self.server._enc({"0": ticket, "1": result}))
+            self.send(payload)
         except OSError:
             self.alive = False
 
@@ -158,15 +164,45 @@ class _Session:
                 pid = self.engine.prepare(msg["2"])
                 self._next_id += 1
                 self.prepared[self._next_id] = pid
+                self.prepared_sql[self._next_id] = msg["2"]
                 self.reply(ticket, self._next_id)
                 return
             if cmd == "run":
                 what = msg["2"]
                 args = tuple(msg.get("3") or ())
+                # Wire-path response cache (reference server.go:341-350 +
+                # reply():201-203): PREPARED selects with the client's
+                # use-cache flag ("4") are served from a server-level
+                # cache of PRE-SERIALIZED replies — a hit sends the
+                # stored bytes in key "2" without touching the engine
+                # (clients unwrap "2" to the inner reply's "1"). Like
+                # the reference, hits are stale within the TTL.
+                cache_key = None
                 if isinstance(what, int):
+                    sql_text = self.prepared_sql.get(what)
+                    if (
+                        self.server.cache_expiration > 0
+                        and msg.get("4")
+                        and sql_text is not None
+                        and sql_text.lstrip().lower().startswith("select")
+                    ):
+                        cache_key = (sql_text, repr(args))
+                        hit = self.server._cache_get(cache_key)
+                        if hit is not None:
+                            self.reply_raw(
+                                self.server._enc(
+                                    {"0": ticket, "2": self.server._blob(hit)}
+                                )
+                            )
+                            return
                     what = self._engine_pid(what)
                 rows = self.engine.execute_rows(what, *args)
-                self.reply(ticket, _jsonable_rows(rows))
+                payload = self.server._enc(
+                    {"0": ticket, "1": _jsonable_rows(rows)}
+                )
+                if cache_key is not None:
+                    self.server._cache_put(cache_key, payload)
+                self.reply_raw(payload)
                 return
             if cmd == "batch":
                 pid = self._engine_pid(msg["2"])
@@ -225,6 +261,7 @@ class OpentickServer:
         heartbeat_s: float = 10.0,
         permission_control: bool = False,
         protocol: str = "json",
+        cache_expiration: float = 0.0,
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -237,6 +274,12 @@ class OpentickServer:
         self.protocol = protocol
         self.heartbeat_s = heartbeat_s
         self.permission_control = permission_control
+        # --cache N: server-level TTL cache of pre-serialized replies for
+        # prepared selects (reference --cache flag, main.go:14 +
+        # server.go:27,39); 0 disables
+        self.cache_expiration = cache_expiration
+        self._resp_cache: dict[tuple, tuple[float, bytes]] = {}
+        self._cache_lock = threading.Lock()
         self._pool = ThreadPoolExecutor(max_workers=min(max_concurrency, 64))
         self._gate = threading.Semaphore(max_concurrency)
         self._sessions: set[_Session] = set()
@@ -310,3 +353,134 @@ class OpentickServer:
     def _drop(self, sess: _Session) -> None:
         with self._lock:
             self._sessions.discard(sess)
+
+    # -- wire response cache -------------------------------------------
+    def _blob(self, payload: bytes):
+        """Codec-shape the cached reply bytes for key "2": BSON carries
+        real binary; JSON carries base64 text (exactly what Go's
+        json.Marshal does to []byte — clients mirror the decode)."""
+        if self.protocol == "bson":
+            return payload
+        return base64.b64encode(payload).decode("ascii")
+
+    def _cache_get(self, key: tuple) -> bytes | None:
+        with self._cache_lock:
+            hit = self._resp_cache.get(key)
+            if hit is None:
+                return None
+            expiry, payload = hit
+            if time.time() >= expiry:
+                del self._resp_cache[key]
+                return None
+            return payload
+
+    def _cache_put(self, key: tuple, payload: bytes) -> None:
+        with self._cache_lock:
+            if len(self._resp_cache) > 4096:  # lazy expiry sweep
+                now = time.time()
+                for k in [
+                    k for k, (exp, _) in self._resp_cache.items() if now >= exp
+                ]:
+                    del self._resp_cache[k]
+            self._resp_cache[key] = (
+                time.time() + self.cache_expiration,
+                payload,
+            )
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI server launcher — the reference's ``main/main.go:9-27`` flag
+    surface re-expressed for the Spark engine: ``--addr`` listen address,
+    ``--warehouse`` storage root (the FDB-cluster-file analog),
+    ``--max_concurrency`` dispatch bound, ``--timeout`` heartbeat
+    seconds, ``--cache`` response-cache TTL (0 = off),
+    ``--permission_control``, ``--protocol`` bson (reference default) or
+    json. Prints one machine-readable ready line once listening."""
+    import argparse
+    import tempfile
+
+    p = argparse.ArgumentParser(prog="python -m opentick_spark.server")
+    p.add_argument(
+        "--addr", default="0.0.0.0:1116", help="tcp listen address host:port"
+    )
+    p.add_argument(
+        "--warehouse",
+        default=None,
+        help="table storage root directory (created if missing; "
+        "default: a fresh temp dir)",
+    )
+    p.add_argument(
+        "--max_concurrency",
+        type=int,
+        default=100,
+        help="max concurrently dispatched requests",
+    )
+    p.add_argument(
+        "--timeout",
+        type=int,
+        default=30,
+        help="client heartbeat interval in seconds",
+    )
+    p.add_argument(
+        "--cache",
+        type=float,
+        default=0.0,
+        help="cache expiration time in seconds, 0 means no cache",
+    )
+    p.add_argument(
+        "--permission_control", action="store_true",
+        help="turn on permission control",
+    )
+    p.add_argument(
+        "--protocol", choices=["bson", "json"], default="bson",
+        help="wire codec (reference default: bson)",
+    )
+    args = p.parse_args(argv)
+
+    host, _, port_s = args.addr.rpartition(":")
+    if not host:
+        host, port_s = args.addr, "1116"
+    warehouse = args.warehouse or tempfile.mkdtemp(prefix="otspark_wh_")
+
+    import os
+
+    from opentick_spark.session import get_spark
+
+    # long-lived server session: hours of accumulated shuffle/broadcast
+    # state NEEDS the periodic-GC cleanup cadence (unlike the short bench
+    # run, where it was the r3 regression — PLANS.md session-sizing
+    # matrix); 5min keeps the ContextCleaner fed without the 45s
+    # stop-the-world density. Env override still wins.
+    extra = (
+        {}
+        if os.environ.get("SPARK_GRAFT_PERIODIC_GC")
+        else {"spark.cleaner.periodicGC.interval": "5min"}
+    )
+    spark = get_spark(app_name="opentick_spark_server", extra_conf=extra)
+    server = OpentickServer(
+        spark,
+        warehouse,
+        host=host,
+        port=int(port_s),
+        max_concurrency=args.max_concurrency,
+        heartbeat_s=float(args.timeout),
+        permission_control=args.permission_control,
+        protocol=args.protocol,
+        cache_expiration=args.cache,
+    ).start()
+    # machine-readable ready line (tests and process supervisors key on it)
+    print(
+        f"OPENTICK_SPARK_LISTENING {server.host} {server.port} "
+        f"protocol={server.protocol} warehouse={warehouse}",
+        flush=True,
+    )
+    try:
+        server._stop.wait()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

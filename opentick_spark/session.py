@@ -19,6 +19,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    driver_memory: str | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
@@ -53,28 +54,24 @@ def get_spark(
     gc_interval = os.environ.get("SPARK_GRAFT_PERIODIC_GC", "")
     if gc_interval:
         builder = builder.config("spark.cleaner.periodicGC.interval", gc_interval)
-    # In local mode the driver JVM IS the whole cluster (all executor
-    # threads share its heap); pyspark's 1g default is sized for a
-    # cluster driver that only coordinates, and 32 concurrent hash
-    # aggregations starve it into OutOfMemoryError long before the
-    # machine is loaded. But BIGGER IS NOT BETTER: a half-RAM (62g)
-    # heap made GC so lazy that the ContextCleaner's weak-ref cleanup
-    # starved and the bench's later queries degraded 3-10× (measured:
-    # suite 24s @1g-when-it-survives, 28s @8g, 45s @62g). Production
-    # executor JVMs are sized 8-16g for exactly this GC-health reason —
-    # mirror that: a quarter of RAM clamped to [4g, 16g], overridable
-    # via SPARK_DRIVER_MEMORY. Must be set before the JVM launches —
-    # ignored on getOrCreate of an existing session.
-    mem = os.environ.get("SPARK_DRIVER_MEMORY")
-    if not mem:
-        try:
-            total_gb = (
-                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-            ) / (1 << 30)
-            mem = f"{max(4, min(int(total_gb * 0.25), 16))}g"
-        except (ValueError, OSError, AttributeError):
-            mem = "4g"
-    builder = builder.config("spark.driver.memory", mem)
+    # Driver heap: LEAVE SPARK'S 1g DEFAULT unless asked. The r3 attempt
+    # to "production-size" the local heap (RAM/4 clamped to 16g +
+    # periodicGC 45s) cost 24% on the driver bench; the r4 measurement
+    # matrix (PLANS.md, 2 reps × fresh JVM each, sf0.1 suite) reads:
+    #   1g/defaultGC 24.8/27.0 · 4g/defaultGC 27.8/28.1 · 4g/45s
+    #   29.8/36.4 · 8g/defaultGC 34.6/26.2 · 16g/defaultGC 29.5/28.8 ·
+    #   16g/45s ≈ r3's 36.9 driver number.
+    # Small heap = frequent cheap young-GCs that also keep the
+    # ContextCleaner's weak-ref cleanup flowing; big heaps only delay and
+    # fatten collections at this working-set size, and a forced
+    # System.gc() every 45s lands mid-suite. Entry points with a larger
+    # working set (oracle_check runs all 109 registry queries in one
+    # session) opt in via ``driver_memory=`` or SPARK_DRIVER_MEMORY;
+    # must be set before the JVM launches — ignored on getOrCreate of an
+    # existing session.
+    mem = os.environ.get("SPARK_DRIVER_MEMORY") or driver_memory
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -8,8 +8,9 @@ and int32/int64/double/string/bool/null/array/nested-document values.
 Python ints choose int32 vs int64 by range; both decode back to ``int``.
 
 Element types used: 0x01 double, 0x02 string, 0x03 document, 0x04 array
-(document keyed "0", "1", …), 0x08 bool, 0x0A null, 0x10 int32,
-0x12 int64.
+(document keyed "0", "1", …), 0x05 binary (subtype 0x00 — carries the
+server's pre-serialized cached replies, reference reply() key "2"),
+0x08 bool, 0x0A null, 0x10 int32, 0x12 int64.
 """
 
 from __future__ import annotations
@@ -46,6 +47,8 @@ def _enc_element(name: str, v: Any) -> bytes:
     if isinstance(v, str):
         b = v.encode("utf-8")
         return b"\x02" + key + _I32.pack(len(b) + 1) + b + b"\x00"
+    if isinstance(v, (bytes, bytearray)):
+        return b"\x05" + key + _I32.pack(len(v)) + b"\x00" + bytes(v)
     if isinstance(v, dict):
         return b"\x03" + key + dumps(v)
     if isinstance(v, (list, tuple)):
@@ -82,6 +85,10 @@ def _dec_element(t: int, data: bytes, at: int) -> tuple[Any, int]:
         (n,) = _I32.unpack_from(data, at)
         s = data[at + 4 : at + 4 + n - 1].decode("utf-8")
         return s, at + 4 + n
+    if t == 0x05:
+        (n,) = _I32.unpack_from(data, at)
+        # at+4 is the subtype byte (generic 0x00); payload follows
+        return data[at + 5 : at + 5 + n], at + 5 + n
     if t == 0x03:
         (n,) = _I32.unpack_from(data, at)
         return _dec_doc(data, at), at + n

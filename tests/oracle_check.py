@@ -46,7 +46,12 @@ def main():
     from opentick_spark.session import get_spark
     from opentick_spark.workload import EXTRA_ORACLES, EXTRA_QUERIES
 
-    spark = get_spark(app_name="oracle_check", shuffle_partitions=8)
+    # one session runs all 109 registry queries back-to-back — a larger
+    # working set than the bench's; 8g measured safe (the 1g default is
+    # tuned for the short driver-shaped bench run, see session.py)
+    spark = get_spark(
+        app_name="oracle_check", shuffle_partitions=8, driver_memory="8g"
+    )
     # driver-window queries (via the driver's own entry points) PLUS the
     # extra relational registry the driver doesn't see — all oracle-checked
     qs = dict(entrymod.queries())

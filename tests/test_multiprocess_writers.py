@@ -1,0 +1,84 @@
+"""Multi-process writer stress (S8 atomicity across PROCESSES): N real
+OS processes batch-committing into one table concurrently. The flock
+(`TableStore._file_lock`) serializes commit-seq allocation the way FDB
+transactions do for the reference; this asserts the end-to-end contract:
+
+- no lost or double-allocated commits (contiguous seq 1..N, one
+  published commit file per seq, meta.seq == N),
+- latest-wins resolution: the engine's read equals a model computed
+  independently from the raw commit log (max (__seq, __sub) per PK,
+  tombstones drop the key).
+"""
+
+import glob
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+from opentick_spark.table import fcntl
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_WORKERS = 4
+N_BATCHES = 8
+N_KEYS = 25
+
+
+@pytest.mark.skipif(fcntl is None, reason="no fcntl on this platform")
+def test_concurrent_process_writers_no_lost_commits(spark, tmp_path):
+    from opentick_spark.engine import Engine
+
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, wh)
+    eng.execute("create database mp")
+    eng.use("mp")
+    eng.execute("create table t(a int, v int, primary key(a))")
+
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(REPO, "tests", "_mp_writer.py"),
+                wh,
+                "mp",
+                "t",
+                str(w),
+                str(N_BATCHES),
+                str(N_KEYS),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for w in range(N_WORKERS)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err
+        assert "WORKER_DONE" in out
+
+    store = eng.store("mp", "t")
+    # 1. commit-log integrity: one commit per allocated seq, contiguous
+    files = sorted(glob.glob(os.path.join(store.log_path, "commit-*.parquet")))
+    seqs = [int(os.path.basename(f)[7:19]) for f in files]
+    assert store.current_seq() == N_WORKERS * N_BATCHES
+    assert seqs == list(range(1, N_WORKERS * N_BATCHES + 1))
+
+    # 2. latest-wins truth computed INDEPENDENTLY from the raw log
+    import pandas as pd
+
+    raw = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    raw = raw.sort_values(["__seq", "__sub"], kind="stable")
+    last = raw.groupby("a", as_index=False).last()
+    expected = {
+        int(r["a"]): int(r["v"])
+        for _, r in last.iterrows()
+        if not r["__del"]
+    }
+
+    got = {a: v for a, v in eng.execute_rows("select * from t")}
+    assert got == expected
+    assert 0 < len(got) <= N_KEYS

@@ -1,0 +1,113 @@
+"""Wire-path response cache (C5 over C9): a --cache server stores the
+PRE-SERIALIZED reply for prepared selects and serves hits in key "2"
+without touching the engine — reference server.go:341-350 + reply()
+:201-203, behavior mirrored from Test_Server_Cache
+(server_test.go:161-183): reads are STALE within the TTL (deleted rows
+keep appearing), fresh after expiry."""
+
+import time
+
+import pytest
+
+from opentick_spark.client import connect_tcp
+
+
+@pytest.fixture(scope="module")
+def cache_server(spark, tmp_path_factory):
+    from opentick_spark.server import OpentickServer
+
+    wh = str(tmp_path_factory.mktemp("cache_wh"))
+    srv = OpentickServer(
+        spark, wh, heartbeat_s=5.0, cache_expiration=1.5
+    ).start()
+    yield srv
+    srv.stop()
+
+
+def _count_engine_calls(monkeypatch):
+    from opentick_spark.engine import Engine
+
+    calls = {"n": 0}
+    orig = Engine.execute_rows
+
+    def counted(self, sql, *args):
+        calls["n"] += 1
+        return orig(self, sql, *args)
+
+    monkeypatch.setattr(Engine, "execute_rows", counted)
+    return calls
+
+
+def test_wire_cache_stale_hits_skip_engine(cache_server, monkeypatch):
+    calls = _count_engine_calls(monkeypatch)
+    c = connect_tcp("127.0.0.1", cache_server.port)
+    try:
+        if "wc" not in c.list_databases():
+            c.execute("create database wc")
+        c.use("wc")
+        c.execute(
+            "create table test(sec int, interval int, tm timestamp, "
+            "open double, primary key(sec, interval, tm))"
+        )
+        c.execute(
+            "insert into test(sec, interval, tm, open) values(?, ?, ?, ?)",
+            (1, 2, [5, 0], 2.2),
+        )
+        c.execute(
+            "insert into test(sec, interval, tm, open) values(?, ?, ?, ?)",
+            (1, 2, [6, 0], 2.2),
+        )
+        # parameterized select auto-prepares → cache-capable
+        assert len(c.execute("select * from test where sec=?", (1,))) == 2
+        n_after_first = calls["n"]
+        assert cache_server._resp_cache  # reply bytes were stored
+        c.execute("delete from test where sec=?", (1,))
+        # stale within TTL: deleted rows still appear AND the engine is
+        # not re-invoked for the cached select
+        assert len(c.execute("select * from test where sec=?", (1,))) == 2
+        assert calls["n"] == n_after_first + 1  # only the delete ran
+        # a no-cache execute bypasses and sees the truth immediately
+        assert c.execute("select * from test where sec=?", (1,), cache=False) == []
+        time.sleep(1.6)  # TTL expiry → fresh execution
+        assert c.execute("select * from test where sec=?", (1,)) == []
+    finally:
+        c.close()
+
+
+def test_wire_cache_keyed_by_args(cache_server):
+    c = connect_tcp("127.0.0.1", cache_server.port)
+    try:
+        if "wc2" not in c.list_databases():
+            c.execute("create database wc2")
+        c.use("wc2")
+        c.execute("create table t(a int, v int, primary key(a))")
+        c.batch_insert(
+            "insert into t(a, v) values(?, ?)", [(i, i * 10) for i in range(4)]
+        )
+        assert c.execute("select v from t where a=?", (1,)) == [(10,)]
+        # different args must not collide with the cached (a=1) reply
+        assert c.execute("select v from t where a=?", (2,)) == [(20,)]
+        assert c.execute("select v from t where a=?", (1,)) == [(10,)]
+    finally:
+        c.close()
+
+
+def test_wire_reconnect_remaps_held_pids(cache_server):
+    """A caller-held prepared id must survive a reconnect: the client
+    re-prepares on the fresh connection and remaps old ids (reference
+    client keeps ids stable across its reconnect path)."""
+    c = connect_tcp("127.0.0.1", cache_server.port)
+    try:
+        if "wc3" not in c.list_databases():
+            c.execute("create database wc3")
+        c.use("wc3")
+        c.execute("create table t(a int, v int, primary key(a))")
+        ins = c.prepare("insert into t(a, v) values(?, ?)")
+        sel = c.prepare("select v from t where a=?")
+        c.execute(ins, (1, 10))
+        c._sock.close()  # drop the connection; pids are now server-stale
+        c.execute(ins, (2, 20))  # retried via reconnect + re-prepare
+        assert c.execute(sel, (1,)) == [(10,)]
+        assert c.execute(sel, (2,)) == [(20,)]
+    finally:
+        c.close()
