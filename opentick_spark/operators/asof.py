@@ -29,6 +29,7 @@ def asof_join(
     tolerance: int | None = None,
     strategy: str = "merge",
     skew_buckets: int | None = None,
+    broadcast_buckets: int | None = None,
 ) -> DataFrame:
     """Attach the as-of row's ``value_cols`` from ``right`` to each row of
     ``left``. NULLs when no right row qualifies (or it is farther than
@@ -36,13 +37,22 @@ def asof_join(
 
     ``strategy="merge"`` (default) is the sorted-merge window above — no
     size assumption on either side. ``strategy="broadcast"`` is the
-    skew-immune plan for a broadcastable right side (reference data,
-    corporate events, …): each right row becomes a half-open validity
-    interval per key ([t, next_t) backward; [prev_t, t) forward), the
-    interval table is broadcast, and the left stream resolves its as-of
-    row with a broadcast-hash join + interval filter — the left side
-    keeps its partitioning, so one hyper-hot key cannot bound the stage
-    (same tradeoff as operators/adj.with_adj_factors).
+    plan for a broadcastable right side (reference data, corporate
+    events, …): each right row becomes a half-open validity interval per
+    key ([t, next_t) backward; [prev_t, t) forward), the interval table
+    is broadcast, and the left stream resolves its as-of row with a
+    broadcast-hash join + interval filter — the left side keeps its
+    partitioning, so a hyper-hot LEFT key cannot bound the stage (same
+    tradeoff as operators/adj.with_adj_factors). CAVEAT (measured,
+    tests/skew_drill.py): a hyper-hot RIGHT key degenerates this plan —
+    the hash join matches every interval of the key then post-filters,
+    so each left row scans O(intervals-of-its-key) (145 s vs 0.6 s merge
+    on the 80%-hot 1M-row fixture). ``broadcast_buckets=N`` fixes that
+    by time-bucketing the broadcast side: each interval replicates to
+    the buckets it spans and the join gains a bucket equi-key, bounding
+    the per-row scan to intervals overlapping one bucket. Costs one
+    min/max pass over the left time column and ~N extra broadcast rows
+    per key.
 
     ``skew_buckets=N`` (merge strategy only) time-buckets the sorted-merge
     window: the heavy window partitions by (keys, time-bucket) instead of
@@ -87,7 +97,47 @@ def asof_join(
             & (F.col("__lo").isNull() | (lt >= F.col("__lo")))
             & (F.col("__hi").isNull() | (lt < F.col("__hi")))
         )
-        out = left.join(F.broadcast(iv), cond, "left")
+        join_left = left
+        if broadcast_buckets is not None and broadcast_buckets > 1:
+            # bucket equi-key bounds the per-left-row interval scan: one
+            # driver-side min/max of the left time column sizes the
+            # buckets, intervals are clamped to the observed left range
+            # (out-of-range and zero-width ones can never match) and
+            # replicated to every bucket they overlap
+            b = left.agg(
+                F.min(left_time).alias("lo"), F.max(left_time).alias("hi")
+            ).first()
+            llo, lhi = b["lo"], b["hi"]
+            if llo is not None:
+                width = max(1, (lhi - llo) // broadcast_buckets + 1)
+                lo_c = F.greatest(
+                    F.coalesce(F.col("__lo"), F.lit(llo)), F.lit(llo)
+                )
+                hi_c = F.least(
+                    F.coalesce(F.col("__hi"), F.lit(lhi + 1)), F.lit(lhi + 1)
+                )
+                # integer div: double division would lose ulps on
+                # ns-scale longs and could mis-bucket boundary rows
+                iv = (
+                    iv.withColumn("__lo_c", lo_c)
+                    .withColumn("__hi_c", hi_c)
+                    .filter(F.col("__lo_c") < F.col("__hi_c"))
+                    .withColumn(
+                        "__bkt",
+                        F.explode(
+                            F.sequence(
+                                F.expr(f"(__lo_c - {llo}L) div {width}L"),
+                                F.expr(f"(__hi_c - 1 - {llo}L) div {width}L"),
+                            )
+                        ),
+                    )
+                    .drop("__lo_c", "__hi_c")
+                )
+                join_left = left.withColumn(
+                    "__lbkt", F.expr(f"({left_time} - {llo}L) div {width}L")
+                )
+                cond = cond & (F.col("__lbkt") == F.col("__bkt"))
+        out = join_left.join(F.broadcast(iv), cond, "left")
         if tolerance is not None:
             gap = (
                 (lt - F.col("__vrow.__rt"))

@@ -1,0 +1,107 @@
+"""Hot-key skew machinery on a genuinely skewed fixture (80% of rows on
+one key) — the pytest counterpart of tests/skew_drill.py (which measured
+the same shapes at 1M rows: occupancy 0.666 -> 0.022 with skew_buckets,
+and 145 s -> ~2.8 s for broadcast with broadcast_buckets)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentick_spark.operators.asof import asof_join
+
+HOT = 7
+
+
+@pytest.fixture(scope="module")
+def hot_fixture(spark):
+    # 2000 left rows, 80% on key HOT; right = every 5th row per key
+    left = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 8, F.lit(HOT))
+        .otherwise(F.col("id") % 10)
+        .alias("k"),
+        (F.col("id") * 7 % 997).alias("t"),
+        F.col("id").alias("rowid"),
+    )
+    right = spark.range(400).select(
+        F.when(F.col("id") % 10 < 8, F.lit(HOT))
+        .otherwise(F.col("id") % 10)
+        .alias("k"),
+        (F.col("id") * 31 % 997).alias("rt"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    return left, right
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_merge_skew_buckets_identical_on_hot_key(spark, hot_fixture, direction):
+    left, right = hot_fixture
+    plain = asof_join(
+        left, right, ["k"], "t", "rt", direction=direction, value_cols=["v"]
+    )
+    bucketed = asof_join(
+        left, right, ["k"], "t", "rt", direction=direction,
+        value_cols=["v"], skew_buckets=16,
+    )
+    assert _rows(plain) == _rows(bucketed)
+    # the heavy window must partition by (k, __b), not (k,) alone
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "__b" in plan
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_broadcast_buckets_identical_on_hot_key(spark, hot_fixture, direction):
+    left, right = hot_fixture
+    merge = asof_join(
+        left, right, ["k"], "t", "rt", direction=direction, value_cols=["v"]
+    )
+    bb = asof_join(
+        left, right, ["k"], "t", "rt", direction=direction,
+        value_cols=["v"], strategy="broadcast", broadcast_buckets=64,
+    )
+    assert _rows(merge) == _rows(bb)
+
+
+def test_broadcast_buckets_is_hash_join_on_bucket_key(spark, hot_fixture):
+    """The bucket column must become a hash-join equi-key: the plan is a
+    BroadcastHashJoin including __lbkt/__bkt, never a nested loop — that
+    equi-key is exactly what bounds the per-left-row interval scan."""
+    left, right = hot_fixture
+    bb = asof_join(
+        left, right, ["k"], "t", "rt", value_cols=["v"],
+        strategy="broadcast", broadcast_buckets=64,
+    )
+    plan = bb._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__lbkt" in plan and "__bkt" in plan
+
+
+def test_broadcast_buckets_tolerance_and_missing_keys(spark, hot_fixture):
+    left, right = hot_fixture
+    # key 99 exists only on the left -> NULL payload rows survive
+    extra = left.union(
+        left.limit(3).select(F.lit(99).alias("k"), "t", "rowid")
+    )
+    merge = asof_join(
+        extra, right, ["k"], "t", "rt", value_cols=["v"], tolerance=50
+    )
+    bb = asof_join(
+        extra, right, ["k"], "t", "rt", value_cols=["v"], tolerance=50,
+        strategy="broadcast", broadcast_buckets=32,
+    )
+    assert _rows(merge) == _rows(bb)
+    assert bb.filter(F.col("k") == 99).count() == 3
+    assert bb.filter(F.col("k") == 99).filter(F.col("v").isNotNull()).count() == 0
+
+
+def test_broadcast_buckets_empty_left(spark, hot_fixture):
+    left, right = hot_fixture
+    out = asof_join(
+        left.filter(F.lit(False)), right, ["k"], "t", "rt",
+        value_cols=["v"], strategy="broadcast", broadcast_buckets=32,
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "t", "rowid", "v"}
