@@ -178,29 +178,133 @@ def ewma(
     ts_col: str,
     value_col: str,
     alpha: float,
+    skew_buckets: int | None = None,
 ) -> DataFrame:
     """Exponentially weighted moving average per key:
     ``y_0 = x_0;  y_t = (1-alpha) * y_{t-1} + alpha * x_t``.
 
     The recurrence has no bounded-window form (every output depends on
     the entire prefix) and the closed-form rewrite ``(1-alpha)^{-t}``
-    overflows doubles after ~1k rows, so this is the textbook case for
+    overflows doubles after ~1k rows, so the default is the textbook
     ``applyInPandas``: one shuffle on the key, then each key's series is
     a single vectorized ``Series.ewm`` call in C — Arrow in, Arrow out,
     no per-row Python. Output: input columns + ``ewma``.
+
+    ``skew_buckets=N`` parallelizes a hyper-hot key (the drill's finding
+    4, PLANS.md): the recurrence is LINEAR, so a time-bucketed split
+    composes exactly. Per (key, bucket) the Arrow kernel emits the
+    zero-seeded partial ``p_i`` (EWMA of the bucket with carry-in 0) and
+    the decay ``d_i = (1-alpha)^i``; the true value is
+    ``y_i = p_i + d_i * c_b`` where the bucket's carry-in ``c_b`` rolls
+    up through the per-bucket linear maps ``y -> P_b + D_b * y`` — a
+    #keys × N frame folded with one ``aggregate`` HOF, then broadcast
+    back. Seeding is uniform because pandas' first-row convention
+    (``y_1 = x_1``) is the same map with ``c_1 = x_1``. Equivalent to
+    the sequential path up to FP associativity (pinned ~1e-9 in
+    tests/test_skew.py); NULL values are not supported in bucketed mode
+    (the sequential path inherits pandas NaN skipping).
     """
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", ewma double"
 
-    def per_key(pdf):
-        pdf = pdf.sort_values(ts_col)
-        pdf["ewma"] = (
-            pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
-        )
-        return pdf
+    if not skew_buckets or skew_buckets <= 1:
 
-    return df.groupBy(*key_cols).applyInPandas(per_key, out_schema)
+        def per_key(pdf):
+            pdf = pdf.sort_values(ts_col)
+            pdf["ewma"] = (
+                pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+            )
+            return pdf
+
+        return df.groupBy(*key_cols).applyInPandas(per_key, out_schema)
+
+    import numpy as np
+    import pandas as pd
+
+    bounds = df.agg(
+        F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        lo, width = 0, 1
+    else:
+        width = max(1, (hi - lo) // skew_buckets + 1)
+    with_b = df.withColumn("__b", F.expr(f"({ts_col} - {lo}L) div {width}L"))
+
+    partial_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in with_b.schema.fields
+    ) + ", __p double, __d double"
+    group_cols = [*key_cols, "__b"]
+
+    # mapInPandas over repartition+sortWithinPartitions, NOT
+    # applyInPandas per (key, bucket): a hot key × N buckets means tens
+    # of thousands of tiny groups, and per-group Arrow slicing costs
+    # ~1 ms each (measured: 42 s vs ~3 s at 1M rows / 48k groups).
+    # Pandas' Cython group-EWM does the whole partition in one call;
+    # zero-seeded partials follow from the uniform-seed identity
+    # p_i = ys_i - d_i * x_first (standard group ewm IS the c = x_1
+    # seeding).
+    def per_partition(it):
+        chunks = list(it)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        # groups are contiguous and ordered (sortWithinPartitions), so
+        # the group-ewm concat order equals row order
+        g = pdf.groupby(group_cols, sort=False)
+        ys = (
+            g[value_col].ewm(alpha=alpha, adjust=False).mean().to_numpy()
+        )
+        d = np.power(1.0 - alpha, g.cumcount().to_numpy() + 1.0)
+        xf = g[value_col].transform("first").to_numpy(dtype=float)
+        pdf["__p"] = ys - d * xf
+        pdf["__d"] = d
+        yield pdf
+
+    partials = (
+        with_b.repartition(*group_cols)
+        .sortWithinPartitions(*group_cols, ts_col)
+        .mapInPandas(per_partition, partial_schema)
+    )
+    # two consumers (summary + final join): checkpoint so the Python
+    # stage and its shuffle run once
+    partials = partials.localCheckpoint(eager=False)
+
+    # per-bucket linear map (P_b, D_b) + the key's very first value;
+    # #keys × N rows, trivially small at any data volume
+    summ = partials.groupBy(*key_cols, "__b").agg(
+        F.max_by("__p", ts_col).alias("__P"),
+        F.max_by("__d", ts_col).alias("__D"),
+        # double: the aggregate() fold's accumulator type is fixed by its
+        # initial value — an integer value_col must not leak BIGINT in
+        F.min_by(value_col, ts_col).cast("double").alias("__xf"),
+    )
+    wb = Window.partitionBy(*key_cols).orderBy("__b")
+    summ = (
+        summ.withColumn("__xf1", F.first("__xf").over(wb))
+        .withColumn(
+            "__hist",
+            F.collect_list(F.struct("__P", "__D")).over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "__carry",
+            F.aggregate(
+                "__hist",
+                F.col("__xf1"),
+                lambda acc, s: s["__P"] + s["__D"] * acc,
+            ),
+        )
+        .select(*key_cols, "__b", "__carry")
+    )
+    out = partials.join(F.broadcast(summ), [*key_cols, "__b"]).withColumn(
+        "ewma", F.col("__p") + F.col("__d") * F.col("__carry")
+    )
+    return out.select(*df.columns, "ewma")
 
 
 def session_windows(

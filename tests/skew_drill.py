@@ -167,6 +167,12 @@ def main():
         lambda: mat(ewma(skewed, ["user_id"], "t", "value", alpha=0.2)),
     )
     timed(
+        "ewma_skew_buckets_32",
+        lambda: mat(
+            ewma(skewed, ["user_id"], "t", "value", alpha=0.2, skew_buckets=32)
+        ),
+    )
+    timed(
         "ohlcv_hourly_rollup",
         lambda: mat(
             ohlcv_bars(skewed, ["user_id"], "t", "value", bucket_seconds=3600)

@@ -97,6 +97,46 @@ def test_broadcast_buckets_tolerance_and_missing_keys(spark, hot_fixture):
     assert bb.filter(F.col("k") == 99).filter(F.col("v").isNotNull()).count() == 0
 
 
+def test_ewma_skew_buckets_matches_sequential(spark):
+    """Bucketed EWMA composes the per-bucket linear maps exactly: it must
+    match the sequential pandas path to FP-associativity tolerance on the
+    hot-key fixture (including keys whose rows span many buckets and keys
+    living in a single bucket)."""
+    from opentick_spark.operators.timeseries import ewma
+
+    # EWMA is order-sensitive: ts must be unique per key (PK semantics),
+    # unlike the as-of fixture where ties are resolved by the operator
+    left = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 8, F.lit(HOT))
+        .otherwise(F.col("id") % 10)
+        .alias("k"),
+        (F.col("id") * 13 % 4001).alias("t"),
+        F.col("id").alias("rowid"),
+        (F.col("id") % 17 * 1.25).alias("v"),
+    )
+    seq = {
+        (r["k"], r["rowid"]): r["ewma"]
+        for r in ewma(left, ["k"], "t", "v", alpha=0.3).collect()
+    }
+    par = {
+        (r["k"], r["rowid"]): r["ewma"]
+        for r in ewma(left, ["k"], "t", "v", alpha=0.3, skew_buckets=16).collect()
+    }
+    assert seq.keys() == par.keys()
+    for key, v in seq.items():
+        assert par[key] == pytest.approx(v, rel=1e-9, abs=1e-9), key
+
+
+def test_ewma_skew_buckets_single_row_and_empty(spark):
+    from opentick_spark.operators.timeseries import ewma
+
+    one = spark.createDataFrame([(1, 10, 5.0)], "k long, t long, v double")
+    got = ewma(one, ["k"], "t", "v", alpha=0.5, skew_buckets=8).collect()
+    assert len(got) == 1 and got[0]["ewma"] == pytest.approx(5.0)
+    empty = one.filter("k < 0")
+    assert ewma(empty, ["k"], "t", "v", alpha=0.5, skew_buckets=8).count() == 0
+
+
 def test_broadcast_buckets_empty_left(spark, hot_fixture):
     left, right = hot_fixture
     out = asof_join(
