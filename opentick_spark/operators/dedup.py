@@ -734,3 +734,97 @@ def semantic_dedup(
         F.col("cell_id").cast("long").alias("cell_id"),
         F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level exact dedup: per-document statistics of token
+    spans whose n-token window occurs >= ``min_count`` times in the
+    corpus (the suffix-array dedup of "Deduplicating Training Data Makes
+    Language Models Better", re-expressed as an n-gram-window inverted
+    index — no suffix array, no pairwise work).
+
+    Plan: tokenize once (posexplode keeps positions), n-gram windows by
+    ``lead`` over position (codegen, no higher-order lambdas), ONE
+    corpus-wide hash aggregation to count window occurrences, a
+    semi-join back marks the duplicated positions, then a per-document
+    gaps-and-islands pass merges overlapping/adjacent windows into
+    maximal spans ([p, p+n) and [q, q+n) merge iff q - p <= n). Shuffles:
+    one explicit spread on id (shared by the window sort and the island
+    merge), one on the gram hash — both key-parallel at any corpus size;
+    a repeated window is corpus-frequency-bounded, never doc-pairwise.
+
+    Output (one row per input doc): id, n_spans, dup_windows,
+    dup_tokens (union coverage in tokens), total_tokens, dup_frac.
+    """
+    toks = _spread_by_id(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(ws_tokens(normalize_text(F.col(text_col)))).alias(
+            "__pos", "__tok"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy("__pos")
+    leads = [F.lead("__tok", j).over(w).alias(f"__l{j}") for j in range(1, n)]
+    grams = (
+        toks.select("id", "__pos", "__tok", *leads)
+        .filter(F.col(f"__l{n-1}").isNotNull())
+        .select(
+            "id",
+            "__pos",
+            F.concat_ws(
+                " ", "__tok", *[f"__l{j}" for j in range(1, n)]
+            ).alias("g"),
+        )
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+    )
+    duppos = grams.join(dup.select("g"), "g", "left_semi").select("id", "__pos")
+    w2 = Window.partitionBy("id").orderBy("__pos")
+    new_island = (
+        F.when(F.lag("__pos").over(w2).isNull(), 1)
+        .when(F.col("__pos") - F.lag("__pos").over(w2) > n, 1)
+        .otherwise(0)
+    )
+    islands = duppos.withColumn(
+        "__isl",
+        F.sum(new_island).over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    span_stats = islands.groupBy("id", "__isl").agg(
+        F.min("__pos").alias("__s"),
+        F.max("__pos").alias("__e"),
+        F.count(F.lit(1)).alias("__w"),
+    )
+    per_doc = span_stats.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("__w").alias("dup_windows"),
+        F.sum(F.col("__e") + n - F.col("__s")).alias("dup_tokens"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(ws_tokens(normalize_text(F.col(text_col))))
+        .cast("long")
+        .alias("total_tokens"),
+    )
+    return totals.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        "total_tokens",
+        F.round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            / F.greatest(F.col("total_tokens"), F.lit(1)),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -1713,3 +1713,52 @@ def streaming_hop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round("sum_value", 4).alias("sum_value"),
     )
+
+
+@q(
+    "dup_span_stats",
+    f"""
+    WITH nd AS (SELECT doc_id, {_NORM} AS __norm FROM documents),
+    t AS (SELECT doc_id, string_split(__norm, ' ') AS toks FROM nd),
+    gr AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS g
+      FROM t, UNNEST(range(1, len(toks) - 6)) AS r(i)
+    ),
+    dup AS (SELECT g FROM gr GROUP BY g HAVING COUNT(*) >= 2),
+    dp AS (SELECT doc_id, pos FROM gr SEMI JOIN dup USING (g)),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM dp)
+    ),
+    sp AS (
+      SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) AS e, COUNT(*) AS w
+      FROM isl GROUP BY 1, 2
+    ),
+    pd AS (
+      SELECT doc_id, COUNT(*) AS n_spans, SUM(w) AS dup_windows,
+             SUM(e + 8 - s) AS dup_tokens
+      FROM sp GROUP BY doc_id
+    )
+    SELECT t.doc_id AS id,
+           COALESCE(pd.n_spans, 0)::BIGINT AS n_spans,
+           COALESCE(pd.dup_windows, 0)::BIGINT AS dup_windows,
+           COALESCE(pd.dup_tokens, 0)::BIGINT AS dup_tokens,
+           len(t.toks)::BIGINT AS total_tokens,
+           ROUND(COALESCE(pd.dup_tokens, 0)::DOUBLE
+                 / GREATEST(len(t.toks), 1), 6) AS dup_frac
+    FROM t LEFT JOIN pd USING (doc_id)
+    """,
+)
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup per document: spans whose 8-token
+    window repeats anywhere in the corpus (operators/dedup.
+    duplicate_spans — the suffix-array dedup of Lee et al. 2022
+    re-expressed as an n-gram-window inverted index + gaps-and-islands
+    span merge; one gram-hash shuffle, no pairwise work)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.duplicate_spans(docs, n=8, min_count=2)

@@ -1115,3 +1115,63 @@ def test_vocab_coverage_exact_and_tie_stable(spark):
     assert r.coverage == round(8 / 12, 6)
     full = vocab_coverage(df, top_n=10).collect()[0]
     assert full.covered_tokens == 12 and full.coverage == 1.0
+
+
+# -- duplicate_spans (substring-level exact dedup) --------------------------
+
+def test_duplicate_spans_known_fixture(spark):
+    """Hand-computed span merge: two docs share one 3-token window; one
+    doc additionally self-repeats a window, with overlapping positions
+    merging into a single maximal span."""
+    from opentick_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            # shares "a b c" with doc 2 at pos 0; "x y z x y z" self-dup?
+            (1, "a b c q r s t u"),
+            (2, "a b c d e f g h"),
+            # "p q r" occurs twice WITHIN this doc (pos 0 and pos 4):
+            # windows [0,3) and [4,7) do not overlap (gap 4 > n=3) -> 2 spans
+            (3, "p q r z p q r w"),
+            (4, "nothing shared here at all"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r.asDict()
+        for r in duplicate_spans(docs, n=3, min_count=2).collect()
+    }
+    # doc 1: dup window "a b c" at pos 0 -> one span of 3 tokens
+    assert got[1]["n_spans"] == 1
+    assert got[1]["dup_tokens"] == 3
+    assert got[1]["total_tokens"] == 8
+    assert got[2]["n_spans"] == 1 and got[2]["dup_tokens"] == 3
+    # doc 3: "p q r" at pos 0 and 4: pos gap 4 > n=3 -> two separate spans
+    assert got[3]["n_spans"] == 2
+    assert got[3]["dup_windows"] == 2
+    assert got[3]["dup_tokens"] == 6
+    # no dups / empty docs still emit a row with zeros
+    assert got[4]["dup_tokens"] == 0 and got[4]["n_spans"] == 0
+    assert got[5]["dup_tokens"] == 0 and got[5]["dup_frac"] == 0.0
+
+
+def test_duplicate_spans_overlap_merge(spark):
+    """Adjacent/overlapping duplicated windows merge into one maximal
+    span whose union length is last_pos + n - first_pos."""
+    from opentick_spark.operators.dedup import duplicate_spans
+
+    # docs 1 and 2 share the 5-token run "a b c d e": with n=3 that is
+    # three overlapping duplicated windows at pos 0,1,2 -> ONE span of 5
+    docs = spark.createDataFrame(
+        [(1, "a b c d e x"), (2, "y a b c d e")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r.asDict()
+        for r in duplicate_spans(docs, n=3, min_count=2).collect()
+    }
+    assert got[1]["n_spans"] == 1
+    assert got[1]["dup_windows"] == 3
+    assert got[1]["dup_tokens"] == 5
+    assert got[2]["dup_tokens"] == 5
