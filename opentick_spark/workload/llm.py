@@ -1762,3 +1762,79 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     span merge; one gram-hash shuffle, no pairwise work)."""
     docs = load(spark, sf_dir, "documents")
     return D.duplicate_spans(docs, n=8, min_count=2)
+
+
+@q(
+    "source_mixture_stats",
+    """
+    WITH d AS (
+      SELECT source,
+             len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_toks
+      FROM documents
+    ),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(n_toks)::BIGINT AS total_tokens
+      FROM d GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens,
+           ROUND(total_tokens::DOUBLE / SUM(total_tokens) OVER (), 6)
+             AS token_share
+    FROM s
+    """,
+)
+def source_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture composition (the what-is-my-corpus-made-of
+    report behind mixture weighting): one hash aggregation on source,
+    then the share normalizer is a window over the #sources-row result —
+    never a second pass over the corpus."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(X.ws_tokens(F.col("text")))).cast("long").alias(
+            "total_tokens"
+        ),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens")
+            / F.sum("total_tokens").over(Window.partitionBy()),
+            6,
+        ).alias("token_share"),
+    )
+
+
+@q(
+    "balanced_sample_per_lang",
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def balanced_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced sampling: exactly min(20, class size) docs
+    per language, selected by md5-of-id rank — reproducible across
+    engines and runs (no rand()), the class-balancing primitive for
+    eval/calibration splits. Catalyst turns the rank filter into a
+    WindowGroupLimit (top-k per key, no full sort of each class)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+    )

@@ -192,3 +192,22 @@ def test_bar_downsample_two_agg_levels(spark, queries):
     plan = plan_of(queries["bar_downsample_daily"](spark, SF))
     assert plan.count("Scan parquet") == 1
     assert plan.count("HashAggregate") >= 4
+
+
+def test_balanced_sample_is_window_group_limit(spark):
+    """min(20, class)-per-lang sampling must be a WindowGroupLimit (top-k
+    per key), not a full per-class sort."""
+    from opentick_spark.workload.llm import balanced_sample_per_lang
+
+    plan = plan_of(balanced_sample_per_lang(spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_dup_span_stats_no_python_udf(spark):
+    """The substring-dedup pipeline is pure built-ins: tokenize, window
+    lead, hash agg, semi-join, islands — no Python evaluation anywhere."""
+    from opentick_spark.workload.llm import dup_span_stats
+
+    plan = plan_of(dup_span_stats(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
