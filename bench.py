@@ -176,6 +176,9 @@ def main():
         "text_quality",
         "text_token_count_total",
         "streaming_window_counts",
+        # r4 addition: substring-level exact dedup (inverted index +
+        # span merge) — the heaviest new text-pipeline shape
+        "dup_span_stats",
     ]
     for name in headline:
         fn = QUERIES[name]

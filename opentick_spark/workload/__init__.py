@@ -34,13 +34,17 @@ The driver's correctness gate checks the FIRST 50 entries of
   rotate into the driver window next round in place of long-stable
   ones.
 
-End of round 3 the ENTIRE registry (window + extras) was value-verified
-against DuckDB at BOTH sf0.01 (the driver's scale) and sf0.1 (10×) —
-the inverted-index rewrite of the Jaccard oracle made the heaviest
-oracles tractable at sf0.1, and that 10× run immediately caught a
-tie-break bug invisible at sf0.01 (see dedup_keeper_by_quality
-history). Run ``SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.1 python
-tests/oracle_check.py`` to reproduce.
+End of round 4 the ENTIRE registry (window + extras, 112 queries) was
+value-verified against DuckDB at BOTH sf0.01 (the driver's scale) and
+sf0.1 (10×) — the 10× run has caught real bugs invisible at sf0.01
+(r3: a keeper tie-break). Run ``SPARK_GRAFT_ORACLE_SF_DIR=
+/root/testdata/sf0.1 python tests/oracle_check.py`` to reproduce.
+
+Round-4 rotation: the driver window swapped in the 17 entries that had
+never had a driver row (snapshot/incremental pipeline, frequency ops,
+time-series/finance block); round-4 additions (dup_span_stats,
+source_mixture_stats, balanced_sample_per_lang) are extras slated to
+rotate in next round per the standing policy.
 """
 
 from opentick_spark.workload.core import ORACLES as _CORE_O
