@@ -411,25 +411,115 @@ def rolling_zscore(
     value_col: str,
     window_rows: int = 20,
     min_obs: int = 5,
+    skew_buckets: int | None = None,
 ) -> DataFrame:
     """Rolling z-score per key over the TRAILING ``window_rows`` rows
     EXCLUDING the current one (a point must not partially explain
     itself): ``z_t = (x_t - mean) / stddev_samp``. NULL until ``min_obs``
     prior observations exist or when the window is constant. The
     train-data outlier gate (|z| > k) and any per-key consumer share the
-    one key shuffle."""
-    w = (
-        Window.partitionBy(*key_cols)
+    one key shuffle.
+
+    ``skew_buckets=N`` splits a hyper-hot key by time-bucketing with an
+    EXACT halo: the heavy window runs per (key, bucket), and each bucket
+    is prepended with the last ``window_rows`` rows of its key's PREFIX
+    (all earlier buckets) as context-only rows — a bounded-frame window
+    only ever looks ``window_rows`` back, so that halo reproduces every
+    frame exactly. The halo source is the per-bucket tail table (last
+    ``window_rows`` rows per (key, bucket) — a row deeper than its own
+    bucket's tail can never reach a later bucket's frame), expanded by a
+    prefix-last-w pass over that keys×N×w-row frame; context rows carry
+    NULL payload and are dropped after the window. Identical results to
+    the unbucketed path (tests/test_skew.py); assumes PK-unique ts per
+    key like every order-sensitive operator."""
+    if not skew_buckets or skew_buckets <= 1:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(ts_col)
+            .rowsBetween(-window_rows, -1)
+        )
+        mu = F.avg(value_col).over(w)
+        sd = F.stddev_samp(value_col).over(w)
+        n = F.count(value_col).over(w)
+        z = F.when(
+            (n >= min_obs) & (sd > 0), (F.col(value_col) - mu) / sd
+        )
+        return df.withColumn("n_window", n).withColumn("zscore", z)
+
+    import pandas as pd
+
+    bounds = df.agg(
+        F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        lo, width = 0, 1
+    else:
+        width = max(1, (hi - lo) // skew_buckets + 1)
+    with_b = df.withColumn("__b", F.expr(f"({ts_col} - {lo}L) div {width}L"))
+
+    # last window_rows rows of every (key, bucket): the only rows that
+    # can ever appear in a later bucket's trailing frame
+    wdesc = Window.partitionBy(*key_cols, "__b").orderBy(F.col(ts_col).desc())
+    tails = (
+        with_b.select(*key_cols, "__b", ts_col, value_col)
+        .withColumn("__rn", F.row_number().over(wdesc))
+        .filter(F.col("__rn") <= window_rows)
+        .drop("__rn")
+    )
+
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in key_cols
+    )
+    ts_t = df.schema[ts_col].dataType.simpleString()
+    v_t = df.schema[value_col].dataType.simpleString()
+    ctx_schema = f"{key_fields}, __b long, {ts_col} {ts_t}, {value_col} {v_t}"
+
+    def expand(pdf: pd.DataFrame):
+        # per key: for each bucket, emit the last window_rows rows of the
+        # concatenated earlier-bucket tails as that bucket's context
+        pdf = pdf.sort_values(["__b", ts_col])
+        keys = {c: pdf.iloc[0][c] for c in key_cols}
+        out_b, out_ts, out_v = [], [], []
+        prefix_ts: list = []
+        prefix_v: list = []
+        for b, grp in pdf.groupby("__b", sort=True):
+            for t, v in zip(prefix_ts[-window_rows:], prefix_v[-window_rows:]):
+                out_b.append(b)
+                out_ts.append(t)
+                out_v.append(v)
+            prefix_ts.extend(grp[ts_col].tolist())
+            prefix_v.extend(grp[value_col].tolist())
+            # only the last window_rows of the prefix ever matter
+            prefix_ts = prefix_ts[-window_rows:]
+            prefix_v = prefix_v[-window_rows:]
+        out = pd.DataFrame({"__b": out_b, ts_col: out_ts, value_col: out_v})
+        for c, val in keys.items():
+            out[c] = val
+        return out[[*key_cols, "__b", ts_col, value_col]]
+
+    ctx = tails.groupBy(*key_cols).applyInPandas(expand, ctx_schema)
+    own = with_b.withColumn("__ctx", F.lit(0))
+    merged = own.unionByName(
+        ctx.withColumn("__ctx", F.lit(1)), allowMissingColumns=True
+    )
+    w2 = (
+        Window.partitionBy(*key_cols, "__b")
         .orderBy(ts_col)
         .rowsBetween(-window_rows, -1)
     )
-    mu = F.avg(value_col).over(w)
-    sd = F.stddev_samp(value_col).over(w)
-    n = F.count(value_col).over(w)
-    z = F.when(
-        (n >= min_obs) & (sd > 0), (F.col(value_col) - mu) / sd
+    mu = F.avg(value_col).over(w2)
+    sd = F.stddev_samp(value_col).over(w2)
+    n = F.count(value_col).over(w2)
+    z = F.when((n >= min_obs) & (sd > 0), (F.col(value_col) - mu) / sd)
+    return (
+        merged.withColumn("n_window", n)
+        .withColumn("zscore", z)
+        .filter(F.col("__ctx") == 0)
+        .select(*df.columns, "n_window", "zscore")
     )
-    return df.withColumn("n_window", n).withColumn("zscore", z)
 
 
 def pairwise_correlation(

@@ -172,6 +172,18 @@ def main():
             ewma(skewed, ["user_id"], "t", "value", alpha=0.2, skew_buckets=32)
         ),
     )
+    from opentick_spark.operators.timeseries import rolling_zscore
+
+    timed(
+        "rolling_zscore_hot_window",
+        lambda: mat(rolling_zscore(skewed, ["user_id"], "t", "value")),
+    )
+    timed(
+        "rolling_zscore_skew_buckets_32",
+        lambda: mat(
+            rolling_zscore(skewed, ["user_id"], "t", "value", skew_buckets=32)
+        ),
+    )
     timed(
         "ohlcv_hourly_rollup",
         lambda: mat(

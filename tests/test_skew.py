@@ -145,3 +145,63 @@ def test_broadcast_buckets_empty_left(spark, hot_fixture):
     )
     assert out.count() == 0
     assert set(out.columns) == {"k", "t", "rowid", "v"}
+
+
+def test_rolling_zscore_skew_buckets_matches_plain(spark):
+    """Halo-bucketed rolling z-score must reproduce every trailing frame
+    exactly: n_window AND zscore identical to the plain window path,
+    including the NULL-before-min_obs and constant-window gates."""
+    from opentick_spark.operators.timeseries import rolling_zscore
+
+    left = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 8, F.lit(HOT))
+        .otherwise(F.col("id") % 10)
+        .alias("k"),
+        (F.col("id") * 13 % 4001).alias("t"),
+        (F.col("id") % 23 * 1.5).alias("v"),
+    )
+    kw = dict(window_rows=20, min_obs=5)
+    plain = {
+        (r["k"], r["t"]): (r["n_window"], r["zscore"])
+        for r in rolling_zscore(left, ["k"], "t", "v", **kw).collect()
+    }
+    bucketed = {
+        (r["k"], r["t"]): (r["n_window"], r["zscore"])
+        for r in rolling_zscore(
+            left, ["k"], "t", "v", skew_buckets=16, **kw
+        ).collect()
+    }
+    assert plain.keys() == bucketed.keys()
+    for key, (n1, z1) in plain.items():
+        n2, z2 = bucketed[key]
+        assert n1 == n2, key
+        if z1 is None:
+            assert z2 is None, key
+        else:
+            assert z2 == pytest.approx(z1, rel=1e-9, abs=1e-12), key
+
+
+def test_rolling_zscore_skew_buckets_sparse_buckets(spark):
+    """Frames spanning MULTIPLE earlier buckets (sparse buckets with
+    fewer rows than the window) must still see the full prefix halo."""
+    from opentick_spark.operators.timeseries import rolling_zscore
+
+    # 30 rows, one key, times spread so ~2 rows land per bucket at N=16:
+    # every frame of 20 reaches ~10 buckets back
+    rows = [(1, i * 100, float(i % 7)) for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    kw = dict(window_rows=20, min_obs=3)
+    plain = {
+        r["t"]: (r["n_window"], r["zscore"])
+        for r in rolling_zscore(df, ["k"], "t", "v", **kw).collect()
+    }
+    bucketed = {
+        r["t"]: (r["n_window"], r["zscore"])
+        for r in rolling_zscore(df, ["k"], "t", "v", skew_buckets=16, **kw).collect()
+    }
+    assert plain.keys() == bucketed.keys()
+    for t, (n1, z1) in plain.items():
+        n2, z2 = bucketed[t]
+        assert (n1, z1 is None) == (n2, z2 is None), t
+        if z1 is not None:
+            assert z2 == pytest.approx(z1, rel=1e-9), t
