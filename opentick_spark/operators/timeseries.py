@@ -134,6 +134,7 @@ def gap_fill(
     bucket_col: str,
     value_cols: list[str],
     bucket_seconds: int,
+    skew_buckets: int | None = None,
 ) -> DataFrame:
     """Fill missing buckets per key with the last observation carried
     forward (the tick-DB 'locf' resample).
@@ -144,7 +145,13 @@ def gap_fill(
     ``last(ignorenulls)`` per value column. Two shuffles total (spine
     join + window), both on the same key — co-partitioned under AQE.
     ``is_filled`` marks carried rows.
-    """
+
+    ``skew_buckets=N``: LOCF is a carry-composable prefix op — the
+    heavy window runs per (key, time-bucket); the carry-in per value
+    column is the last non-null observation of any earlier bucket
+    (per-(key, bucket) ``max_by`` → keys×N frame → one tiny
+    ``last(ignorenulls)`` window), applied via ``coalesce``. Identical
+    results (tests/test_skew.py)."""
     step = bucket_seconds * NS
     spine = (
         bars.groupBy(*key_cols)
@@ -159,17 +166,69 @@ def gap_fill(
     joined = spine.join(bars, [*key_cols, bucket_col], "left")
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(*key_cols)
+    if not skew_buckets or skew_buckets <= 1:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = joined.withColumn(
+            "is_filled", F.col(value_cols[0]).isNull()
+        )
+        for c in value_cols:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        return out
+
+    bounds = joined.agg(
+        F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        lo, width = 0, 1
+    else:
+        width = max(1, (hi - lo) // skew_buckets + 1)
+    with_b = joined.withColumn(
+        "__b", F.expr(f"({bucket_col} - {lo}L) div {width}L")
+    )
+    w_in = (
+        Window.partitionBy(*key_cols, "__b")
         .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = joined.withColumn(
+    wprev = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # last non-null per (key, bucket, col): max_by with a NULL ordering
+    # key for NULL values — aggregates skip NULL keys, so an all-NULL
+    # bucket carries NULL
+    bl = with_b.groupBy(*key_cols, "__b").agg(
+        *[
+            F.max_by(
+                c, F.when(F.col(c).isNotNull(), F.col(bucket_col))
+            ).alias(f"__bl_{c}")
+            for c in value_cols
+        ]
+    )
+    for c in value_cols:
+        bl = bl.withColumn(
+            f"__carry_{c}", F.last(f"__bl_{c}", ignorenulls=True).over(wprev)
+        )
+    carry = bl.select(
+        *key_cols, "__b", *[f"__carry_{c}" for c in value_cols]
+    )
+    out = with_b.join(F.broadcast(carry), [*key_cols, "__b"]).withColumn(
         "is_filled", F.col(value_cols[0]).isNull()
     )
     for c in value_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out
+        out = out.withColumn(
+            c,
+            F.coalesce(
+                F.last(c, ignorenulls=True).over(w_in), F.col(f"__carry_{c}")
+            ),
+        )
+    return out.select(*joined.columns, "is_filled")
 
 
 def ewma(
@@ -387,20 +446,63 @@ def drawdown(
     key_cols: list[str],
     ts_col: str,
     price_col: str,
+    skew_buckets: int | None = None,
 ) -> DataFrame:
     """Running peak and drawdown per key:
     ``peak_t = max(p_s, s<=t)``, ``drawdown_t = p_t/peak_t - 1`` (≤ 0).
     One window pass (running max) — the same single key shuffle as any
     per-key series op; downstream per-key aggregation (max drawdown)
-    reuses the partitioning."""
-    w = (
-        Window.partitionBy(*key_cols)
+    reuses the partitioning.
+
+    ``skew_buckets=N``: running max is associative, so a hot key splits
+    exactly — in-bucket running max combined (``greatest``) with the
+    carry-in, where the carry is the running max of the per-(key,
+    bucket) maxima (a keys×N frame, one tiny window). Identical results
+    (tests/test_skew.py)."""
+    if not skew_buckets or skew_buckets <= 1:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        peak = F.max(price_col).over(w)
+        return df.withColumn("peak", peak).withColumn(
+            "drawdown", F.col(price_col) / F.col("peak") - 1
+        )
+
+    bounds = df.agg(
+        F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        lo, width = 0, 1
+    else:
+        width = max(1, (hi - lo) // skew_buckets + 1)
+    with_b = df.withColumn("__b", F.expr(f"({ts_col} - {lo}L) div {width}L"))
+    w_in = (
+        Window.partitionBy(*key_cols, "__b")
         .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    peak = F.max(price_col).over(w)
-    return df.withColumn("peak", peak).withColumn(
-        "drawdown", F.col(price_col) / F.col("peak") - 1
+    wprev = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        with_b.groupBy(*key_cols, "__b")
+        .agg(F.max(price_col).alias("__m"))
+        .withColumn("__carry", F.max("__m").over(wprev))
+        .select(*key_cols, "__b", "__carry")
+    )
+    return (
+        with_b.join(F.broadcast(carry), [*key_cols, "__b"])
+        # greatest skips NULLs: the first bucket has no carry
+        .withColumn(
+            "peak", F.greatest(F.max(price_col).over(w_in), F.col("__carry"))
+        )
+        .withColumn("drawdown", F.col(price_col) / F.col("peak") - 1)
+        .select(*df.columns, "peak", "drawdown")
     )
 
 

@@ -205,3 +205,57 @@ def test_rolling_zscore_skew_buckets_sparse_buckets(spark):
         assert (n1, z1 is None) == (n2, z2 is None), t
         if z1 is not None:
             assert z2 == pytest.approx(z1, rel=1e-9), t
+
+
+def test_drawdown_skew_buckets_matches_plain(spark):
+    from opentick_spark.operators.timeseries import drawdown
+
+    left = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 8, F.lit(HOT))
+        .otherwise(F.col("id") % 10)
+        .alias("k"),
+        (F.col("id") * 13 % 4001).alias("t"),
+        (F.col("id") % 29 * 1.5 + 1.0).alias("p"),
+    )
+    plain = {
+        (r["k"], r["t"]): (r["peak"], r["drawdown"])
+        for r in drawdown(left, ["k"], "t", "p").collect()
+    }
+    bucketed = {
+        (r["k"], r["t"]): (r["peak"], r["drawdown"])
+        for r in drawdown(left, ["k"], "t", "p", skew_buckets=16).collect()
+    }
+    assert plain == bucketed
+
+
+def test_gap_fill_skew_buckets_matches_plain(spark):
+    """Carry-composed LOCF: gaps spanning several buckets (and leading
+    gaps before any observation) must fill identically to the plain
+    unbounded window."""
+    from opentick_spark.operators.timeseries import NS, gap_fill
+
+    # sparse observations: many missing buckets between them, two value
+    # columns with independent NULL patterns
+    rows = []
+    for k in (1, 2):
+        for i in (0, 1, 9, 10, 47, 90):
+            rows.append(
+                (
+                    k,
+                    i * NS,
+                    float(i) if i % 3 else None,
+                    float(i * 10),
+                )
+            )
+    df = spark.createDataFrame(rows, "k long, b long, x double, y double")
+    plain = sorted(
+        map(tuple, gap_fill(df, ["k"], "b", ["x", "y"], 1).collect())
+    )
+    bucketed = sorted(
+        map(
+            tuple,
+            gap_fill(df, ["k"], "b", ["x", "y"], 1, skew_buckets=8).collect(),
+        )
+    )
+    assert plain == bucketed
+    assert len(plain) == 2 * 91  # dense spine 0..90 per key
