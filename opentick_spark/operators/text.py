@@ -377,6 +377,68 @@ def unigram_logprob(
     return scored
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    add-k-smoothed bigram language model — the step up from
+    ``unigram_logprob`` toward KenLM-style perplexity filtering:
+
+    ``p(w|v) = (c2(v,w) + k) / (c1(v) + k·V)`` where ``c2`` counts
+    bigrams, ``c1(v)`` counts v-as-context (the bigram marginal, so the
+    conditional normalizes over the smoothed vocabulary), and ``V`` is
+    the corpus vocabulary size.
+
+    Scale shape: the bigram table is NOT broadcast (unlike the unigram
+    model it can outgrow the vocabulary by orders of magnitude) — the
+    scoring join shuffles on the bigram key, which is exactly how the
+    counts were built, so the exchange is reused. The context table is
+    vocabulary-sized and broadcast; V is a 1-row broadcast. Docs with
+    fewer than 2 tokens emit ``n_bigrams=0`` with NULL nll.
+    Output: (id, n_bigrams, nll).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("__pos", "t"),
+    )
+    w = Window.partitionBy("id").orderBy("__pos")
+    pairs = (
+        toks.select("id", F.lag("t").over(w).alias("v"), "t")
+        .filter(F.col("v").isNotNull())
+    )
+    c2 = pairs.groupBy("v", "t").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = pairs.groupBy("v").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.agg(F.countDistinct("t").cast("double").alias("__vocab"))
+    scored = (
+        pairs.join(c2, ["v", "t"])
+        .join(F.broadcast(c1), "v")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (
+                -F.avg(
+                    F.log(
+                        (F.col("c2") + F.lit(add_k))
+                        / (F.col("c1") + F.lit(add_k) * F.col("__vocab"))
+                    )
+                )
+            ).alias("nll"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        "nll",
+    )
+
+
 def _adjacent_pairs(col: Column) -> Column:
     """structs of adjacent element pairs of an array column."""
     n = F.size(col)

@@ -124,9 +124,15 @@ class _Session:
             send_frame(self.sock, payload)
 
     def reply(self, ticket: Any, result: Any) -> None:
-        self.reply_raw(self.server._enc({"0": ticket, "1": result}))
+        self.reply_raw(self.server._enc({"0": ticket, "1": result}), ticket)
 
-    def reply_raw(self, payload: bytes) -> None:
+    def reply_raw(self, payload: bytes, ticket: Any = None) -> None:
+        # reference reply() guards the frame size and answers with an
+        # error string instead of a corrupt length prefix
+        # (server.go:197-200 "Results too large"); our receivers also
+        # enforce MAX_FRAME, so oversized replies must degrade to errors
+        if len(payload) > MAX_FRAME:
+            payload = self.server._enc({"0": ticket, "1": "Results too large"})
         try:
             self.send(payload)
         except OSError:
@@ -192,7 +198,8 @@ class _Session:
                             self.reply_raw(
                                 self.server._enc(
                                     {"0": ticket, "2": self.server._blob(hit)}
-                                )
+                                ),
+                                ticket,
                             )
                             return
                     what = self._engine_pid(what)
@@ -202,7 +209,7 @@ class _Session:
                 )
                 if cache_key is not None:
                     self.server._cache_put(cache_key, payload)
-                self.reply_raw(payload)
+                self.reply_raw(payload, ticket)
                 return
             if cmd == "batch":
                 pid = self._engine_pid(msg["2"])

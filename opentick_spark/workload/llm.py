@@ -1838,3 +1838,48 @@ def balanced_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id")
     )
+
+
+@q(
+    "text_bigram_nll",
+    """
+    WITH ws AS (
+      SELECT doc_id AS id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    toks AS (
+      SELECT id, toks[i] AS t, i AS pos
+      FROM ws, UNNEST(range(1, len(toks) + 1)) AS r(i)
+    ),
+    pairs AS (
+      SELECT id, lag(t) OVER (PARTITION BY id ORDER BY pos) AS v, t
+      FROM toks QUALIFY v IS NOT NULL
+    ),
+    c2 AS (SELECT v, t, COUNT(*) AS c2 FROM pairs GROUP BY v, t),
+    c1 AS (SELECT v, COUNT(*) AS c1 FROM pairs GROUP BY v),
+    vocab AS (SELECT COUNT(DISTINCT t)::DOUBLE AS V FROM toks),
+    scored AS (
+      SELECT p.id, COUNT(*)::BIGINT AS n_bigrams,
+             -AVG(ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * vocab.V))) AS nll
+      FROM pairs p
+      JOIN c2 ON c2.v = p.v AND c2.t = p.t
+      JOIN c1 ON c1.v = p.v
+      CROSS JOIN vocab
+      GROUP BY p.id
+    )
+    SELECT d.doc_id AS id,
+           COALESCE(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+           ROUND(s.nll, 6) AS nll
+    FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
+    """,
+)
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring (operators/text.bigram_logprob):
+    add-1-smoothed conditional NLL per document under the corpus's own
+    bigram model — the KenLM-style quality filter one rung above the
+    unigram signal. The bigram count table is joined, never broadcast
+    (it outgrows the vocabulary); the context table and V broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    out = X.bigram_logprob(docs)
+    return out.select("id", "n_bigrams", F.round("nll", 6).alias("nll"))

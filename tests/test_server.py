@@ -193,6 +193,8 @@ def test_bson_codec_property():
         st.floats(allow_nan=False),
         # BSON strings are UTF-8: lone surrogates are unencodable by spec
         st.text(st.characters(blacklist_categories=("Cs",))),
+        # 0x05 binary (generic subtype) — carries cached-reply blobs
+        st.binary(max_size=64),
     )
     values = st.recursive(
         scalars,
@@ -286,3 +288,37 @@ def test_wire_malformed_frame_kills_only_that_session(server):
         c.close()
         bad.close()
         bad2.close()
+
+
+def test_bson_binary_element_roundtrip():
+    from opentick_spark import wire_bson as B
+
+    doc = {"0": 7, "2": b"\x00\x01\xffraw bytes", "empty": b""}
+    assert B.loads(B.dumps(doc)) == doc
+
+
+def test_oversized_reply_degrades_to_error_string(server, monkeypatch):
+    """A reply larger than MAX_FRAME must become a 'Results too large'
+    error (reference reply(), server.go:197-200) — never a frame the
+    receiver's MAX_FRAME guard would sever the connection over."""
+    import opentick_spark.server as srv
+    from opentick_spark.errors import OpentickError
+
+    monkeypatch.setattr(srv, "MAX_FRAME", 4096)
+    c = connect_tcp("127.0.0.1", server.port)
+    try:
+        _mkdb(c, "big")
+        c.execute("create table t(a int, v text, primary key(a))")
+        # keep each REQUEST under the shrunken MAX_FRAME (it caps the
+        # server's receive path too); only the reply exceeds it
+        for b in range(10):
+            c.batch_insert(
+                "insert into t(a, v) values(?, ?)",
+                [(b * 10 + i, "x" * 200) for i in range(10)],
+            )
+        with pytest.raises(OpentickError, match="Results too large"):
+            c.execute("select * from t")
+        # the session survives and small replies still flow
+        assert c.execute("select v from t where a=1") == [("x" * 200,)]
+    finally:
+        c.close()
