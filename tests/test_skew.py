@@ -259,3 +259,64 @@ def test_gap_fill_skew_buckets_matches_plain(spark):
     )
     assert plain == bucketed
     assert len(plain) == 2 * 91  # dense spine 0..90 per key
+
+
+def test_hot_key_detection_and_split(spark, hot_fixture):
+    from opentick_spark.operators.skew import split_by_hot_keys
+
+    left, _ = hot_fixture
+    # keys 8/9 own 10% each; only key 7 (80%) crosses a 0.3 threshold
+    hot, cold, hk = split_by_hot_keys(left, ["k"], threshold=0.3)
+    assert [r["k"] for r in hk.collect()] == [HOT]
+    assert hot.count() == 1600 and cold.count() == 400
+    assert hot.filter(F.col("k") != HOT).count() == 0
+    assert cold.filter(F.col("k") == HOT).count() == 0
+    # a lower threshold also nets the 10% keys
+    hk2 = split_by_hot_keys(left, ["k"], threshold=0.05)[2]
+    assert sorted(r["k"] for r in hk2.collect()) == [7, 8, 9]
+
+
+def test_route_hot_cold_rolling_zscore_identical(spark):
+    """Routing (plain path for the long tail, halo-bucketed path for the
+    hot keys) must equal the plain path on everything."""
+    from opentick_spark.operators.skew import route_hot_cold
+    from opentick_spark.operators.timeseries import rolling_zscore
+
+    left = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 8, F.lit(HOT))
+        .otherwise(F.col("id") % 10)
+        .alias("k"),
+        (F.col("id") * 13 % 4001).alias("t"),
+        (F.col("id") % 23 * 1.5).alias("v"),
+    )
+    kw = dict(window_rows=20, min_obs=5)
+    plain = {
+        (r["k"], r["t"]): (r["n_window"], r["zscore"])
+        for r in rolling_zscore(left, ["k"], "t", "v", **kw).collect()
+    }
+    routed = {
+        (r["k"], r["t"]): (r["n_window"], r["zscore"])
+        for r in route_hot_cold(
+            left,
+            ["k"],
+            lambda d: rolling_zscore(d, ["k"], "t", "v", **kw),
+            lambda d: rolling_zscore(d, ["k"], "t", "v", skew_buckets=16, **kw),
+            threshold=0.05,
+        ).collect()
+    }
+    assert plain.keys() == routed.keys()
+    for key, (n1, z1) in plain.items():
+        n2, z2 = routed[key]
+        assert n1 == n2, key
+        if z1 is None:
+            assert z2 is None, key
+        else:
+            assert z2 == pytest.approx(z1, rel=1e-9), key
+
+
+def test_hot_keys_threshold_validation(spark, hot_fixture):
+    from opentick_spark.operators.skew import hot_keys
+
+    left, _ = hot_fixture
+    with pytest.raises(ValueError, match="threshold"):
+        hot_keys(left, ["k"], threshold=1.5)
