@@ -125,9 +125,15 @@ def with_adj_factors(
       table is **broadcast**: rows resolve their factor with a
       broadcast-hash equi-join on ``sec`` plus an interval filter, no
       Exchange of the row stream at all. Row-side partitioning (however
-      skewed) is preserved; cost is a per-row probe. Use when the factor
-      table fits a broadcast (practically always) and the row stream is
-      large or skewed.
+      skewed) is preserved; cost is a per-row probe over THAT security's
+      intervals — bounded by the corporate-action count per security
+      (dozens in practice). A right side with a hyper-hot key would
+      degenerate this probe (measured on the generic as-of:
+      tests/skew_drill.py, fixed there with
+      ``asof_join(broadcast_buckets=N)``); adjustment factors cannot
+      reach that shape, which is why this path needs no bucketing. Use
+      when the factor table fits a broadcast (practically always) and
+      the row stream is large or skewed.
     """
     if strategy not in ("merge", "broadcast"):
         raise ValueError("strategy must be 'merge' or 'broadcast'")

@@ -278,6 +278,30 @@ def minhash_signatures(
     return g.select("id", sig.alias("sig"))
 
 
+def band_buckets(
+    sigs: DataFrame, num_hashes: int, bands: int, sig_col: str = "sig"
+) -> DataFrame:
+    """(id, band, bucket) rows from minhash signatures: band bucket =
+    xxhash64 over the band's signature longs directly (multi-arg hash —
+    no string casts, small plan, codegen-friendly); built as ONE
+    expression string to avoid py4j chatter. Shared by the batch LSH
+    pairs and the streaming near-dup detector."""
+    rows_per_band = num_hashes // bands
+    band_exprs = ", ".join(
+        "xxhash64("
+        + ", ".join(
+            f"{sig_col}[{i}]"
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    return sigs.select(
+        "id",
+        F.posexplode(F.expr(f"array({band_exprs})")).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -296,7 +320,6 @@ def minhash_lsh_pairs(
     (band, band-hash), so cost scales with collisions, not pairs.
     Output: (id_a, id_b, jac) — same contract as ngram_jaccard_pairs.
     """
-    rows_per_band = num_hashes // bands
     # one tokenize pass: materialize shingle SETS first (co-partitioned
     # on id by exploded_shingles' spread), derive both the signatures and
     # the verification arrays from that shared subplan — Catalyst reuses
@@ -318,21 +341,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, id_col, text_col, n, num_hashes, seed, shingles=re_exploded
     )
-    # band bucket = xxhash64 over the band's signature longs directly
-    # (multi-arg hash — no string casts, small plan, codegen-friendly);
-    # built as ONE expression string to avoid py4j chatter
-    band_exprs = ", ".join(
-        "xxhash64("
-        + ", ".join(
-            f"sig[{i}]" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-        )
-        + ")"
-        for b in range(bands)
-    )
-    banded = sigs.select(
-        "id",
-        F.posexplode(F.expr(f"array({band_exprs})")).alias("band", "bucket"),
-    )
+    banded = band_buckets(sigs, num_hashes, bands)
     cand = (
         banded.alias("x")
         .join(

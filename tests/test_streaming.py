@@ -189,3 +189,110 @@ def test_stream_upsert_jsonl_source(spark, tmp_path):
     q.awaitTermination()
     rows = sorted((r.sec, r.tm, r.px) for r in store.read(spark).collect())
     assert rows == [(1, 10, 20.0), (1, 20, 40.0)]  # later file wins
+
+
+def test_stream_neardup_lsh_cross_batch(spark, tmp_path):
+    """Streaming near-dup detection: a doc in batch 2 that near-matches a
+    doc from batch 1 is reported (cross-batch state), in-batch dups break
+    ties by id, and the full detection set equals the batch LSH run over
+    the whole corpus."""
+    from opentick_spark.operators.dedup import band_buckets, minhash_signatures
+    from opentick_spark.streaming.neardup import (
+        neardup_results,
+        stream_neardup_lsh,
+    )
+    from pyspark.sql import functions as F
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet green meadow near the old stone bridge"
+    )
+    uniq = [
+        "completely different text about spacecraft telemetry and orbital mechanics calculations",
+        "a recipe for sourdough bread with long fermentation and careful folding technique",
+        "legal boilerplate concerning indemnification clauses and limitation of liability terms",
+        "weather report heavy snowfall expected across the northern mountain passes tonight",
+    ]
+    batch1 = [
+        (1, base),
+        (2, base.replace("dog", "cat")),  # near-dup of 1, in-batch
+        (3, uniq[0]),
+        (4, uniq[1]),
+    ]
+    batch2 = [
+        (11, base.replace("rain", "snow")),  # near-dup of 1/2, CROSS-batch
+        (12, uniq[2]),
+        (13, uniq[3]),
+    ]
+    src = tmp_path / "ndsrc"
+    src.mkdir()
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"f{i}"))
+        t = time.time() - 30 + i * 10
+        for root, _, files in os.walk(src / f"f{i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    state = str(tmp_path / "ndstate")
+    q = stream_neardup_lsh(
+        spark,
+        str(src / "f*"),
+        "doc_id long, text string",
+        state,
+        str(tmp_path / "ndckpt"),
+        threshold=0.5,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["id"], r["dup_of"]): r["est_jac"]
+        for r in neardup_results(spark, state).collect()
+    }
+    # in-batch pair (2, 1) and cross-batch pairs (11, 1), (11, 2)
+    assert (2, 1) in got
+    assert (11, 1) in got and (11, 2) in got
+    for v in got.values():
+        assert v >= 0.5
+    # never a self-pair or a later-doc partner
+    assert all(i > d for i, d in got)
+
+    # equivalence vs the batch run over the full corpus (same code path)
+    full = spark.createDataFrame(
+        batch1 + batch2, "doc_id long, text string"
+    )
+    sigs = minhash_signatures(full, "doc_id", "text", n=2, num_hashes=96)
+    b = band_buckets(sigs, 96, 24)
+    cand = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") > F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id"), F.col("y.id").alias("dup_of"))
+        .distinct()
+    )
+    sx = sigs.select(F.col("id"), F.col("sig").alias("__sx"))
+    sy = sigs.select(F.col("id").alias("dup_of"), F.col("sig").alias("__sy"))
+    ref = {
+        (r["id"], r["dup_of"])
+        for r in cand.join(sx, "id")
+        .join(sy, "dup_of")
+        .withColumn(
+            "est",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("__sx"), F.col("__sy"), lambda a, c: a == c),
+                    lambda x: x,
+                )
+            ).cast("double")
+            / F.lit(96),
+        )
+        .filter(F.col("est") >= 0.5)
+        .collect()
+    }
+    assert set(got) == ref
