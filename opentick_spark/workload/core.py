@@ -1683,3 +1683,54 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.explode(F.array("p1", "p2", "p3")).alias("p")
     ).select("p.col", "p.n_rows", "p.n_null", "p.n_distinct", "p.min_s", "p.max_s")
+
+
+@q(
+    "data_quality_report",
+    """
+    WITH m AS (
+      SELECT
+        SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::DOUBLE
+          / GREATEST(COUNT(*), 1) AS m0,
+        (COUNT(event_id) - COUNT(DISTINCT event_id))::DOUBLE AS m1,
+        SUM(CASE WHEN value IS NOT NULL
+                  AND value NOT BETWEEN 0 AND 1000 THEN 1 ELSE 0 END)::DOUBLE
+          AS m2,
+        SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                  ('click','error','purchase','signup','view')
+             THEN 1 ELSE 0 END)::DOUBLE AS m3,
+        COUNT(*)::DOUBLE AS m4
+      FROM events
+    )
+    SELECT r.rule, r.metric, r.bound, r.passed FROM m, LATERAL (
+      SELECT * FROM (VALUES
+        ('not_null(value)', ROUND(m.m0, 6), 0.0, m.m0 <= 0.0),
+        ('unique(event_id)', ROUND(m.m1, 6), 0.0, m.m1 <= 0.0),
+        ('in_range(value,0,1000)', ROUND(m.m2, 6), 0.0, m.m2 <= 0.0),
+        ('accepted_values(event_type)', ROUND(m.m3, 6), 0.0, m.m3 <= 0.0),
+        ('min_rows(1000)', ROUND(m.m4, 6), 1000.0, m.m4 >= 1000.0)
+      ) AS v(rule, metric, bound, passed)
+    ) r
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style validation suite over events (operators/quality.py):
+    five rules compiled into ONE aggregation over ONE scan — null-frac
+    bound, exact uniqueness, range check, accepted-set check, row floor.
+    At 100 TB the property that matters is structural: adding a rule
+    adds an aggregate expression, never a pass over the data."""
+    from opentick_spark.operators import quality as Q
+
+    ev = load(spark, sf_dir, "events")
+    return Q.validate(
+        ev,
+        [
+            Q.not_null("value"),
+            Q.unique("event_id"),
+            Q.in_range("value", 0, 1000),
+            Q.accepted_values(
+                "event_type", ["click", "error", "purchase", "signup", "view"]
+            ),
+            Q.min_rows(1000),
+        ],
+    )

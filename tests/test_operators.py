@@ -1175,3 +1175,57 @@ def test_duplicate_spans_overlap_merge(spark):
     assert got[1]["dup_windows"] == 3
     assert got[1]["dup_tokens"] == 5
     assert got[2]["dup_tokens"] == 5
+
+
+# -- data-quality validation suite ------------------------------------------
+
+def test_quality_validate_single_pass(spark):
+    from opentick_spark.operators import quality as Q
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.com", 5.0, "view"),
+            (2, "bad-email", 50.0, "view"),
+            (2, None, 2000.0, "weird"),
+        ],
+        "id long, email string, v double, t string",
+    )
+    report = Q.validate(
+        df,
+        [
+            Q.not_null("email", max_null_frac=0.5),
+            Q.not_null("email"),
+            Q.unique("id"),
+            Q.in_range("v", 0, 100),
+            Q.accepted_values("t", ["view", "click"]),
+            Q.min_rows(3),
+            Q.matches("email", r"^[^@]+@[^@]+$", max_bad_frac=0.0),
+        ],
+    )
+    rows = {r["rule"]: (r["metric"], r["passed"]) for r in report.collect()}
+    assert rows["not_null(email)"] == (pytest.approx(1 / 3), False)
+    assert rows["unique(id)"] == (1.0, False)  # id=2 twice
+    assert rows["in_range(v,0,100)"] == (1.0, False)  # 2000.0
+    assert rows["accepted_values(t)"] == (1.0, False)  # 'weird'
+    assert rows["min_rows(3)"] == (3.0, True)
+    assert rows["matches(email)"][1] is False  # 'bad-email'
+    # the relaxed null bound passes where the strict one fails
+    assert report.filter("rule like 'not_null%' and passed").count() == 1
+    # single-pass: the whole suite is one aggregate over one source scan
+    # (an executed AQE plan prints Final + Initial sections; inspect the
+    # final one only)
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") == 1
+
+
+def test_quality_approx_unique(spark):
+    from opentick_spark.operators import quality as Q
+
+    clean = spark.range(10_000).select(F.col("id"))
+    rep = Q.validate(clean, [Q.approx_unique("id")]).collect()[0]
+    assert rep["passed"]
+    dupes = clean.union(clean.limit(5000))
+    rep2 = Q.validate(dupes, [Q.approx_unique("id")]).collect()[0]
+    assert not rep2["passed"]
