@@ -100,6 +100,52 @@ def bench_ingest_async_100k(spark):
     return dt
 
 
+def bench_wire_roundtrip(spark):
+    """Full client-server wire path (C9): 100k-row batch ingest and
+    100k-row scan THROUGH the TCP server — the shape the reference's
+    published numbers measure (its harness always goes through its
+    client). json protocol: the BSON default costs ~1.7 s extra pure-
+    Python codec in this environment (no C bson lib — PLANS.md)."""
+    import tempfile
+
+    from opentick_spark.client import connect_tcp
+    from opentick_spark.server import OpentickServer
+
+    srv = OpentickServer(
+        spark, tempfile.mkdtemp(prefix="otspark_wire_"), protocol="json"
+    ).start()
+    c = connect_tcp("127.0.0.1", srv.port, protocol="json")
+    c.execute("create database w")
+    c.use("w")
+    c.execute(
+        "create table test(sec int, interval int, tm timestamp, open double, "
+        "high double, low double, close double, v double, vwap double, "
+        "primary key(sec, interval, tm))"
+    )
+    sql = (
+        "insert into test(sec, interval, tm, open, high, low, close, v, vwap) "
+        "values(?, ?, ?, ?, ?, ?, ?, ?, ?)"
+    )
+    t0 = time.time()
+    for b in range(10):
+        c.batch_insert(
+            sql,
+            [
+                (1, 1, b * 10_000 + i, 2.2, 2.4, 2.1, 2.3, 1e6, 2.25)
+                for i in range(10_000)
+            ],
+        )
+    t_ingest = time.time() - t0
+    c.execute("select * from test where sec=1 and interval=1 and tm=0")  # warm plan
+    t0 = time.time()
+    rows = c.execute("select * from test where sec=1", timeout=180)
+    t_scan = time.time() - t0
+    assert len(rows) == 100_000, len(rows)
+    c.close()
+    srv.stop()
+    return t_ingest, t_scan
+
+
 def main():
     from opentick_spark.session import get_spark
     from opentick_spark.workload import ALL_QUERIES as QUERIES
@@ -149,6 +195,11 @@ def main():
         )
     )
     timings["scan_split_10"] = time.time() - t0
+    # full TCP client-server path (r4): comparable to the reference's
+    # client-measured numbers (BASELINE rows 2/7 ingest, 3/8 scan)
+    timings["wire_ingest_batch_100k"], timings["wire_scan_100k"] = (
+        bench_wire_roundtrip(spark)
+    )
 
     # --- headline analytical / extension queries -------------------------
     headline = [

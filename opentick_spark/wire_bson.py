@@ -32,8 +32,25 @@ def _enc_cstring(s: str) -> bytes:
     return b + b"\x00"
 
 
-def _enc_element(name: str, v: Any) -> bytes:
-    key = _enc_cstring(name)
+# pre-encoded array index cstrings ("0\x00", "1\x00", …): row payloads
+# are arrays-of-arrays, so every cell pays a str(i)+NUL key — cache the
+# common range (grown on demand) instead of re-encoding per element
+_IDX_KEYS: list[bytes] = [str(i).encode() + b"\x00" for i in range(256)]
+
+
+def _idx_key(i: int) -> bytes:
+    try:
+        return _IDX_KEYS[i]
+    except IndexError:
+        _IDX_KEYS.extend(
+            str(j).encode() + b"\x00"
+            for j in range(len(_IDX_KEYS), i + 256)
+        )
+        return _IDX_KEYS[i]
+
+
+def _enc_element(name: str, v: Any, _key: bytes | None = None) -> bytes:
+    key = _key if _key is not None else _enc_cstring(name)
     if v is None:
         return b"\x0a" + key
     if isinstance(v, bool):  # before int: bool is an int subclass
@@ -52,8 +69,9 @@ def _enc_element(name: str, v: Any) -> bytes:
     if isinstance(v, dict):
         return b"\x03" + key + dumps(v)
     if isinstance(v, (list, tuple)):
+        enc, ik = _enc_element, _idx_key
         doc = b"".join(
-            _enc_element(str(i), item) for i, item in enumerate(v)
+            enc("", item, ik(i)) for i, item in enumerate(v)
         )
         return b"\x04" + key + _I32.pack(len(doc) + 5) + doc + b"\x00"
     raise TypeError(f"BSON cannot encode {type(v).__name__}")
@@ -94,9 +112,26 @@ def _dec_element(t: int, data: bytes, at: int) -> tuple[Any, int]:
         return _dec_doc(data, at), at + n
     if t == 0x04:
         (n,) = _I32.unpack_from(data, at)
-        d = _dec_doc(data, at)
-        return [d[k] for k in d], at + n  # keys arrive in index order
+        return _dec_array(data, at), at + n
     raise ValueError(f"BSON type 0x{t:02x} not supported")
+
+
+def _dec_array(data: bytes, at: int) -> list:
+    """Array fast path: element keys are the indices "0","1",… in order,
+    so skip past each key cstring without materializing a dict — row
+    payloads are arrays-of-arrays and this decode dominates large
+    replies."""
+    (size,) = _I32.unpack_from(data, at)
+    end = at + size - 1
+    at += 4
+    out: list = []
+    dec, idx, append = _dec_element, data.index, out.append
+    while at < end:
+        t = data[at]
+        at = idx(b"\x00", at + 1) + 1  # skip the index key
+        v, at = dec(t, data, at)
+        append(v)
+    return out
 
 
 def _dec_doc(data: bytes, at: int) -> dict:
