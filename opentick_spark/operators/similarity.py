@@ -731,3 +731,108 @@ def pq_topk_rerank(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ncentroids: int = 16,
+    train_iters: int = 0,
+) -> None:
+    """Persist an IVF index: train-once / route-many.
+
+    Writes ``<path>/centroids`` (the routing table) and
+    ``<path>/lists`` — the corpus PHYSICALLY PARTITIONED BY centroid_id
+    (parquet directory partitioning), which turns the docstring claim
+    "the assignment becomes the table's partition key" into an on-disk
+    fact: a query probing nprobe lists scans nprobe/ncentroids of the
+    data and the rest is pruned at planning time, never opened."""
+    if train_iters > 0:
+        cents = kmeans_centroids(corpus, id_col, vec_col, ncentroids, train_iters)
+    else:
+        cents = seed_centroids(corpus, id_col, vec_col, ncentroids)
+    cents = cents.localCheckpoint(eager=True)  # one training, two writers
+    c_assign = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            "centroid_id",
+            cosine_batch(F.col(vec_col), F.col("centv")).alias("__sim"),
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("neighbor_id").orderBy(
+                    F.col("__sim").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select("neighbor_id", "cv", "centroid_id")
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    c_assign.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/lists"
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index (``build_ivf_index``): route each
+    query to its nprobe nearest centroids, then scan ONLY those list
+    partitions — the probed centroid ids become an ``isin`` partition
+    filter (a handful of ids: #queries × nprobe at most), so the parquet
+    reader prunes every other directory. Same output contract as
+    ``ivf_topk``."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    q_probe = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            "centroid_id",
+            cosine_batch(F.col(vec_col), F.col("centv")).alias("__sim"),
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__sim").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("__rk") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    probed = [
+        r["centroid_id"] for r in q_probe.select("centroid_id").distinct().collect()
+    ]
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("centroid_id").isin(probed)
+    )
+    scored = (
+        lists.join(F.broadcast(q_probe), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_batch(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1229,3 +1229,50 @@ def test_quality_approx_unique(spark):
     dupes = clean.union(clean.limit(5000))
     rep2 = Q.validate(dupes, [Q.approx_unique("id")]).collect()[0]
     assert not rep2["passed"]
+
+
+# -- persistent IVF index ---------------------------------------------------
+
+def test_ivf_index_persist_prune_and_match(spark, tmp_path):
+    """build_ivf_index + ivf_topk_indexed: the persisted index must
+    return exactly what the in-plan ivf_topk computes with the same
+    deterministic centroids, AND the probe scan must physically prune the
+    un-probed centroid directories (the at-scale claim, on disk)."""
+    from opentick_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(3)
+    build_ivf_index(emb, str(tmp_path / "ivf"), ncentroids=8)
+
+    res = ivf_topk_indexed(
+        spark, str(tmp_path / "ivf"), queries, k=5, nprobe=2
+    )
+    ref = ivf_topk(emb, queries, k=5, nprobe=2, ncentroids=8)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in res.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in ref.collect()
+    )
+    assert got == want and len(got) > 0
+
+    # pruning: the probed isin-filter must reach the scan as a partition
+    # filter so only probed directories are read
+    import re
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*centroid_id", plan)
+    assert m, plan[:2000]
+    # the index is physically laid out one directory per centroid
+    import os
+
+    dirs = [
+        d
+        for d in os.listdir(tmp_path / "ivf" / "lists")
+        if d.startswith("centroid_id=")
+    ]
+    assert len(dirs) == 8
