@@ -129,3 +129,100 @@ def ingest_jsonl(
         good, n_bad = df, 0
     ingest_dataframe(engine, db, table, good)
     return n_bad
+
+
+def assign_token_shards(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    shard_tokens: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic token-budget shard assignment in GLOBAL id order
+    WITHOUT a global single-partition window: ids are RANGE-bucketed
+    (contiguous id ranges, so (bucket, id) order IS id order), then a
+    two-level prefix sum — per-bucket token totals (a B-row frame)
+    cumulated and broadcast back as offsets, plus an in-bucket window —
+    yields each row's exact global running token count, and
+    ``shard = tokens_before div shard_tokens`` — a document belongs to
+    the shard where it STARTS, the same boundary rule as
+    ``pack_sequences``. Adds ``shard`` and ``tokens_before``."""
+    from pyspark.sql import Window
+
+    if shard_tokens <= 0:
+        raise ValueError("shard_tokens must be positive")
+    bounds = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        lo, width = 0, 1
+    else:
+        width = max(1, (hi - lo) // n_buckets + 1)
+    with_b = df.withColumn(
+        "__bkt", F.expr(f"({id_col} - {lo}L) div {width}L")
+    )
+    sums = with_b.groupBy("__bkt").agg(F.sum(tokens_col).alias("__btok"))
+    wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.withColumn(
+        "__off", F.coalesce(F.sum("__btok").over(wb), F.lit(0))
+    ).select("__bkt", "__off")
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        with_b.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            "tokens_before",
+            F.col("__off")
+            + F.coalesce(F.sum(tokens_col).over(w_in), F.lit(0)),
+        )
+        .withColumn(
+            "shard", F.expr(f"tokens_before div {shard_tokens}L").cast("int")
+        )
+        .drop("__bkt", "__off")
+    )
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    tokens_col: str,
+    shard_tokens: int,
+) -> dict:
+    """Write the frame as token-budget shards (`shard=N/` parquet
+    directories) plus a ``manifest.json`` with per-shard row/token
+    counts — the last-mile packaging of a curated corpus for a trainer.
+    Returns the manifest dict. The manifest aggregation is shard-count-
+    sized; nothing else is collected."""
+    import json as _json
+
+    sharded = assign_token_shards(df, id_col, tokens_col, shard_tokens)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{path}/data"
+    )
+    stats = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(tokens_col).alias("tokens"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = {
+        "shard_tokens": shard_tokens,
+        "n_shards": len(stats),
+        "total_rows": int(sum(r["rows"] for r in stats)),
+        "total_tokens": int(sum(r["tokens"] for r in stats)),
+        "shards": [
+            {"shard": int(r["shard"]), "rows": int(r["rows"]), "tokens": int(r["tokens"])}
+            for r in stats
+        ],
+    }
+    with open(f"{path}/manifest.json", "w") as f:
+        _json.dump(manifest, f, indent=2)
+    return manifest

@@ -1883,3 +1883,42 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = X.bigram_logprob(docs)
     return out.select("id", "n_bigrams", F.round("nll", 6).alias("nll"))
+
+
+@q(
+    "token_shard_stats",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_toks
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, n_toks,
+             COALESCE(SUM(n_toks) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      FROM d
+    )
+    SELECT CAST(bef // 5000 AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(n_toks)::BIGINT AS tokens
+    FROM p GROUP BY 1
+    """,
+)
+def token_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard layout over documents
+    (sources.assign_token_shards): exact GLOBAL prefix sums via the
+    range-bucketed two-level scheme — the oracle computes the same
+    running totals with one naive global window, so the driver checks
+    the distributed decomposition against the straight-line definition."""
+    from opentick_spark.sources import assign_token_shards
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(X.ws_tokens(F.col("text"))).cast("long").alias("n_toks")
+    )
+    sharded = assign_token_shards(docs, "doc_id", "n_toks", shard_tokens=5000)
+    return sharded.groupBy(F.col("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("tokens"),
+    )

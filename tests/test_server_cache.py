@@ -111,3 +111,37 @@ def test_wire_reconnect_remaps_held_pids(cache_server):
         assert c.execute(sel, (2,)) == [(20,)]
     finally:
         c.close()
+
+
+@pytest.fixture(scope="module")
+def bson_cache_server(spark, tmp_path_factory):
+    from opentick_spark.server import OpentickServer
+
+    wh = str(tmp_path_factory.mktemp("bson_cache_wh"))
+    srv = OpentickServer(
+        spark, wh, heartbeat_s=5.0, cache_expiration=30.0, protocol="bson"
+    ).start()
+    yield srv
+    srv.stop()
+
+
+def test_wire_cache_bson_binary_blob(bson_cache_server, monkeypatch):
+    """The BSON protocol carries cached replies as raw 0x05 binary (not
+    base64): a hit must round-trip through the binary element and skip
+    the engine."""
+    calls = _count_engine_calls(monkeypatch)
+    c = connect_tcp("127.0.0.1", bson_cache_server.port, protocol="bson")
+    try:
+        if "bwc" not in c.list_databases():
+            c.execute("create database bwc")
+        c.use("bwc")
+        c.execute("create table t(a int, v double, primary key(a))")
+        c.batch_insert(
+            "insert into t(a, v) values(?, ?)", [(1, 1.5), (2, 2.5)]
+        )
+        assert c.execute("select * from t where a=?", (1,)) == [(1, 1.5)]
+        n = calls["n"]
+        assert c.execute("select * from t where a=?", (1,)) == [(1, 1.5)]
+        assert calls["n"] == n  # served from the binary blob, engine idle
+    finally:
+        c.close()

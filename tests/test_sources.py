@@ -86,3 +86,44 @@ def test_csv_infer_for_exploration(spark, tmp_path):
     df = S.read_csv(spark, str(p), schema="infer")
     assert df.count() == 2
     assert set(df.columns) == {"a", "b"}
+
+
+def test_token_shard_assignment_exact_and_deterministic(spark):
+    from opentick_spark.sources import assign_token_shards
+
+    df = spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(500)], "doc_id long, n_toks long"
+    )
+    a = assign_token_shards(df, "doc_id", "n_toks", shard_tokens=400)
+    rows = {r["doc_id"]: (r["tokens_before"], r["shard"]) for r in a.collect()}
+    # exact global prefix sum in doc_id order (two-level == naive)
+    run = 0
+    for i in range(500):
+        assert rows[i][0] == run, i
+        assert rows[i][1] == run // 400
+        run += 10 + i % 7
+    # deterministic across runs
+    b = assign_token_shards(df, "doc_id", "n_toks", shard_tokens=400)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_export_training_shards_manifest(spark, tmp_path):
+    import json
+
+    from opentick_spark.sources import export_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", 50) for i in range(100)],
+        "doc_id long, body string, n_toks long",
+    )
+    man = export_training_shards(
+        df, str(tmp_path / "out"), "doc_id", "n_toks", shard_tokens=1000
+    )
+    assert man["total_rows"] == 100 and man["total_tokens"] == 5000
+    assert man["n_shards"] == 5  # 5000 tokens / 1000 per shard
+    assert all(s["tokens"] == 1000 for s in man["shards"])
+    on_disk = json.load(open(tmp_path / "out" / "manifest.json"))
+    assert on_disk == man
+    back = spark.read.parquet(str(tmp_path / "out" / "data"))
+    assert back.count() == 100
+    assert back.select("shard").distinct().count() == 5
