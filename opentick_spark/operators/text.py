@@ -667,3 +667,20 @@ def negative_samples(
         .agg(F.min_by("neg_id", rank).alias("neg_id"))
         .select(F.col("__id").alias(id_col), "slot", "neg_id")
     )
+
+
+def save_bpe_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist trained merge rules (train once, encode many corpora):
+    order is the contract — ``bpe_encode`` folds through the list in
+    training order."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump([[a, b] for a, b in merges], f)
+
+
+def load_bpe_merges(path: str) -> list[tuple[str, str]]:
+    import json
+
+    with open(path) as f:
+        return [(a, b) for a, b in json.load(f)]

@@ -1276,3 +1276,24 @@ def test_ivf_index_persist_prune_and_match(spark, tmp_path):
         if d.startswith("centroid_id=")
     ]
     assert len(dirs) == 8
+
+
+def test_bpe_merges_persist_roundtrip(spark, tmp_path):
+    from opentick_spark.operators.text import (
+        bpe_encode,
+        bpe_merges,
+        load_bpe_merges,
+        save_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest newer newest wide widest")] * 4,
+        "doc_id long, text string",
+    )
+    merges = bpe_merges(docs, n_merges=8)
+    save_bpe_merges(merges, str(tmp_path / "bpe.json"))
+    loaded = load_bpe_merges(str(tmp_path / "bpe.json"))
+    assert loaded == merges  # order-preserving, tuple types restored
+    a = bpe_encode(docs, merges).select("tokens").collect()
+    b = bpe_encode(docs, loaded).select("tokens").collect()
+    assert a == b
