@@ -34,7 +34,7 @@ The driver's correctness gate checks the FIRST 50 entries of
   rotate into the driver window next round in place of long-stable
   ones.
 
-End of round 4 the ENTIRE registry (window + extras, 112 queries) was
+End of round 4 the ENTIRE registry (window + extras, 116 queries) was
 value-verified against DuckDB at BOTH sf0.01 (the driver's scale) and
 sf0.1 (10×) — the 10× run has caught real bugs invisible at sf0.01
 (r3: a keeper tie-break). Run ``SPARK_GRAFT_ORACLE_SF_DIR=
@@ -43,8 +43,9 @@ sf0.1 (10×) — the 10× run has caught real bugs invisible at sf0.01
 Round-4 rotation: the driver window swapped in the 17 entries that had
 never had a driver row (snapshot/incremental pipeline, frequency ops,
 time-series/finance block); round-4 additions (dup_span_stats,
-source_mixture_stats, balanced_sample_per_lang) are extras slated to
-rotate in next round per the standing policy.
+source_mixture_stats, balanced_sample_per_lang, text_bigram_nll,
+data_quality_report, token_shard_stats, temperature_sample) are extras
+slated to rotate in next round per the standing policy.
 """
 
 from opentick_spark.workload.core import ORACLES as _CORE_O

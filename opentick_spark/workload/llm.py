@@ -1922,3 +1922,63 @@ def token_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_toks").cast("long").alias("tokens"),
     )
+
+
+@q(
+    "temperature_sample",
+    """
+    WITH n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_docs,
+             CAST(ROUND(sqrt(n_docs) * 1000000) AS BIGINT) AS w_int
+      FROM n
+    ),
+    t AS (
+      SELECT source, n_docs,
+             (200 * w_int) // (SELECT SUM(w_int) FROM w) AS target
+      FROM w
+    ),
+    r AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d
+    )
+    SELECT r.source, r.doc_id
+    FROM r JOIN t ON t.source = r.source
+    WHERE r.rn <= t.target
+    """,
+)
+def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (the multilingual
+    upsampling trick: per-source budget ∝ n^(1/T), here T=2 i.e. α=0.5 —
+    low-resource sources get a super-proportional share of the 200-doc
+    budget). Exactly reproducible across engines: weights are scaled to
+    INTEGERS (round(sqrt(n)·1e6)) so the normalization and the budget
+    split are pure integer arithmetic — no cross-engine float-sum
+    association risk — and selection is the md5-rank top-target per
+    source (WindowGroupLimit, like balanced_sample_per_lang)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = n.withColumn(
+        "w_int", F.round(F.sqrt("n_docs") * 1e6).cast("long")
+    )
+    tot = w.agg(F.sum("w_int").alias("W"))
+    t = w.crossJoin(F.broadcast(tot)).select(
+        "source", F.expr("(200 * w_int) div W").alias("target")
+    )
+    rw = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "source", "doc_id", F.row_number().over(rw).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(t), "source")
+        .filter(F.col("rn") <= F.col("target"))
+        .select("source", "doc_id")
+    )
