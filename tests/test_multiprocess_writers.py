@@ -82,3 +82,66 @@ def test_concurrent_process_writers_no_lost_commits(spark, tmp_path):
     got = {a: v for a, v in eng.execute_rows("select * from t")}
     assert got == expected
     assert 0 < len(got) <= N_KEYS
+
+
+@pytest.mark.skipif(fcntl is None, reason="no fcntl on this platform")
+def test_concurrent_writers_with_compaction(spark, tmp_path):
+    """Writers in other processes racing COMPACTION in this one: the
+    flock serializes the log swap against seq allocation, so no commit
+    may ever be lost between a compaction's snapshot read and its log
+    deletion. Disjoint key spaces per worker make the final state
+    deterministic regardless of interleaving: each worker's batches are
+    ordered by its own execution, so last-write-wins resolves within the
+    worker alone."""
+    import time as _t
+
+    from opentick_spark.engine import Engine
+
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, wh)
+    eng.execute("create database mpc")
+    eng.use("mpc")
+    eng.execute("create table t(a int, v int, primary key(a))")
+    store = eng.store("mpc", "t")
+
+    n_batches, n_keys = 10, 25
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(REPO, "tests", "_mp_writer.py"),
+                wh,
+                "mpc",
+                "t",
+                str(w),
+                str(n_batches),
+                str(n_keys),
+                str(w * 1000),  # disjoint key base
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for w in range(4)
+    ]
+    n_compactions = 0
+    while any(p.poll() is None for p in procs):
+        store.compact(spark, hash_buckets=4)
+        n_compactions += 1
+        _t.sleep(0.1)
+    for p in procs:
+        out, err = p.communicate(timeout=60)
+        assert p.returncode == 0, err
+    assert n_compactions >= 1
+    store.compact(spark)  # final collapse: read must be base-only
+
+    # deterministic expectation: batches 0-8 write (except b=4 tombstone),
+    # b=9 tombstones keys ≡ w%7 (mod 7); survivors carry the b=8 value
+    expected = {}
+    for w in range(4):
+        killed = set(range(w % 7, n_keys, 7))
+        for k in range(n_keys):
+            if k not in killed:
+                expected[w * 1000 + k] = w * 1_000_000 + 8_000 + k
+    got = dict(eng.execute_rows("select * from t"))
+    assert got == expected
