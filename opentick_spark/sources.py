@@ -226,3 +226,52 @@ def export_training_shards(
     with open(f"{path}/manifest.json", "w") as f:
         _json.dump(manifest, f, indent=2)
     return manifest
+
+
+def assign_length_batches(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    batch_size: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Length-sorted inference batching: rank documents by (token length
+    DESC, id) and cut into fixed-size batches — similar-length neighbors
+    minimize padding. The exact global rank uses the same two-level
+    scheme as ``assign_token_shards``, but RANGE-BUCKETED ON LENGTH
+    (bucket 0 = longest), so (bucket, length desc, id) IS the global
+    order with no single-partition window. Adds ``batch`` and
+    ``global_rank``."""
+    from pyspark.sql import Window
+
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    bounds = df.agg(
+        F.min(tokens_col).alias("lo"), F.max(tokens_col).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        lo = hi = 0
+    width = max(1, (hi - lo) // n_buckets + 1)
+    with_b = df.withColumn(
+        "__bkt", F.expr(f"({hi}L - {tokens_col}) div {width}L")
+    )
+    counts = with_b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(wb), F.lit(0))
+    ).select("__bkt", "__off")
+    w_in = Window.partitionBy("__bkt").orderBy(
+        F.col(tokens_col).desc(), F.col(id_col)
+    )
+    return (
+        with_b.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            "global_rank", F.col("__off") + F.row_number().over(w_in)
+        )
+        .withColumn(
+            "batch",
+            F.expr(f"(global_rank - 1) div {batch_size}L").cast("int"),
+        )
+        .drop("__bkt", "__off")
+    )

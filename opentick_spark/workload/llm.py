@@ -1982,3 +1982,47 @@ def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("target"))
         .select("source", "doc_id")
     )
+
+
+@q(
+    "length_batch_stats",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_toks
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_toks,
+             row_number() OVER (ORDER BY n_toks DESC, doc_id) AS rk
+      FROM d
+    )
+    SELECT CAST((rk - 1) // 32 AS INT) AS batch,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(n_toks) AS max_len,
+           SUM(n_toks)::BIGINT AS sum_len,
+           ROUND(1.0 - SUM(n_toks)::DOUBLE / (COUNT(*) * MAX(n_toks)), 6)
+             AS padding_frac
+    FROM r GROUP BY 1
+    """,
+)
+def length_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-sorted inference batching (sources.assign_length_batches):
+    batches of 32 similar-length docs; padding_frac is the wasted
+    fraction if each batch pads to its longest member. The oracle
+    computes the global length rank with one naive window — the driver
+    checks the length-bucketed two-level decomposition against it."""
+    from opentick_spark.sources import assign_length_batches
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(X.ws_tokens(F.col("text"))).cast("long").alias("n_toks")
+    )
+    batched = assign_length_batches(docs, "doc_id", "n_toks", batch_size=32)
+    return batched.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_toks").alias("max_len"),
+        F.sum("n_toks").cast("long").alias("sum_len"),
+        F.round(
+            1.0 - F.sum("n_toks") / (F.count(F.lit(1)) * F.max("n_toks")), 6
+        ).alias("padding_frac"),
+    )
