@@ -1,0 +1,121 @@
+"""Randomized model-based checks: the newest distributed decompositions
+vs straight-line Python models, over seeded random inputs (looped seeds
+rather than hypothesis: each example costs a Spark round trip, so we
+spend them on input diversity, not shrinking)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _py_duplicate_spans(docs: dict[int, str], n: int):
+    """Brute-force reference for operators/dedup.duplicate_spans on
+    already-normalized texts (simple lowercase words)."""
+    grams: dict[tuple, int] = {}
+    toks = {i: t.split() for i, t in docs.items()}
+    pos_grams = {}
+    for i, ts in toks.items():
+        pg = [tuple(ts[p : p + n]) for p in range(len(ts) - n + 1)]
+        pos_grams[i] = pg
+        for g in pg:
+            grams[g] = grams.get(g, 0) + 1
+    out = {}
+    for i, ts in toks.items():
+        dup_pos = [p for p, g in enumerate(pos_grams[i]) if grams[g] >= 2]
+        spans = []
+        for p in dup_pos:
+            # windows [a, a+n) and [p, p+n) merge iff p - a <= n
+            if spans and p - spans[-1][1] <= n:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        dup_tokens = sum(e + n - s for s, e in spans)
+        # ws_tokens('') yields [''] -> size 1, mirror that
+        total = len(ts) if ts else 1
+        out[i] = (len(spans), len(dup_pos), dup_tokens, total)
+    return out
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_duplicate_spans_matches_bruteforce(spark, seed):
+    from opentick_spark.operators.dedup import duplicate_spans
+
+    rng = random.Random(seed)
+    vocab = [f"w{j}" for j in range(12)]  # small vocab -> many collisions
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))
+        for i in range(30)
+    }
+    n = rng.choice([2, 3])
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_spans"], r["dup_windows"], r["dup_tokens"], r["total_tokens"])
+        for r in duplicate_spans(df, n=n, min_count=2).collect()
+    }
+    want = _py_duplicate_spans(docs, n)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_token_shards_random_ids(spark, seed):
+    """Two-level shard prefix sums vs a naive Python scan, over sparse,
+    negative, gappy ids."""
+    from opentick_spark.sources import assign_token_shards
+
+    rng = random.Random(seed)
+    ids = rng.sample(range(-10_000, 10_000), 400)
+    rows = [(i, rng.randint(1, 50)) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, n_toks long")
+    got = {
+        r["doc_id"]: (r["tokens_before"], r["shard"])
+        for r in assign_token_shards(
+            df, "doc_id", "n_toks", shard_tokens=300, n_buckets=16
+        ).collect()
+    }
+    run = 0
+    for i, t in sorted(rows):
+        assert got[i] == (run, run // 300), i
+        run += t
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_asof_skew_buckets_random(spark, seed):
+    """Bucketed sorted-merge as-of vs plain, random keys/times/payloads
+    including NULL-payload rows and keys with no right rows."""
+    from opentick_spark.operators.asof import asof_join
+
+    rng = random.Random(seed)
+    lts = rng.sample(range(100_000), 300)
+    left = spark.createDataFrame(
+        [(rng.randint(0, 6), t, i) for i, t in enumerate(lts)],
+        "k long, t long, rowid long",
+    )
+    rts = rng.sample(range(100_000), 120)
+    right = spark.createDataFrame(
+        [
+            (rng.randint(0, 4), t, None if rng.random() < 0.2 else t * 1.5)
+            for t in rts
+        ],
+        "k long, rt long, v double",
+    )
+    for direction in ("backward", "forward"):
+        plain = sorted(
+            map(
+                tuple,
+                asof_join(
+                    left, right, ["k"], "t", "rt",
+                    direction=direction, value_cols=["v"],
+                ).collect(),
+            )
+        )
+        bucketed = sorted(
+            map(
+                tuple,
+                asof_join(
+                    left, right, ["k"], "t", "rt",
+                    direction=direction, value_cols=["v"], skew_buckets=8,
+                ).collect(),
+            )
+        )
+        assert plain == bucketed, (seed, direction)
