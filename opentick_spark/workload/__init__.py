@@ -42,10 +42,12 @@ sf0.1 (10×) — the 10× run has caught real bugs invisible at sf0.01
 
 Round-4 rotation: the driver window swapped in the 17 entries that had
 never had a driver row (snapshot/incremental pipeline, frequency ops,
-time-series/finance block); round-4 additions (dup_span_stats,
-source_mixture_stats, balanced_sample_per_lang, text_bigram_nll,
-data_quality_report, token_shard_stats, temperature_sample) are extras
-slated to rotate in next round per the standing policy.
+time-series/finance block) AND the 8 operators built this round
+(dup_span_stats, source_mixture_stats, balanced_sample_per_lang,
+text_bigram_nll, data_quality_report, token_shard_stats,
+temperature_sample, length_batch_stats) — 25 first-time driver rows
+this round; every rotated-out entry was driver-green in a prior round
+with an unchanged implementation and keeps oracle_check coverage.
 """
 
 from opentick_spark.workload.core import ORACLES as _CORE_O
@@ -99,27 +101,32 @@ _DRIVER_WINDOW = [
     "semantic_dedup",
     "sim_topk_ivf",
     "sim_topk_pq",
-    "contamination_8gram",
-    "pack_sequences_by_lang",
     "text_repetition",
     "text_bm25_search",
     "text_unigram_nll",
     "text_dup_ngram_coverage",
-    "corpus_split_stats",
-    "embedding_label_stats",
-    "mixture_sample",
-    "bpe_encode_docs",
+    # round-4 additions — never driver-checked before (swapped in for
+    # contamination_8gram, pack_sequences_by_lang, corpus_split_stats,
+    # embedding_label_stats, mixture_sample, bpe_encode_docs,
+    # hop_window_counts, profile_orders — all r3 driver-green with
+    # unchanged implementations, still oracle_check-verified each round)
+    "dup_span_stats",
+    "source_mixture_stats",
+    "balanced_sample_per_lang",
+    "text_bigram_nll",
+    "data_quality_report",
+    "token_shard_stats",
+    "temperature_sample",
+    "length_batch_stats",
     # streaming keeps (micro-batch execution stays driver-covered)
     "streaming_dedup_ingest",
     "streaming_dedup_watermark",
     "streaming_ohlcv",
     "continuous_ohlcv",
-    "hop_window_counts",
     # reference-parity dialect/tick surface
     "dialect_upsert_delete",
     "adj_forward",
     "meta_catalog",
-    "profile_orders",
     "split_range_scan",
     "stratified_sample",
     "approx_distinct_users",
