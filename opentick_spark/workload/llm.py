@@ -2026,3 +2026,103 @@ def length_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.sum("n_toks") / (F.count(F.lit(1)) * F.max("n_toks")), 6
         ).alias("padding_frac"),
     )
+
+
+@q(
+    "hybrid_search",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*)::DOUBLE AS n_docs, AVG(len(ws)::DOUBLE) AS avgdl
+      FROM base
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf
+      FROM (SELECT doc_id, len(ws)::DOUBLE AS dl, unnest(ws) AS term
+            FROM base)
+      WHERE term IN ('spark', 'window', 'join')
+      GROUP BY doc_id, dl, term
+    ),
+    dft AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term),
+    bm AS (
+      SELECT doc_id,
+             ROUND(SUM( ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                        * tf * 2.2
+                        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ), 6)
+               AS bm25
+      FROM tf JOIN dft USING (term), stats
+      GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC
+      LIMIT 50
+    ),
+    scored AS (
+      SELECT b.doc_id, b.bm25,
+             ROUND(list_cosine_similarity(
+               e.embedding::DOUBLE[],
+               (SELECT e2.embedding::DOUBLE[] FROM embeddings e2
+                WHERE e2.vec_id = (SELECT doc_id FROM bm
+                                   ORDER BY bm25 DESC, doc_id LIMIT 1))
+             ), 6) AS cos
+      FROM bm b JOIN embeddings e ON e.vec_id = b.doc_id
+    )
+    SELECT doc_id, bm25, cos,
+           ROUND(0.5 * bm25 / (SELECT MAX(bm25) FROM bm) + 0.5 * cos, 6)
+             AS hybrid
+    FROM scored
+    ORDER BY ROUND(0.5 * bm25 / (SELECT MAX(bm25) FROM bm) + 0.5 * cos, 6)
+             DESC, doc_id
+    LIMIT 10
+    """,
+)
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword recall (top-50 candidates, rounded
+    then ranked — engine-stable) re-scored with embedding cosine against
+    the top-BM25 document's vector; hybrid = 0.5·bm25/max + 0.5·cos over
+    ROUNDED inputs so the final rank is deterministic across engines.
+    Scale shape: the rerank touches 50 candidate vectors, never the
+    corpus — recall is the inverted-index stage, precision the vector
+    stage."""
+    from pyspark.sql import Window
+    from opentick_spark.operators import search as SE
+    from opentick_spark.operators.similarity import cosine
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    cand = SE.bm25_topk(docs, _BM25_TERMS, top_n=50).withColumnRenamed(
+        "score", "bm25"
+    )
+    top1 = cand.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(1)
+    qv = top1.join(emb, top1.doc_id == emb.vec_id).select(
+        F.col("embedding").alias("__qv")
+    )
+    mx = cand.agg(F.max("bm25").alias("__mx"))
+    scored = (
+        cand.join(emb, cand.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(qv))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(
+                cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("__qv").cast("array<double>"),
+                ),
+                6,
+            ).alias("cos"),
+            F.col("__mx"),
+        )
+        .withColumn(
+            "hybrid",
+            F.round(0.5 * F.col("bm25") / F.col("__mx") + 0.5 * F.col("cos"), 6),
+        )
+    )
+    w = Window.orderBy(F.desc("hybrid"), F.asc("doc_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .select("doc_id", "bm25", "cos", "hybrid")
+    )
