@@ -110,3 +110,107 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     return row.select(F.explode(F.array(*out)).alias("r")).select(
         "r.rule", "r.metric", "r.bound", "r.passed"
     )
+
+
+# -- streaming / incremental validation -------------------------------------
+#
+# Every rule above except ``unique`` is ALGEBRAIC: its metric derives
+# from sums and counts, so per-micro-batch partials merge exactly. The
+# streaming form accumulates (sum, count) partials per rule and derives
+# the same report validate() would produce over the union of all
+# batches seen — continuous validation of an ingest feed at per-batch
+# cost. (`unique` needs distinct state and is intentionally excluded;
+# use the batch path or dropDuplicates upstream.)
+
+
+def partial_metrics(rules: list[Rule]) -> list:
+    """Aggregate expressions for one batch's partials: per rule a
+    numerator/denominator pair. Count-style rules carry den=0 so the
+    merged metric Σnum/max(Σden,1) stays a plain count — a per-batch
+    den=1 would wrongly divide by the number of batches."""
+    aggs = []
+    for i, r in enumerate(rules):
+        num, den = r.meta.get("num"), r.meta.get("den")
+        if num is None:
+            raise ValueError(
+                f"rule {r.name!r} is not incremental (no partials)"
+            )
+        aggs.append(num.alias(f"__n{i}"))
+        aggs.append(den.alias(f"__d{i}"))
+    return aggs
+
+
+def _inc(name: str, num, den, bound: float, floor: bool = False) -> Rule:
+    # metric column used by batch validate(); num/den drive the
+    # incremental path
+    metric = num / F.greatest(den, F.lit(1))
+    return Rule(name, metric, bound, floor, {"num": num, "den": den})
+
+
+def inc_not_null(col: str, max_null_frac: float = 0.0) -> Rule:
+    return _inc(
+        f"not_null({col})",
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("double"),
+        F.count(F.lit(1)).cast("double"),
+        max_null_frac,
+    )
+
+
+def inc_in_range(col: str, lo: float, hi: float) -> Rule:
+    return _inc(
+        f"in_range({col},{lo},{hi})",
+        F.sum(
+            F.when(
+                F.col(col).isNotNull() & ~F.col(col).between(lo, hi), 1
+            ).otherwise(0)
+        ).cast("double"),
+        F.lit(0.0),
+        0.0,
+    )
+
+
+def inc_accepted_values(col: str, values: list) -> Rule:
+    return _inc(
+        f"accepted_values({col})",
+        F.sum(
+            F.when(
+                F.col(col).isNotNull() & ~F.col(col).isin(values), 1
+            ).otherwise(0)
+        ).cast("double"),
+        F.lit(0.0),
+        0.0,
+    )
+
+
+def inc_min_rows(n: int) -> Rule:
+    return _inc(
+        f"min_rows({n})",
+        F.count(F.lit(1)).cast("double"),
+        F.lit(0.0),
+        float(n),
+        floor=True,
+    )
+
+
+def merge_report(spark, partials_df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Merge accumulated per-batch partials into the final report —
+    identical shape to :func:`validate`'s output."""
+    sums = partials_df.agg(
+        *[F.sum(f"__n{i}").alias(f"__n{i}") for i in range(len(rules))],
+        *[F.sum(f"__d{i}").alias(f"__d{i}") for i in range(len(rules))],
+    )
+    out = []
+    for i, r in enumerate(rules):
+        m = F.col(f"__n{i}") / F.greatest(F.col(f"__d{i}"), F.lit(1))
+        ok = (m >= r.bound) if r.floor else (m <= r.bound)
+        out.append(
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                F.round(m, 6).alias("metric"),
+                F.lit(r.bound).alias("bound"),
+                ok.alias("passed"),
+            )
+        )
+    return sums.select(F.explode(F.array(*out)).alias("r")).select(
+        "r.rule", "r.metric", "r.bound", "r.passed"
+    )

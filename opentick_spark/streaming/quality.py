@@ -1,0 +1,60 @@
+"""Continuous data-quality validation of an ingest feed: per-micro-batch
+rule partials (operators/quality.py incremental rules — all algebraic:
+sums and counts) land as batch-id-keyed parquet, and the report over
+EVERYTHING seen so far is a merge of those tiny partial rows — identical
+to running the batch suite over the union, at per-batch cost. Replayed
+micro-batches overwrite their own partials (idempotent)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from opentick_spark.operators.quality import Rule, merge_report, partial_metrics
+
+
+def stream_quality(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    rules: list[Rule],
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+    fmt: str = "parquet",
+):
+    """Start the validation stream; read the cumulative report with
+    :func:`quality_report`."""
+    reader = spark.readStream.schema(source_schema).option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
+    )
+    stream = reader.format(fmt).load(source_dir)
+    aggs = partial_metrics(rules)  # validates rules up front
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.agg(*aggs).write.mode("overwrite").parquet(
+            f"{state_dir}/batch-{batch_id:09d}"
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def quality_report(
+    spark: SparkSession, state_dir: str, rules: list[Rule]
+) -> DataFrame:
+    if not (
+        os.path.isdir(state_dir)
+        and any(e.startswith("batch-") for e in os.listdir(state_dir))
+    ):
+        raise FileNotFoundError(f"no quality partials under {state_dir}")
+    parts = spark.read.parquet(f"{state_dir}/batch-*")
+    return merge_report(spark, parts, rules)

@@ -6,6 +6,7 @@ import os
 import time
 
 import pyarrow as pa
+import pytest
 import pyarrow.parquet as pq
 
 from opentick_spark.engine import Engine
@@ -296,3 +297,67 @@ def test_stream_neardup_lsh_cross_batch(spark, tmp_path):
         .collect()
     }
     assert set(got) == ref
+
+
+def test_stream_quality_matches_batch_validate(spark, tmp_path):
+    """Continuous validation: the merged per-batch partials must produce
+    EXACTLY the report the batch suite computes over the union of all
+    micro-batches."""
+    from opentick_spark.operators import quality as Q
+    from opentick_spark.streaming.quality import quality_report, stream_quality
+
+    rules = [
+        Q.inc_not_null("v", max_null_frac=0.1),
+        Q.inc_in_range("v", 0, 100),
+        Q.inc_accepted_values("t", ["a", "b"]),
+        Q.inc_min_rows(5),
+    ]
+    b1 = [(1, 5.0, "a"), (2, None, "b"), (3, 50.0, "a")]
+    b2 = [(4, 500.0, "zzz"), (5, 7.0, "b"), (6, 8.0, "a"), (7, 9.0, "b")]
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, "id long, v double, t string").coalesce(
+            1
+        ).write.parquet(str(src / f"f{i}"))
+        t = time.time() - 30 + i * 10
+        for root, _, files in os.walk(src / f"f{i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    q = stream_quality(
+        spark,
+        str(src / "f*"),
+        "id long, v double, t string",
+        str(tmp_path / "qstate"),
+        str(tmp_path / "qckpt"),
+        rules,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        map(tuple, quality_report(spark, str(tmp_path / "qstate"), rules).collect())
+    )
+    union = spark.createDataFrame(b1 + b2, "id long, v double, t string")
+    want = sorted(map(tuple, Q.validate(union, rules).collect()))
+    assert got == want
+    by_rule = {r[0]: r for r in got}
+    assert by_rule["not_null(v)"][3] is False  # 1/7 nulls > 0.1
+    assert by_rule["in_range(v,0,100)"][1] == 1.0  # the 500.0
+    assert by_rule["min_rows(5)"][3] is True  # 7 rows
+
+
+def test_stream_quality_rejects_non_incremental_rule(spark, tmp_path):
+    from opentick_spark.operators import quality as Q
+    from opentick_spark.streaming.quality import stream_quality
+
+    with pytest.raises(ValueError, match="not incremental"):
+        stream_quality(
+            spark,
+            str(tmp_path),
+            "id long",
+            str(tmp_path / "s"),
+            str(tmp_path / "c"),
+            [Q.unique("id")],
+        )
