@@ -20,9 +20,10 @@ adjustment).  This package re-expresses those semantics Spark-first:
   multimodal columns) the reference lacks.
 """
 
+from opentick_spark.client import connect_tcp
 from opentick_spark.engine import Engine, connect
 from opentick_spark.errors import OpentickError
 from opentick_spark.session import get_spark
 
-__all__ = ["Engine", "connect", "OpentickError", "get_spark"]
+__all__ = ["Engine", "connect", "connect_tcp", "OpentickError", "get_spark"]
 __version__ = "0.1.0"
