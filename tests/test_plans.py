@@ -211,3 +211,48 @@ def test_dup_span_stats_no_python_udf(spark):
     plan = plan_of(dup_span_stats(spark, SF))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_temperature_sample_no_python_rank_per_source(spark):
+    """Per-source budgets are data-dependent (non-literal rank limit),
+    so WindowGroupLimit cannot apply — assert the shape that IS the
+    contract: one row_number window partitioned by source, no Python."""
+    from opentick_spark.workload.llm import temperature_sample
+
+    plan = plan_of(temperature_sample(spark, SF))
+    assert "row_number" in plan and "[source" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_length_batch_stats_no_global_sort(spark):
+    """The two-level rank must not fall back to a single global Sort of
+    the data: the only unpartitioned window runs over the bucket-count
+    frame, so no Exchange SinglePartition over the corpus rows."""
+    from opentick_spark.workload.llm import length_batch_stats
+
+    plan = plan_of(length_batch_stats(spark, SF))
+    assert "BatchEvalPython" not in plan
+    # the doc-side window partitions by the length bucket
+    assert "__bkt" in plan
+
+
+def test_hybrid_search_broadcasts_scalars_no_python(spark):
+    from opentick_spark.workload.llm import hybrid_search
+
+    plan = plan_of(hybrid_search(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # cosine is the JVM fold, not a UDF
+    # the only nested-loop joins are the sanctioned 1-row scalar
+    # broadcasts (query vector, max score): every occurrence must be a
+    # BuildRight Cross of a broadcast side
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+), (\w+)", plan):
+        assert m.groups() == ("BuildRight", "Cross"), m.group(0)
+
+
+def test_quality_report_single_aggregate(spark):
+    from opentick_spark.workload.core import data_quality_report
+
+    plan = plan_of(data_quality_report(spark, SF))
+    assert "BatchEvalPython" not in plan
