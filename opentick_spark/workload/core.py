@@ -1734,3 +1734,47 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             Q.min_rows(1000),
         ],
     )
+
+
+@q(
+    "decayed_event_stats",
+    """
+    WITH t AS (SELECT MAX(ts) AS tmax FROM events WHERE event_type = 'purchase'),
+    w AS (
+      SELECT user_id, value,
+             exp(ln(2) * (epoch_us(ts) - epoch_us(tmax))
+                 / (7.0 * 86400 * 1000000)) AS wgt
+      FROM events, t WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(wgt), 4) AS decayed_count,
+           ROUND(SUM(wgt * value), 4) AS decayed_value
+    FROM w GROUP BY user_id
+    """,
+)
+def decayed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed per-user aggregates (half-life 7 days, evaluated at
+    the stream's latest timestamp): the feature-store recency primitive —
+    exponential decay turns "activity" into a single number without
+    windowing state. ONE aggregation after a 1-row max-ts broadcast;
+    decay weights are pure row arithmetic (exp(ln2·Δt/hl), computed on
+    µs so both engines share the clock base)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    tmax = ev.agg(F.max(ts_us()).alias("__tmax"))
+    hl_us = 7.0 * 86400 * 1_000_000
+    w = ev.select("user_id", "value", ts_us().alias("__t")).crossJoin(
+        F.broadcast(tmax)
+    ).withColumn(
+        "__w",
+        F.exp(
+            F.lit(float(__import__("math").log(2)))
+            * (F.col("__t") - F.col("__tmax"))
+            / F.lit(hl_us)
+        ),
+    )
+    return w.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("__w"), 4).alias("decayed_count"),
+        F.round(F.sum(F.col("__w") * F.col("value")), 4).alias("decayed_value"),
+    )
