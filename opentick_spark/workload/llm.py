@@ -2126,3 +2126,123 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 10)
         .select("doc_id", "bm25", "cos", "hybrid")
     )
+
+
+@q(
+    "curated_corpus_stats",
+    f"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, lang, text, {_NORM} AS nrm FROM documents
+    ),
+    ek AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY nrm),
+    pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(label) AS cluster FROM reach GROUP BY id),
+    ndk AS (SELECT cluster, MIN(doc_id) AS keeper FROM comp GROUP BY cluster),
+    nd_drop AS (
+      SELECT c.doc_id FROM comp c
+      JOIN ndk k ON c.cluster = k.cluster AND c.doc_id != k.keeper
+    ),
+    sw AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM norm),
+    sgr AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS g
+      FROM sw, UNNEST(range(1, len(toks) - 6)) AS r(i)
+    ),
+    sdup AS (SELECT g FROM sgr GROUP BY g HAVING COUNT(*) >= 2),
+    sdp AS (SELECT doc_id, pos FROM sgr SEMI JOIN sdup USING (g)),
+    sisl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM sdp)
+    ),
+    ssp AS (
+      SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) AS e
+      FROM sisl GROUP BY 1, 2
+    ),
+    spd AS (
+      SELECT doc_id, SUM(e + 8 - s) AS dup_tokens FROM ssp GROUP BY doc_id
+    ),
+    frac AS (
+      SELECT sw.doc_id,
+             COALESCE(spd.dup_tokens, 0)::DOUBLE
+               / GREATEST(len(sw.toks), 1) AS span_frac
+      FROM sw LEFT JOIN spd USING (doc_id)
+    ),
+    q AS (
+      SELECT n.doc_id, n.lang,
+             len(string_split_regex(trim(lower(n.text)), '\\s+'))::BIGINT
+               AS n_toks,
+             CASE WHEN length(n.text) = 0 THEN 0 ELSE
+               length(regexp_replace(n.text,
+                 '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))::DOUBLE
+               / length(n.text) END AS punct
+      FROM norm n
+    )
+    SELECT q.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(q.n_toks)::BIGINT AS total_tokens
+    FROM q
+    JOIN ek ON ek.doc_id = q.doc_id
+    LEFT JOIN nd_drop nd ON nd.doc_id = q.doc_id
+    JOIN frac f ON f.doc_id = q.doc_id
+    WHERE nd.doc_id IS NULL AND f.span_frac <= 0.5
+      AND q.n_toks >= 5 AND q.punct < 0.2
+    GROUP BY q.lang
+    """,
+)
+def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end curation composite: exact-dedup keepers ∩
+    near-dup cluster keepers (bigram-Jaccard ≥0.5 connected components)
+    ∩ substring-dedup gate (≤50% of tokens inside repeated 8-gram
+    spans) ∩ quality gates (≥5 tokens, punctuation <0.2) → per-language
+    doc/token accounting of the surviving corpus. Every stage is the
+    already-oracle-checked operator; the composite pins their
+    INTERACTION (id-set semantics of keeper/anti joins) end to end."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    exact_keepers = D.exact_duplicates(docs).select(
+        F.col("keeper").alias("doc_id")
+    )
+    comps = D.connected_components(
+        D.ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    )
+    nd_drop = (
+        comps.withColumn(
+            "__keep", F.min("id").over(Window.partitionBy("cluster"))
+        )
+        .filter(F.col("id") != F.col("__keep"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    span_ok = (
+        D.duplicate_spans(docs, n=8, min_count=2)
+        .filter(F.col("dup_frac") <= 0.5)
+        .select(F.col("id").alias("doc_id"))
+    )
+    survivors = (
+        docs.join(exact_keepers, "doc_id", "left_semi")
+        .join(nd_drop, "doc_id", "left_anti")
+        .join(span_ok, "doc_id", "left_semi")
+        .filter(
+            (F.size(X.ws_tokens(F.col("text"))) >= 5)
+            & (X.punct_ratio(F.col("text")) < 0.2)
+        )
+    )
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(X.ws_tokens(F.col("text")))).cast("long").alias(
+            "total_tokens"
+        ),
+    )
