@@ -34,7 +34,7 @@ The driver's correctness gate checks the FIRST 50 entries of
   rotate into the driver window next round in place of long-stable
   ones.
 
-End of round 4 the ENTIRE registry (window + extras, 116 queries) was
+End of round 4 the ENTIRE registry (window + extras, 120 queries) was
 value-verified against DuckDB at BOTH sf0.01 (the driver's scale) and
 sf0.1 (10×) — the 10× run has caught real bugs invisible at sf0.01
 (r3: a keeper tie-break). Run ``SPARK_GRAFT_ORACLE_SF_DIR=
@@ -42,12 +42,13 @@ sf0.1 (10×) — the 10× run has caught real bugs invisible at sf0.01
 
 Round-4 rotation: the driver window swapped in the 17 entries that had
 never had a driver row (snapshot/incremental pipeline, frequency ops,
-time-series/finance block) AND the 8 operators built this round
+time-series/finance block) AND the 11 operators built this round
 (dup_span_stats, source_mixture_stats, balanced_sample_per_lang,
 text_bigram_nll, data_quality_report, token_shard_stats,
-temperature_sample, length_batch_stats) — 25 first-time driver rows
-this round; every rotated-out entry was driver-green in a prior round
-with an unchanged implementation and keeps oracle_check coverage.
+temperature_sample, length_batch_stats, curated_corpus_stats,
+hybrid_search, decayed_event_stats) — 28 first-time driver rows this
+round; every rotated-out entry was driver-green in a prior round with
+an unchanged implementation and keeps oracle_check coverage.
 """
 
 from opentick_spark.workload.core import ORACLES as _CORE_O
@@ -96,12 +97,10 @@ _DRIVER_WINDOW = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash",
-    "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "semantic_dedup",
     "sim_topk_ivf",
     "sim_topk_pq",
-    "text_repetition",
     "text_bm25_search",
     "text_unigram_nll",
     "text_dup_ngram_coverage",
@@ -118,6 +117,9 @@ _DRIVER_WINDOW = [
     "token_shard_stats",
     "temperature_sample",
     "length_batch_stats",
+    "curated_corpus_stats",
+    "hybrid_search",
+    "decayed_event_stats",
     # streaming keeps (micro-batch execution stays driver-covered)
     "streaming_dedup_ingest",
     "streaming_dedup_watermark",
@@ -130,7 +132,6 @@ _DRIVER_WINDOW = [
     "split_range_scan",
     "stratified_sample",
     "approx_distinct_users",
-    "approx_quantiles",
     "asof_join_purchase_signup",
 ]
 
