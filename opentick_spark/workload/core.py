@@ -1778,3 +1778,65 @@ def decayed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("__w"), 4).alias("decayed_count"),
         F.round(F.sum(F.col("__w") * F.col("value")), 4).alias("decayed_value"),
     )
+
+
+@q(
+    "users_high_value_no_error",
+    """
+    SELECT DISTINCT e.user_id
+    FROM events e
+    WHERE EXISTS (
+            SELECT 1 FROM events p
+            WHERE p.user_id = e.user_id
+              AND p.event_type = 'purchase' AND p.value > 200
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM events x
+            WHERE x.user_id = e.user_id
+              AND x.event_type = 'error' AND x.value > 250
+          )
+    ORDER BY user_id
+    """,
+)
+def users_high_value_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS shape: users with at least one
+    >200 purchase and no high-value (>250) error — compiled as one semi
+    join and one anti join on the same key (co-partitioned under AQE),
+    never a correlated per-row subquery execution."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    hi = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 200)
+    ).select("user_id")
+    err = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 250)
+    ).select("user_id")
+    return (
+        users.join(hi, "user_id", "left_semi")
+        .join(err, "user_id", "left_anti")
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "exact_quantiles_by_type",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def exact_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated quantiles per group (`percentile` — the
+    sort-based exact aggregate; both engines use linear interpolation on
+    the same rank formula, so the values match to rounding). The exact
+    form is the oracle companion to `approx_quantiles`' sketch bound —
+    at 100 TB you run the sketch; this is how you audit it."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
