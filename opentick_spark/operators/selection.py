@@ -1,0 +1,202 @@
+"""Data-selection operators for training-corpus curation: TF-IDF keyword
+extraction, DSIR-style hashed importance weighting, per-group token
+entropy, and deterministic weighted reservoir sampling.
+
+All JVM-side (no Python UDFs). Each operator's shuffle story is in its
+docstring — the contract is that every one of these still works when
+`documents` is 100 TB: vocabulary-sized aggregates are broadcast back,
+bucket tables are fixed-size, and samples use TakeOrderedAndProject
+rather than global sorts.
+
+These extend the reference's analytics surface (the reference engine —
+opentick query.go — has no text pipeline at all); the semantics follow
+the published techniques: TF-IDF (Salton & Buckley), DSIR (Xie et al.
+2023, "Data Selection for Language Models via Importance Resampling"),
+and Efraimidis–Spirakis (2006) weighted reservoir sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from opentick_spark.operators.text import ws_tokens
+
+
+def _h8(c: Column) -> Column:
+    """First 8 hex chars of md5 as a long — the engine's deterministic
+    cross-engine hash (same idiom as text.hash_split / negative_samples)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF: tf(t,d) · ln(N / df(t)).
+
+    Shuffle story: one (doc, token) hash agg for tf (map-side combined),
+    one vocabulary-sized agg for document frequency (broadcast back —
+    a vocabulary is bounded regardless of corpus size), N is a 1-row
+    broadcast, and the final top-k is a per-doc window over data already
+    partitioned by doc from the tf agg. Deterministic tie-break: higher
+    score first, then lexicographically smaller term.
+
+    Output: (id, term, tf, df_docs, tfidf, rank).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("__n") / F.col("df_docs")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df_docs").cast("long").alias("df_docs"),
+            "tfidf",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance scores: hash unigrams into a fixed number of
+    buckets, fit target vs raw categorical distributions over buckets
+    (Laplace-smoothed), score each document by the mean log-likelihood
+    ratio of its tokens. Documents whose token distribution looks like
+    the target (rows matching ``target_pred``) score high — the
+    importance-resampling signal from Xie et al. 2023.
+
+    Scale story: the token explode aggregates straight onto the
+    fixed-size bucket key (map-side combine crushes it — the shuffled
+    result is ≤ ``buckets`` rows per map task regardless of corpus
+    size), the weight table is ``buckets`` rows and broadcast back, and
+    the per-doc score is one agg on the doc key. No vocabulary is ever
+    collected; raising ``buckets`` trades driver-free memory for
+    feature resolution.
+
+    Output: (id, n_tokens, is_target, dsir_score).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target_pred.alias("is_target"),
+        F.explode(ws_tokens(F.col(text_col))).alias("t"),
+    ).filter(F.col("t") != "")
+    bucketed = toks.withColumn("b", _h8(F.col("t")) % buckets)
+    counts = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tgt_c"),
+    )
+    totals = counts.agg(
+        F.sum("raw_c").cast("double").alias("raw_n"),
+        F.sum("tgt_c").cast("double").alias("tgt_n"),
+    )
+    weights = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.col("tgt_c") + 1.0) / (F.col("tgt_n") + float(buckets)))
+                - F.log((F.col("raw_c") + 1.0) / (F.col("raw_n") + float(buckets)))
+            ).alias("w"),
+        )
+    )
+    return (
+        bucketed.join(F.broadcast(weights), "b")
+        .groupBy("id", "is_target")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg("w").alias("dsir_score"),
+        )
+        .select("id", "n_tokens", "is_target", "dsir_score")
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shannon entropy (nats) of the unigram distribution per group —
+    a corpus-diversity signal (near-duplicate-heavy or templated sources
+    show depressed entropy).
+
+    Two map-side-combinable aggs: (group, token) counts, then a
+    group-keyed fold of −Σ p ln p expressed as ln(total) − Σ c·ln(c)/total
+    so it needs only one pass over the count table.
+
+    Output: (group, n_tokens, vocab, entropy).
+    """
+    counts = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.explode(ws_tokens(F.col(text_col))).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .groupBy("group", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("group")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            (
+                F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c") * F.log(F.col("c"))) / F.sum("c")
+            ).alias("entropy"),
+        )
+        .select("group", "n_tokens", "vocab", "entropy")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res): each row draws a reproducible uniform
+    u ∈ (0,1] from md5(id) and gets key = ln(u)/w; the k largest keys
+    are the sample. Inclusion probability is proportional to weight,
+    and the same rows are selected on every engine and every run — the
+    property the oracle check and resumable pipelines both need.
+
+    Scale story: key generation is a pure projection; selection is a
+    global top-k (TakeOrderedAndProject — per-partition heaps then a
+    driver merge of k·P rows, never a full sort/shuffle of the corpus).
+
+    Output: (id, weight, es_key, rank) for the k sampled rows.
+    """
+    # (h8 + 1) / 2^32 ∈ (0, 1] — never 0, so ln(u) is finite
+    u = (_h8(F.col(id_col).cast("string")) + 1.0) / F.lit(float(1 << 32))
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(weight_col).cast("double").alias("weight"),
+        (F.log(u) / F.col(weight_col)).alias("es_key"),
+    ).filter(F.col("weight") > 0)
+    w = Window.orderBy(F.col("es_key").desc(), F.col("id"))
+    return (
+        keyed.orderBy(F.col("es_key").desc(), F.col("id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )

@@ -836,3 +836,65 @@ def ivf_topk_indexed(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbor classification: predict each query's label by
+    majority vote over its k exact-cosine nearest corpus rows.
+
+    Built on the same broadcast-queries/stationary-corpus shape as
+    ``brute_force_topk`` (the corpus never shuffles for the scoring
+    pass); the vote is a tiny (queries × labels)-sized agg resolved
+    with ``max_by`` on a (votes, best_cos, -label)-ordered struct —
+    deterministic: more votes wins, then higher best-neighbor cosine,
+    then smaller label.
+
+    Output: (query_id, predicted_label, votes, best_cos).
+    """
+    labeled = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        labeled.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    topk = scored.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
+    votes = topk.groupBy("query_id", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("votes"), F.max("cos").alias("best_cos")
+    )
+    return (
+        votes.groupBy("query_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("neighbor_label").alias("l"),
+                    F.col("votes").alias("v"),
+                    F.col("best_cos").alias("c"),
+                ),
+                F.struct(F.col("votes"), F.col("best_cos"), -F.col("neighbor_label")),
+            ).alias("__w")
+        )
+        .select(
+            "query_id",
+            F.col("__w.l").alias("predicted_label"),
+            F.col("__w.v").cast("long").alias("votes"),
+            F.col("__w.c").alias("best_cos"),
+        )
+    )

@@ -1840,3 +1840,109 @@ def exact_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# behavioral analytics (round 4, second batch)
+
+@q(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS from_type,
+             event_type AS to_type
+      FROM events
+    ),
+    t AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY from_type), 6) AS prob
+    FROM t
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence. One window pass partitioned by user (the natural data
+    partitioning), then a (from,to)-keyed agg whose result is at most
+    |event_type|² rows — the per-from normalization window runs on that
+    tiny table, not on the events."""
+    ev = normalize_events(load_raw(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wt = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("prob"),
+    )
+
+
+@q(
+    "mad_outlier_stats",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, ROUND(ANY_VALUE(d.med), 6) AS med,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad,
+           SUM(CASE WHEN d.ad > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers,
+           COUNT(*)::BIGINT AS n_total
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type: median / MAD (the
+    3·1.4826·MAD rule — the robust z-score). Medians are exact
+    (percentile, not approx) because this query IS the oracle baseline;
+    the two median aggs key on event_type (a handful of groups, partial
+    agg crushes the shuffle) and their tiny results are broadcast back —
+    the events table streams through three projected scans and never
+    shuffles itself."""
+    ev = normalize_events(load_raw(spark, sf_dir, "events")).select(
+        "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5D)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("ad") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+    )

@@ -2246,3 +2246,176 @@ def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_tokens"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# data-selection / curation operators (round 4, second batch)
+
+# DuckDB analog of text.ws_tokens on raw text
+_WS_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@q(
+    "tfidf_top_terms",
+    f"""
+    WITH tk AS (
+      SELECT doc_id AS id, unnest({_WS_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT id, term, COUNT(*) AS tf FROM tk WHERE term != '' GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents)
+    SELECT id, term, tf, df_docs, ROUND(tfidf, 6) AS tfidf, rank FROM (
+      SELECT id, term, tf, df_docs, tf * ln(n.n / df_docs) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY id ORDER BY tf * ln(n.n / df_docs) DESC, term
+             ) AS rank
+      FROM tf JOIN dfq USING (term), n
+    ) WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF keywords: vocabulary-sized DF agg broadcast
+    back, per-doc window top-k (operators/selection.py)."""
+    from opentick_spark.operators import selection as SEL
+
+    docs = load(spark, sf_dir, "documents")
+    out = SEL.tfidf_top_terms(docs, k=5)
+    return out.withColumn("tfidf", F.round("tfidf", 6))
+
+
+@q(
+    "dsir_importance_scores",
+    f"""
+    WITH tk AS (
+      SELECT doc_id AS id, lang = 'en' AS is_target, unnest({_WS_TOKS}) AS t
+      FROM documents
+    ),
+    b AS (
+      SELECT id, is_target, {_H8.format(x="t")} % 1024 AS b
+      FROM tk WHERE t != ''
+    ),
+    counts AS (
+      SELECT b, COUNT(*) AS raw_c,
+             SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS tgt_c
+      FROM b GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(raw_c)::DOUBLE AS raw_n, SUM(tgt_c)::DOUBLE AS tgt_n
+      FROM counts
+    ),
+    wts AS (
+      SELECT b, ln((tgt_c + 1.0) / (tgt_n + 1024.0))
+               - ln((raw_c + 1.0) / (raw_n + 1024.0)) AS w
+      FROM counts, tot
+    )
+    SELECT id, COUNT(*)::BIGINT AS n_tokens, is_target,
+           ROUND(AVG(w), 6) AS dsir_score
+    FROM b JOIN wts USING (b)
+    GROUP BY id, is_target
+    """,
+)
+def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-ngram importance scores, target = English docs: the
+    bucket-weight table is fixed-size (1024) and broadcast — no
+    vocabulary ever leaves the executors (operators/selection.py)."""
+    from opentick_spark.operators import selection as SEL
+
+    docs = load(spark, sf_dir, "documents")
+    out = SEL.dsir_importance(docs, F.col("lang") == "en", buckets=1024)
+    return out.withColumn("dsir_score", F.round("dsir_score", 6))
+
+
+@q(
+    "source_token_entropy",
+    f"""
+    WITH counts AS (
+      SELECT source AS "group", t, COUNT(*) AS c FROM (
+        SELECT source, unnest({_WS_TOKS}) AS t FROM documents
+      ) WHERE t != '' GROUP BY 1, 2
+    )
+    SELECT "group", SUM(c)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS vocab,
+           ROUND(ln(SUM(c)::DOUBLE) - SUM(c * ln(c::DOUBLE)) / SUM(c), 6)
+             AS entropy
+    FROM counts GROUP BY 1
+    """,
+)
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per source — template/boilerplate sources
+    show depressed entropy (operators/selection.py)."""
+    from opentick_spark.operators import selection as SEL
+
+    docs = load(spark, sf_dir, "documents")
+    out = SEL.token_entropy(docs, group_col="source")
+    return out.withColumn("entropy", F.round("entropy", 6))
+
+
+@q(
+    "weighted_sample_docs",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id AS id, n_chars::DOUBLE AS weight,
+             ln(({_H8.format(x="doc_id::VARCHAR")} + 1.0) / 4294967296.0)
+               / n_chars AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT id, weight, ROUND(es_key, 6) AS es_key,
+           ROW_NUMBER() OVER (ORDER BY es_key DESC, id) AS rank
+    FROM keyed ORDER BY es_key DESC, id LIMIT 100
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis deterministic weighted sample (w = n_chars):
+    global top-k by reproducible exponential key, executed as
+    TakeOrderedAndProject — never a full sort (operators/selection.py)."""
+    from opentick_spark.operators import selection as SEL
+
+    docs = load(spark, sf_dir, "documents")
+    out = SEL.weighted_sample(docs, weight_col="n_chars", k=100)
+    return out.withColumn("es_key", F.round("es_key", 6))
+
+
+@q(
+    "knn_label_vote",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % 20 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+               AS cos
+      FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+        ) AS rk FROM scored
+      ) WHERE rk <= 10
+    ),
+    votes AS (
+      SELECT query_id, neighbor_label, COUNT(*) AS votes,
+             MAX(cos) AS best_cos
+      FROM topk GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_label AS predicted_label, votes,
+           ROUND(best_cos, 6) AS best_cos
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY votes DESC, best_cos DESC, neighbor_label
+      ) AS r FROM votes
+    ) WHERE r = 1
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification (k=10, every-20th vector held out as query):
+    broadcast queries over a stationary corpus, majority vote
+    (operators/similarity.py knn_label_vote)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    out = S.knn_label_vote(emb, queries, k=10)
+    return out.withColumn("best_cos", F.round("best_cos", 6))

@@ -256,3 +256,50 @@ def test_quality_report_single_aggregate(spark):
 
     plan = plan_of(data_quality_report(spark, SF))
     assert "BatchEvalPython" not in plan
+
+
+def test_tfidf_broadcasts_df_table_no_python(spark, queries):
+    plan = plan_of(queries["tfidf_top_terms"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the document-frequency table and the N scalar are broadcast back —
+    # the (doc, term) tf table never shuffle-joins
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row N scalar
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_weights_fixed_size_broadcast(spark, queries):
+    plan = plan_of(queries["dsir_importance_scores"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # bucket-weight table joins back via broadcast; token stream never
+    # shuffle-joins
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_is_topk_not_sort(spark, queries):
+    plan = plan_of(queries["weighted_sample_docs"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_vote_broadcasts_queries_no_python(spark, queries):
+    plan = plan_of(queries["knn_label_vote"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast queries × corpus
+    assert "SortMergeJoin" not in plan
+
+
+def test_mad_outliers_broadcasts_median_tables(spark, queries):
+    plan = plan_of(queries["mad_outlier_stats"](spark, SF))
+    # both robust-stat tables (median, MAD — a handful of rows keyed by
+    # event_type) broadcast back; events never shuffle-joins
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_event_transitions_single_user_window(spark, queries):
+    plan = plan_of(queries["event_transitions"](spark, SF))
+    # one window pass over user partitions; the prob normalization
+    # window runs on the tiny (from,to) agg, so exactly 2 Window nodes
+    assert plan.count("Window") == 2
+    assert "BatchEvalPython" not in plan

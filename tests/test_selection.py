@@ -1,0 +1,123 @@
+"""Behavior tests for the data-selection operators (operators/selection.py
++ similarity.knn_label_vote): semantics and edge cases the oracle check
+can't probe (empty text, zero weights, proportionality, vote ties)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentick_spark.operators import selection as SEL
+from opentick_spark.operators import similarity as S
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_tfidf_corpus_wide_term_scores_zero(spark):
+    # 'the' appears in every doc → idf = ln(3/3) = 0 → never ranks above
+    # doc-specific terms
+    df = docs_df(
+        spark,
+        [
+            (1, "the cat", "en", "a", 7),
+            (2, "the dog", "en", "a", 7),
+            (3, "the bird", "en", "a", 8),
+        ],
+    )
+    out = SEL.tfidf_top_terms(df, k=1)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["term"] == "cat" and rows[2]["term"] == "dog"
+    assert all(r["tfidf"] == pytest.approx(math.log(3.0)) for r in rows.values())
+
+
+def test_tfidf_empty_text_emits_nothing(spark):
+    df = docs_df(spark, [(1, "", "en", "a", 0), (2, "word", "en", "a", 4)])
+    out = SEL.tfidf_top_terms(df, k=3)
+    assert [r["id"] for r in out.collect()] == [2]
+
+
+def test_dsir_target_docs_score_higher(spark):
+    # target rows share a disjoint vocabulary → their tokens' buckets have
+    # high target/raw ratios, so target docs must outscore non-target ones
+    rows = [(i, "alpha beta gamma", "en", "a", 16) for i in range(10)] + [
+        (100 + i, "uno dos tres", "es", "a", 12) for i in range(10)
+    ]
+    out = SEL.dsir_importance(
+        docs_df(spark, rows), F.col("lang") == "en", buckets=64
+    ).collect()
+    tgt = [r["dsir_score"] for r in out if r["is_target"]]
+    raw = [r["dsir_score"] for r in out if not r["is_target"]]
+    assert min(tgt) > max(raw)
+
+
+def test_token_entropy_uniform_beats_skewed(spark):
+    # 4 equiprobable tokens → ln(4); one dominant token → much lower
+    df = docs_df(
+        spark,
+        [
+            (1, "a b c d", "en", "uniform", 7),
+            (2, "x x x x x x x y", "en", "skewed", 15),
+        ],
+    )
+    out = {r["group"]: r for r in SEL.token_entropy(df, group_col="source").collect()}
+    assert out["uniform"]["entropy"] == pytest.approx(math.log(4.0))
+    assert out["skewed"]["entropy"] < 0.5
+    assert out["uniform"]["vocab"] == 4 and out["skewed"]["vocab"] == 2
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    rows = [(i, "t", "en", "a", 1000 if i < 50 else 1) for i in range(1000)]
+    df = docs_df(spark, rows)
+    a = [r["id"] for r in SEL.weighted_sample(df, "n_chars", k=40).collect()]
+    b = [r["id"] for r in SEL.weighted_sample(df, "n_chars", k=40).collect()]
+    assert a == b  # reproducible, including order
+    # 50 heavy rows (weight 1000) vs 950 light (weight 1): the sample
+    # must be dominated by heavy rows
+    heavy = sum(1 for i in a if i < 50)
+    assert heavy >= 30
+
+
+def test_weighted_sample_skips_nonpositive_weights(spark):
+    df = docs_df(spark, [(1, "t", "en", "a", 0), (2, "t", "en", "a", 5)])
+    out = SEL.weighted_sample(df, "n_chars", k=10).collect()
+    assert [r["id"] for r in out] == [2]
+
+
+def test_knn_vote_majority_and_tie_break(spark):
+    # query 0 at e0; neighbors: two label-1 vecs near e0, one label-2 vec
+    # exactly at e0 — with k=3 label 1 wins on votes despite label 2's
+    # higher best cosine
+    def vec(x, y):
+        return [float(x), float(y)]
+
+    emb = spark.createDataFrame(
+        [
+            (0, vec(1, 0), 9),
+            (1, vec(1, 0.1), 1),
+            (2, vec(1, -0.1), 1),
+            (3, vec(1, 0), 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = S.knn_label_vote(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    assert len(out) == 1
+    assert out[0]["predicted_label"] == 1
+    assert out[0]["votes"] == 2
+
+
+def test_knn_vote_equal_votes_higher_cos_wins(spark):
+    def vec(x, y):
+        return [float(x), float(y)]
+
+    emb = spark.createDataFrame(
+        [
+            (0, vec(1, 0), 9),
+            (1, vec(1, 0.05), 1),  # closer → label 1's best_cos higher
+            (2, vec(1, 0.5), 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = S.knn_label_vote(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    assert out[0]["predicted_label"] == 1 and out[0]["votes"] == 1
