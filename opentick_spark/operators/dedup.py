@@ -837,3 +837,57 @@ def duplicate_spans(
             6,
         ).alias("dup_frac"),
     )
+
+
+def shingle_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-group content-overlap matrix: for every pair of groups
+    (e.g. crawl sources), how many distinct word n-grams they share and
+    the Jaccard of their gram sets — the corpus-level diagnostic for
+    "which sources are republishing each other" that drives source-level
+    dedup decisions.
+
+    Inverted-index shape end to end: per-doc shingles (one tokenize
+    pass, window lead — exploded_shingles), doc→group mapped with an
+    equi-join on the id the shingle table is already keyed by, distinct
+    (group, gram) agg, then a gram-keyed self-join whose fan-out per
+    gram is bounded by the number of groups holding it (never doc×doc).
+    Per-group gram counts are a |groups|-row table, broadcast for the
+    Jaccard denominators. Output: (src_a, src_b, shared, jac) with
+    src_a < src_b.
+    """
+    grams = exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
+    mapping = df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
+    gg = grams.join(mapping, "id").select("grp", "g").distinct()
+    sizes = gg.groupBy("grp").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = gg.withColumnsRenamed({"grp": "src_a"})
+    b = gg.withColumnsRenamed({"grp": "src_b"})
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.withColumnsRenamed({"grp": "src_a", "n_grams": "na"})),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"grp": "src_b", "n_grams": "nb"})),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ).alias("jac"),
+        )
+    )

@@ -42,13 +42,16 @@ sf0.1 (10×) — the 10× run has caught real bugs invisible at sf0.01
 
 Round-4 rotation: the driver window swapped in the 17 entries that had
 never had a driver row (snapshot/incremental pipeline, frequency ops,
-time-series/finance block) AND the 11 operators built this round
+time-series/finance block) AND the 18 operators built this round
 (dup_span_stats, source_mixture_stats, balanced_sample_per_lang,
 text_bigram_nll, data_quality_report, token_shard_stats,
 temperature_sample, length_batch_stats, curated_corpus_stats,
-hybrid_search, decayed_event_stats) — 28 first-time driver rows this
-round; every rotated-out entry was driver-green in a prior round with
-an unchanged implementation and keeps oracle_check coverage.
+hybrid_search, decayed_event_stats, tfidf_top_terms,
+dsir_importance_scores, source_token_entropy, weighted_sample_docs,
+knn_label_vote, event_transitions, mad_outlier_stats) — 35 first-time
+driver rows this round; every rotated-out entry was driver-green in a
+prior round with an unchanged implementation and keeps oracle_check
+coverage.
 """
 
 from opentick_spark.workload.core import ORACLES as _CORE_O
@@ -96,14 +99,19 @@ _DRIVER_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "dedup_simhash",
     "dedup_embedding_lsh",
-    "semantic_dedup",
-    "sim_topk_ivf",
-    "sim_topk_pq",
-    "text_bm25_search",
-    "text_unigram_nll",
-    "text_dup_ngram_coverage",
+    # round-4 second batch — never driver-checked (swapped in for
+    # dedup_simhash, semantic_dedup, sim_topk_ivf, sim_topk_pq,
+    # text_bm25_search, text_unigram_nll, text_dup_ngram_coverage — all
+    # r3 driver-green with unchanged implementations, still
+    # oracle_check-verified each round)
+    "tfidf_top_terms",
+    "dsir_importance_scores",
+    "source_token_entropy",
+    "weighted_sample_docs",
+    "knn_label_vote",
+    "event_transitions",
+    "mad_outlier_stats",
     # round-4 additions — never driver-checked before (swapped in for
     # contamination_8gram, pack_sequences_by_lang, corpus_split_stats,
     # embedding_label_stats, mixture_sample, bpe_encode_docs,

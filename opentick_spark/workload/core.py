@@ -1946,3 +1946,95 @@ def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_total"),
         )
     )
+
+
+@q(
+    "run_length_histogram",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS island
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, island, COUNT(*) AS run_len
+      FROM seq GROUP BY 1, 2, 3
+    )
+    SELECT event_type, run_len::BIGINT AS run_len, COUNT(*)::BIGINT AS n_runs
+    FROM runs GROUP BY 1, 2
+    """,
+)
+def run_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: how long users' consecutive same-event-type
+    streaks run, as a (type, run_len) histogram. The classic
+    two-row_number island id; both windows partition on user_id, so one
+    shuffle on the user key feeds both sorts, and the island agg keys on
+    (user, type, island) — never a global sort."""
+    ev = normalize_events(load_raw(spark, sf_dir, "events"))
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+                "island"
+            ),
+        )
+        .groupBy("user_id", "event_type", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("event_type", F.col("run_len").cast("long").alias("run_len")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs")
+    )
+
+
+@q(
+    "value_decile_stats",
+    """
+    WITH b AS (
+      SELECT quantile_cont(value,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      FROM events
+    ),
+    d AS (
+      SELECT value,
+             1 + len(list_filter(b.bs, x -> value > x)) AS decile
+      FROM events, b
+    )
+    SELECT decile::BIGINT AS decile, COUNT(*)::BIGINT AS n,
+           ROUND(MIN(value), 6) AS vmin, ROUND(MAX(value), 6) AS vmax,
+           ROUND(AVG(value), 6) AS vavg
+    FROM d GROUP BY 1
+    """,
+)
+def value_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning without a global sort: exact decile
+    boundaries from one percentile aggregate (a 1-row broadcast), then
+    bucket membership is a pure projection — the scale-correct NTILE
+    (a real NTILE window would funnel every row through one partition)."""
+    ev = normalize_events(load_raw(spark, sf_dir, "events")).select("value")
+    bounds = ev.agg(
+        F.expr(
+            "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("bs")
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "value",
+            (
+                1 + F.size(F.filter(F.col("bs"), lambda x: F.col("value") > x))
+            ).alias("decile"),
+        )
+        .groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("value"), 6).alias("vmin"),
+            F.round(F.max("value"), 6).alias("vmax"),
+            F.round(F.avg("value"), 6).alias("vavg"),
+        )
+    )

@@ -2419,3 +2419,34 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     out = S.knn_label_vote(emb, queries, k=10)
     return out.withColumn("best_cos", F.round("best_cos", 6))
+
+
+@q(
+    "source_overlap_matrix",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, {{ngram8}} AS sh
+      FROM (SELECT doc_id, source, string_split({{norm}}, ' ') AS __toks
+            FROM documents)
+    ),
+    gg AS (SELECT DISTINCT source, unnest(sh) AS g FROM t),
+    sizes AS (SELECT source, COUNT(*) AS n FROM gg GROUP BY 1),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+      FROM gg a JOIN gg b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, shared::BIGINT AS shared,
+           ROUND(shared::DOUBLE / (sa.n + sb.n - shared), 6) AS jac
+    FROM shared
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """.format(ngram8=_NGRAM8, norm=_NORM),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources republish each other: distinct shared 8-grams and
+    gram-set Jaccard per source pair — inverted-index self-join, fan-out
+    bounded by |sources| per gram (operators/dedup.py
+    shingle_overlap_matrix)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.shingle_overlap_matrix(docs, group_col="source", n=8)

@@ -303,3 +303,29 @@ def test_event_transitions_single_user_window(spark, queries):
     # window runs on the tiny (from,to) agg, so exactly 2 Window nodes
     assert plan.count("Window") == 2
     assert "BatchEvalPython" not in plan
+
+
+def test_source_overlap_no_doc_pair_join(spark, queries):
+    plan = plan_of(queries["source_overlap_matrix"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # Jaccard denominators come from the tiny per-group size table,
+    # broadcast twice
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_run_length_histogram_shares_user_shuffle(spark, queries):
+    plan = plan_of(queries["run_length_histogram"](spark, SF))
+    # both row_number windows partition on user_id: one exchange on the
+    # user key feeds them; the only other exchanges are the two tiny
+    # aggs — no global-sort Exchange (SinglePartition) anywhere
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_value_decile_no_global_sort(spark, queries):
+    plan = plan_of(queries["value_decile_stats"](spark, SF))
+    # the scale trap this query avoids: NTILE's single-partition window
+    assert "Window" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row boundary broadcast
