@@ -2450,3 +2450,65 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle_overlap_matrix)."""
     docs = load(spark, sf_dir, "documents")
     return D.shingle_overlap_matrix(docs, group_col="source", n=8)
+
+
+@q("ann_recall_report")  # rows-only: LSH/IVF/PQ are not SQL-expressible
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality scorecard: recall@10 and MRR@10 of every
+    approximate ANN path (hyperplane-LSH, IVF, PQ+re-rank, int8) against
+    the exact cosine top-10, over the same held-out queries. All methods
+    are seed-deterministic, so the report is stable row-for-row — the
+    driver's rows-only check pins it, and tests gate the recall floors.
+
+    Scale shape: the exact baseline is one broadcast-queries pass; each
+    method joins its (query, neighbor) pairs to the baseline pairs on
+    the composite key — result sizes are (k × n_queries), so everything
+    after the searches themselves is broadcast-sized."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = S.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    n_q = queries.count()
+    methods = {
+        "lsh_h2": lambda: S.lsh_topk(emb, queries, k=10, bits=8, probe_hamming=2),
+        "ivf_p4": lambda: S.ivf_topk(emb, queries, k=10, ncentroids=16, nprobe=4),
+        "pq_rerank": lambda: S.pq_topk_rerank(
+            emb, queries, k=10, shortlist=50, m=16, ncentroids=32
+        ),
+        "int8": lambda: S.quantized_topk(emb, queries, k=10),
+    }
+    reports = []
+    for name, fn in sorted(methods.items()):
+        got = fn().select("query_id", "neighbor_id", "rank")
+        hits = got.join(
+            F.broadcast(exact.withColumn("__rel", F.lit(1))),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        per_q = hits.groupBy("query_id").agg(
+            F.sum(F.coalesce("__rel", F.lit(0))).alias("n_hits"),
+            F.min(F.when(F.col("__rel") == 1, F.col("rank"))).alias(
+                "first_rel_rank"
+            ),
+        )
+        reports.append(
+            per_q.agg(
+                F.lit(name).alias("method"),
+                F.lit(n_q).cast("long").alias("n_queries"),
+                F.round(F.sum("n_hits") / F.lit(10.0 * n_q), 4).alias(
+                    "recall_at_10"
+                ),
+                F.round(
+                    F.sum(
+                        F.coalesce(1.0 / F.col("first_rel_rank"), F.lit(0.0))
+                    )
+                    / F.lit(float(n_q)),
+                    4,
+                ).alias("mrr_at_10"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -121,3 +121,23 @@ def test_knn_vote_equal_votes_higher_cos_wins(spark):
     )
     out = S.knn_label_vote(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
     assert out[0]["predicted_label"] == 1 and out[0]["votes"] == 1
+
+
+def test_ann_recall_report_floors(spark):
+    from opentick_spark.workload import ALL_QUERIES
+
+    rows = {
+        r["method"]: r
+        for r in ALL_QUERIES["ann_recall_report"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert set(rows) == {"int8", "ivf_p4", "lsh_h2", "pq_rerank"}
+    # measured at sf0.01: int8 .984 / pq .936 / ivf .51 / lsh .326 —
+    # gates sit below with headroom, deterministic methods so any drop
+    # is a code change, not noise
+    assert rows["int8"]["recall_at_10"] >= 0.9
+    assert rows["pq_rerank"]["recall_at_10"] >= 0.8
+    assert rows["ivf_p4"]["recall_at_10"] >= 0.4
+    assert rows["lsh_h2"]["recall_at_10"] >= 0.25
+    assert all(r["mrr_at_10"] >= 0.9 for r in rows.values())
