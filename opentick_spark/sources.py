@@ -1,4 +1,5 @@
-"""External source formats for corpus ingestion: JSONL and CSV.
+"""External source formats for corpus ingestion: JSONL, CSV, ORC
+(and Avro where the spark-avro module is deployed).
 
 The engine's native storage is PK-ordered parquet (table.py), but
 training corpora overwhelmingly arrive as JSONL shards (one document
@@ -275,3 +276,35 @@ def assign_length_batches(
         )
         .drop("__bkt", "__off")
     )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC (columnar, self-describing — no schema needed; predicate
+    pushdown and column pruning work exactly as with parquet)."""
+    return spark.read.orc(path)
+
+
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    schema: str | T.StructType | None = None,
+) -> DataFrame:
+    """Read Avro. Spark treats avro as an external module
+    (org.apache.spark:spark-avro); this environment does not ship its
+    jar, so the reader raises a clear error here and works unchanged on
+    clusters where the module is deployed (same optional-dependency
+    posture as the multimodal codecs)."""
+    reader = spark.read.format("avro")
+    if schema is not None and schema != "infer":
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        reader = reader.schema(schema)
+    try:
+        return reader.load(path)
+    except Exception as e:  # AnalysisException: Failed to find data source
+        if "Failed to find data source" in str(e):
+            raise RuntimeError(
+                "spark-avro module not deployed in this Spark distribution; "
+                "add org.apache.spark:spark-avro to spark.jars.packages"
+            ) from e
+        raise

@@ -2038,3 +2038,58 @@ def value_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("vavg"),
         )
     )
+
+
+@q(
+    "lead_lag_correlation",
+    """
+    WITH p AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS h, AVG(value) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    w AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS h, AVG(value) AS w
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    l AS (SELECT unnest(range(-3, 4)) AS lag)
+    SELECT l.lag::BIGINT AS lag, ROUND(corr(p.v, w.w), 4) AS corr,
+           COUNT(*)::BIGINT AS n_obs
+    FROM l
+    JOIN p ON TRUE
+    JOIN w ON w.h = p.h + l.lag * INTERVAL '1 day'
+    GROUP BY 1
+    """,
+)
+def lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the daily purchase and view
+    series at lags −3..+3 days — does one series predict the other?
+    The two daily aggregates are day-cardinality (tiny at any corpus
+    size); the 7-row lag table fans them out via broadcast, so the
+    whole sweep is a handful of broadcast joins over day-sized tables —
+    the events table is scanned twice and never joined directly."""
+    ev = load(spark, sf_dir, "events")
+    day_ns = 86400 * 10**9
+    day = F.expr(f"ts - pmod(ts, {day_ns})")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day.alias("h"))
+        .agg(F.avg("value").alias("v"))
+    )
+    w = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(day.alias("h"))
+        .agg(F.avg("value").alias("w"))
+    )
+    lags = spark.range(-3, 4).select(F.col("id").alias("lag"))
+    return (
+        p.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(w.withColumnsRenamed({"h": "wh"})),
+            F.col("wh") == F.col("h") + F.col("lag") * F.lit(day_ns),
+        )
+        .groupBy("lag")
+        .agg(
+            F.round(F.corr("v", "w"), 4).alias("corr"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+    )

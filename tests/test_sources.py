@@ -127,3 +127,40 @@ def test_export_training_shards_manifest(spark, tmp_path):
     back = spark.read.parquet(str(tmp_path / "out" / "data"))
     assert back.count() == 100
     assert back.select("shard").distinct().count() == 5
+
+
+def test_orc_roundtrip_documents(spark, tmp_path):
+    from opentick_spark.sources import read_orc
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_orc")
+    docs.write.orc(path)
+    back = read_orc(spark, path)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    # pushdown survives the format: filter reaches the ORC scan
+    plan = (
+        back.filter(back.doc_id == 7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+
+
+def test_avro_reader_gated(spark, tmp_path):
+    import pytest as _pt
+
+    from opentick_spark.sources import read_avro
+
+    try:
+        spark.range(1).write.format("avro").save(str(tmp_path / "probe"))
+        avro_available = True
+    except Exception:
+        avro_available = False
+    if avro_available:
+        df = read_avro(spark, str(tmp_path / "probe"))
+        assert df.count() == 1
+    else:
+        with _pt.raises(RuntimeError, match="spark-avro"):
+            read_avro(spark, str(tmp_path / "missing"))
