@@ -891,3 +891,54 @@ def shingle_overlap_matrix(
             ).alias("jac"),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 8,
+    prefix_len: int = 12,
+) -> DataFrame:
+    """Blocked edit-distance near-dup pairs: documents whose normalized
+    texts are within ``max_dist`` Levenshtein edits, candidates bounded
+    by prefix blocking (identical first ``prefix_len`` normalized chars
+    — the classic record-linkage blocking key).
+
+    Levenshtein is JVM built-in (no UDF); the join is an equi-join on
+    the block key, so pairwise work is per-block, never corpus². The
+    blocking is part of the operator's CONTRACT (a pair differing inside
+    its first ``prefix_len`` chars is out of scope by definition —
+    callers wanting edit-tolerant blocking compose with the fingerprint
+    or MinHash paths). Skew note: a heavy shared prefix concentrates one
+    block; at scale add a length bucket to the key or route hot blocks
+    via operators/skew.py.
+
+    Output: (id_a, id_b, dist) with id_a < id_b.
+    """
+    t = _spread_by_id(df, id_col).select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__n")
+    )
+    t = t.withColumn("__blk", F.substring("__n", 1, prefix_len))
+    a = t.select(
+        F.col("id").alias("id_a"),
+        F.col("__n").alias("__na"),
+        "__blk",
+    )
+    b = t.select(
+        F.col("id").alias("id_b"),
+        F.col("__n").alias("__nb"),
+        "__blk",
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # bounded form prunes early: levenshtein(l, r, threshold) stops
+        # once the distance provably exceeds the cap
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__na", "__nb").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

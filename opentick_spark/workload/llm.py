@@ -2512,3 +2512,106 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+@q(
+    "dedup_edit_distance",
+    f"""
+    WITH t AS (
+      SELECT doc_id AS id, {_NORM} AS n FROM documents
+    ),
+    blk AS (SELECT id, n, substr(n, 1, 12) AS b FROM t)
+    SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.n, b.n)::BIGINT AS dist
+    FROM blk a JOIN blk b ON a.b = b.b AND a.id < b.id
+    WHERE levenshtein(a.n, b.n) <= 8
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-blocked Levenshtein near-dups (≤8 edits on normalized
+    text): JVM levenshtein, per-block pairwise only
+    (operators/dedup.py edit_distance_pairs)."""
+    docs = load(spark, sf_dir, "documents")
+    out = D.edit_distance_pairs(docs, max_dist=8, prefix_len=12)
+    return out.select("id_a", "id_b", F.col("dist").cast("long"))
+
+
+@q(
+    "collocation_pmi_top100",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(ts)),
+                    i -> struct_pack(a := ts[i], b := ts[i+1]))) AS p
+      FROM toks
+    ),
+    c2 AS (
+      SELECT p.a AS t1, p.b AS t2, COUNT(*) AS c2 FROM pairs
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    c1 AS (
+      SELECT t, COUNT(*) AS c1 FROM (
+        SELECT unnest(ts) AS t FROM toks
+      ) GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT SUM(c1)::DOUBLE FROM c1) AS t_uni,
+             (SELECT SUM(len(ts) - 1)::DOUBLE FROM toks WHERE len(ts) > 1)
+               AS t_bi
+    )
+    SELECT t1, t2, c2.c2::BIGINT AS n,
+           ROUND(ln((c2.c2 / tot.t_bi)
+                 / ((ca.c1 / tot.t_uni) * (cb.c1 / tot.t_uni))), 6) AS pmi
+    FROM c2
+    JOIN c1 ca ON ca.t = c2.t1
+    JOIN c1 cb ON cb.t = c2.t2, tot
+    ORDER BY pmi DESC, t1, t2 LIMIT 100
+    """,
+)
+def collocation_pmi_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-100 adjacent token pairs by pointwise
+    mutual information, min count 5. Bigram counts keyed on the pair,
+    vocabulary-sized unigram table broadcast back twice, totals a 1-row
+    broadcast; final top-k is TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(X.ws_tokens(F.col("text"))).alias("__pos", "t"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("__pos")
+    pairs = (
+        toks.select(F.lag("t").over(w).alias("t1"), F.col("t").alias("t2"))
+        .filter(F.col("t1").isNotNull())
+    )
+    c2 = (
+        pairs.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= 5)
+    )
+    c1 = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    tot = pairs.agg(F.count(F.lit(1)).cast("double").alias("t_bi")).crossJoin(
+        c1.agg(F.sum("c1").cast("double").alias("t_uni"))
+    )
+    scored = (
+        c2.join(F.broadcast(c1.withColumnsRenamed({"t": "t1", "c1": "ca"})), "t1")
+        .join(F.broadcast(c1.withColumnsRenamed({"t": "t2", "c1": "cb"})), "t2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            F.col("c2").cast("long").alias("n"),
+            F.round(
+                F.log(
+                    (F.col("c2") / F.col("t_bi"))
+                    / ((F.col("ca") / F.col("t_uni")) * (F.col("cb") / F.col("t_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "t1", "t2").limit(100)

@@ -329,3 +329,18 @@ def test_value_decile_no_global_sort(spark, queries):
     assert "Window" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row boundary broadcast
+
+
+def test_edit_distance_blocked_join_no_python(spark, queries):
+    plan = plan_of(queries["dedup_edit_distance"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # blocking key equi-join only
+    assert "levenshtein" in plan  # JVM built-in, not a UDF
+
+
+def test_collocation_pmi_topk_and_broadcast(spark, queries):
+    plan = plan_of(queries["collocation_pmi_top100"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # unigram table twice
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -141,3 +141,22 @@ def test_ann_recall_report_floors(spark):
     assert rows["ivf_p4"]["recall_at_10"] >= 0.4
     assert rows["lsh_h2"]["recall_at_10"] >= 0.25
     assert all(r["mrr_at_10"] >= 0.9 for r in rows.values())
+
+
+def test_edit_distance_pairs_fixture(spark):
+    from opentick_spark.operators.dedup import edit_distance_pairs
+
+    df = docs_df(
+        spark,
+        [
+            # same 12-char normalized prefix, 1 edit apart
+            (1, "the quick brown fox jumps", "en", "a", 25),
+            (2, "the quick brown fox jumped", "en", "a", 26),
+            # same prefix but far beyond max_dist
+            (3, "the quick brown dog sat on something entirely else ok", "en", "a", 54),
+            # different prefix: never a candidate even at distance 1
+            (4, "a quick brown fox jumps", "en", "a", 23),
+        ],
+    )
+    out = edit_distance_pairs(df, max_dist=3, prefix_len=12).collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in out] == [(1, 2, 2)]
