@@ -2093,3 +2093,91 @@ def lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_obs"),
         )
     )
+
+
+@q(
+    "funnel_time_to_convert",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT s.user_id, MIN(epoch_us(e.ts)) - ANY_VALUE(s.signup_us)
+               AS delta_us
+      FROM s JOIN events e ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND epoch_us(e.ts) >= s.signup_us
+      GROUP BY s.user_id
+    )
+    SELECT COUNT(*)::BIGINT AS n_converted,
+           ROUND(quantile_cont(delta_us, 0.5) / 3600e6, 4) AS p50_hours,
+           ROUND(quantile_cont(delta_us, 0.9) / 3600e6, 4) AS p90_hours,
+           ROUND(AVG(delta_us) / 3600e6, 4) AS mean_hours
+    FROM p
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long conversion takes: exact p50/p90/mean hours from first
+    signup to first at-or-after purchase. Same one-shuffle funnel chain
+    as funnel_signup_purchase (user-keyed min aggs co-partition), ending
+    in a 1-row exact-percentile aggregate."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(ts_us()).alias("signup_us"))
+    )
+    p = (
+        s.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", ts_us().alias("p_us")
+            ),
+            "user_id",
+        )
+        .filter(F.col("p_us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg((F.min("p_us") - F.first("signup_us")).alias("delta_us"))
+    )
+    h = 3600e6
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(delta_us, 0.5D)") / h, 4).alias("p50_hours"),
+        F.round(F.expr("percentile(delta_us, 0.9D)") / h, 4).alias("p90_hours"),
+        F.round(F.avg("delta_us") / h, 4).alias("mean_hours"),
+    )
+
+
+@q(
+    "user_ts_features",
+    """
+    WITH t AS (
+      SELECT user_id, value,
+             epoch_us(ts) / 3600e6 AS t_h
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, COUNT(*)::BIGINT AS n,
+           ROUND(AVG(value), 6) AS mean_v,
+           ROUND(stddev_samp(value), 6) AS std_v,
+           ROUND(regr_slope(value, t_h), 6) AS trend_per_hour
+    FROM t GROUP BY user_id HAVING COUNT(*) >= 5
+    """,
+)
+def user_ts_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity time-series feature vector for downstream ML: count,
+    mean, sample stddev, and OLS trend slope of purchase values over
+    time — all computed in ONE hash aggregate (regr_slope is the
+    built-in covar/var ratio; no window, no second pass)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    t = ev.select(
+        "user_id", "value", (ts_us() / F.lit(3600e6)).alias("t_h")
+    )
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_v"),
+            F.round(F.stddev_samp("value"), 6).alias("std_v"),
+            F.round(F.expr("regr_slope(value, t_h)"), 6).alias("trend_per_hour"),
+        )
+        .filter(F.col("n") >= 5)
+    )
