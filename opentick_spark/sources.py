@@ -308,3 +308,31 @@ def read_avro(
                 "add org.apache.spark:spark-avro to spark.jars.packages"
             ) from e
         raise
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a DataFrame as a Spark bucketed (and optionally
+    sort-ordered) parquet table — the cluster-scale layout for repeated
+    joins/aggregations on the same key: two tables bucketed on the join
+    key with the same bucket count join with ZERO Exchange (and with
+    sortBy, zero Sort) on every subsequent query, because the bucketing
+    metadata proves the co-partitioning to Catalyst.
+
+    This is the Spark-catalog analog of the engine's own hash-bucketed
+    PK layout (`TableStore.compact(hash_buckets=N)`); use it for
+    workbench tables that live outside the engine's storage.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(name)

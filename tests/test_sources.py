@@ -164,3 +164,39 @@ def test_avro_reader_gated(spark, tmp_path):
     else:
         with _pt.raises(RuntimeError, match="spark-avro"):
             read_avro(spark, str(tmp_path / "missing"))
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    from opentick_spark.sources import write_bucketed_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = docs.selectExpr("doc_id", "n_chars * 2 AS feat")
+    try:
+        write_bucketed_table(
+            docs, "bkt_docs", ["doc_id"], 4, sort_cols=["doc_id"],
+            path=str(tmp_path / "bkt_docs"),
+        )
+        write_bucketed_table(
+            stats, "bkt_stats", ["doc_id"], 4, sort_cols=["doc_id"],
+            path=str(tmp_path / "bkt_stats"),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # disable broadcast so the join must prove co-partitioning
+            # (at real scale both sides are too big to broadcast anyway)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = (
+                spark.table("bkt_docs")
+                .join(spark.table("bkt_stats"), "doc_id")
+                .selectExpr("doc_id", "lang", "feat")
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # the whole point of the layout: co-located join, no shuffle
+            assert "Exchange" not in plan
+            assert "SortMergeJoin" in plan
+            assert joined.count() == docs.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_docs")
+        spark.sql("DROP TABLE IF EXISTS bkt_stats")
