@@ -87,3 +87,71 @@ def stateful_running_totals(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _topk_values(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Per-key running top-3 `value`s (ties broken by smaller event_id),
+    maintained across micro-batches. Order-statistics state: unlike the
+    running-totals fold this keeps a bounded SET of extremes, and its
+    final state is batch-order-insensitive — the oracle property."""
+    if state.exists:
+        vals, ids, n = list(state.get[0]), list(state.get[1]), state.get[2]
+    else:
+        vals, ids, n = [], [], 0
+    pairs = list(zip(vals, ids))
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        pairs.extend(zip(pdf["value"].tolist(), pdf["event_id"].tolist()))
+        pairs.sort(key=lambda p: (-p[0], p[1]))
+        del pairs[3:]
+    state.update((
+        [p[0] for p in pairs],
+        [int(p[1]) for p in pairs],
+        n,
+    ))
+    row = {"user_id": [key[0]], "n_seen": [n]}
+    for i in range(3):
+        row[f"top{i + 1}"] = [pairs[i][0] if i < len(pairs) else None]
+    yield pd.DataFrame(row)
+
+
+def stateful_topk_values(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    sink_table: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """File stream → per-user running top-3 values with explicit keyed
+    order-statistics state (3 floats + 3 ids per key, regardless of
+    stream volume). Update-mode memory sink; the row with the highest
+    ``n_seen`` per key is the final state."""
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _topk_values,
+        outputStructType=(
+            "user_id long, n_seen long, top1 double, top2 double, top3 double"
+        ),
+        stateStructType="vals array<double>, ids array<long>, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -2615,3 +2615,66 @@ def collocation_pmi_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "t1", "t2").limit(100)
+
+
+@q(
+    "streaming_topk_values",
+    """
+    WITH rk AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id
+             ) AS r,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_seen
+      FROM events WHERE user_id < 40
+    )
+    SELECT user_id, ANY_VALUE(n_seen)::BIGINT AS n_seen,
+           MAX(CASE WHEN r = 1 THEN value END) AS top1,
+           MAX(CASE WHEN r = 2 THEN value END) AS top2,
+           MAX(CASE WHEN r = 3 THEN value END) AS top3
+    FROM rk GROUP BY user_id
+    """,
+)
+def streaming_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second custom stateful streaming operator: per-user running top-3
+    values held in bounded order-statistics state across micro-batches
+    (applyInPandasWithState). Oracle: final state per key must equal the
+    batch top-3 — valid because a top-k set is batch-order-insensitive."""
+    from pyspark.sql import Window
+
+    from opentick_spark.streaming.ingest import state_partitions
+    from opentick_spark.streaming.stateful import stateful_topk_values
+
+    raw = load_raw(spark, sf_dir, "events")
+    schema = raw.schema
+    name = "topk_sink_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="otspark_topk_src_")
+    # restrict to a bounded key set and write a real 2-file source so
+    # the state genuinely persists across micro-batches (2 batches via
+    # maxFilesPerTrigger=1 — cross-batch state proven at half the
+    # micro-batch cost of a wider fan-out)
+    raw.filter(F.col("user_id") < 40).repartition(2).write.parquet(
+        os.path.join(src_dir, "part"), mode="overwrite"
+    )
+    with state_partitions(spark, 8):
+        query = stateful_topk_values(
+            spark,
+            os.path.join(src_dir, "part"),
+            schema,
+            name,
+            tempfile.mkdtemp(prefix="otspark_topk_ck_"),
+        )
+        query.awaitTermination()
+    sink = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (
+        sink.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "user_id",
+            F.col("n_seen").cast("long").alias("n_seen"),
+            "top1",
+            "top2",
+            "top3",
+        )
+    )
