@@ -230,6 +230,9 @@ def main():
         # r4 addition: substring-level exact dedup (inverted index +
         # span merge) — the heaviest new text-pipeline shape
         "dup_span_stats",
+        # r4 second batch: TF-IDF keyword extraction (vocabulary-sized
+        # DF broadcast + per-doc window top-k)
+        "tfidf_top_terms",
     ]
     for name in headline:
         fn = QUERIES[name]
