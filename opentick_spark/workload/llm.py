@@ -2678,3 +2678,29 @@ def streaming_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top3",
         )
     )
+
+
+@q(
+    "lang_id_confusion",
+    f"""
+    WITH p AS ({_lang_oracle()})
+    SELECT d.lang AS true_lang, p.pred_lang, COUNT(*)::BIGINT AS n
+    FROM p JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix for the heuristic language ID
+    against the labeled lang column — the quality signal that tells a
+    pipeline operator when the cheap classifier needs replacing for a
+    given slice. One projection + one (true, pred)-keyed agg whose
+    result is at most |langs|² rows."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            X.lang_id(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
