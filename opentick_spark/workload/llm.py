@@ -2359,10 +2359,17 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
              ln(({_H8.format(x="doc_id::VARCHAR")} + 1.0) / 4294967296.0)
                / n_chars AS es_key
       FROM documents WHERE n_chars > 0
+    ),
+    -- rank on the RAW key in a subquery: an outer ORDER BY es_key would
+    -- capture the ROUNDED output alias and reorder rounding-collided
+    -- keys at the top-k boundary (caught by the sf0.1 sweep)
+    ranked AS (
+      SELECT id, weight, es_key,
+             ROW_NUMBER() OVER (ORDER BY es_key DESC, id) AS rank
+      FROM keyed
     )
-    SELECT id, weight, ROUND(es_key, 6) AS es_key,
-           ROW_NUMBER() OVER (ORDER BY es_key DESC, id) AS rank
-    FROM keyed ORDER BY es_key DESC, id LIMIT 100
+    SELECT id, weight, ROUND(es_key, 6) AS es_key, rank
+    FROM ranked WHERE rank <= 100
     """,
 )
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
