@@ -2181,3 +2181,102 @@ def user_ts_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") >= 5)
     )
+
+
+@q(
+    "psi_value_drift",
+    """
+    WITH mm AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+    ),
+    ref AS (
+      SELECT value FROM events, mm WHERE epoch_us(ts) <= mm.mid
+    ),
+    b AS (
+      SELECT quantile_cont(value,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      FROM ref
+    ),
+    binned AS (
+      SELECT 1 + len(list_filter(b.bs, x -> e.value > x)) AS bin,
+             epoch_us(e.ts) <= mm.mid AS is_ref
+      FROM events e, b, mm
+    ),
+    counts AS (
+      SELECT bin,
+             SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT SUM(n_ref)::DOUBLE AS t_ref, SUM(n_cur)::DOUBLE AS t_cur
+      FROM counts
+    )
+    SELECT bin::BIGINT AS bin, n_ref::BIGINT AS n_ref, n_cur::BIGINT AS n_cur,
+           ROUND(n_ref / tot.t_ref, 6) AS p,
+           ROUND(n_cur / tot.t_cur, 6) AS q,
+           ROUND((n_cur / tot.t_cur - n_ref / tot.t_ref)
+                 * ln(greatest(n_cur / tot.t_cur, 1e-12)
+                      / (n_ref / tot.t_ref)), 6) AS psi_term
+    FROM counts, tot
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream (split at the midpoint timestamp): reference-decile
+    bins, per-bin PSI terms — the standard ML feature-drift monitor.
+
+    Scale shape: two 1-row broadcasts (time midpoint, reference decile
+    boundaries — the second from an exact percentile over the reference
+    slice), then ONE pass over events computing bin membership as a pure
+    projection and a 10-row conditional-sum aggregate. Reference bins
+    guarantee p > 0; q is clamped at 1e-12 inside the log."""
+    ev = normalize_events(load_raw(spark, sf_dir, "events")).select(
+        "value", F.expr("ts div 1000").alias("us")
+    )
+    mm = ev.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("mid")
+    )
+    withmid = ev.crossJoin(F.broadcast(mm))
+    bounds = (
+        withmid.filter(F.col("us") <= F.col("mid"))
+        .agg(
+            F.expr(
+                "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,"
+                "0.6D,0.7D,0.8D,0.9D))"
+            ).alias("bs")
+        )
+    )
+    counts = (
+        withmid.crossJoin(F.broadcast(bounds))
+        .select(
+            (1 + F.size(F.filter(F.col("bs"), lambda x: F.col("value") > x))).alias(
+                "bin"
+            ),
+            (F.col("us") <= F.col("mid")).alias("is_ref"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("double").alias("t_ref"),
+        F.sum("n_cur").cast("double").alias("t_cur"),
+    )
+    p = F.col("n_ref") / F.col("t_ref")
+    qq = F.col("n_cur") / F.col("t_cur")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.round(p, 6).alias("p"),
+            F.round(qq, 6).alias("q"),
+            F.round(
+                (qq - p) * F.log(F.greatest(qq, F.lit(1e-12)) / p), 6
+            ).alias("psi_term"),
+        )
+    )
