@@ -141,9 +141,17 @@ def bench_wire_roundtrip(spark):
     rows = c.execute("select * from test where sec=1", timeout=180)
     t_scan = time.time() - t0
     assert len(rows) == 100_000, len(rows)
+    # steady-state: same prepared statement re-executed (the cold number
+    # above includes the one-time Catalyst compile of this statement;
+    # a server's working set is prepared statements — reference clients
+    # prepare too)
+    t0 = time.time()
+    rows = c.execute("select * from test where sec=1", timeout=180, cache=False)
+    t_scan_warm = time.time() - t0
+    assert len(rows) == 100_000, len(rows)
     c.close()
     srv.stop()
-    return t_ingest, t_scan
+    return t_ingest, t_scan, t_scan_warm
 
 
 def main():
@@ -197,9 +205,11 @@ def main():
     timings["scan_split_10"] = time.time() - t0
     # full TCP client-server path (r4): comparable to the reference's
     # client-measured numbers (BASELINE rows 2/7 ingest, 3/8 scan)
-    timings["wire_ingest_batch_100k"], timings["wire_scan_100k"] = (
-        bench_wire_roundtrip(spark)
-    )
+    (
+        timings["wire_ingest_batch_100k"],
+        timings["wire_scan_100k"],
+        timings["wire_scan_100k_warm"],
+    ) = bench_wire_roundtrip(spark)
 
     # --- headline analytical / extension queries -------------------------
     headline = [

@@ -332,17 +332,20 @@ class TCPConnection:
                     # server cache hit: key "2" carries the PRE-SERIALIZED
                     # original reply (BSON: raw bytes; JSON: base64 text —
                     # matching Go json.Marshal of []byte). Unwrap to its
-                    # "1" exactly like the reference client
+                    # result exactly like the reference client
                     # (bindings/python/opentick/client.py:371-374).
                     blob = msg["2"]
                     if isinstance(blob, str):
                         import base64 as _b64
 
                         blob = _b64.b64decode(blob)
-                    msg["1"] = self._dec(blob).get("1")
+                    inner = self._dec(blob)
+                    inner["0"] = msg.get("0")  # reply under OUR ticket
+                    inner.pop("2", None)
+                    msg = inner
                 fut = futures.pop(msg.get("0"), None)
                 if fut is not None and not fut.done():
-                    fut.set_result(msg.get("1"))
+                    fut.set_result(self._extract_result(msg))
         except OSError:
             pass
         # drop in-flight futures so callers fail fast instead of hanging
@@ -446,9 +449,35 @@ class TCPConnection:
         return True
 
     # -- execution -----------------------------------------------------
+    def _extract_result(self, msg: dict):
+        """Result of a decoded reply: key "1c" carries the columnar fast
+        path (json protocol), key "1" the reference row shape (bson) or
+        an error string."""
+        cols = msg.get("1c")
+        if cols is not None:
+            return self._cols_to_rows(cols)
+        return msg.get("1")
+
+    @staticmethod
+    def _cols_to_rows(cols: list[list]) -> list[tuple]:
+        """Transpose wire columns into the client row-tuple contract;
+        timestamp cells arrive as [sec, nsec] json arrays — detect
+        list-bearing columns once and convert column-wise."""
+        fixed = []
+        for c in cols:
+            if any(isinstance(v, list) for v in c[:1]) or (
+                c and c[0] is None and any(isinstance(v, list) for v in c)
+            ):
+                c = [tuple(v) if isinstance(v, list) else v for v in c]
+            fixed.append(c)
+        return list(zip(*fixed))
+
     def _rows_in(self, rows):
         if rows is None:
             return None
+        if rows and type(rows[0]) is tuple:
+            # already materialized by the columnar wire path
+            return rows
         return [
             tuple(tuple(v) if isinstance(v, list) else v for v in row)
             for row in rows

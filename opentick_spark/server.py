@@ -203,10 +203,18 @@ class _Session:
                             )
                             return
                     what = self._engine_pid(what)
-                rows = self.engine.execute_rows(what, *args)
-                payload = self.server._enc(
-                    {"0": ticket, "1": _jsonable_rows(rows)}
-                )
+                if self.server.protocol == "json":
+                    # columnar fast path: engine hands over column lists
+                    # (no server-side transpose), client zips after
+                    # decode — json arrays encode/decode faster columnar
+                    cols = self.engine.execute_columns(what, *args)
+                    payload = self.server._enc({"0": ticket, "1c": cols})
+                else:
+                    # bson keeps the reference's row shape in key "1"
+                    rows = self.engine.execute_rows(what, *args)
+                    payload = self.server._enc(
+                        {"0": ticket, "1": _jsonable_rows(rows)}
+                    )
                 if cache_key is not None:
                     self.server._cache_put(cache_key, payload)
                 self.reply_raw(payload, ticket)

@@ -25,16 +25,24 @@ def cache_server(spark, tmp_path_factory):
 
 
 def _count_engine_calls(monkeypatch):
+    # the json protocol serves selects via execute_columns (columnar
+    # fast path), bson via execute_rows — count either
     from opentick_spark.engine import Engine
 
     calls = {"n": 0}
-    orig = Engine.execute_rows
+    orig_rows = Engine.execute_rows
+    orig_cols = Engine.execute_columns
 
-    def counted(self, sql, *args):
+    def counted_rows(self, sql, *args):
         calls["n"] += 1
-        return orig(self, sql, *args)
+        return orig_rows(self, sql, *args)
 
-    monkeypatch.setattr(Engine, "execute_rows", counted)
+    def counted_cols(self, sql, *args):
+        calls["n"] += 1
+        return orig_cols(self, sql, *args)
+
+    monkeypatch.setattr(Engine, "execute_rows", counted_rows)
+    monkeypatch.setattr(Engine, "execute_columns", counted_cols)
     return calls
 
 
