@@ -153,3 +153,45 @@ def test_wire_cache_bson_binary_blob(bson_cache_server, monkeypatch):
         assert calls["n"] == n  # served from the binary blob, engine idle
     finally:
         c.close()
+
+
+def test_cache_hit_reticketed_across_connections(cache_server, monkeypatch):
+    """A cached reply's stored bytes carry the ORIGINAL requester's
+    ticket; a hit served to a different connection (or a later ticket on
+    the same one) must be re-ticketed so the reply resolves the right
+    future — regression for the columnar-payload unwrap path."""
+    calls = _count_engine_calls(monkeypatch)
+    c1 = connect_tcp("127.0.0.1", cache_server.port)
+    c2 = connect_tcp("127.0.0.1", cache_server.port)
+    try:
+        if "wt" not in c1.list_databases():
+            c1.execute("create database wt")
+        c1.use("wt")
+        c2.use("wt")
+        c1.execute(
+            "create table rt(sec int, tm timestamp, v double, "
+            "primary key(sec, tm))"
+        )
+        for i in range(3):
+            c1.execute(
+                "insert into rt(sec, tm, v) values(?, ?, ?)",
+                (7, [i, 0], float(i)),
+            )
+        # prime the cache from connection 1 (prepared select, cache flag)
+        assert len(c1.execute("select * from rt where sec=?", (7,))) == 3
+        n_prime = calls["n"]
+        # interleave async futures on BOTH connections against the cached
+        # statement; every future must resolve with the full result under
+        # its own ticket and the engine must not run again within the TTL
+        futs = []
+        for _ in range(4):
+            futs.append(c1.execute_async("select * from rt where sec=?", (7,)))
+            futs.append(c2.execute_async("select * from rt where sec=?", (7,)))
+        for f in futs:
+            rows = f.get(timeout=30)
+            assert len(rows) == 3
+            assert sorted(r[2] for r in rows) == [0.0, 1.0, 2.0]
+        assert calls["n"] == n_prime  # all eight were cache hits
+    finally:
+        c1.close()
+        c2.close()
