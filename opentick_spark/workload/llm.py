@@ -2711,3 +2711,93 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@q(
+    "tokenizer_fertility_by_lang",
+    """
+    SELECT lang,
+           SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))::BIGINT
+             AS bpe_tokens,
+           SUM(len(string_split_regex(trim(lower(text)), '\\s+')))::BIGINT
+             AS ws_tokens,
+           ROUND(SUM(len(regexp_extract_all(text,
+                     '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))::DOUBLE
+                 / SUM(len(string_split_regex(trim(lower(text)), '\\s+'))), 6)
+             AS fertility
+    FROM documents GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (sub-tokens per whitespace word) per language
+    — the standard tokenizer-equity metric (a high-fertility language
+    pays more sequence length per word). One aggregate, JVM regex."""
+    docs = load(spark, sf_dir, "documents")
+    bpe = X.bpe_token_count(F.col("text"))
+    ws = X.ws_token_count(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.sum(bpe).cast("long").alias("bpe_tokens"),
+        F.sum(ws).cast("long").alias("ws_tokens"),
+        F.round(
+            F.sum(bpe).cast("double") / F.sum(ws), 6
+        ).alias("fertility"),
+    )
+
+
+@q(
+    "hard_negative_mining",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neg_id,
+             list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+               AS cos
+      FROM q JOIN embeddings e
+        ON e.vec_id != q.query_id AND e.label != q.qlabel
+    )
+    SELECT query_id, neg_id, ROUND(cos, 6) AS cos, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neg_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each held-out query, the
+    5 most-similar vectors with a DIFFERENT label — the highest-value
+    negatives for metric learning. Broadcast-queries/stationary-corpus
+    shape with the label-mismatch predicate fused into the scoring pass."""
+    emb = load(spark, sf_dir, "embeddings")
+    q_side = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neg_id"),
+            F.col("embedding").alias("cv"),
+            F.col("label").alias("nlabel"),
+        )
+        .crossJoin(F.broadcast(q_side))
+        .filter(
+            (F.col("neg_id") != F.col("query_id"))
+            & (F.col("nlabel") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "neg_id",
+            S.cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .withColumn("cos", F.round("cos", 6))
+    )
