@@ -2801,3 +2801,26 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .withColumn("cos", F.round("cos", 6))
     )
+
+
+@q("source_pagerank")  # rows-only: iterative power iteration, not SQL
+def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of sources in the shared-8-gram overlap graph
+    — which source sits at the center of the republishing network. Edges
+    from shingle_overlap_matrix (Jaccard ≥ 0.0005 to drop hapax-collision
+    noise), 20 undirected power iterations with localCheckpoint lineage
+    cuts (operators/graph.py). Deterministic (fixed init/iterations), so
+    the driver's rows-only check is stable; the golden pytest pins the
+    iteration against textbook numpy PageRank."""
+    from opentick_spark.operators.graph import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    edges = D.shingle_overlap_matrix(docs, group_col="source", n=8).filter(
+        F.col("jac") >= 0.0005
+    )
+    pr = pagerank(
+        edges, src_col="src_a", dst_col="src_b", iterations=20
+    )
+    return pr.select(
+        F.col("node").alias("source"), F.round("pr", 6).alias("pr")
+    )

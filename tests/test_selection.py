@@ -160,3 +160,45 @@ def test_edit_distance_pairs_fixture(spark):
     )
     out = edit_distance_pairs(df, max_dist=3, prefix_len=12).collect()
     assert [(r["id_a"], r["id_b"], r["dist"]) for r in out] == [(1, 2, 2)]
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from opentick_spark.operators.graph import pagerank
+
+    # directed 4-node graph with a dangling node (3)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (1, 3)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            edges, damping=0.85, iterations=20, undirected=False
+        ).collect()
+    }
+    # reference: textbook power iteration (same init, same teleport, no
+    # renormalization, dangling mass dropped)
+    n = 4
+    adj = {0: [1, 2], 1: [2, 3], 2: [0]}
+    pr = np.full(n, 1.0 / n)
+    for _ in range(20):
+        new = np.full(n, 0.15 / n)
+        for s, outs in adj.items():
+            for d in outs:
+                new[d] += 0.85 * pr[s] / len(outs)
+        pr = new
+    for i in range(n):
+        assert abs(got[i] - pr[i]) < 1e-12, (i, got[i], pr[i])
+
+
+def test_pagerank_undirected_symmetry(spark):
+    from opentick_spark.operators.graph import pagerank
+
+    # path graph 0-1-2: ends must tie, middle must dominate
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {
+        r["node"]: r["pr"] for r in pagerank(edges, iterations=30).collect()
+    }
+    assert abs(got[0] - got[2]) < 1e-12
+    assert got[1] > got[0]
