@@ -2280,3 +2280,75 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi_term"),
         )
     )
+
+
+@q(
+    "key_skew_report",
+    """
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    kt AS (SELECT COUNT(*) AS k, SUM(n) AS tot FROM c),
+    r AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS i FROM c
+    )
+    SELECT kt.k::BIGINT AS n_keys,
+           kt.tot::BIGINT AS n_rows,
+           ROUND(2.0 * SUM(i * n) / (kt.k * kt.tot)
+                 - (kt.k + 1.0) / kt.k, 6) AS gini,
+           ROUND(SUM(CASE WHEN i > kt.k - greatest(kt.k // 100, 1)
+                          THEN n ELSE 0 END)::DOUBLE / kt.tot, 6)
+             AS top1pct_share,
+           ROUND(MAX(n)::DOUBLE / kt.tot, 6) AS max_share
+    FROM r, kt
+    GROUP BY kt.k, kt.tot
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key skew diagnostics for the user_id key: Gini
+    coefficient of the per-key row distribution, the share held by the
+    top 1% of keys, and the hottest key's share — the numbers that
+    decide whether a layout needs salting / skew_buckets before a 100 TB
+    run. The events table reduces to a key-cardinality count table in
+    one agg; the rank window runs over THAT table (keys, not rows), and
+    the report is a single-row aggregate."""
+    ev = normalize_events(load_raw(spark, sf_dir, "events"))
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("n", "user_id")
+    r = (
+        c.select(
+            "n",
+            F.row_number().over(w).alias("i"),
+        )
+    )
+    k_tot = c.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("n").alias("tot")
+    )
+    return (
+        r.crossJoin(F.broadcast(k_tot))
+        .agg(
+            F.first("k").cast("long").alias("n_keys"),
+            F.first("tot").cast("long").alias("n_rows"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("n")) / (F.first("k") * F.first("tot"))
+                - (F.first("k") + 1.0) / F.first("k"),
+                6,
+            ).alias("gini"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("i")
+                        > F.col("k") - F.greatest(
+                            F.expr("k div 100"), F.lit(1)
+                        ),
+                        F.col("n"),
+                    ).otherwise(0)
+                ).cast("double")
+                / F.first("tot"),
+                6,
+            ).alias("top1pct_share"),
+            F.round(F.max("n").cast("double") / F.first("tot"), 6).alias(
+                "max_share"
+            ),
+        )
+    )
