@@ -547,6 +547,13 @@ class TCPConnection:
             self._request({"1": "meta", "2": "schema", "3": table_name})
         )
 
+    def server_stats(self) -> dict:
+        """Server observability counters (extension): requests/runs/
+        cache hits/errors, uptime anchor, live connections, cached
+        replies."""
+        rows = self._result(self._request({"1": "meta", "2": "server_stats"}))
+        return {k: v for k, v in rows}
+
 
 def connect_tcp(
     addr: str,

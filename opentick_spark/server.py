@@ -163,6 +163,7 @@ class _Session:
 
     # executed on the dispatch pool ------------------------------------
     def handle(self, msg: dict) -> None:
+        self.server._bump("n_requests")
         ticket = msg.get("0")
         try:
             cmd = msg.get("1")
@@ -174,6 +175,7 @@ class _Session:
                 self.reply(ticket, self._next_id)
                 return
             if cmd == "run":
+                self.server._bump("n_run")
                 what = msg["2"]
                 args = tuple(msg.get("3") or ())
                 # Wire-path response cache (reference server.go:341-350 +
@@ -195,6 +197,7 @@ class _Session:
                         cache_key = (sql_text, repr(args))
                         hit = self.server._cache_get(cache_key)
                         if hit is not None:
+                            self.server._bump("n_cache_hits")
                             self.reply_raw(
                                 self.server._enc(
                                     {"0": ticket, "2": self.server._blob(hit)}
@@ -240,8 +243,10 @@ class _Session:
                 return
             self.reply(ticket, f"Unknown command: {cmd!r}")
         except OpentickError as e:
+            self.server._bump("n_errors")
             self.reply(ticket, str(e))
         except Exception as e:  # wire must answer every ticket
+            self.server._bump("n_errors")
             self.reply(ticket, f"{type(e).__name__}: {e}")
 
     def _engine_pid(self, wire_id: int) -> int:
@@ -255,6 +260,9 @@ class _Session:
             return self.engine.list_databases()
         if sub == "list_tables":
             return self.engine.list_tables()
+        if sub == "server_stats":
+            st = self.server.server_stats()
+            return [[k, st[k]] for k in sorted(st)]
         if sub == "schema":
             keys, vals = self.engine.table_meta(self.engine.current_db, arg)
             return [[n, t, True] for n, t in keys] + [
@@ -295,6 +303,15 @@ class OpentickServer:
         self.cache_expiration = cache_expiration
         self._resp_cache: dict[tuple, tuple[float, bytes]] = {}
         self._cache_lock = threading.Lock()
+        # observability counters served by the server_stats meta command
+        self._stats_lock = threading.Lock()
+        self._stats = {
+            "n_requests": 0,
+            "n_run": 0,
+            "n_cache_hits": 0,
+            "n_errors": 0,
+            "started_at_s": int(time.time()),
+        }
         self._pool = ThreadPoolExecutor(max_workers=min(max_concurrency, 64))
         self._gate = threading.Semaphore(max_concurrency)
         self._sessions: set[_Session] = set()
@@ -377,6 +394,17 @@ class OpentickServer:
         if self.protocol == "bson":
             return payload
         return base64.b64encode(payload).decode("ascii")
+
+    def _bump(self, key: str, n: int = 1) -> None:
+        with self._stats_lock:
+            self._stats[key] += n
+
+    def server_stats(self) -> dict:
+        with self._stats_lock:
+            st = dict(self._stats)
+        st["n_connections"] = len(self._sessions)
+        st["n_cached_replies"] = len(self._resp_cache)
+        return st
 
     def _cache_get(self, key: tuple) -> bytes | None:
         with self._cache_lock:

@@ -195,3 +195,31 @@ def test_cache_hit_reticketed_across_connections(cache_server, monkeypatch):
     finally:
         c1.close()
         c2.close()
+
+
+def test_server_stats_counters(cache_server):
+    c = connect_tcp("127.0.0.1", cache_server.port)
+    try:
+        before = c.server_stats()
+        assert {"n_requests", "n_run", "n_cache_hits", "n_errors",
+                "n_connections", "n_cached_replies",
+                "started_at_s"} <= set(before)
+        if "ws" not in c.list_databases():
+            c.execute("create database ws")
+        c.use("ws")
+        c.execute("create table t(a int, v int, primary key(a))")
+        c.execute("insert into t(a, v) values(?, ?)", (1, 10))
+        assert c.execute("select v from t where a=?", (1,)) == [(10,)]
+        assert c.execute("select v from t where a=?", (1,)) == [(10,)]  # hit
+        try:
+            c.execute("select nope from t")
+        except Exception:
+            pass
+        after = c.server_stats()
+        assert after["n_run"] > before["n_run"]
+        assert after["n_cache_hits"] > before["n_cache_hits"]
+        assert after["n_errors"] > before["n_errors"]
+        assert after["n_requests"] > after["n_run"]  # meta/prepare counted
+        assert after["n_connections"] >= 1
+    finally:
+        c.close()
