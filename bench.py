@@ -181,6 +181,10 @@ def main():
     materialize(
         _D.minhash_lsh_pairs(_warm_docs, num_hashes=96, bands=24, threshold=0.5)
     )
+    # same policy for the span-merge plan (8 window leads + island agg):
+    # its codegen is ~2 s of one-time janino work vs ~0.7 s steady-state
+    # execution at sf0.1
+    materialize(_D.duplicate_spans(_warm_docs, n=8, min_count=2))
 
     timings: dict[str, float] = {}
 
