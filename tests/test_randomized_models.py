@@ -119,3 +119,75 @@ def test_asof_skew_buckets_random(spark, seed):
             )
         )
         assert plain == bucketed, (seed, direction)
+
+
+def _py_tfidf_top(docs: dict[int, str], k: int):
+    import math
+    from collections import Counter
+
+    tfs = {i: Counter(t.split()) for i, t in docs.items()}
+    dfreq = Counter()
+    for c in tfs.values():
+        dfreq.update(c.keys())
+    n = float(len(docs))
+    out = {}
+    for i, c in tfs.items():
+        scored = sorted(
+            ((tf * math.log(n / dfreq[t]), t, tf) for t, tf in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        out[i] = [(t, tf, round(s, 9)) for s, t, tf in scored]
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_tfidf_matches_bruteforce(spark, seed):
+    from opentick_spark.operators.selection import tfidf_top_terms
+
+    rnd = random.Random(seed)
+    vocab = [f"w{j}" for j in range(20)]
+    docs = {
+        i: " ".join(rnd.choices(vocab, k=rnd.randint(1, 30)))
+        for i in range(25)
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {}
+    for r in tfidf_top_terms(df, k=3).collect():
+        got.setdefault(r["id"], []).append(
+            (r["rank"], r["term"], r["tf"], round(r["tfidf"], 9))
+        )
+    want = _py_tfidf_top(docs, 3)
+    for i, terms in want.items():
+        rows = sorted(got[i])
+        assert [(t, tf, s) for _, t, tf, s in rows] == terms, (seed, i)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_weighted_sample_matches_bruteforce(spark, seed):
+    import hashlib
+    import math
+
+    from opentick_spark.operators.selection import weighted_sample
+
+    rnd = random.Random(seed)
+    rows = [(i, rnd.randint(0, 50)) for i in range(200)]
+    df = spark.createDataFrame(
+        [(i, "x", w) for i, w in rows], "doc_id long, text string, n_chars long"
+    )
+    # straight-line E-S model with the same md5-derived uniform
+    def key(i, w):
+        h8 = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (h8 + 1.0) / 2**32
+        return math.log(u) / w
+
+    want = sorted(
+        ((key(i, w), i) for i, w in rows if w > 0),
+        key=lambda x: (-x[0], x[1]),
+    )[:25]
+    got = [
+        (r["id"], r["rank"])
+        for r in weighted_sample(df, "n_chars", k=25).collect()
+    ]
+    assert got == [(i, r + 1) for r, (_, i) in enumerate(want)], seed
