@@ -322,3 +322,34 @@ def test_oversized_reply_degrades_to_error_string(server, monkeypatch):
         assert c.execute("select v from t where a=1") == [("x" * 200,)]
     finally:
         c.close()
+
+
+def test_wire_columnar_null_padding_all_types(server):
+    """Sparse inserts pad unmentioned value columns with typed NULLs;
+    the columnar json payload ("1c") must carry every engine type and
+    the NULLs through intact."""
+    from opentick_spark.client import connect_tcp
+
+    c = connect_tcp("127.0.0.1", server.port)
+    try:
+        if "nt" not in c.list_databases():
+            c.execute("create database nt")
+        c.use("nt")
+        c.execute(
+            "create table t(a int, tm timestamp, b bigint, f float, "
+            "d double, s text, bo boolean, primary key(a, tm))"
+        )
+        c.execute(
+            "insert into t(a, tm, b, f, d, s, bo) values(?,?,?,?,?,?,?)",
+            (1, [5, 7], 2**40, 1.5, 2.25, "hello", True),
+        )
+        c.execute("insert into t(a, tm) values(?, ?)", (1, [6, 0]))  # sparse
+        rows = c.execute("select * from t where a=?", (1,))
+        assert rows == [
+            (1, (5, 7), 2**40, 1.5, 2.25, "hello", True),
+            (1, (6, 0), None, None, None, None, None),
+        ]
+        # zero-row result through the columnar path
+        assert c.execute("select * from t where a=?", (99,)) == []
+    finally:
+        c.close()
