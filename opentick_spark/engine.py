@@ -228,6 +228,21 @@ class Engine:
             except KeyError:
                 raise OpentickError(f"Unknown prepared id {sql}") from None
             return self._run_resolved(resolved, args)
+        # EXPLAIN <select> (extension): the physical plan as rows, so
+        # pushdown/broadcast shapes are inspectable through the server
+        # and any client — the 100 TB debugging surface
+        if sql.lstrip().lower().startswith("explain "):
+            inner = sql.lstrip()[len("explain "):]
+            df = self.execute(inner, *args)
+            if df is None:
+                raise OpentickError("Can only explain SELECT statements")
+            mode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+            text = df._jdf.queryExecution().explainString(mode)
+            return self.spark.createDataFrame(
+                [(line,) for line in text.splitlines()], "plan_line string"
+            )
         node = parse(sql)
         # DDL dispatches straight to the catalog (Execute, query.go:44-119);
         # perm gates mirror query.go:51-54 (db DDL: admin), 68-71 (create
@@ -362,7 +377,7 @@ class Engine:
         resolved = None
         if isinstance(sql, int):
             resolved = self._prepared[sql][1]
-        else:
+        elif not sql.lstrip().lower().startswith("explain "):
             node = parse(sql)
             if isinstance(node, ast.Select):
                 resolved = self._resolve(node)
@@ -382,7 +397,7 @@ class Engine:
         resolved = None
         if isinstance(sql, int):
             resolved = self._prepared[sql][1]
-        else:
+        elif not sql.lstrip().lower().startswith("explain "):
             node = parse(sql)
             if isinstance(node, ast.Select):
                 resolved = self._resolve(node)

@@ -818,3 +818,17 @@ def test_engine_sql_time_travel(spark, tmp_path):
         as_of={"t": s1},
     ).collect()[0]
     assert (both.nt, both.nu) == (5, 1)
+
+
+def test_explain_select_returns_plan_rows(engine):
+    engine.execute("create database ex")
+    engine.use("ex")
+    engine.execute("create table t(a int, tm timestamp, v double, primary key(a, tm))")
+    engine.execute("insert into t(a, tm, v) values(?, ?, ?)", 1, (5, 0), 2.5)
+    rows = engine.execute_rows("explain select v from t where a=1")
+    text = "\n".join(r[0] for r in rows)
+    assert "Physical Plan" in text
+    # the PK equality must reach the scan — the whole point of exposing it
+    assert "PushedFilters" in text
+    with __import__("pytest").raises(Exception):
+        engine.execute("explain insert into t(a, tm, v) values(1, (5,0), 1.0)")
