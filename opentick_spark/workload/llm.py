@@ -2824,3 +2824,71 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("source"), F.round("pr", 6).alias("pr")
     )
+
+
+@q("lsh_banding_efficiency")  # rows-only: minhash banding is not SQL
+def lsh_banding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-blocking scorecard (the near-dup analog of
+    ann_recall_report): how many candidate pairs the 24x4 MinHash
+    banding emits vs the n-squared it avoids, and what fraction of
+    candidates survive exact-Jaccard verification. Deterministic
+    (seeded hashes), so the driver's rows-only check is stable; recall
+    vs exact Jaccard is already oracle-pinned by dedup_minhash_lsh
+    sharing the exact operator's oracle.
+
+    Output: n_docs, possible_pairs, candidate_pairs, verified_pairs,
+    precision, pruning_ratio."""
+    from opentick_spark.operators.dedup import (
+        band_buckets,
+        exploded_shingles,
+        jaccard,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        exploded_shingles(docs, "doc_id", "text", 2, distinct=False)
+        .groupBy("id")
+        .agg(F.collect_set("g").alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    re_exploded = sh.select("id", F.explode("sh").alias("g"))
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", 2, 96, 42, shingles=re_exploded
+    )
+    banded = band_buckets(sigs, 96, 24)
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verified = (
+        cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+    )
+    n_docs = docs.count()
+    n_cand = cand.count()
+    n_ver = verified.count()
+    possible = n_docs * (n_docs - 1) // 2
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                possible,
+                n_cand,
+                n_ver,
+                round(n_ver / n_cand, 6) if n_cand else None,
+                round(1.0 - n_cand / possible, 6) if possible else None,
+            )
+        ],
+        "n_docs long, possible_pairs long, candidate_pairs long, "
+        "verified_pairs long, precision double, pruning_ratio double",
+    )
