@@ -42,7 +42,7 @@ sf0.1 (10×) — the 10× run has caught real bugs invisible at sf0.01
 
 Round-4 rotation: the driver window swapped in the 17 entries that had
 never had a driver row (snapshot/incremental pipeline, frequency ops,
-time-series/finance block) AND the 18 operators built this round
+time-series/finance block) AND 18 of the ~35 operators built this round
 (dup_span_stats, source_mixture_stats, balanced_sample_per_lang,
 text_bigram_nll, data_quality_report, token_shard_stats,
 temperature_sample, length_batch_stats, curated_corpus_stats,
@@ -51,7 +51,14 @@ dsir_importance_scores, source_token_entropy, weighted_sample_docs,
 knn_label_vote, event_transitions, mad_outlier_stats) — 35 first-time
 driver rows this round; every rotated-out entry was driver-green in a
 prior round with an unchanged implementation and keeps oracle_check
-coverage.
+coverage. The rest of this round's additions (source_overlap_matrix,
+run_length_histogram, value_decile_stats, lead_lag_correlation,
+ann_recall_report, dedup_edit_distance, collocation_pmi_top100,
+funnel_time_to_convert, user_ts_features, streaming_topk_values,
+lang_id_confusion, psi_value_drift, tokenizer_fertility_by_lang,
+hard_negative_mining, source_pagerank, key_skew_report,
+lsh_banding_efficiency) live in EXTRA_QUERIES with full oracle_check
+coverage at sf0.01 AND sf0.1, first in line for the r5 window.
 """
 
 from opentick_spark.workload.core import ORACLES as _CORE_O
