@@ -8,6 +8,7 @@ stopword scoring, and document fingerprinting.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -684,3 +685,33 @@ def load_bpe_merges(path: str) -> list[tuple[str, str]]:
 
     with open(path) as f:
         return [(a, b) for a, b in json.load(f)]
+
+
+def compression_ratio(col_name: str = "text", level: int = 6) -> Column:
+    """zlib compression ratio (compressed/raw bytes) of a string column —
+    the classic cheap "templated or repetitive text" detector (highly
+    compressible ⇒ low information density ⇒ curation red flag).
+
+    DEFLATE needs a per-value byte loop, so this is one of the engine's
+    few sanctioned Python paths: an Arrow-batched pandas UDF (zlib runs
+    in C per batch; no row-at-a-time pickling). Empty strings report
+    ratio 0.0. Deterministic for a fixed level — safe for oracles that
+    recompute with the same zlib."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 0.0
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return s.map(one)
+
+    return _ratio(F.col(col_name))

@@ -2892,3 +2892,16 @@ def lsh_banding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs long, possible_pairs long, candidate_pairs long, "
         "verified_pairs long, precision double, pruning_ratio double",
     )
+
+
+@q("text_compression_ratio")  # rows-only: zlib is not SQL-expressible
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal per document (zlib level 6,
+    Arrow-batched pandas UDF — a sanctioned Python escape hatch, kept
+    off the row-count-heavy paths). Deterministic for a fixed zlib
+    level; the pytest golden recomputes ratios with the same zlib."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(X.compression_ratio("text"), 6).alias("zratio"),
+    )

@@ -202,3 +202,36 @@ def test_pagerank_undirected_symmetry(spark):
     }
     assert abs(got[0] - got[2]) < 1e-12
     assert got[1] > got[0]
+
+
+def test_compression_ratio_golden_and_ordering(spark):
+    import zlib
+
+    from opentick_spark.workload import ALL_QUERIES
+
+    out = {
+        r["doc_id"]: r["zratio"]
+        for r in ALL_QUERIES["text_compression_ratio"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    }
+    assert set(out) == set(docs)
+    for i, t in list(docs.items())[:20]:
+        raw = t.encode("utf-8")
+        want = round(len(zlib.compress(raw, 6)) / len(raw), 6) if raw else 0.0
+        assert out[i] == want, i
+    # repetitive text compresses harder than varied text
+    rep = spark.createDataFrame(
+        [(1, "spam " * 200), (2, " ".join(f"w{j}x{j*7%13}" for j in range(200)))],
+        "doc_id long, text string",
+    )
+    from opentick_spark.operators.text import compression_ratio
+
+    r = {x["doc_id"]: x["z"] for x in rep.select("doc_id", compression_ratio().alias("z")).collect()}
+    assert r[1] < r[2]
