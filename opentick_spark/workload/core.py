@@ -2352,3 +2352,71 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@q(
+    "mahalanobis_outliers",
+    """
+    WITH t AS (
+      SELECT event_type, value AS x,
+             json_extract(props, '$.k')::DOUBLE AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, AVG(x) AS mx, AVG(y) AS my,
+             var_pop(x) AS sxx, var_pop(y) AS syy, covar_pop(x, y) AS sxy
+      FROM t GROUP BY event_type
+    )
+    SELECT t.event_type, COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN
+                 ((t.x - m.mx) * (t.x - m.mx) * m.syy
+                  - 2 * (t.x - m.mx) * (t.y - m.my) * m.sxy
+                  + (t.y - m.my) * (t.y - m.my) * m.sxx)
+                 / (m.sxx * m.syy - m.sxy * m.sxy) > 13.815510557964274
+               THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           ROUND(MAX(
+                 ((t.x - m.mx) * (t.x - m.mx) * m.syy
+                  - 2 * (t.x - m.mx) * (t.y - m.my) * m.sxy
+                  + (t.y - m.my) * (t.y - m.my) * m.sxx)
+                 / (m.sxx * m.syy - m.sxy * m.sxy)), 4) AS max_d2
+    FROM t JOIN m USING (event_type)
+    GROUP BY t.event_type
+    """,
+)
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outliers over (value, props.k) per event_type:
+    squared Mahalanobis distance via the closed-form 2x2 inverse
+    covariance, flagged at the chi-squared(2) p=0.001 cut. One moments
+    aggregate per type (5 scalars, broadcast back), one scoring pass —
+    the covariance matrix never leaves the executors as anything bigger
+    than a handful of doubles."""
+    ev = normalize_events(load_raw(spark, sf_dir, "events"))
+    t = ev.select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.get_json_object("props", "$.k").cast("double").alias("y"),
+    )
+    m = t.groupBy("event_type").agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_pop("x").alias("sxx"),
+        F.var_pop("y").alias("syy"),
+        F.covar_pop("x", "y").alias("sxy"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    det = F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy")
+    d2 = (
+        dx * dx * F.col("syy") - 2 * dx * dy * F.col("sxy") + dy * dy * F.col("sxx")
+    ) / det
+    return (
+        t.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(d2 > 13.815510557964274, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max(d2), 4).alias("max_d2"),
+        )
+    )
