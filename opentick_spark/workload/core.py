@@ -2420,3 +2420,54 @@ def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(d2), 4).alias("max_d2"),
         )
     )
+
+
+@q(
+    "hourly_seasonality",
+    """
+    WITH h AS (
+      SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
+             value
+      FROM events
+    ),
+    per AS (
+      SELECT event_type, hour, COUNT(*) AS n, AVG(value) AS avg_v
+      FROM h GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, SUM(n * avg_v) / SUM(n) AS day_avg FROM per
+      GROUP BY event_type
+    )
+    SELECT per.event_type, per.hour::BIGINT AS hour, per.n::BIGINT AS n,
+           ROUND(per.avg_v, 6) AS avg_v,
+           ROUND(per.avg_v / base.day_avg - 1.0, 6) AS rel_dev
+    FROM per JOIN base USING (event_type)
+    """,
+)
+def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event_type: each hour's mean
+    value and its relative deviation from the type's weighted all-hours
+    mean. Two stacked aggregates — the hourly table is |types|x24 rows,
+    so the baseline join is broadcast-trivial at any scale."""
+    ev = normalize_events(load_raw(spark, sf_dir, "events"))
+    h = ev.select(
+        "event_type",
+        (F.expr("(ts div 1000) div 3600000000") % 24).alias("hour"),
+        "value",
+    )
+    per = h.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_v")
+    )
+    base = per.groupBy("event_type").agg(
+        (F.sum(F.col("n") * F.col("avg_v")) / F.sum("n")).alias("day_avg")
+    )
+    return (
+        per.join(F.broadcast(base), "event_type")
+        .select(
+            "event_type",
+            F.col("hour").cast("long").alias("hour"),
+            F.col("n").cast("long").alias("n"),
+            F.round("avg_v", 6).alias("avg_v"),
+            F.round(F.col("avg_v") / F.col("day_avg") - 1.0, 6).alias("rel_dev"),
+        )
+    )
