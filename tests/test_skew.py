@@ -320,3 +320,42 @@ def test_hot_keys_threshold_validation(spark, hot_fixture):
     left, _ = hot_fixture
     with pytest.raises(ValueError, match="threshold"):
         hot_keys(left, ["k"], threshold=1.5)
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The session's AQE skew-join handling (session.py enables it) must
+    actually split a hot-key partition at runtime: the FINAL adaptive
+    plan of an executed skewed join carries the skew=true marker. This
+    is the zero-code skew path that complements the explicit
+    skew_buckets/broadcast_buckets escapes."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 < 8, 1).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 50_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+        )
+        g = left.join(right, "k").agg(F.count(F.lit(1)).alias("n"))
+        assert g.collect()[0]["n"] == 16_010_000
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+        txt = g._jdf.queryExecution().explainString(mode)
+        assert "isFinalPlan=true" in txt
+        assert "skew=true" in txt
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
