@@ -337,7 +337,7 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
     }
-    prev = {k: spark.conf.get(k) for k in conf}
+    prev = {k: spark.conf.get(k, None) for k in conf}
     try:
         for k, v in conf.items():
             spark.conf.set(k, v)
@@ -358,4 +358,7 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
         assert "skew=true" in txt
     finally:
         for k, v in prev.items():
-            spark.conf.set(k, v)
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
