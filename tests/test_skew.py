@@ -336,6 +336,9 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # enough map partitions that the hot key stands out from the
+        # median (the shared test session runs with 4)
+        "spark.sql.shuffle.partitions": "8",
     }
     prev = {k: spark.conf.get(k, None) for k in conf}
     try:
