@@ -2905,3 +2905,66 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(X.compression_ratio("text"), 6).alias("zratio"),
     )
+
+
+@q(
+    "label_cohesion_stats",
+    """
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    pos AS (
+      SELECT vec_id, label,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             unnest(list_transform(embedding, v -> v::DOUBLE)) AS x
+      FROM e
+    ),
+    cen AS (SELECT label, pos, AVG(x) AS m FROM pos GROUP BY 1, 2),
+    dots AS (
+      SELECT p.vec_id, p.label,
+             SUM(p.x * c.m) AS dot,
+             SQRT(SUM(p.x * p.x)) AS vnorm
+      FROM pos p JOIN cen c ON c.label = p.label AND c.pos = p.pos
+      GROUP BY 1, 2
+    ),
+    cn AS (SELECT label, SQRT(SUM(m * m)) AS mnorm FROM cen GROUP BY 1)
+    SELECT d.label::BIGINT AS label, COUNT(*)::BIGINT AS n,
+           ROUND(AVG(d.dot / (d.vnorm * cn.mnorm)), 6) AS avg_cos,
+           ROUND(MIN(d.dot / (d.vnorm * cn.mnorm)), 6) AS min_cos
+    FROM dots d JOIN cn USING (label) GROUP BY d.label
+    """,
+)
+def label_cohesion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit: mean and worst cosine of each vector to its
+    label centroid — depressed cohesion flags mislabeled or mixed
+    classes before they poison a classifier. Centroids come from the
+    labels×dim posexplode aggregate (never the vectors), get broadcast
+    back as arrays (|labels| rows), and the per-vector cosine is an
+    in-row JVM fold — one linear pass, no pairwise work."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    cen = pos.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    cen_arr = (
+        cen.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    scored = emb.join(F.broadcast(cen_arr), "label").select(
+        "label",
+        S.cosine(
+            F.col("embedding").cast("array<double>"), F.col("centroid")
+        ).alias("cos"),
+    )
+    return scored.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("cos"), 6).alias("avg_cos"),
+        F.round(F.min("cos"), 6).alias("min_cos"),
+    )
