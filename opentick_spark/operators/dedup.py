@@ -942,3 +942,52 @@ def edit_distance_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric containment near-dups: pairs where the SMALLER shingle
+    set is mostly inside the larger one — |A∩B| / min(|A|,|B|). Catches
+    sub-document duplication (a doc quoted or embedded inside a longer
+    one) that Jaccard's union denominator dilutes below threshold.
+
+    Same inverted-index shape as ngram_jaccard_pairs (cost scales with
+    shingle collisions, never n²); only the normalization differs.
+    Output: (id_a, id_b, containment, jac) with id_a < id_b — Jaccard
+    rides along so callers can see the asymmetry gap.
+    """
+    e = exploded_shingles(df, id_col, text_col, n)
+    sizes = e.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    na, nb = F.col("na"), F.col("nb")
+    i = F.col("__inter").cast("double")
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "na"})),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "nb"})),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (i / F.least(na, nb)).alias("containment"),
+            (i / (na + nb - F.col("__inter"))).alias("jac"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

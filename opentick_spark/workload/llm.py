@@ -2968,3 +2968,40 @@ def label_cohesion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cos"), 6).alias("avg_cos"),
         F.round(F.min("cos"), 6).alias("min_cos"),
     )
+
+
+@q(
+    "dedup_containment",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_NORM} AS __norm FROM documents)
+    ),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(sh) AS n FROM t)
+    SELECT id_a, id_b,
+           ROUND(i::DOUBLE / least(na.n, nb.n), 6) AS containment,
+           ROUND(i::DOUBLE / (na.n + nb.n - i), 6) AS jac
+    FROM inter
+    JOIN sz na ON na.doc_id = inter.id_a
+    JOIN sz nb ON nb.doc_id = inter.id_b
+    WHERE i::DOUBLE / least(na.n, nb.n) >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dups (|A∩B| / min set): sub-document duplication
+    that Jaccard dilutes — same inverted index, different normalization
+    (operators/dedup.ngram_containment_pairs)."""
+    docs = load(spark, sf_dir, "documents")
+    out = D.ngram_containment_pairs(docs, n=2, threshold=0.8)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("containment", 6).alias("containment"),
+        F.round("jac", 6).alias("jac"),
+    )
