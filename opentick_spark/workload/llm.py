@@ -3005,3 +3005,73 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("containment", 6).alias("containment"),
         F.round("jac", 6).alias("jac"),
     )
+
+
+@q(
+    "split_contamination_stats",
+    """
+    WITH s0 AS (
+      SELECT doc_id, string_split({norm}, ' ') AS __toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             {h8} % 100 AS bucket,
+             {ngram8} AS sh
+      FROM s0
+    ),
+    tr AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE bucket < 80),
+    te AS (
+      SELECT doc_id, unnest(sh) AS g FROM s WHERE bucket >= 90
+    ),
+    hits AS (
+      SELECT te.doc_id, COUNT(DISTINCT te.g) AS shared_grams
+      FROM te JOIN tr ON tr.g = te.g
+      GROUP BY te.doc_id
+    ),
+    totals AS (
+      SELECT COUNT(*) AS n_test FROM s WHERE bucket >= 90
+    )
+    SELECT totals.n_test::BIGINT AS n_test,
+           COUNT(hits.doc_id)::BIGINT AS n_contaminated,
+           COALESCE(SUM(hits.shared_grams), 0)::BIGINT AS total_shared_grams,
+           ROUND(COUNT(hits.doc_id)::DOUBLE / totals.n_test, 6)
+             AS contaminated_frac
+    FROM totals LEFT JOIN hits ON TRUE
+    GROUP BY totals.n_test
+    """.format(h8=_H8.format(x="doc_id::VARCHAR"), norm=_NORM, ngram8=_NGRAM8),
+)
+def split_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: how many md5-split TEST documents share at
+    least one 8-gram with the TRAIN split, and how many distinct grams
+    leak — the check that catches near-duplicate leakage across a
+    'random' split before a model trains on it. Inverted-index join on
+    the gram (train side reduced to distinct grams first); never
+    doc×doc."""
+    docs = load(spark, sf_dir, "documents")
+    split = X.hash_split(docs)
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    tr_g = (
+        D.exploded_shingles(train, "doc_id", "text", 8)
+        .select("g")
+        .distinct()
+    )
+    te = D.exploded_shingles(test, "doc_id", "text", 8)
+    hits = (
+        te.join(tr_g, "g")
+        .groupBy("id")
+        .agg(F.countDistinct("g").alias("shared_grams"))
+    )
+    n_test = test.count()
+    agg = hits.agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.coalesce(F.sum("shared_grams"), F.lit(0)).alias("total_shared_grams"),
+    )
+    return agg.select(
+        F.lit(n_test).cast("long").alias("n_test"),
+        F.col("n_contaminated").cast("long"),
+        F.col("total_shared_grams").cast("long"),
+        F.round(F.col("n_contaminated") / F.lit(float(n_test)), 6).alias(
+            "contaminated_frac"
+        ),
+    )
