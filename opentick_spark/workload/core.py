@@ -2471,3 +2471,37 @@ def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("avg_v") / F.col("day_avg") - 1.0, 6).alias("rel_dev"),
         )
     )
+
+
+@q(
+    "user_activity_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ent AS (
+      SELECT user_id,
+             ln(SUM(n)::DOUBLE) - SUM(n * ln(n::DOUBLE)) / SUM(n) AS h
+      FROM c GROUP BY user_id
+    )
+    SELECT ROUND(h, 1) AS entropy_bin, COUNT(*)::BIGINT AS n_users
+    FROM ent GROUP BY 1
+    """,
+)
+def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    mix, reported as a 0.1-nat histogram — bots and single-purpose
+    accounts pool at the low bins. Two stacked key-parallel aggregates
+    ending in a bins-sized result."""
+    ev = normalize_events(load_raw(spark, sf_dir, "events"))
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    ent = c.groupBy("user_id").agg(
+        (
+            F.log(F.sum("n").cast("double"))
+            - F.sum(F.col("n") * F.log(F.col("n"))) / F.sum("n")
+        ).alias("h")
+    )
+    return ent.groupBy(F.round("h", 1).alias("entropy_bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
