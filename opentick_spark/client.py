@@ -547,6 +547,14 @@ class TCPConnection:
             self._request({"1": "meta", "2": "schema", "3": table_name})
         )
 
+    def storage_stats(self, table_name: str) -> dict:
+        """Layout-health footprint of a table (extension): base/log
+        file, row, byte counts, pending commits, lead-PK overlap."""
+        rows = self._result(
+            self._request({"1": "meta", "2": "storage_stats", "3": table_name})
+        )
+        return {k: v for k, v in rows}
+
     def server_stats(self) -> dict:
         """Server observability counters (extension): requests/runs/
         cache hits/errors, uptime anchor, live connections, cached

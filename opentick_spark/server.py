@@ -260,6 +260,9 @@ class _Session:
             return self.engine.list_databases()
         if sub == "list_tables":
             return self.engine.list_tables()
+        if sub == "storage_stats":
+            st = self.engine.store(self.engine.current_db, arg).storage_stats()
+            return [[k, st[k]] for k in sorted(st)]
         if sub == "server_stats":
             st = self.server.server_stats()
             return [[k, st[k]] for k in sorted(st)]

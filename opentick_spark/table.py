@@ -603,3 +603,69 @@ class TableStore:
             r = r.option("header", "true")
         df = r.schema(schema).format(fmt).load(path)
         self.append_dataframe(df.select(*[f.name for f in schema.fields]))
+
+    def storage_stats(self) -> dict:
+        """Layout-health report straight from the parquet footers (no
+        Spark job): per-segment file/row/byte counts, row-group count,
+        and the leading-PK clustering quality of the compacted base —
+        ``pk_overlap`` counts file pairs whose [min, max] lead-PK ranges
+        intersect (0 on a freshly PK-compacted table; growth means the
+        next compaction is due, the same signal OPTIMIZE scheduling uses
+        in lakehouse tables).
+
+        The driver reads only footers — bytes proportional to file
+        count, never data. Output keys: base_files, base_rows,
+        base_bytes, base_row_groups, log_files, log_rows, log_bytes,
+        pending_commits, pk_overlap.
+        """
+        import pyarrow.parquet as pq
+
+        lead = self.schema.key_columns[0].physical
+
+        def seg(path: str):
+            files = []
+            for root, _dirs, names in os.walk(path):
+                files += [
+                    os.path.join(root, n)
+                    for n in names
+                    if n.endswith(".parquet")
+                ]
+            rows = bytes_ = groups = 0
+            ranges = []
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                rows += md.num_rows
+                bytes_ += os.path.getsize(f)
+                groups += md.num_row_groups
+                lo = hi = None
+                for g in range(md.num_row_groups):
+                    for c in range(md.num_columns):
+                        col = md.row_group(g).column(c)
+                        if col.path_in_schema == lead and col.statistics:
+                            st = col.statistics
+                            if st.has_min_max:
+                                lo = st.min if lo is None else min(lo, st.min)
+                                hi = st.max if hi is None else max(hi, st.max)
+                if lo is not None:
+                    ranges.append((lo, hi))
+            return files, rows, bytes_, groups, ranges
+
+        bf, br, bb, bg, branges = seg(self.base_path)
+        lf, lr, lb, _lg, _ = seg(self.log_path)
+        overlap = sum(
+            1
+            for i in range(len(branges))
+            for j in range(i + 1, len(branges))
+            if branges[i][0] <= branges[j][1] and branges[j][0] <= branges[i][1]
+        )
+        return {
+            "base_files": len(bf),
+            "base_rows": br,
+            "base_bytes": bb,
+            "base_row_groups": bg,
+            "log_files": len(lf),
+            "log_rows": lr,
+            "log_bytes": lb,
+            "pending_commits": self.commits_since_compact(),
+            "pk_overlap": overlap,
+        }

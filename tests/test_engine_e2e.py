@@ -832,3 +832,23 @@ def test_explain_select_returns_plan_rows(engine):
     assert "PushedFilters" in text
     with __import__("pytest").raises(Exception):
         engine.execute("explain insert into t(a, tm, v) values(1, (5,0), 1.0)")
+
+
+def test_storage_stats_tracks_layout_health(engine, spark):
+    engine.execute("create database ss")
+    engine.use("ss")
+    engine.execute("create table t(a int, tm timestamp, v double, primary key(a, tm))")
+    pid = engine.prepare("insert into t(a, tm, v) values(?, ?, ?)")
+    for b in range(3):
+        engine.batch_insert(pid, [(b, (i, 0), float(i)) for i in range(50)])
+    store = engine.store("ss", "t")
+    st = store.storage_stats()
+    assert st["log_files"] == 3 and st["log_rows"] == 150
+    assert st["base_files"] == 0 and st["pending_commits"] == 3
+    assert st["log_bytes"] > 0
+    store.compact(spark)
+    st2 = store.storage_stats()
+    assert st2["log_files"] == 0 and st2["pending_commits"] == 0
+    assert st2["base_rows"] == 150
+    # PK-sorted single-writer base: lead-PK file ranges must not overlap
+    assert st2["pk_overlap"] == 0

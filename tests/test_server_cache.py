@@ -223,3 +223,18 @@ def test_server_stats_counters(cache_server):
         assert after["n_connections"] >= 1
     finally:
         c.close()
+
+
+def test_storage_stats_over_the_wire(cache_server):
+    c = connect_tcp("127.0.0.1", cache_server.port)
+    try:
+        if "sw" not in c.list_databases():
+            c.execute("create database sw")
+        c.use("sw")
+        c.execute("create table t(a int, v int, primary key(a))")
+        c.batch_insert("insert into t(a, v) values(?, ?)", [(i, i) for i in range(5)])
+        st = c.storage_stats("t")
+        assert st["log_rows"] == 5 and st["log_files"] == 1
+        assert st["pk_overlap"] == 0
+    finally:
+        c.close()
