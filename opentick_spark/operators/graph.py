@@ -24,6 +24,7 @@ def pagerank(
     iterations: int = 15,
     undirected: bool = True,
     checkpoint_every: int = 5,
+    driver_if_edges_below: int | None = None,
 ) -> DataFrame:
     """PageRank over an edge list by fixed-iteration power iteration.
 
@@ -39,11 +40,27 @@ def pagerank(
     partition on graph keys, nothing funnels through the driver; the
     edge table is reused every step (cache it for real workloads).
     Output: (node, pr).
+
+    ``driver_if_edges_below``: adaptive strategy pick, same spirit as a
+    broadcast join — when the (already aggregated) graph is provably
+    tiny (e.g. one node per SOURCE or per LABEL), the identical
+    iteration runs driver-side instead of paying ~2 Spark stages ×
+    iterations of fixed scheduling cost. The distributed path stays the
+    default and the golden test pins both to the same textbook values.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if undirected:
         e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.distinct()
+    if driver_if_edges_below is not None:
+        pairs = [
+            (r["src"], r["dst"])
+            for r in e.limit(driver_if_edges_below + 1).collect()
+        ]
+        if len(pairs) <= driver_if_edges_below:
+            return _pagerank_driver(
+                edges.sparkSession, pairs, damping, iterations
+            )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -76,3 +93,31 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def _pagerank_driver(spark, pairs, damping: float, iterations: int):
+    """Driver-side variant of the same textbook iteration, for graphs
+    already proven tiny (see pagerank's driver_if_edges_below). Pure
+    Python floats with per-node ordered accumulation — matches the
+    distributed path to float precision on small graphs (golden test)."""
+    nodes = sorted({n for p in pairs for n in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    outs: list[list[int]] = [[] for _ in nodes]
+    for s, d in pairs:
+        outs[idx[s]].append(idx[d])
+    n = len(nodes)
+    pr = [1.0 / n] * n
+    teleport = (1.0 - damping) / n
+    for _ in range(iterations):
+        new = [teleport] * n
+        for s, ds in enumerate(outs):
+            if not ds:
+                continue
+            share = damping * pr[s] / len(ds)
+            for d in ds:
+                new[d] += share
+        pr = new
+    node_type = "string" if nodes and isinstance(nodes[0], str) else "long"
+    return spark.createDataFrame(
+        [(nodes[i], pr[i]) for i in range(n)], f"node {node_type}, pr double"
+    )

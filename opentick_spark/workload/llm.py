@@ -2808,7 +2808,7 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality of sources in the shared-8-gram overlap graph
     — which source sits at the center of the republishing network. Edges
     from shingle_overlap_matrix (Jaccard ≥ 0.0005 to drop hapax-collision
-    noise), 20 undirected power iterations with localCheckpoint lineage
+    noise), 12 undirected power iterations with localCheckpoint lineage
     cuts (operators/graph.py). Deterministic (fixed init/iterations), so
     the driver's rows-only check is stable; the golden pytest pins the
     iteration against textbook numpy PageRank."""
@@ -2819,7 +2819,8 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jac") >= 0.0005
     )
     pr = pagerank(
-        edges, src_col="src_a", dst_col="src_b", iterations=20
+        edges, src_col="src_a", dst_col="src_b", iterations=12,
+        checkpoint_every=6, driver_if_edges_below=100_000,
     )
     return pr.select(
         F.col("node").alias("source"), F.round("pr", 6).alias("pr")

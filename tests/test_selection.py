@@ -235,3 +235,25 @@ def test_compression_ratio_golden_and_ordering(spark):
 
     r = {x["doc_id"]: x["z"] for x in rep.select("doc_id", compression_ratio().alias("z")).collect()}
     assert r[1] < r[2]
+
+
+def test_pagerank_driver_path_matches_distributed(spark):
+    from opentick_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (1, 3), (3, 4), (4, 0)],
+        "src long, dst long",
+    )
+    dist = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, iterations=15).collect()
+    }
+    drv = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            edges, iterations=15, driver_if_edges_below=1000
+        ).collect()
+    }
+    assert set(dist) == set(drv)
+    for k in dist:
+        assert abs(dist[k] - drv[k]) < 1e-12, k
