@@ -852,3 +852,35 @@ def test_storage_stats_tracks_layout_health(engine, spark):
     assert st2["base_rows"] == 150
     # PK-sorted single-writer base: lead-PK file ranges must not overlap
     assert st2["pk_overlap"] == 0
+
+
+def test_changes_feed_is_delta_sized_write_ordered(engine, spark):
+    engine.execute("create database cdc")
+    engine.use("cdc")
+    engine.execute("create table t(a int, tm timestamp, v double, primary key(a, tm))")
+    pid = engine.prepare("insert into t(a, tm, v) values(?, ?, ?)")
+    engine.batch_insert(pid, [(1, (1, 0), 1.0), (1, (2, 0), 2.0)])  # seq 1
+    store = engine.store("cdc", "t")
+    mark = store.current_seq()
+    engine.batch_insert(pid, [(1, (2, 0), 2.5), (2, (3, 0), 3.0)])  # seq 2
+    engine.execute("delete from t where a=? and tm=?", 1, [1, 0])  # seq 3
+    rows = sorted(
+        (r["_seq"], r["_sub"], r["_op"], r["a"], r["v"])
+        for r in store.changes(spark, mark).collect()
+    )
+    assert [(s, op, a, v) for s, _, op, a, v in rows] == [
+        (mark + 1, "upsert", 1, 2.5),
+        (mark + 1, "upsert", 2, 3.0),
+        # tombstones carry the row's last values (delete_where resolves
+        # then re-appends with delete=True)
+        (mark + 2, "delete", 1, 1.0),
+    ]
+    # full feed from 0; inverted and pre-compaction ranges raise
+    assert store.changes(spark, 0).count() == 5
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="inverted"):
+        store.changes(spark, 5, 2)
+    store.compact(spark)
+    with _pt.raises(ValueError, match="compaction"):
+        store.changes(spark, 0)
