@@ -353,3 +353,68 @@ def test_wire_columnar_null_padding_all_types(server):
         assert c.execute("select * from t where a=?", (99,)) == []
     finally:
         c.close()
+
+
+def test_concurrent_clients_isolated_sessions(server):
+    """16 clients hammer the server concurrently, half in database A,
+    half in B, interleaving inserts and reads: per-connection session
+    state (use/prepared ids) must never leak across connections, every
+    reply must land on its own ticket, and totals must be exact."""
+    import threading
+
+    from opentick_spark.client import connect_tcp
+
+    boot = connect_tcp("127.0.0.1", server.port)
+    for db in ("iso_a", "iso_b"):
+        if db not in boot.list_databases():
+            boot.execute(f"create database {db}")
+        boot.use(db)
+        boot.execute(
+            "create table t(w int, i int, v double, primary key(w, i))"
+        )
+    boot.close()
+
+    errors: list = []
+
+    def worker(w: int) -> None:
+        db = "iso_a" if w % 2 == 0 else "iso_b"
+        try:
+            c = connect_tcp("127.0.0.1", server.port)
+            c.use(db)
+            futs = [
+                c.execute_async(
+                    "insert into t(w, i, v) values(?, ?, ?)",
+                    (w, i, float(w * 1000 + i)),
+                )
+                for i in range(30)
+            ]
+            for f in futs:
+                f.get(timeout=60)
+            rows = c.execute("select * from t where w=?", (w,), timeout=60)
+            assert len(rows) == 30, (w, len(rows))
+            assert {r[2] for r in rows} == {
+                float(w * 1000 + i) for i in range(30)
+            }, w
+            c.close()
+        except Exception as e:  # surface in the main thread
+            errors.append((w, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+
+    check = connect_tcp("127.0.0.1", server.port)
+    try:
+        check.use("iso_a")
+        a = check.execute("select * from t")
+        check.use("iso_b")
+        b = check.execute("select * from t")
+        assert len(a) == 8 * 30 and len(b) == 8 * 30
+        # no cross-db leakage: every w parity matches its database
+        assert all(r[0] % 2 == 0 for r in a)
+        assert all(r[0] % 2 == 1 for r in b)
+    finally:
+        check.close()
