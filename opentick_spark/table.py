@@ -731,3 +731,34 @@ class TableStore:
             ],
         )
         return out
+
+    def maybe_compact(
+        self,
+        spark: SparkSession,
+        max_pending_commits: int = 32,
+        max_log_bytes: int | None = None,
+        **compact_kwargs,
+    ) -> bool:
+        """Policy-driven maintenance: compact iff the log has grown past
+        ``max_pending_commits`` commits or ``max_log_bytes`` bytes —
+        the OPTIMIZE-scheduling hook a long-running ingest loop calls
+        after each batch (streaming foreachBatch, the async-insert
+        flusher, a cron). Returns True when a compaction ran. Layout
+        kwargs (hash_buckets/zorder/target_partitions) pass through, so
+        the policy preserves a table's chosen clustering.
+        """
+        pending = self.commits_since_compact()
+        due = pending > max_pending_commits
+        if not due and max_log_bytes is not None:
+            size = 0
+            for root, _dirs, names in os.walk(self.log_path):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        size += os.path.getsize(os.path.join(root, n))
+                        if size > max_log_bytes:
+                            break
+            due = size > max_log_bytes
+        if not due:
+            return False
+        self.compact(spark, **compact_kwargs)
+        return True

@@ -884,3 +884,22 @@ def test_changes_feed_is_delta_sized_write_ordered(engine, spark):
     store.compact(spark)
     with _pt.raises(ValueError, match="compaction"):
         store.changes(spark, 0)
+
+
+def test_maybe_compact_policy(engine, spark):
+    engine.execute("create database mc")
+    engine.use("mc")
+    engine.execute("create table t(a int, v int, primary key(a))")
+    pid = engine.prepare("insert into t(a, v) values(?, ?)")
+    store = engine.store("mc", "t")
+    for i in range(3):
+        engine.batch_insert(pid, [(i * 10 + j, j) for j in range(5)])
+    assert store.maybe_compact(spark, max_pending_commits=5) is False
+    assert store.commits_since_compact() == 3  # untouched
+    assert store.maybe_compact(spark, max_pending_commits=2) is True
+    assert store.commits_since_compact() == 0
+    st = store.storage_stats()
+    assert st["base_rows"] == 15 and st["log_files"] == 0
+    # byte-based trigger
+    engine.batch_insert(pid, [(100, 1)])
+    assert store.maybe_compact(spark, max_pending_commits=99, max_log_bytes=10) is True
