@@ -898,3 +898,50 @@ def knn_label_vote(
             F.col("__w.c").alias("best_cos"),
         )
     )
+
+
+def ivf_index_append(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental IVF maintenance: route NEW vectors to the existing
+    centroids and append them to the partitioned lists — no retraining,
+    no rewrite of existing lists. This is the 100 TB answer to "the
+    corpus grew": assignment is one broadcast pass over just the delta,
+    and the append lands only in the affected centroid partitions
+    (dynamic partition overwrite is NOT used — plain append, so
+    concurrent readers keep seeing a consistent index). Centroid drift
+    from accumulated appends is repaired by a periodic full
+    ``build_ivf_index`` rebuild, exactly like segment-merge maintenance
+    in a serving ANN index. Returns the number of vectors appended."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    delta = (
+        new_vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "neighbor_id",
+            "cv",
+            "centroid_id",
+            cosine_batch(F.col("cv"), F.col("centv")).alias("__sim"),
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("neighbor_id").orderBy(
+                    F.col("__sim").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select("neighbor_id", "cv", "centroid_id")
+    )
+    n = delta.count()
+    delta.write.mode("append").partitionBy("centroid_id").parquet(
+        f"{path}/lists"
+    )
+    return n

@@ -257,3 +257,32 @@ def test_pagerank_driver_path_matches_distributed(spark):
     assert set(dist) == set(drv)
     for k in dist:
         assert abs(dist[k] - drv[k]) < 1e-12, k
+
+
+def test_ivf_index_append_finds_new_vectors(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from opentick_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(old, path, ncentroids=8)
+    appended = ivf_index_append(spark, new, path)
+    assert appended == new.count()
+    # query WITH a new vector: exhaustive probe must return it as its own
+    # nearest neighbor's source (new ids now searchable)
+    q = new.limit(3)
+    hits = ivf_topk_indexed(spark, path, q, k=3, nprobe=8)
+    by_q = {}
+    for r in hits.collect():
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == {r["vec_id"] for r in q.collect()}
+    # at least one other appended vector is reachable through the index
+    new_ids = {r["vec_id"] for r in new.collect()}
+    assert any(n in new_ids for ns in by_q.values() for n in ns)
