@@ -3076,3 +3076,83 @@ def split_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contaminated_frac"
         ),
     )
+
+
+@q(
+    "dataset_card",
+    f"""
+    WITH per AS (
+      SELECT doc_id, lang, source,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_toks,
+             md5({_NORM}) AS fp
+      FROM documents
+    ),
+    langs AS (
+      SELECT lang, COUNT(*) AS n FROM per GROUP BY lang
+    ),
+    top AS (
+      SELECT lang, n FROM langs ORDER BY n DESC, lang LIMIT 1
+    ),
+    dups AS (
+      SELECT COUNT(*) - COUNT(DISTINCT fp) AS n_dup FROM per
+    )
+    SELECT (SELECT COUNT(*) FROM per)::BIGINT AS n_docs,
+           (SELECT COUNT(DISTINCT source) FROM per)::BIGINT AS n_sources,
+           (SELECT COUNT(*) FROM langs)::BIGINT AS n_langs,
+           (SELECT lang FROM top) AS top_lang,
+           ROUND((SELECT n FROM top)::DOUBLE
+                 / (SELECT COUNT(*) FROM per), 6) AS top_lang_share,
+           (SELECT SUM(n_toks) FROM per)::BIGINT AS total_tokens,
+           ROUND((SELECT AVG(n_toks) FROM per), 6) AS mean_doc_tokens,
+           ROUND((SELECT SUM(CASE WHEN n_toks < 5 THEN 1 ELSE 0 END) FROM per)
+                 ::DOUBLE / (SELECT COUNT(*) FROM per), 6) AS short_frac,
+           ROUND((SELECT n_dup FROM dups)::DOUBLE
+                 / (SELECT COUNT(*) FROM per), 6) AS exact_dup_rate
+    """,
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset datasheet in one row: scale, source/language mix,
+    token accounting, short-doc fraction, and exact-duplicate rate —
+    the summary a data release ships with. One projection pass
+    computes every per-doc metric, then a single multi-aggregate plus a
+    fingerprint distinct-count; the langs table is |langs| rows."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        X.ws_token_count(F.col("text")).alias("n_toks"),
+        X.md5_fingerprint(F.col("text")).alias("fp"),
+    )
+    langs = per.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    top = langs.orderBy(F.col("n").desc(), "lang").limit(1)
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.avg("n_toks").alias("mean_doc_tokens_raw"),
+        F.sum(F.when(F.col("n_toks") < 5, 1).otherwise(0)).alias("n_short"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup"),
+    )
+    n_langs = langs.agg(F.count(F.lit(1)).cast("long").alias("n_langs"))
+    return (
+        agg.crossJoin(F.broadcast(n_langs))
+        .crossJoin(
+            F.broadcast(
+                top.select(
+                    F.col("lang").alias("top_lang"), F.col("n").alias("top_n")
+                )
+            )
+        )
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "top_lang",
+            F.round(F.col("top_n") / F.col("n_docs"), 6).alias("top_lang_share"),
+            "total_tokens",
+            F.round("mean_doc_tokens_raw", 6).alias("mean_doc_tokens"),
+            F.round(F.col("n_short") / F.col("n_docs"), 6).alias("short_frac"),
+            F.round(F.col("n_dup") / F.col("n_docs"), 6).alias("exact_dup_rate"),
+        )
+    )
