@@ -207,7 +207,13 @@ class TableStore:
         arrays.append(pa.array([delete] * n, type=pa.bool_()))
         tbl = pa.Table.from_arrays(arrays, schema=arrow)
         fname = os.path.join(self.log_path, f"commit-{seq:012d}.parquet")
-        tmp = fname + f".{uuid.uuid4().hex}.tmp"
+        # stage OUTSIDE log/ (like append_dataframe): a tmp inside log/
+        # can be LISTED by a concurrent reader and renamed away before
+        # the read opens it → FILE_NOT_EXIST (caught by the concurrent-
+        # client stress test)
+        tmp = os.path.join(
+            self.data_path, f"commit-{seq:012d}.parquet.{uuid.uuid4().hex}.tmp"
+        )
         pq.write_table(tbl, tmp)
         self._publish(tmp, fname)  # atomic + loud on seq collision
         return n
