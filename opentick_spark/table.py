@@ -428,7 +428,15 @@ class TableStore:
         on more dimensions than the leading PK (the Delta/Iceberg
         OPTIMIZE ZORDER analog). Reads stay correct either way: the
         query layer applies the implicit PK ordering, storage order is a
-        pruning concern. Mutually exclusive with ``hash_buckets``."""
+        pruning concern. Mutually exclusive with ``hash_buckets``.
+
+        Isolation: writers (and in-process readers, which share the
+        store lock) are fully serialized against the swap. A reader in
+        a DIFFERENT process that planned its scan before the swap can
+        fail transiently when consumed files are removed — the same
+        contract as Delta/Iceberg VACUUM racing an expired snapshot;
+        retry reads the new base. Scheduled maintenance windows (cron
+        `maybe_compact`) keep that window rare in practice."""
         if zorder and hash_buckets:
             raise ValueError("zorder and hash_buckets are mutually exclusive")
         # the whole compaction holds the store lock: _next_seq shares it,
