@@ -2505,3 +2505,75 @@ def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ent.groupBy(F.round("h", 1).alias("entropy_bin")).agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+@q(
+    "event_type_lift",
+    """
+    WITH b AS (
+      SELECT DISTINCT user_id, time_bucket(INTERVAL '1 day', ts) AS day,
+             event_type
+      FROM events
+    ),
+    n AS (SELECT COUNT(DISTINCT (user_id, day)) AS n_baskets FROM b),
+    s AS (SELECT event_type, COUNT(*) AS n FROM b GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, c.event_type AS type_b, COUNT(*) AS n_ab
+      FROM b a JOIN b c
+        ON a.user_id = c.user_id AND a.day = c.day
+       AND a.event_type < c.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_ab::BIGINT AS n_ab,
+           ROUND(n_ab * n.n_baskets / (sa.n::DOUBLE * sb.n), 6) AS lift
+    FROM pairs
+    JOIN s sa ON sa.event_type = type_a
+    JOIN s sb ON sb.event_type = type_b, n
+    """,
+)
+def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence over (user, day) baskets: lift of
+    each event-type pair — which behaviors travel together beyond
+    chance. The basket table distincts once (one shuffle), the pair
+    self-join keys on the basket id with fan-out bounded by types per
+    basket, and the singles/total tables are |types|-sized broadcasts."""
+    ev = normalize_events(load_raw(spark, sf_dir, "events"))
+    day_ns = 86400 * 10**9
+    b = ev.select(
+        "user_id",
+        F.expr(f"ts - pmod(ts, {day_ns})").alias("day"),
+        "event_type",
+    ).distinct()
+    n = b.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_baskets")
+    )
+    s = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = b.withColumnsRenamed({"event_type": "type_a"})
+    c = b.withColumnsRenamed({"event_type": "type_b"})
+    pairs = (
+        a.join(c, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(s.withColumnsRenamed({"event_type": "type_a", "n": "na"})),
+            "type_a",
+        )
+        .join(
+            F.broadcast(s.withColumnsRenamed({"event_type": "type_b", "n": "nb"})),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.col("n_ab") * F.col("n_baskets")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
