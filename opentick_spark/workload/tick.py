@@ -413,3 +413,29 @@ def meta_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "db string, tbl string, key_cols string, value_cols string"
     )
+
+
+@q(
+    "adj_factor_audit",
+    f"""
+    WITH f AS ({_ORACLE_FACTORS})
+    SELECT sec, COUNT(*)::BIGINT AS n_factors,
+           POW(2.0, SUM(LOG2(px))) AS px_total,
+           POW(2.0, SUM(LOG2(vol))) AS vol_total
+    FROM f GROUP BY sec
+    """,
+)
+def adj_factor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corporate-action audit over the _adj_ table (through the engine's
+    own storage): per sec, the number of factor events and the TOTAL
+    cumulative px/vol adjustment a full-history replay applies. Dyadic
+    factors make pow(2, sum(log2(f))) bit-exact on both engines — no
+    rounding anywhere. One scan of the (tiny, broadcast-class) factor
+    table + one hash agg."""
+    eng = tick_engine(spark, sf_dir)
+    adj = eng.execute("select sec, time, px, vol from _adj_")
+    return adj.groupBy("sec").agg(
+        F.count(F.lit(1)).cast("long").alias("n_factors"),
+        F.pow(F.lit(2.0), F.sum(F.log2("px"))).alias("px_total"),
+        F.pow(F.lit(2.0), F.sum(F.log2("vol"))).alias("vol_total"),
+    )
