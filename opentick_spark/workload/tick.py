@@ -439,3 +439,52 @@ def adj_factor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow(F.lit(2.0), F.sum(F.log2("px"))).alias("px_total"),
         F.pow(F.lit(2.0), F.sum(F.log2("vol"))).alias("vol_total"),
     )
+
+
+@q(
+    "vwap_slippage",
+    """
+    WITH t AS (
+      SELECT user_id AS sec, time_bucket(INTERVAL '1 hour', ts) AS h,
+             value AS px, value AS vol
+      FROM events
+    ),
+    v AS (
+      SELECT sec, h, SUM(px * vol) / SUM(vol) AS vwap
+      FROM t GROUP BY 1, 2
+    )
+    SELECT t.sec, COUNT(*)::BIGINT AS n_trades,
+           ROUND(AVG(ABS(t.px - v.vwap) / v.vwap), 6) AS mean_slip,
+           ROUND(MAX(ABS(t.px - v.vwap) / v.vwap), 6) AS max_slip
+    FROM t JOIN v USING (sec, h)
+    WHERE t.sec < 50
+    GROUP BY t.sec
+    """,
+)
+def vwap_slippage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execution-quality metric: each trade's relative deviation from
+    its (sec, hour) VWAP, aggregated per sec. The VWAP table is
+    (secs×hours)-sized and joins back on the keys the trades already
+    grouped by — the aggregate exchange is reused, no second data
+    shuffle."""
+    ev = load(spark, sf_dir, "events")
+    hour_ns = 3600 * 10**9
+    t = ev.select(
+        F.col("user_id").alias("sec"),
+        F.expr(f"ts - pmod(ts, {hour_ns})").alias("h"),
+        F.col("value").alias("px"),
+        F.col("value").alias("vol"),
+    ).filter(F.col("sec") < 50)
+    v = t.groupBy("sec", "h").agg(
+        (F.sum(F.col("px") * F.col("vol")) / F.sum("vol")).alias("vwap")
+    )
+    slip = F.abs(F.col("px") - F.col("vwap")) / F.col("vwap")
+    return (
+        t.join(v, ["sec", "h"])
+        .groupBy("sec")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+            F.round(F.avg(slip), 6).alias("mean_slip"),
+            F.round(F.max(slip), 6).alias("max_slip"),
+        )
+    )
