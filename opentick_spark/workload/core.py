@@ -2577,3 +2577,93 @@ def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@q(
+    "pareto_nation_revenue",
+    """
+    WITH r AS (
+      SELECT n.n_name AS nation, SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1
+    ),
+    t AS (SELECT SUM(rev) AS total FROM r)
+    SELECT nation, ROUND(rev, 2) AS rev,
+           ROUND(rev / t.total, 6) AS share,
+           ROUND(SUM(rev) OVER (ORDER BY rev DESC, nation
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / t.total, 6) AS cum_share
+    FROM r, t
+    """,
+)
+def pareto_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis of revenue by nation: share and cumulative
+    share in descending revenue order. The star join broadcasts every
+    dimension; the Pareto window runs over the |nations|-sized aggregate
+    only — ordering a 25-row table, never the fact table."""
+    li = load_raw(spark, sf_dir, "lineitem")
+    o = load_raw(spark, sf_dir, "orders")
+    c = load_raw(spark, sf_dir, "customer")
+    n = load_raw(spark, sf_dir, "nation")
+    r = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    t = r.agg(F.sum("rev").alias("total"))
+    w = Window.orderBy(F.col("rev").desc(), "nation").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        r.crossJoin(F.broadcast(t))
+        .select(
+            "nation",
+            F.round("rev", 2).alias("rev"),
+            F.round(F.col("rev") / F.col("total"), 6).alias("share"),
+            F.round(F.sum("rev").over(w) / F.col("total"), 6).alias("cum_share"),
+        )
+    )
+
+
+@q(
+    "supplier_concentration_hhi",
+    """
+    WITH s AS (
+      SELECT p.p_type AS ptype, l.l_suppkey,
+             SUM(l.l_extendedprice) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT ptype, SUM(rev) AS total FROM s GROUP BY 1)
+    SELECT s.ptype, COUNT(*)::BIGINT AS n_suppliers,
+           ROUND(SUM(POW(s.rev / t.total, 2)), 6) AS hhi
+    FROM s JOIN t USING (ptype)
+    GROUP BY s.ptype
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per part type
+    (Σ share² — 1/N for perfectly split supply, →1 for a monopoly).
+    Two stacked aggregates on (type, supplier) then type; the totals
+    join back on the type key the shares already carry."""
+    li = load_raw(spark, sf_dir, "lineitem")
+    p = load_raw(spark, sf_dir, "part")
+    s = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_type").alias("ptype"), "l_suppkey")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    t = s.groupBy("ptype").agg(F.sum("rev").alias("total"))
+    return (
+        s.join(F.broadcast(t), "ptype")
+        .groupBy("ptype")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.round(F.sum(F.pow(F.col("rev") / F.col("total"), 2)), 6).alias("hhi"),
+        )
+    )
