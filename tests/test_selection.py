@@ -286,3 +286,47 @@ def test_ivf_index_append_finds_new_vectors(spark, tmp_path):
     # at least one other appended vector is reachable through the index
     new_ids = {r["vec_id"] for r in new.collect()}
     assert any(n in new_ids for ns in by_q.values() for n in ns)
+
+
+def test_streaming_ivf_ingest_appends_batches(spark, tmp_path):
+    """Continuous ANN-index maintenance: an embedding stream lands in
+    the persisted IVF index per micro-batch (foreachBatch →
+    ivf_index_append); after the stream drains, every streamed vector is
+    searchable."""
+    from pyspark.sql import functions as F
+
+    from opentick_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 450)
+    new = emb.filter(F.col("vec_id") >= 450)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(old, path, ncentroids=8)
+
+    src = str(tmp_path / "stream_src")
+    new.repartition(2).write.parquet(src)
+    appended = []
+
+    def sink(batch_df, batch_id):
+        appended.append(ivf_index_append(spark, batch_df, path))
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(appended) >= 2 and sum(appended) == new.count()
+    queries = new.limit(2)
+    hits = ivf_topk_indexed(spark, path, queries, k=2, nprobe=8)
+    assert {r["query_id"] for r in hits.collect()} == {
+        r["vec_id"] for r in queries.collect()
+    }
