@@ -3156,3 +3156,83 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_dup") / F.col("n_docs"), 6).alias("exact_dup_rate"),
         )
     )
+
+
+@q(
+    "bloom_decontaminate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_NGRAM8} AS sh
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS __toks FROM documents)
+    ),
+    e AS (
+      SELECT DISTINCT c.doc_id
+      FROM t c JOIN t b ON c.doc_id >= 50 AND b.doc_id < 50
+      WHERE len(list_intersect(c.sh, b.sh)) >= 1
+    )
+    SELECT (SELECT COUNT(*) FROM documents WHERE doc_id >= 50)::BIGINT
+             AS n_corpus_docs,
+           (SELECT COUNT(*) FROM e)::BIGINT AS n_contaminated_exact,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_within_bound
+    """,
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter eval decontamination: benchmark 8-grams (doc_id < 50
+    stands in for the eval set) build a 128 Kbit filter distributively
+    (bit_or per 64-bit word — at most m/64 rows shuffle, whatever the
+    benchmark size), and the corpus probe is a pure projection against
+    the ONE broadcast array row — zero corpus-side exchange before the
+    per-doc flag reduce, unlike the inverted-index join path
+    (contamination_8gram) which shuffles grams. The 100 TB trade: exact
+    shared-gram evidence costs a corpus-wide shuffle; the bloom pass
+    costs a corpus scan. Contract checked in-query: no false negatives
+    (every exactly-contaminated doc is flagged — the decontamination
+    guarantee) and measured false-positive docs within max(5, 1%) of the
+    clean corpus (m=2^17, k=5 → per-gram FPP ~5e-6). Both booleans are
+    deterministic for fixed input, so they hash-check; the exact
+    contaminated count is the oracle-matched value."""
+    from opentick_spark.operators import sketch as SK
+
+    m_bits, k = 1 << 17, 5
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 50)
+    corpus = docs.filter(F.col("doc_id") >= 50)
+    bloom = SK.bloom_build(
+        D.exploded_shingles(bench, n=8), "g", m_bits=m_bits, k=k
+    )
+    hit = SK.bloom_might_contain(F.col("g"), F.col("bloom"), m_bits, k)
+    flagged = (
+        D.exploded_shingles(corpus, n=8, distinct=False)
+        .crossJoin(F.broadcast(bloom))
+        .groupBy("id")
+        .agg(F.bool_or(hit).alias("flagged"))
+        .filter("flagged")
+    )
+    exact = D.ngram_contamination(corpus, bench, n=8, min_shared=1).select(
+        "corpus_id"
+    ).distinct()
+    a = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_corpus_docs"))
+    b = exact.agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_exact"))
+    c = flagged.agg(F.count(F.lit(1)).cast("long").alias("__n_flagged"))
+    d = exact.join(
+        flagged, exact.corpus_id == flagged.id, "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n_missed"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(d))
+        .select(
+            "n_corpus_docs",
+            "n_contaminated_exact",
+            (F.col("__n_missed") == 0).alias("no_false_negatives"),
+            (
+                (F.col("__n_flagged") - F.col("n_contaminated_exact"))
+                <= F.greatest(
+                    F.lit(5.0),
+                    F.lit(0.01)
+                    * (F.col("n_corpus_docs") - F.col("n_contaminated_exact")),
+                )
+            ).alias("fp_within_bound"),
+        )
+    )

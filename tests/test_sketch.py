@@ -1,0 +1,139 @@
+"""Mergeable-sketch operators: HLL rollup and Bloom membership."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentick_spark.operators import sketch as SK
+
+
+def _members(spark, n, prefix="m"):
+    return spark.range(0, n).select(
+        F.concat(F.lit(f"{prefix}-"), F.col("id")).alias("g")
+    )
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        members = _members(spark, 800)
+        bloom = SK.bloom_build(members, "g", m_bits=1 << 14, k=5)
+        hit = SK.bloom_might_contain(F.col("g"), F.col("bloom"), 1 << 14, 5)
+        missed = (
+            members.crossJoin(F.broadcast(bloom))
+            .filter(~hit)
+            .count()
+        )
+        assert missed == 0
+
+    def test_false_positive_rate_bounded(self, spark):
+        # 800 members in a 16 Kbit filter (m/n = 20, k = 5): expected
+        # per-probe FPP ~2e-3; 4000 non-members should see well under 5%
+        members = _members(spark, 800)
+        bloom = SK.bloom_build(members, "g", m_bits=1 << 14, k=5)
+        hit = SK.bloom_might_contain(F.col("g"), F.col("bloom"), 1 << 14, 5)
+        others = _members(spark, 4000, prefix="x")
+        fp = others.crossJoin(F.broadcast(bloom)).filter(hit).count()
+        assert fp / 4000 < 0.05
+
+    def test_build_is_duplicate_insensitive(self, spark):
+        members = _members(spark, 100)
+        doubled = members.union(members)
+        a = SK.bloom_build(members, "g", m_bits=1 << 10, k=3).collect()[0][0]
+        b = SK.bloom_build(doubled, "g", m_bits=1 << 10, k=3).collect()[0][0]
+        assert a == b
+
+    def test_empty_build_rejects_everything(self, spark):
+        empty = _members(spark, 0)
+        bloom = SK.bloom_build(empty, "g", m_bits=1 << 10, k=3)
+        row = bloom.collect()[0]
+        assert all(w == 0 for w in row["bloom"])
+        hit = SK.bloom_might_contain(F.col("g"), F.col("bloom"), 1 << 10, 3)
+        n = (
+            _members(spark, 50)
+            .crossJoin(F.broadcast(bloom))
+            .filter(hit)
+            .count()
+        )
+        assert n == 0
+
+    def test_param_validation(self, spark):
+        df = _members(spark, 1)
+        with pytest.raises(ValueError, match="multiple of 64"):
+            SK.bloom_build(df, "g", m_bits=100)
+        with pytest.raises(ValueError, match="k must be"):
+            SK.bloom_build(df, "g", m_bits=64, k=0)
+        with pytest.raises(ValueError, match="multiple of 64"):
+            SK.bloom_might_contain(F.col("g"), F.col("b"), 65)
+
+    def test_probe_is_broadcast_no_smj(self, spark):
+        # the corpus-side probe must stay a projection over ONE broadcast
+        # bloom row: broadcast nested-loop join, never a sort-merge join
+        members = _members(spark, 200)
+        bloom = SK.bloom_build(members, "g", m_bits=1 << 12, k=4)
+        hit = SK.bloom_might_contain(F.col("g"), F.col("bloom"), 1 << 12, 4)
+        probe = (
+            _members(spark, 1000)
+            .crossJoin(F.broadcast(bloom))
+            .select("g", hit.alias("hit"))
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestHllRollup:
+    def test_rollup_within_bound(self, spark):
+        # 60k rows, 24 hourly buckets, 3777 true distinct keys
+        ev = spark.range(0, 60000).select(
+            (F.col("id") % 24).alias("h"), (F.col("id") % 3777).alias("u")
+        )
+        partials = SK.hll_partials(ev, "u", ["h"], lg_k=12)
+        assert partials.count() == 24
+        total = SK.hll_rollup(
+            partials.withColumn("all", F.lit(1)), ["all"]
+        ).collect()[0]
+        assert abs(total["approx_distinct"] - 3777) <= 0.08 * 3777
+
+    def test_partials_are_mergeable_state(self, spark):
+        # merging hourly partials must estimate the same population as a
+        # single-pass sketch over the union — the property that makes
+        # pre-aggregated rollups valid
+        ev = spark.range(0, 20000).select(
+            (F.col("id") % 4).alias("h"), (F.col("id") % 997).alias("u")
+        )
+        merged = SK.hll_rollup(
+            SK.hll_partials(ev, "u", ["h"], lg_k=12).withColumn(
+                "all", F.lit(1)
+            ),
+            ["all"],
+        ).collect()[0]["approx_distinct"]
+        direct = ev.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("u", 12)).cast("long")
+        ).collect()[0][0]
+        assert abs(merged - 997) <= 0.08 * 997
+        assert abs(direct - 997) <= 0.08 * 997
+
+    def test_rollup_groups_independently(self, spark):
+        # two disjoint day groups: each day's estimate tracks its own
+        # exact cardinality, not the union's
+        ev = spark.range(0, 40000).select(
+            (F.col("id") % 2).alias("day"),
+            (F.col("id") % 8).alias("h"),
+            F.when(F.col("id") % 2 == 0, F.col("id") % 100)
+            .otherwise(1000 + F.col("id") % 2000)
+            .alias("u"),
+        )
+        rows = {
+            r["day"]: r["approx_distinct"]
+            for r in SK.hll_rollup(
+                SK.hll_partials(ev, "u", ["day", "h"], lg_k=12), ["day"]
+            ).collect()
+        }
+        exact = {
+            r["day"]: r["n"]
+            for r in ev.groupBy("day")
+            .agg(F.count_distinct("u").alias("n"))
+            .collect()
+        }
+        assert exact[0] != exact[1]  # genuinely disjoint populations
+        for day in (0, 1):
+            assert abs(rows[day] - exact[day]) <= max(2, 0.08 * exact[day])
