@@ -127,3 +127,77 @@ def continuous_ohlcv(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_hll_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    partials_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    lg_k: int = 12,
+    transform=None,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Continuously maintain distinct-count rollup state from a file
+    stream: each micro-batch reduces to per-bucket HLL sketch partials
+    (a few KB each) appended to a parquet log — COUNT(DISTINCT)'s
+    continuous-aggregate, the streaming twin of
+    ``operators.sketch.hll_partials``.
+
+    Append-only on purpose: HLL union is an elementwise register max,
+    so merging the same partial twice is a no-op — a crash that replays
+    a micro-batch appends a duplicate partial and the rollup estimate
+    is UNCHANGED. No read-modify-write, no fetch of current state;
+    per-batch cost is the batch aggregation plus a KB-sized write.
+    ``hll_rollup_estimate`` merges the log at read time; compact by
+    re-aggregating the log whenever it grows (union is associative).
+    Returns the StreamingQuery."""
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        if batch_df.isEmpty():
+            return
+        bucket = time_bucket(F.col(ts_col), bucket_seconds * NS).alias(
+            "bucket_ts"
+        )
+        partial = batch_df.select(bucket, key_col).groupBy("bucket_ts").agg(
+            F.hll_sketch_agg(key_col, lg_k).alias("sketch")
+        )
+        partial.write.mode("append").parquet(partials_dir)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hll_rollup_estimate(
+    spark: SparkSession, partials_dir: str, bucket_seconds: int | None = None
+) -> DataFrame:
+    """Merge the streamed sketch log to per-bucket distinct estimates
+    (pass ``bucket_seconds`` to roll up to a coarser grain — day from
+    hourly partials — without touching raw data). Cost is
+    O(#partial rows), never O(raw rows)."""
+    parts = spark.read.parquet(partials_dir)
+    if bucket_seconds is not None:
+        parts = parts.withColumn(
+            "bucket_ts", time_bucket(F.col("bucket_ts"), bucket_seconds * NS)
+        )
+    return parts.groupBy("bucket_ts").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("long")
+        .alias("approx_distinct")
+    )

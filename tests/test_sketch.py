@@ -137,3 +137,82 @@ class TestHllRollup:
         assert exact[0] != exact[1]  # genuinely disjoint populations
         for day in (0, 1):
             assert abs(rows[day] - exact[day]) <= max(2, 0.08 * exact[day])
+
+
+class TestStreamingHllRollup:
+    def test_stream_maintains_mergeable_state(self, spark, tmp_path):
+        """Micro-batches append per-hour sketch partials; the merged
+        estimate tracks the exact distinct count over everything
+        streamed, and a coarser (2h) rollup works off the same log."""
+        from pyspark.sql import functions as F
+
+        from opentick_spark.streaming.rollup import (
+            hll_rollup_estimate,
+            streaming_hll_rollup,
+        )
+
+        hour_ns = 3_600_000_000_000
+        ev = spark.range(0, 30000).select(
+            ((F.col("id") % 4) * hour_ns + F.col("id")).alias("ts"),
+            (F.col("id") % 1500).alias("user_id"),
+        )
+        src = str(tmp_path / "src")
+        ev.repartition(3).write.parquet(src)
+        q = streaming_hll_rollup(
+            spark,
+            src,
+            ev.schema,
+            partials_dir=str(tmp_path / "partials"),
+            checkpoint_dir=str(tmp_path / "ck"),
+            key_col="user_id",
+        )
+        q.awaitTermination()
+        est = {
+            r["bucket_ts"]: r["approx_distinct"]
+            for r in hll_rollup_estimate(
+                spark, str(tmp_path / "partials")
+            ).collect()
+        }
+        exact = {
+            r["b"]: r["n"]
+            for r in ev.groupBy(
+                F.expr(f"ts - ts % {hour_ns}").alias("b")
+            )
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect()
+        }
+        assert set(est) == set(exact)
+        for b, n in exact.items():
+            assert abs(est[b] - n) <= max(2, 0.08 * n)
+        # multiple partials per bucket prove cross-batch merging happened
+        n_partials = spark.read.parquet(str(tmp_path / "partials")).count()
+        assert n_partials > len(exact)
+        # coarser rollup from the SAME log: 2h buckets
+        coarse = {
+            r["bucket_ts"]: r["approx_distinct"]
+            for r in hll_rollup_estimate(
+                spark, str(tmp_path / "partials"), bucket_seconds=7200
+            ).collect()
+        }
+        assert len(coarse) == 2
+
+    def test_replayed_batch_is_a_noop(self, spark, tmp_path):
+        """HLL union is an elementwise register max: appending the same
+        partial twice (a crash-replayed micro-batch) must not move the
+        estimate — the property that makes append-only state safe."""
+        from pyspark.sql import functions as F
+
+        from opentick_spark.operators.sketch import hll_partials
+        from opentick_spark.streaming.rollup import hll_rollup_estimate
+
+        ev = spark.range(0, 5000).select(
+            F.lit(0).cast("long").alias("bucket_ts"),
+            (F.col("id") % 777).alias("user_id"),
+        )
+        partial = hll_partials(ev, "user_id", ["bucket_ts"])
+        path = str(tmp_path / "partials")
+        partial.write.mode("append").parquet(path)
+        once = hll_rollup_estimate(spark, path).collect()[0]["approx_distinct"]
+        partial.write.mode("append").parquet(path)  # the replay
+        twice = hll_rollup_estimate(spark, path).collect()[0]["approx_distinct"]
+        assert once == twice
