@@ -247,6 +247,8 @@ def main():
         # r4 second batch: TF-IDF keyword extraction (vocabulary-sized
         # DF broadcast + per-doc window top-k)
         "tfidf_top_terms",
+        # r4 sketch family: mergeable hourly HLL partials → day rollup
+        "hll_distinct_rollup",
     ]
     for name in headline:
         fn = QUERIES[name]
