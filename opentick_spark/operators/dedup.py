@@ -991,3 +991,85 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via PREFIX FILTERING (the
+    AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08): deterministic exact results like ``ngram_jaccard_pairs``,
+    but candidates come only from each document's PREFIX — its
+    |S| - ceil(t·|S|) + 1 globally rarest shingles — instead of every
+    shingle. Completeness: if J(A,B) >= t then |A∩B| >= ceil(t·max(|A|,
+    |B|)) = a, and two sorted sets whose first |S| - a + 1 tokens are
+    disjoint can overlap at most a - 1 (every shared token <= the
+    smaller prefix boundary would sit in both prefixes), so some prefix
+    token is shared; per-set prefixes |S| - ceil(t·|S|) + 1 are >= that
+    and only widen the net.
+
+    Why it matters at 100 TB: the inverted-index join fans out on EVERY
+    shingle — the hottest (most common) shingles make the biggest,
+    skewed buckets. Rarest-first prefixes invert that: the join key is
+    biased toward LOW-frequency shingles (small buckets) and each doc
+    contributes ~(1-t) of its shingles, so candidate volume drops
+    superlinearly while the result stays exact — the deterministic
+    alternative to MinHash-LSH when probabilistic recall is not
+    acceptable. A size filter (t·|A| <= |B| and vice versa) prunes
+    length-incompatible pairs before verification.
+
+    Output contract matches ``ngram_jaccard_pairs``:
+    (id_a, id_b, jac) with id_a < id_b and jac >= threshold.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    e = exploded_shingles(df, id_col, text_col, n)
+    # global total order: document frequency ascending (rarest first),
+    # shingle text as tie-break — identical ordering in every document
+    dfreq = e.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy("__df", "g")
+    ranked = e.join(dfreq, "g").select(
+        "id",
+        "g",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("__n"),
+    )
+    prefix = ranked.filter(
+        F.col("__r") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            # size filter: J >= t forces t·|A| <= |B| and t·|B| <= |A|
+            & (F.lit(threshold) * F.col("a.__n") <= F.col("b.__n"))
+            & (F.lit(threshold) * F.col("b.__n") <= F.col("a.__n")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = e.groupBy("id").agg(F.collect_set("g").alias("toks"))
+    verified = (
+        cand.join(sets.withColumnsRenamed({"id": "id_a", "toks": "ta"}), "id_a")
+        .join(sets.withColumnsRenamed({"id": "id_b", "toks": "tb"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("ta", "tb"))
+                / (
+                    F.size("ta")
+                    + F.size("tb")
+                    - F.size(F.array_intersect("ta", "tb"))
+                )
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+    return verified

@@ -3236,3 +3236,16 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_within_bound"),
         )
     )
+
+
+@q("dedup_ppjoin", _JACCARD_ORACLE)
+def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard near-dups (AllPairs/PPJoin family):
+    identical output contract — and oracle — as dedup_ngram_jaccard,
+    with candidates generated only from each doc's rarest-shingle
+    prefix, so the self-join fans out on LOW-frequency keys instead of
+    every shingle. The deterministic exact-result scale path where
+    MinHash-LSH's probabilistic recall is not acceptable."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.prefix_filter_jaccard_pairs(docs, n=2, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jac", 6).alias("jac"))

@@ -87,6 +87,79 @@ def test_ngram_jaccard_golden(docs):
     assert (3, 5) not in pairs and (4, 5) not in pairs
 
 
+def test_prefix_filter_jaccard_golden(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jac
+        for r in D.prefix_filter_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(3, 4)] == pytest.approx(3 / 5)
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (3, 5) not in pairs and (4, 5) not in pairs
+
+
+def test_prefix_filter_matches_inverted_index(spark):
+    # the prefix-filtered exact join must return the IDENTICAL pair set
+    # and values as the full inverted-index exact join (completeness of
+    # the prefix scheme), across thresholds
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.3, 0.5, 0.8):
+        exact = {
+            (r.id_a, r.id_b): round(r.jac, 9)
+            for r in D.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pf = {
+            (r.id_a, r.id_b): round(r.jac, 9)
+            for r in D.prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert pf == exact
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    # the point of the technique: candidate pairs from prefix shingles
+    # are a strict subset of pairs sharing ANY shingle
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    e = D.exploded_shingles(docs)
+    full = (
+        e.alias("a")
+        .join(e.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select("a.id", "b.id")
+        .distinct()
+        .count()
+    )
+    # replicate the operator's candidate generation (prefix = rarest
+    # |S| - ceil(t|S|) + 1 shingles) and count candidate pairs directly
+    from pyspark.sql import Window
+
+    t = 0.5
+    dfreq = e.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy("__df", "g")
+    ranked = e.join(dfreq, "g").select(
+        "id",
+        "g",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("__n"),
+    )
+    prefix = ranked.filter(
+        F.col("__r") <= F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select("a.id", "b.id")
+        .distinct()
+        .count()
+    )
+    assert cand < full  # fewer pairs ever reach verification
+
+    with pytest.raises(ValueError, match="threshold"):
+        D.prefix_filter_jaccard_pairs(docs, threshold=0.0)
+
+
 def test_minhash_lsh_matches_exact(spark):
     base = "the quick brown fox jumps over the lazy dog " * 6
     rows = [(i, base + f"tail variant {i % 3}") for i in range(12)]
