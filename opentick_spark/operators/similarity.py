@@ -22,6 +22,7 @@ fold is kept for composition/testing.
 
 from __future__ import annotations
 
+import math
 import random
 
 import numpy as np
@@ -945,3 +946,56 @@ def ivf_index_append(
         f"{path}/lists"
     )
     return n
+
+
+def _jl_sign_matrix(in_dim: int, out_dim: int) -> "np.ndarray":
+    """Deterministic Rademacher projection matrix (Achlioptas 2003,
+    database-friendly JL): entry (i, j) is ±1/sqrt-ish scale by the
+    parity of md5(f"{i}_{j}") — reproducible from code alone (no stored
+    model state) and replicable in any engine with md5, which is what
+    makes the projection oracle-checkable cross-engine. Scale 0.25 =
+    1/sqrt(16) is exactly representable, keeping the arithmetic clean."""
+    import hashlib
+
+    m = np.empty((in_dim, out_dim), dtype=np.float64)
+    scale = 1.0 / math.sqrt(out_dim)
+    for i in range(in_dim):
+        for j in range(out_dim):
+            parity = int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:8], 16) % 2
+            m[i, j] = scale if parity == 0 else -scale
+    return m
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction of an embedding
+    column: X -> X @ S with a deterministic Rademacher sign matrix.
+
+    A pure narrow map — ZERO shuffle at any scale: the (in_dim ×
+    out_dim) matrix is built driver-side from hashes (a few KB),
+    captured in the UDF closure, and every Arrow batch does one numpy
+    matmul. The standard pre-step that makes downstream ANN/clustering
+    state out_dim/in_dim smaller (4× here) at a distance distortion of
+    ~sqrt(ln n / out_dim). Output: (id_col, proj: array<double>[out_dim]).
+    """
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.select(
+            F.col(id_col),
+            F.lit(None).cast("array<double>").alias("proj"),
+        ).limit(0)
+    in_dim = len(first[0])
+    signs = _jl_sign_matrix(in_dim, out_dim)
+
+    @pandas_udf(ArrayType(DoubleType(), False))
+    def _project(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series(list(x @ signs))
+
+    return df.select(F.col(id_col), _project(F.col(vec_col)).alias("proj"))

@@ -3249,3 +3249,40 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = D.prefix_filter_jaccard_pairs(docs, n=2, threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+
+
+@q(
+    "embedding_random_projection",
+    """
+    WITH s AS (
+      SELECT i.i, j.j,
+             CASE WHEN ('0x' || substr(md5(i.i || '_' || j.j), 1, 8))::UBIGINT
+                       % 2 = 0
+                  THEN 0.25 ELSE -0.25 END AS sgn
+      FROM range(64) i(i), range(16) j(j)
+    )
+    SELECT e.vec_id, s.j::BIGINT AS j,
+           -- + 0 normalizes IEEE -0.0 to +0.0 (Spark's round never emits
+           -- negative zero; a bare DuckDB ROUND does, and the driver's
+           -- canonicalizer sorts rows by repr, where '-0.0' misaligns)
+           ROUND(SUM(e.embedding[s.i + 1] * s.sgn), 4) + 0 AS proj
+    FROM embeddings e, s
+    GROUP BY e.vec_id, s.j
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss reduction 64 -> 16 dims with a
+    hash-deterministic Rademacher matrix (similarity.random_projection):
+    a zero-shuffle Arrow-batched matmul whose sign matrix is derived
+    from md5 parity, so DuckDB replays the exact projection — a
+    full-value oracle for a 'random' projection. Long (vec_id, j, proj)
+    scalar layout; proj rounded to 4dp to absorb summation-order ulps."""
+    emb = load(spark, sf_dir, "embeddings")
+    proj = S.random_projection(emb, out_dim=16)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("j", "p")
+    ).select(
+        "vec_id",
+        F.col("j").cast("long").alias("j"),
+        (F.round("p", 4) + F.lit(0.0)).alias("proj"),
+    )

@@ -330,3 +330,75 @@ def test_streaming_ivf_ingest_appends_batches(spark, tmp_path):
     assert {r["query_id"] for r in hits.collect()} == {
         r["vec_id"] for r in queries.collect()
     }
+
+
+def test_random_projection_golden_and_zero_shuffle(spark):
+    """JL projection matches a straight-line python replay of the same
+    md5-sign matrix, and the plan is a pure narrow map (no Exchange)."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from opentick_spark.operators.similarity import random_projection
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(5)
+    out = random_projection(emb, out_dim=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    got = {r["vec_id"]: list(r["proj"]) for r in out.collect()}
+    scale = 1.0 / math.sqrt(16)
+    rows = emb.collect()
+    for r in rows:
+        vec = [float(x) for x in r["embedding"]]
+        for j in range(16):
+            want = sum(
+                v
+                * (
+                    scale
+                    if int(
+                        hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:8], 16
+                    )
+                    % 2
+                    == 0
+                    else -scale
+                )
+                for i, v in enumerate(vec)
+            )
+            assert got[r["vec_id"]][j] == pytest.approx(want, abs=1e-9)
+
+
+def test_random_projection_preserves_relative_distances(spark):
+    """Loose JL sanity: across sampled pairs, projected cosine tracks the
+    original ordering direction (positive rank correlation)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from opentick_spark.operators.similarity import random_projection
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(20)
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in emb.collect()}
+    proj = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in random_projection(emb, out_dim=16).collect()
+    }
+    ids = sorted(orig)
+    cos = lambda a, b: float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    o, p = [], []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        o.append(cos(orig[a], orig[b]))
+        p.append(cos(proj[a], proj[b]))
+    import numpy as _np
+
+    ro = _np.argsort(_np.argsort(o))
+    rp = _np.argsort(_np.argsort(p))
+    n = len(o)
+    corr = _np.corrcoef(ro, rp)[0, 1]
+    assert n >= 8 and corr > 0.2
