@@ -15,7 +15,11 @@ sides:
   still push down to parquet row-group pruning.
 - every numeric output is explicitly cast: integers → long, floats →
   double, and float aggregates are rounded (r4/r6) so cross-engine
-  summation-order ulps can't flip the driver's value hash.
+  summation-order ulps can't flip the driver's value hash. Rounded
+  values that can be tiny-negative also normalize IEEE -0.0 by adding
+  +0 on BOTH sides (see embedding_random_projection): DuckDB ROUND
+  emits -0.0 where Spark's never does, and the repr-sorted row
+  canonicalizer misaligns on the sign even though -0.0 == 0.0.
 
 The driver's correctness gate checks the FIRST 50 entries of
 ``queries()``, so the registry is split in two:
