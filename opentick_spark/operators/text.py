@@ -715,3 +715,22 @@ def compression_ratio(col_name: str = "text", level: int = 6) -> Column:
         return s.map(one)
 
     return _ratio(F.col(col_name))
+
+
+def group_kfold(df: DataFrame, group_col: str, k: int = 5) -> DataFrame:
+    """Leakage-free grouped k-fold assignment: fold = md5(group) mod k,
+    so EVERY row of a group lands in the same fold — the cross-validation
+    split that keeps correlated rows (a user's events, a document's
+    chunks) out of each other's held-out fold. Same engine-stable md5
+    arithmetic as ``hash_split`` (no native hash, no RNG state): pure
+    per-row projection, zero shuffle, reproducible across engines and
+    partitionings. Adds a ``fold`` int column."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col(group_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % k
+    )
+    return df.withColumn("fold", fold.cast("int"))

@@ -38,8 +38,8 @@ The driver's correctness gate checks the FIRST 50 entries of
   rotate into the driver window next round in place of long-stable
   ones.
 
-End of round 4 the ENTIRE registry (window + extras; 163 queries,
-159 with oracles) was
+End of round 4 the ENTIRE registry (window + extras; 164 queries,
+160 with oracles) was
 value-verified against DuckDB at BOTH sf0.01 (the driver's scale) and
 sf0.1 (10×) — the 10× run has caught real bugs invisible at sf0.01
 (r3: a keeper tie-break). Run ``SPARK_GRAFT_ORACLE_SF_DIR=
@@ -65,8 +65,8 @@ hard_negative_mining, source_pagerank, key_skew_report,
 lsh_banding_efficiency) live in EXTRA_QUERIES with full oracle_check
 coverage at sf0.01 AND sf0.1, first in line for the r5 window —
 as are the post-sweep additions (hll_distinct_rollup,
-bloom_decontaminate, dedup_ppjoin, embedding_random_projection; each
-value-verified at sf0.01 AND sf0.1 on add).
+bloom_decontaminate, dedup_ppjoin, embedding_random_projection,
+group_kfold_stats; each value-verified at sf0.01 AND sf0.1 on add).
 """
 
 from opentick_spark.workload.core import ORACLES as _CORE_O

@@ -3286,3 +3286,37 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("long").alias("j"),
         (F.round("p", 4) + F.lit(0.0)).alias("proj"),
     )
+
+
+@q(
+    "group_kfold_stats",
+    """
+    WITH t AS (
+      SELECT *,
+             list_reduce(
+               list_transform(range(1, 9),
+                 i -> strpos('0123456789abcdef',
+                             substr(md5(user_id::VARCHAR), i, 1)) - 1),
+               (a, b) -> a * 16 + b) % 5 AS fold
+      FROM events
+    )
+    SELECT fold::INT AS fold,
+           COUNT(DISTINCT user_id)::BIGINT AS n_users,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(value), 4) + 0 AS sum_value
+    FROM t GROUP BY 1
+    """,
+)
+def group_kfold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped 5-fold cross-validation assignment over events keyed by
+    user (text.group_kfold): all of a user's rows share one fold —
+    leakage-free held-out folds by construction (fold = md5(user) mod 5,
+    engine-stable, zero shuffle for the assignment). Per-fold user/event
+    counts and value mass; one tiny aggregate."""
+    ev = load(spark, sf_dir, "events")
+    folds = X.group_kfold(ev, "user_id", k=5)
+    return folds.groupBy("fold").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
+    )

@@ -1370,3 +1370,39 @@ def test_bpe_merges_persist_roundtrip(spark, tmp_path):
     a = bpe_encode(docs, merges).select("tokens").collect()
     b = bpe_encode(docs, loaded).select("tokens").collect()
     assert a == b
+
+
+def test_group_kfold_no_leakage(spark):
+    """Every group's rows land in exactly one fold; folds are balanced
+    enough to be usable; k<2 rejected."""
+    from pyspark.sql import functions as F
+
+    from opentick_spark.operators.text import group_kfold
+
+    ev = spark.range(0, 5000).select(
+        (F.col("id") % 337).alias("user_id"), F.col("id").alias("x")
+    )
+    folds = group_kfold(ev, "user_id", k=5)
+    # leakage check: per-user distinct fold count is exactly 1
+    leaked = (
+        folds.groupBy("user_id")
+        .agg(F.count_distinct("fold").alias("nf"))
+        .filter("nf != 1")
+        .count()
+    )
+    assert leaked == 0
+    sizes = {
+        r["fold"]: r["n"]
+        for r in folds.select("user_id", "fold")
+        .distinct()
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(sizes) == {0, 1, 2, 3, 4}
+    assert min(sizes.values()) > 337 / 5 * 0.5  # no empty/starved fold
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must be"):
+        group_kfold(ev, "user_id", k=1)
