@@ -1038,8 +1038,15 @@ def prefix_filter_jaccard_pairs(
         F.row_number().over(w).alias("__r"),
         F.count(F.lit(1)).over(Window.partitionBy("id")).alias("__n"),
     )
+    # ceil(t·n) in exact-rational spirit: round the double product to 9
+    # decimals first so representation noise (0.55*100 =
+    # 55.000000000000007) can't bump the ceiling one past the true
+    # integer and shorten the prefix below the completeness bound.
     prefix = ranked.filter(
-        F.col("__r") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+        F.col("__r")
+        <= F.col("__n")
+        - F.ceil(F.round(F.lit(threshold) * F.col("__n"), 9))
+        + 1
     )
     cand = (
         prefix.alias("a")
@@ -1048,8 +1055,10 @@ def prefix_filter_jaccard_pairs(
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.id") < F.col("b.id"))
             # size filter: J >= t forces t·|A| <= |B| and t·|B| <= |A|
-            & (F.lit(threshold) * F.col("a.__n") <= F.col("b.__n"))
-            & (F.lit(threshold) * F.col("b.__n") <= F.col("a.__n")),
+            # (1e-9 slack so float noise at rational boundaries, e.g.
+            # t=0.55 · n=100, can't exclude exactly-at-threshold pairs)
+            & (F.lit(threshold) * F.col("a.__n") <= F.col("b.__n") + F.lit(1e-9))
+            & (F.lit(threshold) * F.col("b.__n") <= F.col("a.__n") + F.lit(1e-9)),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

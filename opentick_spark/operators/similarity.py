@@ -971,6 +971,7 @@ def random_projection(
     out_dim: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    in_dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction of an embedding
     column: X -> X @ S with a deterministic Rademacher sign matrix.
@@ -981,21 +982,43 @@ def random_projection(
     matmul. The standard pre-step that makes downstream ANN/clustering
     state out_dim/in_dim smaller (4× here) at a distance distortion of
     ~sqrt(ln n / out_dim). Output: (id_col, proj: array<double>[out_dim]).
+
+    Pass ``in_dim`` to keep the builder fully lazy; when omitted, the
+    width is sampled from the first NON-NULL embedding (one bounded
+    job). NULL embeddings project to NULL; a wrong-width vector fails
+    inside the UDF with an explicit dimension message rather than an
+    opaque numpy shape error.
     """
-    first = df.select(vec_col).first()
-    if first is None:
-        return df.select(
-            F.col(id_col),
-            F.lit(None).cast("array<double>").alias("proj"),
-        ).limit(0)
-    in_dim = len(first[0])
+    if in_dim is None:
+        first = (
+            df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        )
+        if first is None:
+            return df.select(
+                F.col(id_col),
+                F.lit(None).cast("array<double>").alias("proj"),
+            ).limit(0)
+        in_dim = len(first[0])
     signs = _jl_sign_matrix(in_dim, out_dim)
+    expect = in_dim
 
     @pandas_udf(ArrayType(DoubleType(), False))
     def _project(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="object")
-        x = np.stack(v.to_numpy()).astype(np.float64)
-        return pd.Series(list(x @ signs))
+        vals = v.to_numpy()
+        ok = [i for i, x in enumerate(vals) if x is not None]
+        out = np.empty(len(vals), dtype=object)
+        if ok:
+            bad = {len(vals[i]) for i in ok} - {expect}
+            if bad:
+                raise ValueError(
+                    f"random_projection: expected {expect}-dim embeddings, "
+                    f"batch contains lengths {sorted(bad)}"
+                )
+            proj = np.stack([vals[i] for i in ok]).astype(np.float64) @ signs
+            for r, i in enumerate(ok):
+                out[i] = proj[r]
+        return pd.Series(out)
 
     return df.select(F.col(id_col), _project(F.col(vec_col)).alias("proj"))

@@ -136,8 +136,15 @@ def bloom_might_contain(
     """Membership probe against a (broadcast) bloom array column: true
     iff every one of the k probe bits is set. Pure projection — zero
     probe-side shuffle. Never false-negative for values that went
-    through ``bloom_build`` with the same (m_bits, k, seed)."""
+    through ``bloom_build`` with the same (m_bits, k, seed).
+
+    The probe fails LOUDLY (raise_error) if the filter array's width
+    disagrees with ``m_bits``: an out-of-range ``element_at`` would
+    return NULL, silently turning a set bit into "absent" and breaking
+    the no-false-negative guarantee — a build/probe parameter mismatch
+    must never drop contaminated docs."""
     _check_bloom_params(m_bits, k)
+    n_words = m_bits // 64
     checks = []
     for p in _probe_positions(col, m_bits, k, seed):
         word = F.element_at(bloom_col, F.floor(p / F.lit(64)).cast("int") + 1)
@@ -146,7 +153,18 @@ def bloom_might_contain(
     out = checks[0]
     for c in checks[1:]:
         out = out & c
-    return out
+    return F.when(F.size(bloom_col) == F.lit(n_words), out).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"bloom_might_contain: filter width mismatch — probe "
+                    f"expects m_bits={m_bits} ({n_words} words), filter has "
+                ),
+                F.size(bloom_col).cast("string"),
+                F.lit(" words"),
+            )
+        ).cast("boolean")
+    )
 
 
 def _shiftleft_one(bit: Column) -> Column:

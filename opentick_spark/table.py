@@ -84,9 +84,14 @@ class TableStore:
         self.data_path = os.path.join(self.path, "data")
         self.log_path = os.path.join(self.data_path, "log")
         self.base_path = os.path.join(self.data_path, "base")
+        self._lock = threading.RLock()
+        # recovery BEFORE the makedirs below: a compaction killed
+        # mid-swap leaves base missing, and exist_ok=True would
+        # otherwise silently "heal" it into an EMPTY base — presenting
+        # the compacted-away rows as lost data on the next open
+        self._recover_if_needed()
         os.makedirs(self.log_path, exist_ok=True)
         os.makedirs(self.base_path, exist_ok=True)
-        self._lock = threading.RLock()
 
     def _bucket_expr(self, nb: int):
         lead = self.schema.key_columns[0].physical
@@ -127,6 +132,92 @@ class TableStore:
         finally:
             fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
+
+    def _recover_if_needed(self) -> None:
+        """Crash-recovery sweep for interrupted compactions (r5).
+
+        ``_compact_locked`` publishes through a short non-atomic window:
+        write ``compact-intent.json`` → rename(base → base.old) →
+        rename(tmp → base) → rmtree(base.old) → GC consumed log →
+        write meta → remove intent. A process killed anywhere in that
+        window leaves one of four distinguishable states, and the
+        intent file (recorded BEFORE the first rename) makes the
+        decision deterministic without reading any parquet:
+
+        - stash (``base.old``) present → killed mid-swap; the log is
+          still intact (stash removal precedes log GC), so ROLL BACK:
+          drop the half-installed new base if any, restore the stash.
+        - intent + tmp dir, no stash → killed before the first rename;
+          roll back by GC'ing the tmp dir.
+        - intent, no tmp, no stash → killed during/after log GC; the
+          new base is fully installed and the old one is gone, so ROLL
+          FORWARD: finish deleting the consumed log entries and commit
+          the meta recorded in the intent.
+        - orphaned ``compact-*`` dirs with no intent → killed during
+          the parquet write; plain GC.
+
+        Fast path is three ``os.path`` checks with no lock; the lock is
+        taken only when something suspicious is present, and re-checked
+        under it — a LIVE compactor holds the store file lock across
+        the entire write+swap, so anything still visible once we hold
+        the lock is a crash artifact, never an in-flight compaction.
+        """
+        intent_p = os.path.join(self.path, "compact-intent.json")
+        stash = self.base_path + ".old"
+
+        def _stale_tmps() -> list[str]:
+            try:
+                return [
+                    os.path.join(self.path, e)
+                    for e in os.listdir(self.path)
+                    if e.startswith("compact-") and e != "compact-intent.json"
+                ]
+            except FileNotFoundError:
+                return []
+
+        if not (
+            os.path.exists(intent_p) or os.path.exists(stash) or _stale_tmps()
+        ):
+            return
+        if not os.path.isdir(self.path):
+            return
+        import shutil
+
+        with self._lock, self._file_lock():
+            intent = None
+            if os.path.exists(intent_p):
+                with open(intent_p) as f:
+                    intent = json.load(f)
+            if os.path.isdir(stash):
+                # mid-swap: log untouched -> roll back to pre-compaction
+                if os.path.isdir(self.base_path):
+                    shutil.rmtree(self.base_path)
+                os.rename(stash, self.base_path)
+                if os.path.exists(intent_p):
+                    os.remove(intent_p)
+            elif intent is not None:
+                tmp = os.path.join(self.path, intent["tmp"])
+                if os.path.isdir(tmp):
+                    # killed before the swap began: plain rollback
+                    os.remove(intent_p)
+                else:
+                    # new base fully installed, old base gone: finish
+                    # the log GC + meta commit the compactor would have
+                    for entry in intent["consumed_log"]:
+                        p = os.path.join(self.log_path, entry)
+                        if os.path.isdir(p):
+                            shutil.rmtree(p)
+                        elif os.path.exists(p):
+                            os.remove(p)
+                    meta = self._meta()
+                    meta["seq"] = intent["seq"]
+                    meta["compacted"] = True
+                    meta["hash_buckets"] = intent["hash_buckets"]
+                    meta["last_compact_seq"] = intent["seq"]
+                    self._write_meta(meta)
+                    os.remove(intent_p)
+            for tmp in _stale_tmps():
+                shutil.rmtree(tmp, ignore_errors=True)
 
     def _next_seq(self) -> int:
         with self._lock, self._file_lock():
@@ -436,7 +527,15 @@ class TableStore:
         fail transiently when consumed files are removed — the same
         contract as Delta/Iceberg VACUUM racing an expired snapshot;
         retry reads the new base. Scheduled maintenance windows (cron
-        `maybe_compact`) keep that window rare in practice."""
+        `maybe_compact`) keep that window rare in practice.
+
+        Durability: the publish sequence is intent-logged, so a process
+        killed at ANY point of the directory swap is repaired on the
+        next ``TableStore`` open — rolled back to the pre-compaction
+        state (log still intact) or rolled forward (new base fully
+        installed), never left baseless or half-GC'd. See
+        ``_recover_if_needed`` for the state machine and
+        tests/test_compaction_recovery.py for the kill-point matrix."""
         if zorder and hash_buckets:
             raise ValueError("zorder and hash_buckets are mutually exclusive")
         # the whole compaction holds the store lock: _next_seq shares it,
@@ -501,7 +600,23 @@ class TableStore:
         import shutil
 
         # swap in the new base; remove exactly the log commits that were
-        # in the snapshot (lock already held by compact())
+        # in the snapshot (lock already held by compact()). The intent
+        # file — written durably BEFORE the first rename — is what makes
+        # a kill anywhere in this window recoverable: see
+        # _recover_if_needed for the four crash states it disambiguates.
+        intent_p = os.path.join(self.path, "compact-intent.json")
+        intent_tmp = intent_p + f".{uuid.uuid4().hex}.tmp"
+        with open(intent_tmp, "w") as f:
+            json.dump(
+                {
+                    "seq": seq,
+                    "tmp": os.path.basename(tmp_dir),
+                    "hash_buckets": hash_buckets,
+                    "consumed_log": consumed_log,
+                },
+                f,
+            )
+        os.replace(intent_tmp, intent_p)
         stash = self.base_path + ".old"
         os.rename(self.base_path, stash)
         os.rename(tmp_dir, self.base_path)
@@ -517,6 +632,7 @@ class TableStore:
         meta["hash_buckets"] = hash_buckets
         meta["last_compact_seq"] = seq
         self._write_meta(meta)
+        os.remove(intent_p)
 
     def current_seq(self) -> int:
         """Latest commit sequence — the token to pass to

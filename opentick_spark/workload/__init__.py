@@ -45,28 +45,15 @@ sf0.1 (10×) — the 10× run has caught real bugs invisible at sf0.01
 (r3: a keeper tie-break). Run ``SPARK_GRAFT_ORACLE_SF_DIR=
 /root/testdata/sf0.1 python tests/oracle_check.py`` to reproduce.
 
-Round-4 rotation: the driver window swapped in the 17 entries that had
-never had a driver row (snapshot/incremental pipeline, frequency ops,
-time-series/finance block) AND 18 of the ~35 operators built this round
-(dup_span_stats, source_mixture_stats, balanced_sample_per_lang,
-text_bigram_nll, data_quality_report, token_shard_stats,
-temperature_sample, length_batch_stats, curated_corpus_stats,
-hybrid_search, decayed_event_stats, tfidf_top_terms,
-dsir_importance_scores, source_token_entropy, weighted_sample_docs,
-knn_label_vote, event_transitions, mad_outlier_stats) — 35 first-time
-driver rows this round; every rotated-out entry was driver-green in a
-prior round with an unchanged implementation and keeps oracle_check
-coverage. The rest of this round's additions (source_overlap_matrix,
-run_length_histogram, value_decile_stats, lead_lag_correlation,
-ann_recall_report, dedup_edit_distance, collocation_pmi_top100,
-funnel_time_to_convert, user_ts_features, streaming_topk_values,
-lang_id_confusion, psi_value_drift, tokenizer_fertility_by_lang,
-hard_negative_mining, source_pagerank, key_skew_report,
-lsh_banding_efficiency) live in EXTRA_QUERIES with full oracle_check
-coverage at sf0.01 AND sf0.1, first in line for the r5 window —
-as are the post-sweep additions (hll_distinct_rollup,
-bloom_decontaminate, dedup_ppjoin, embedding_random_projection,
-group_kfold_stats; each value-verified at sf0.01 AND sf0.1 on add).
+Round-5 rotation: the window swapped in the ENTIRE 31-entry
+never-driver-checked backlog from round 4 (per VERDICT r4 item 1) plus
+19 shape-distinct keeps — streaming micro-batch, dialect/tick parity,
+and one representative per extension family. Every rotated-out entry
+was driver-green in a prior round with an unchanged implementation and
+keeps oracle_check value coverage each round. The per-query rotation
+history (query → rounds driver-checked → last local verification) is
+the audit table in COVERAGE.md — the authoritative record, replacing
+the per-round docstring changelogs that used to live here.
 """
 
 from opentick_spark.workload.core import ORACLES as _CORE_O
@@ -79,71 +66,54 @@ from opentick_spark.workload.tick import QUERIES as _TICK_Q
 ALL_QUERIES = {**_CORE_Q, **_TICK_Q, **_LLM_Q}
 ALL_ORACLES = {**_CORE_O, **_TICK_O, **_LLM_O}
 
-# The driver's 50-query correctness window (round 4 rotation, per the
+# The driver's 50-query correctness window (round 5 rotation, per the
 # documented policy: never-yet-driver-checked entries lead; rotated-out
 # entries were driver-green in a prior round with unchanged
 # implementations and keep tests/oracle_check.py value coverage every
-# round). Rotated OUT this round (all r3-green, code unchanged):
-# dedup_exact, sim_topk_bruteforce, sim_topk_lsh, sim_topk_quantized,
-# text_quality, text_lang_id, text_fingerprint, text_token_count_total,
-# text_chunking, text_pii_redaction, corpus_pipeline,
-# multimodal_features, multimodal_frame_sample, streaming_stateful_totals,
-# streaming_session_windows, streaming_join_purchases,
-# streaming_window_counts.
+# round). Full per-query rotation history lives in COVERAGE.md (the
+# audit table the r4 verdict asked for — query → rounds driver-checked
+# → local verification), replacing the docstring changelogs.
 _DRIVER_WINDOW = [
-    # never-driver-checked until now: snapshot/incremental pipeline
-    "snapshot_diff",
-    "incremental_dedup",
-    "negative_sampling",
-    "multimodal_audio_windows",
-    "streaming_enrich",
-    "heavy_hitter_words",
-    "vocab_coverage_top100",
-    "seq_len_histogram",
-    "dedup_keeper_by_quality",
-    "streaming_hop_counts",
-    # never-driver-checked until now: time-series/finance block
-    "market_beta",
-    "bar_downsample_daily",
-    "max_drawdown",
-    "rolling_zscore_outliers",
-    "twap_hourly",
-    "realized_vol_hourly",
-    "return_correlation",
-    # LLM-pipeline keeps (shape-distinct representatives per family)
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_embedding_lsh",
-    # round-4 second batch — never driver-checked (swapped in for
-    # dedup_simhash, semantic_dedup, sim_topk_ivf, sim_topk_pq,
-    # text_bm25_search, text_unigram_nll, text_dup_ngram_coverage — all
-    # r3 driver-green with unchanged implementations, still
-    # oracle_check-verified each round)
-    "tfidf_top_terms",
-    "dsir_importance_scores",
-    "source_token_entropy",
-    "weighted_sample_docs",
-    "knn_label_vote",
-    "event_transitions",
-    "mad_outlier_stats",
-    # round-4 additions — never driver-checked before (swapped in for
-    # contamination_8gram, pack_sequences_by_lang, corpus_split_stats,
-    # embedding_label_stats, mixture_sample, bpe_encode_docs,
-    # hop_window_counts, profile_orders — all r3 driver-green with
-    # unchanged implementations, still oracle_check-verified each round)
-    "dup_span_stats",
-    "source_mixture_stats",
-    "balanced_sample_per_lang",
-    "text_bigram_nll",
-    "data_quality_report",
-    "token_shard_stats",
-    "temperature_sample",
-    "length_batch_stats",
-    "curated_corpus_stats",
-    "hybrid_search",
-    "decayed_event_stats",
-    # streaming keeps (micro-batch execution stays driver-covered)
+    # ---- the 31 round-4 additions that had never had a driver row
+    # (the full never-driver-checked backlog named in VERDICT r4) ----
+    "source_overlap_matrix",
+    "run_length_histogram",
+    "value_decile_stats",
+    "lead_lag_correlation",
+    "dedup_edit_distance",
+    "collocation_pmi_top100",
+    "funnel_time_to_convert",
+    "user_ts_features",
+    "streaming_topk_values",
+    "lang_id_confusion",
+    "psi_value_drift",
+    "tokenizer_fertility_by_lang",
+    "hard_negative_mining",
+    "key_skew_report",
+    "hll_distinct_rollup",
+    "bloom_decontaminate",
+    "dedup_ppjoin",
+    "embedding_random_projection",
+    "group_kfold_stats",
+    "dedup_containment",
+    "split_contamination_stats",
+    "dataset_card",
+    "mahalanobis_outliers",
+    "hourly_seasonality",
+    "user_activity_entropy",
+    "event_type_lift",
+    "pareto_nation_revenue",
+    "supplier_concentration_hhi",
+    "vwap_slippage",
+    "adj_factor_audit",
+    "label_cohesion_stats",
+    # two more oracle-backed never-driver-checked entries found by the
+    # COVERAGE.md audit sweep (not in the VERDICT list)
+    "exact_quantiles_by_type",
+    "users_high_value_no_error",
+    # ---- 19 keeps: shape-distinct representatives per family, so the
+    # driver still exercises every execution shape each round ----
+    # streaming micro-batch execution
     "streaming_dedup_ingest",
     "streaming_dedup_watermark",
     "streaming_ohlcv",
@@ -153,9 +123,16 @@ _DRIVER_WINDOW = [
     "adj_forward",
     "meta_catalog",
     "split_range_scan",
-    "stratified_sample",
-    "approx_distinct_users",
+    # one representative per extension family
+    "dedup_minhash_lsh",
+    "dedup_clusters",
     "asof_join_purchase_signup",
+    "approx_distinct_users",
+    "stratified_sample",
+    "snapshot_diff",
+    "incremental_dedup",
+    "multimodal_audio_windows",
+    "hybrid_search",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

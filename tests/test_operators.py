@@ -102,7 +102,7 @@ def test_prefix_filter_matches_inverted_index(spark):
     # and values as the full inverted-index exact join (completeness of
     # the prefix scheme), across thresholds
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    for t in (0.3, 0.5, 0.8):
+    for t in (0.3, 0.5, 0.55, 0.8):
         exact = {
             (r.id_a, r.id_b): round(r.jac, 9)
             for r in D.ngram_jaccard_pairs(docs, threshold=t).collect()
@@ -158,6 +158,37 @@ def test_prefix_filter_prunes_candidates(spark):
 
     with pytest.raises(ValueError, match="threshold"):
         D.prefix_filter_jaccard_pairs(docs, threshold=0.0)
+
+
+def test_prefix_filter_rational_threshold_boundary(spark):
+    # r5 ADVICE regression: at thresholds whose float product with a set
+    # size lands just ABOVE the true integer (0.2*5 =
+    # 1.0000000000000002), the old code's ceil() shortened the prefix
+    # one below the completeness bound AND the strict size filter
+    # (t*|A| <= |B|) excluded boundary-size candidates. Construction
+    # that trips BOTH: doc 1 has 5 bigrams whose only shared shingle is
+    # its most COMMON one (rank 5, outside a 1-short prefix), doc 2 is
+    # that single bigram (size filter: 0.2*5 <= 1 fails in raw float),
+    # J(1,2) = 1/5 = threshold exactly.
+    rows = [
+        (1, "u1 u2 u3 u4 alpha beta"),  # bigrams: 4 unique + "alpha beta"
+        (2, "alpha beta"),
+        (3, "alpha beta"),  # fillers push df("alpha beta") to 5 so it
+        (4, "alpha beta"),  # ranks LAST (most common) in doc 1's
+        (5, "alpha beta"),  # rarest-first prefix ordering
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.2
+    exact = {
+        (r.id_a, r.id_b): round(r.jac, 9)
+        for r in D.ngram_jaccard_pairs(df, threshold=t).collect()
+    }
+    pf = {
+        (r.id_a, r.id_b): round(r.jac, 9)
+        for r in D.prefix_filter_jaccard_pairs(df, threshold=t).collect()
+    }
+    assert (1, 2) in exact and exact[(1, 2)] == pytest.approx(t)
+    assert pf == exact  # the exactly-at-threshold pair must survive
 
 
 def test_minhash_lsh_matches_exact(spark):

@@ -371,6 +371,43 @@ def test_random_projection_golden_and_zero_shuffle(spark):
             assert got[r["vec_id"]][j] == pytest.approx(want, abs=1e-9)
 
 
+def test_random_projection_null_and_width_handling(spark):
+    """r5 ADVICE regression: a NULL embedding in the first row used to
+    crash width inference (len(None)); NULLs now project to NULL, an
+    explicit in_dim skips the sampling job, and a wrong-width vector
+    fails with an explicit dimension message, not a numpy shape error."""
+    from pyspark.sql import functions as F
+
+    from opentick_spark.operators.similarity import random_projection
+
+    emb = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0, 2.0]), (3, None), (4, [0.5, -1.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["proj"]
+        for r in random_projection(emb, out_dim=4).collect()
+    }
+    assert got[1] is None and got[3] is None
+    assert len(got[2]) == 4 and len(got[4]) == 4
+    # explicit in_dim produces identical output to inferred width
+    got2 = {
+        r["vec_id"]: r["proj"]
+        for r in random_projection(emb, out_dim=4, in_dim=3).collect()
+    }
+    assert got == got2
+    # all-NULL column: empty result with the right schema, no crash
+    nulls = emb.select("vec_id", F.lit(None).cast("array<double>").alias("embedding"))
+    assert random_projection(nulls, out_dim=4).count() == 0
+    # ragged width fails loudly with the operator's own message
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="expected 3-dim"):
+        random_projection(ragged, out_dim=4).collect()
+
+
 def test_random_projection_preserves_relative_distances(spark):
     """Loose JL sanity: across sampled pairs, projected cosine tracks the
     original ordering direction (positive rank correlation)."""

@@ -64,6 +64,16 @@ class TestBloom:
         with pytest.raises(ValueError, match="multiple of 64"):
             SK.bloom_might_contain(F.col("g"), F.col("b"), 65)
 
+    def test_width_mismatch_fails_loudly(self, spark):
+        # r5 ADVICE regression: probing with an m_bits larger than the
+        # built filter used to index past the array -> NULL -> silent
+        # false negatives. It must now raise, not drop members.
+        members = _members(spark, 50)
+        bloom = SK.bloom_build(members, "g", m_bits=1 << 10, k=3)
+        hit = SK.bloom_might_contain(F.col("g"), F.col("bloom"), 1 << 14, 3)
+        with pytest.raises(Exception, match="width mismatch"):
+            members.crossJoin(F.broadcast(bloom)).filter(hit).count()
+
     def test_probe_is_broadcast_no_smj(self, spark):
         # the corpus-side probe must stay a projection over ONE broadcast
         # bloom row: broadcast nested-loop join, never a sort-merge join
