@@ -450,9 +450,15 @@ class TCPConnection:
 
     # -- execution -----------------------------------------------------
     def _extract_result(self, msg: dict):
-        """Result of a decoded reply: key "1c" carries the columnar fast
-        path (json protocol), key "1" the reference row shape (bson) or
-        an error string."""
+        """Result of a decoded reply: key "1p" carries the packed
+        columnar fast path (bson protocol, negotiated by our "5" run
+        flag — see wire_packed.py), "1c" the columnar json fast path,
+        key "1" the reference row shape (bson) or an error string."""
+        packed = msg.get("1p")
+        if packed is not None:
+            from opentick_spark.wire_packed import unpack_columns
+
+            return list(zip(*unpack_columns(packed)))
         cols = msg.get("1c")
         if cols is not None:
             return self._cols_to_rows(cols)
@@ -511,8 +517,10 @@ class TCPConnection:
             # (client/opentick.go:340-347) — this is what routes repeat
             # queries through the server's response cache
             sql = self.prepare(sql)
+        # "5" advertises packed-columnar reply support (wire_packed.py);
+        # a bson server answers with key "1p", json servers ignore it
         fut = self._request(
-            {"1": "run", "2": sql, "3": args, "4": 1 if cache else 0}
+            {"1": "run", "2": sql, "3": args, "4": 1 if cache else 0, "5": 1}
         )
         wrapped: CFuture = CFuture()
 

@@ -204,3 +204,203 @@ def frame_sample(
     return df.select(
         F.col(id_col).alias("id"), F.explode(idx).alias("frame_idx")
     )
+
+
+# ---------------------------------------------------------------- real WAV
+# A genuinely REAL audio decode path with zero external dependencies:
+# RIFF/WAV is parsed by the stdlib ``wave`` module (always present), PCM
+# samples by numpy. This upgrades the "decode is stubbed" posture for
+# the one codec this sandbox can actually run end-to-end — the Pillow
+# hook (extract_features decode="real") remains the pattern for codecs
+# that need optional libraries.
+
+WAV_META_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_width", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("data_offset", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+    ]
+)
+
+
+def _parse_wav_header(payload: bytes) -> dict | None:
+    """Parse one RIFF/WAV payload with the stdlib ``wave`` reader and
+    locate the PCM byte range (the reader consumes chunks up to the
+    ``data`` chunk, so ``BytesIO.tell`` after open IS the data offset).
+    Returns None for non-WAV/corrupt payloads (callers surface NULLs —
+    quarantine semantics, matching the corrupt-line posture of the
+    corpus readers)."""
+    import io
+    import wave
+
+    try:
+        bio = io.BytesIO(payload)
+        with wave.open(bio, "rb") as w:
+            params = w.getparams()
+            data_offset = bio.tell()
+        return {
+            "sample_rate": params.framerate,
+            "n_channels": params.nchannels,
+            "sample_width": params.sampwidth,
+            "n_frames": params.nframes,
+            "data_offset": data_offset,
+            "duration_s": params.nframes / params.framerate
+            if params.framerate
+            else None,
+        }
+    except Exception:
+        return None
+
+
+def wav_metadata(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL WAV header decode over Arrow batches: one row per payload
+    with the header-derived metadata (sample rate, channels, width,
+    frame count, PCM data offset, duration). Non-WAV payloads yield
+    NULL fields rather than failing the batch. Narrow plan — no
+    shuffle, partitioning preserved."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [_parse_wav_header(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "sample_rate": [
+                        m and m["sample_rate"] for m in metas
+                    ],
+                    "n_channels": [m and m["n_channels"] for m in metas],
+                    "sample_width": [m and m["sample_width"] for m in metas],
+                    "n_frames": [m and m["n_frames"] for m in metas],
+                    "data_offset": [m and m["data_offset"] for m in metas],
+                    "duration_s": [
+                        m["duration_s"] if m else None for m in metas
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, WAV_META_SCHEMA
+    )
+
+
+def wav_audio_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window_seconds: int = 1,
+) -> DataFrame:
+    """``audio_windows`` for REAL RIFF/WAV payloads: the header is
+    decoded (Python, Arrow-batched, bytes-cheap — header only), then
+    window boundaries are integer math on TRUE PCM frames and each
+    chunk is a JVM-side ``substr`` slice of the actual sample data,
+    skipping the header. Window byte width = sample_rate × sample_width
+    × n_channels × window_seconds; the final window is the true
+    remainder. Output: (id, win_idx, start_frame, n_frames, chunk)."""
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be positive, got {window_seconds}")
+    meta = wav_metadata(df, id_col, payload_col)
+    joined = df.select(
+        F.col(id_col).alias("id"), F.col(payload_col).alias("__p")
+    ).join(meta.filter(F.col("sample_rate").isNotNull()), "id")
+    frame_bytes = (F.col("sample_width") * F.col("n_channels")).cast("long")
+    win_frames = (F.col("sample_rate").cast("long") * F.lit(window_seconds))
+    n_win = F.ceil(F.col("n_frames") / win_frames).cast("long")
+    base = joined.filter(F.col("n_frames") > 0).select(
+        "id",
+        "__p",
+        "data_offset",
+        frame_bytes.alias("__fb"),
+        win_frames.alias("__wf"),
+        F.col("n_frames").alias("__nf"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.greatest(n_win - 1, F.lit(0)))
+        ).alias("win_idx"),
+    )
+    start_frame = F.col("win_idx") * F.col("__wf")
+    nf = F.least(F.col("__wf"), F.col("__nf") - start_frame)
+    return base.select(
+        "id",
+        "win_idx",
+        start_frame.alias("start_frame"),
+        nf.alias("n_frames"),
+        F.col("__p")
+        .substr(
+            (F.col("data_offset") + start_frame * F.col("__fb") + 1).cast(
+                "int"
+            ),
+            (nf * F.col("__fb")).cast("int"),
+        )
+        .alias("chunk"),
+    )
+
+
+WAV_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+    ]
+)
+
+_WIDTH_DTYPE = {1: "u1", 2: "<i2", 4: "<i4"}
+
+
+def wav_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL PCM feature extraction: decode each WAV payload's samples
+    (numpy ``frombuffer`` on the data chunk — vectorized, no per-sample
+    Python) and emit normalized RMS, peak, zero-crossing count, and
+    duration. Channels are averaged. 8-bit WAV is unsigned-offset per
+    the spec (centered at 128); 16/32-bit are signed little-endian.
+    Non-WAV payloads yield NULL features."""
+    import numpy as np
+
+    def one(payload: bytes):
+        m = _parse_wav_header(payload)
+        if m is None or m["sample_width"] not in _WIDTH_DTYPE:
+            return None
+        fb = m["sample_width"] * m["n_channels"]
+        data = payload[m["data_offset"] : m["data_offset"] + m["n_frames"] * fb]
+        x = np.frombuffer(data, dtype=_WIDTH_DTYPE[m["sample_width"]]).astype(
+            np.float64
+        )
+        if m["sample_width"] == 1:
+            x = x - 128.0
+            scale = 128.0
+        else:
+            scale = float(2 ** (8 * m["sample_width"] - 1))
+        if m["n_channels"] > 1:
+            x = x.reshape(-1, m["n_channels"]).mean(axis=1)
+        x = x / scale
+        if x.size == 0:
+            return (0.0, 0.0, 0, m["duration_s"])
+        rms = float(np.sqrt(np.mean(x * x)))
+        peak = float(np.max(np.abs(x)))
+        zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        return (rms, peak, zc, m["duration_s"])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "rms": [f and f[0] for f in feats],
+                    "peak": [f and f[1] for f in feats],
+                    "zero_crossings": [f[2] if f else None for f in feats],
+                    "duration_s": [f[3] if f else None for f in feats],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, WAV_FEATURES_SCHEMA
+    )

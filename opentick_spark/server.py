@@ -43,6 +43,7 @@ from typing import Any
 
 from opentick_spark.engine import Engine
 from opentick_spark.errors import OpentickError
+from opentick_spark.wire_packed import pack_columns
 
 _LEN = struct.Struct("<I")
 
@@ -194,7 +195,14 @@ class _Session:
                         and sql_text is not None
                         and sql_text.lstrip().lower().startswith("select")
                     ):
-                        cache_key = (sql_text, repr(args))
+                        # the reply SHAPE depends on the client's packed
+                        # flag ("5") — key it, or a cached packed blob
+                        # would be served to a row-shape client
+                        cache_key = (
+                            sql_text,
+                            repr(args),
+                            1 if msg.get("5") else 0,
+                        )
                         hit = self.server._cache_get(cache_key)
                         if hit is not None:
                             self.server._bump("n_cache_hits")
@@ -212,8 +220,18 @@ class _Session:
                     # decode — json arrays encode/decode faster columnar
                     cols = self.engine.execute_columns(what, *args)
                     payload = self.server._enc({"0": ticket, "1c": cols})
+                elif msg.get("5"):
+                    # packed-columnar bson fast path (key "1p"),
+                    # NEGOTIATED: only our client sends "5" — one
+                    # struct-packed binary blob per column instead of
+                    # ~4x-slower per-cell BSON (see wire_packed.py)
+                    cols = self.engine.execute_columns(what, *args)
+                    payload = self.server._enc(
+                        {"0": ticket, "1p": pack_columns(cols)}
+                    )
                 else:
                     # bson keeps the reference's row shape in key "1"
+                    # for reference clients (tests/test_wire_golden.py)
                     rows = self.engine.execute_rows(what, *args)
                     payload = self.server._enc(
                         {"0": ticket, "1": _jsonable_rows(rows)}
@@ -233,13 +251,41 @@ class _Session:
                 self.reply(ticket, None)
                 return
             if cmd == "login":
-                user, pwd = msg["2"], msg.get("3")
+                # the reference client space-joins "user password [db]"
+                # into key "2" (bindings/python client.py:112-120,
+                # parsed server.go:399-427); our own client sends the
+                # password separately in "3" — accept both
+                if "3" in msg and msg.get("3") is not None:
+                    user, pwd, db = msg["2"], msg["3"], None
+                else:
+                    toks = str(msg.get("2") or "").split(" ")
+                    if len(toks) < 2 or not toks[0] or not toks[1]:
+                        self.reply(
+                            ticket, "Both username and password required"
+                        )
+                        return
+                    user, pwd = toks[0], toks[1]
+                    db = toks[2] if len(toks) > 2 else None
                 if self.engine.permission_control:
                     self.engine.login(user, pwd)
+                if db:
+                    self.engine.use(db)
                 self.reply(ticket, None)
                 return
             if cmd == "meta":
-                self.reply(ticket, self._meta(msg.get("2"), msg.get("3")))
+                # reference form: one space-joined string in "2"
+                # ("schema bars", "chgpasswd pw" — server.go:440-441);
+                # our client's form: sub in "2", arg in "3"
+                if "3" in msg and msg.get("3") is not None:
+                    sub, arg = msg.get("2"), msg.get("3")
+                else:
+                    toks = str(msg.get("2") or "").split(" ", 1)
+                    sub = toks[0] if toks and toks[0] else None
+                    arg = toks[1] if len(toks) > 1 else None
+                    if not sub:
+                        self.reply(ticket, "Please specify meta command")
+                        return
+                self.reply(ticket, self._meta(sub, arg))
                 return
             self.reply(ticket, f"Unknown command: {cmd!r}")
         except OpentickError as e:
@@ -267,11 +313,25 @@ class _Session:
             st = self.server.server_stats()
             return [[k, st[k]] for k in sorted(st)]
         if sub == "schema":
+            # reference reply shape: [[ [name,type]... keys ],
+            # [ [name,type]... values ]] (server.go:461-477) — the same
+            # nested shape the in-process client's schema() returns
+            if not arg:
+                raise OpentickError("Please specify table name")
             keys, vals = self.engine.table_meta(self.engine.current_db, arg)
-            return [[n, t, True] for n, t in keys] + [
-                [n, t, False] for n, t in vals
+            return [
+                [[n, t] for n, t in keys],
+                [[n, t] for n, t in vals],
             ]
-        raise OpentickError(f"Unknown meta command: {sub!r}")
+        if sub == "chgpasswd":
+            if not arg:
+                raise OpentickError("Please specify new password")
+            self.engine.chgpasswd(arg)
+            return None
+        if sub == "reload_users":
+            self.engine.reload_users()
+            return None
+        raise OpentickError(f"Invalid meta command: {sub!r}")
 
 
 class OpentickServer:

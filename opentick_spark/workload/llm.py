@@ -766,6 +766,82 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "win_idx", "start_byte", "n_bytes")
 
 
+@q(
+    "wav_decode_features",
+    """
+    WITH t AS (
+      SELECT doc_id, 400 + (doc_id % 7) * 150 AS nf,
+             4096 + (doc_id % 5) * 1024 AS amp
+      FROM documents
+    )
+    SELECT doc_id AS id,
+           CAST(amp AS DOUBLE) / 32768 AS rms,
+           CAST(amp AS DOUBLE) / 32768 AS peak,
+           CAST(nf - 1 AS BIGINT) AS zero_crossings,
+           CAST(nf AS DOUBLE) / 400 AS duration_s,
+           CAST(ceil(nf / 400.0) AS BIGINT) AS n_windows
+    FROM t
+    """,
+)
+def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode at corpus scale (no stub, no external codec):
+    every doc gets a genuine RIFF/WAV payload written by the stdlib
+    ``wave`` module — a ±amplitude square wave whose frame count and
+    amplitude are closed-form in doc_id — then
+    ``operators/multimodal.wav_features`` parses the actual header and
+    decodes TRUE PCM with numpy (rms/peak/zero-crossings/duration), and
+    ``wav_audio_windows`` counts 1-second windows of real sample
+    frames. Alternating ±A square wave ⇒ rms = peak = A/2^15 exactly
+    (dyadic — no float rounding), crossings = n_frames-1, so the oracle
+    replays pure arithmetic. Scale posture: payload synthesis + decode
+    are one narrow Arrow map each, the window count is a per-key count
+    — nothing here shuffles more than the final tiny groupBy."""
+    import io
+    import struct as _struct
+    import wave as _wave
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                nf = 400 + (int(d) % 7) * 150
+                amp = 4096 + (int(d) % 5) * 1024
+                bio = io.BytesIO()
+                with _wave.open(bio, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(400)
+                    pair = _struct.pack("<hh", amp, -amp)
+                    w.writeframes(pair * (nf // 2))
+                payloads.append(bio.getvalue())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    wavs = docs.mapInPandas(gen, "doc_id long, payload binary")
+    feats = M.wav_features(wavs)
+    wins = (
+        M.wav_audio_windows(wavs, window_seconds=1)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+    )
+    return feats.join(wins, "id").select(
+        "id",
+        F.col("rms").cast("double").alias("rms"),
+        F.col("peak").cast("double").alias("peak"),
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+        F.col("duration_s").cast("double").alias("duration_s"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming
 

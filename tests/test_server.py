@@ -106,8 +106,10 @@ def test_wire_meta_schema(conn):
         "create table bars(sec int, tm timestamp, px double, primary key(sec, tm))"
     )
     sch = conn.schema("bars")
-    assert (["sec", "int", True]) in [list(r) for r in sch]
-    assert (["px", "double", False]) in [list(r) for r in sch]
+    # reference nested shape (server.go:461-477): [[keys], [values]]
+    keys, values = sch
+    assert ["sec", "int"] in [list(r) for r in keys]
+    assert ["px", "double"] in [list(r) for r in values]
 
 
 def test_wire_heartbeat_liveness(conn):

@@ -1,0 +1,113 @@
+"""Packed-columnar BSON wire path (wire_packed.py, key "1p"): codec
+roundtrips per kind, NULL masks, fallback kinds, and an end-to-end
+equivalence check — the packed path must hand the client exactly the
+rows the reference row shape carries, while reference-style clients
+(no "5" flag) keep receiving the row shape untouched."""
+
+import pytest
+
+from opentick_spark import wire_bson
+from opentick_spark.wire_packed import pack_columns, unpack_columns
+
+
+def _roundtrip(cols):
+    payload = pack_columns(cols)
+    # through the real BSON codec: blobs must survive 0x05 encoding
+    decoded = wire_bson.loads(wire_bson.dumps({"1p": payload}))["1p"]
+    return unpack_columns(decoded)
+
+
+class TestCodec:
+    def test_int_float_bool_str(self):
+        cols = [
+            [1, -5, 2**40],
+            [1.5, -0.25, 3.75],
+            [True, False, True],
+            ["a", "", "héllo"],
+        ]
+        assert _roundtrip(cols) == cols
+
+    def test_nulls_every_kind(self):
+        cols = [
+            [None, 7, None],
+            [None, None, 2.5],
+            [True, None, False],
+            ["x", None, "z"],
+            [(5, 0), None, (6, 999)],
+        ]
+        assert _roundtrip(cols) == cols
+
+    def test_all_null_column(self):
+        assert _roundtrip([[None, None]]) == [[None, None]]
+
+    def test_timestamp_pairs(self):
+        cols = [[(5, 0), (6, 500), (1700000000, 999_999_999)]]
+        assert _roundtrip(cols) == cols
+
+    def test_object_fallback_arrays(self):
+        # array-valued cells can't fix-width pack: "o" fallback
+        cols = [[[1, 2], [3], []]]
+        out = _roundtrip(cols)
+        assert [list(v) for v in out[0]] == cols[0]
+
+    def test_oversize_int_falls_back(self):
+        cols = [[2**70, 1, 2]]
+        payload = pack_columns(cols)
+        assert payload["c"][0]["k"] == "o"
+
+    def test_empty_and_none(self):
+        assert pack_columns(None) is None
+        assert unpack_columns(pack_columns([])) == []
+        assert _roundtrip([[], []]) == [[], []]
+
+    def test_packing_is_compact(self):
+        # the point: 10k int cells ≈ 80 KB blob, not ~190 KB of BSON
+        # per-element encoding
+        n = 10_000
+        packed = wire_bson.dumps({"1p": pack_columns([list(range(n))])})
+        rowshape = wire_bson.dumps({"1": [[i] for i in range(n)]})
+        assert len(packed) < 0.5 * len(rowshape)
+
+
+@pytest.fixture(scope="module")
+def bserver(spark, tmp_path_factory):
+    from opentick_spark.server import OpentickServer
+
+    wh = str(tmp_path_factory.mktemp("wire_packed") / "wh")
+    srv = OpentickServer(
+        spark, wh, heartbeat_s=5.0, protocol="bson", cache_expiration=2.0
+    ).start()
+    yield srv
+    srv.stop()
+
+
+def test_packed_path_end_to_end(bserver):
+    from opentick_spark.client import connect_tcp
+
+    c = connect_tcp(bserver.host, bserver.port, protocol="bson")
+    try:
+        c.execute("create database wp")
+        c.use("wp")
+        c.execute(
+            "create table t(a int, tm timestamp, px double, tag text, "
+            "primary key(a, tm))"
+        )
+        c.batch_insert(
+            "insert into t(a, tm, px, tag) values(?, ?, ?, ?)",
+            [(1, (5, 0), 2.5, "x"), (2, (6, 500), 3.5, "y")],
+        )
+        # NULL cells come from omitted value columns (reference
+        # semantics: explicit NULL args are rejected by validation)
+        c.execute("insert into t(a, tm) values(?, ?)", [3, (7, 0)])
+        rows = c.execute("select * from t")
+        assert rows == [
+            (1, (5, 0), 2.5, "x"),
+            (2, (6, 500), 3.5, "y"),
+            (3, (7, 0), None, None),
+        ]
+        # prepared + cached path serves packed blobs keyed separately
+        # from row-shape entries
+        assert c.execute("select px from t where a=?", [1]) == [(2.5,)]
+        assert c.execute("select px from t where a=?", [1]) == [(2.5,)]
+    finally:
+        c.close()
