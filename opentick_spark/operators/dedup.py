@@ -374,6 +374,82 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+def minhash_cluster_edges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+    verify: bool = True,
+    materialize_shingles: bool = True,
+) -> DataFrame:
+    """Linear-fan-out LSH edges for CLUSTERING — the scale path when a
+    pathological duplicate group (one doc ingested 10k times) makes
+    all-pairs candidate generation quadratic.
+
+    ``minhash_lsh_pairs``'s banded self-join emits C(n,2) candidates
+    per (band, bucket): a 10k-duplicate clique is ~5·10^7 pairs PER
+    BAND — the r5 skew drill measures the cliff. For dedup the pairs
+    themselves are rarely the goal; the CLUSTERS are. This operator
+    emits a STAR per bucket instead: hub = min(id), one edge
+    hub→member — n-1 edges per bucket, linear in bucket size. With
+    ``verify=False`` connected components over star edges EQUAL
+    components over the full per-bucket candidate cliques (every clique
+    member reaches every other through the hub) — candidate volume
+    drops from quadratic to linear at zero clustering change.
+
+    ``verify=True`` additionally checks each star edge with exact
+    Jaccard >= threshold: single-linkage-through-hub semantics, the
+    standard large-corpus MinHash-dedup approximation. Because only
+    hub-incident pairs are verified, a bucket whose members are similar
+    to each other but not to the hub can split differently than the
+    all-pairs-verified graph; for DUPLICATE-GROUP buckets (near-exact
+    copies — the pathological shape this operator exists for) every
+    edge verifies and clustering is unchanged
+    (tests/test_operators.py asserts the equivalence on clique groups).
+    Output: (id_a, id_b[, jac]) with id_a < id_b — feeds
+    ``connected_components`` directly.
+    """
+    sh = (
+        exploded_shingles(df, id_col, text_col, n, distinct=False)
+        .groupBy("id")
+        .agg(F.collect_set("g").alias("sh"))
+    )
+    if materialize_shingles:
+        sh = sh.localCheckpoint(eager=True)
+    re_exploded = sh.select("id", F.explode("sh").alias("g"))
+    sigs = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, seed, shingles=re_exploded
+    )
+    banded = band_buckets(sigs, num_hashes, bands)
+    hub = Window.partitionBy("band", "bucket")
+    edges = (
+        banded.select(
+            F.min("id").over(hub).alias("id_a"), F.col("id").alias("id_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return edges
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    return (
+        edges.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .filter(
+            F.least(na, nb).cast("double")
+            >= F.lit(threshold) * F.greatest(na, nb)
+        )
+        .select(
+            "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jac")
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

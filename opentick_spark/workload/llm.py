@@ -149,6 +149,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_star_clusters",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS clusters_identical
+    FROM documents
+    """,
+)
+def dedup_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-fan-out LSH clustering (r5,
+    operators/dedup.minhash_cluster_edges): per-bucket STAR edges
+    (hub→member, n-1 per bucket) instead of the C(n,2) banded
+    self-join — the scale escape for pathological duplicate groups
+    (skew drill: one doc cloned 10k× makes the pairs op quadratic
+    while star stays linear). Signatures aren't SQL-reproducible, so
+    the checkable contract is self-verifying like dedup_simhash: the
+    query computes connected components over BOTH graphs in-Spark and
+    asserts they are identical on this corpus — the driver-green row
+    pins the clustering-equivalence claim, the skew drill pins the
+    asymptotics (PLANS.md)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=96, bands=24, threshold=0.5)
+    star = D.minhash_cluster_edges(
+        docs, num_hashes=96, bands=24, threshold=0.5
+    )
+    ca = D.connected_components(pairs).withColumnRenamed("cluster", "ca")
+    cb = D.connected_components(star).withColumnRenamed("cluster", "cb")
+    mism = ca.join(cb, "id", "full_outer").select(
+        (~F.col("ca").eqNullSafe(F.col("cb"))).cast("int").alias("m")
+    )
+    return docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).crossJoin(
+        mism.agg(
+            (F.coalesce(F.sum("m"), F.lit(0)) == 0).alias(
+                "clusters_identical"
+            )
+        )
+    )
+
+
+@q(
     "dedup_simhash",
     f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS blocking_complete

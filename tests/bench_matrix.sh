@@ -5,7 +5,7 @@
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/bench_matrix.out}
 : > "$OUT"
-for cfg in "1g:" "4g:" "4g:45s" "8g:" "16g:" "16g:45s"; do
+for cfg in "1g:" "2g:" "4g:" "4g:45s" "8g:" "16g:" "16g:45s"; do
   mem="${cfg%%:*}"; gc="${cfg##*:}"
   for rep in 1 2; do
     t0=$(date +%s.%N)

