@@ -734,3 +734,97 @@ def group_kfold(df: DataFrame, group_col: str, k: int = 5) -> DataFrame:
         % k
     )
     return df.withColumn("fold", fold.cast("int"))
+
+
+def chunk_dedup_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 20,
+) -> DataFrame:
+    """C4/RefinedWeb-style EXACT chunk-level dedup stats: documents are
+    segmented into fixed ``chunk_words``-word windows, each chunk is
+    md5-hashed, and a chunk is "duplicated" if its hash occurs more
+    than once ANYWHERE in the corpus. Output per doc:
+    (doc_id, n_chunks, dup_chunks, dup_ratio) — the paragraph-dedup
+    decision signal at sub-document granularity, complementing
+    ``duplicate_spans`` (token-level n-gram islands).
+
+    Scale shape: tokenize once per doc (narrow), ONE shuffle on the
+    chunk hash for the global frequency (map-side combinable count),
+    one on doc id for the rollup — never pairwise, fan-out is exactly
+    n_chunks rows per doc. Works unchanged at 100 TB because a chunk's
+    global count is a hash-agg, not a join of documents."""
+    if chunk_words <= 0:
+        raise ValueError(f"chunk_words must be positive, got {chunk_words}")
+    toks = ws_tokens(F.col(text_col))
+    base = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("__w"),
+            F.size(toks).alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+    )
+    cw = int(chunk_words)
+    chunks = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.ceil(F.col("__n") / F.lit(cw)).cast("long") - 1,
+            )
+        ).alias("__i"),
+        "__w",
+    ).select(
+        "doc_id",
+        F.expr(f"md5(array_join(slice(__w, __i * {cw} + 1, {cw}), ' '))").alias(
+            "__h"
+        ),
+    )
+    freq = chunks.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
+    return (
+        chunks.join(freq, "__h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("__cnt") > 1).cast("long")).alias("dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "dup_chunks",
+            F.round(F.col("dup_chunks") / F.col("n_chunks"), 6).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+
+
+def char_entropy(col: Column) -> Column:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    classic gibberish/noise filter signal: natural language sits around
+    4–4.5 bits, base64/minified blobs push toward log2(alphabet), and
+    repeated-character spam collapses toward 0. Computed IN-ROW via an
+    Arrow-batched pandas UDF (numpy on Counter counts) — a narrow map
+    with ZERO shuffle at any corpus size; the explode-chars-and-groupBy
+    alternative would shuffle every character of the corpus."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ent(texts: pd.Series) -> pd.Series:
+        from collections import Counter
+
+        out = []
+        for t in texts:
+            if t is None or len(t) == 0:
+                out.append(None)
+                continue
+            c = np.fromiter(Counter(t).values(), dtype=np.float64)
+            p = c / c.sum()
+            out.append(float(-(p * np.log2(p)).sum()))
+        return pd.Series(out)
+
+    return _ent(col)

@@ -805,6 +805,82 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "chunk_dedup_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM} AS nt FROM documents
+    ),
+    base AS (
+      SELECT doc_id, string_split(nt, ' ') AS w FROM t WHERE nt <> ''
+    ),
+    c AS (
+      SELECT doc_id,
+             md5(array_to_string(w[(i*20+1):((i+1)*20)], ' ')) AS h
+      FROM base,
+           LATERAL unnest(range(0, CAST(ceil(len(w)/20.0) AS BIGINT))) AS u(i)
+    ),
+    g AS (SELECT h, COUNT(*) AS cnt FROM c GROUP BY h)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
+           ROUND(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) / COUNT(*), 6)
+             AS dup_ratio
+    FROM c JOIN g USING (h) GROUP BY doc_id
+    """,
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style exact chunk-level dedup (operators/text.
+    chunk_dedup_metrics): fixed 20-word windows, md5 per chunk, global
+    frequency by hash-agg — never pairwise. The sub-document dedup
+    granularity between whole-doc exact dedup and token-level
+    duplicate_spans. Oracle: DuckDB replays the same windows/hashes."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", X.normalize_text(F.col("text")).alias("text")
+    )
+    out = X.chunk_dedup_metrics(docs, chunk_words=20)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("dup_chunks").cast("long").alias("dup_chunks"),
+        F.col("dup_ratio").cast("double").alias("dup_ratio"),
+    )
+
+
+@q(
+    "char_entropy_stats",
+    """
+    WITH c AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+      FROM documents, LATERAL unnest(range(1, len(text)+1)) AS u(i)
+    ),
+    f AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY doc_id, ch),
+    n AS (SELECT doc_id, SUM(cnt) AS tot FROM f GROUP BY doc_id)
+    SELECT doc_id, CAST(ANY_VALUE(tot) AS BIGINT) AS n_chars,
+           ROUND(-SUM((cnt/tot) * log2(cnt/tot)), 6) AS char_entropy
+    FROM f JOIN n USING (doc_id) GROUP BY doc_id
+    """,
+)
+def char_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish signal (operators/text.char_entropy):
+    Shannon bits/char per doc, computed IN-ROW by an Arrow-batched
+    pandas UDF — zero shuffle at any scale, where the SQL oracle's
+    explode-chars formulation shuffles every character (fine for DuckDB
+    at oracle scale, the wrong plan at 100 TB — that contrast is the
+    point). Rounded to 6 so cross-engine summation order can't flip the
+    hash."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.length("text") > 0)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.length("text").cast("long").alias("n_chars"),
+            F.round(X.char_entropy(F.col("text")), 6).alias("char_entropy"),
+        )
+    )
+
+
+@q(
     "wav_decode_features",
     """
     WITH t AS (

@@ -1469,3 +1469,46 @@ def test_group_kfold_no_leakage(spark):
 
     with _pt.raises(ValueError, match="k must be"):
         group_kfold(ev, "user_id", k=1)
+
+
+def test_chunk_dedup_metrics_golden(spark):
+    # r5: doc1 and doc2 share their FIRST 20-word chunk exactly; the
+    # rest is unique -> one duplicated chunk each, ratio 0.5
+    shared = " ".join(f"s{i}" for i in range(20))
+    rows = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(20))),
+        (2, shared + " " + " ".join(f"b{i}" for i in range(20))),
+        (3, " ".join(f"c{i}" for i in range(10))),  # 1 unique chunk
+        (4, ""),  # empty: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in X.chunk_dedup_metrics(df).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["dup_chunks"] == 1
+    assert out[1]["dup_ratio"] == pytest.approx(0.5)
+    assert out[2]["dup_chunks"] == 1
+    assert out[3] == {
+        "doc_id": 3,
+        "n_chunks": 1,
+        "dup_chunks": 0,
+        "dup_ratio": 0.0,
+    }
+    assert 4 not in out
+    with pytest.raises(ValueError, match="chunk_words"):
+        X.chunk_dedup_metrics(df, chunk_words=0)
+
+
+def test_char_entropy_golden(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["e"]
+        for r in df.select(
+            "doc_id", X.char_entropy(F.col("text")).alias("e")
+        ).collect()
+    }
+    assert got[1] == pytest.approx(0.0)
+    assert got[2] == pytest.approx(1.0)
+    assert got[3] == pytest.approx(2.0)
+    assert got[4] is None
