@@ -450,6 +450,118 @@ def minhash_cluster_edges(
     )
 
 
+def lsh_cluster_index(
+    df: DataFrame,
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """The persisted state for incremental near-dup ingest: a
+    (band, bucket) → cluster index of an already-clustered corpus.
+    ``clusters`` is the full assignment (id, cluster) — when omitted it
+    is computed here as connected components over star edges with
+    SINGLETON docs assigned their own id (so a future delta doc that
+    duplicates a previously-unique doc still finds it). Index size is
+    at most one row per occupied (band, bucket) — signature-sized, not
+    text-sized; at 100 TB this is the table you keep between ingest
+    batches instead of re-reading the corpus."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    banded = band_buckets(sigs, num_hashes, bands)
+    if clusters is None:
+        comp = connected_components(
+            minhash_cluster_edges(
+                df,
+                id_col,
+                text_col,
+                n,
+                num_hashes,
+                bands,
+                seed=seed,
+                verify=False,
+            )
+        )
+        clusters = (
+            df.select(F.col(id_col).alias("id"))
+            .join(comp, "id", "left")
+            .select(
+                "id", F.coalesce("cluster", F.col("id")).alias("cluster")
+            )
+        )
+    return (
+        banded.join(clusters, "id")
+        .groupBy("band", "bucket")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+
+
+def incremental_cluster_assign(
+    delta_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign a DELTA of new documents to existing near-dup clusters
+    WITHOUT re-clustering the corpus — the near-dup extension of the
+    exact-hash ``incremental_dedup`` story: at 100 TB you re-cluster
+    the delta, not the corpus.
+
+    Plan: delta signatures → equi-join against the (band, bucket) →
+    cluster ``lsh_cluster_index`` (delta-sized probe; the index is the
+    small side), then connected components over a DELTA-SIZED graph:
+    star edges among new docs sharing a bucket plus adoption edges
+    new-doc → matched baseline cluster label. Unmatched docs become
+    their own cluster. Baseline labels are preferred as component
+    names, so adopted docs carry the EXISTING cluster id (a delta that
+    bridges two baseline clusters adopts the smaller label; the
+    baseline itself is never relabeled — append-only semantics,
+    documented). Candidate granularity matches
+    ``minhash_cluster_edges(verify=False)``: LSH bucket co-occupancy,
+    the standard large-corpus approximation. Output: (id, cluster) for
+    every delta doc."""
+    sigs = minhash_signatures(delta_df, id_col, text_col, n, num_hashes, seed)
+    nb = band_buckets(sigs, num_hashes, bands)
+    matched = nb.join(index, ["band", "bucket"], "left")
+    hubw = Window.partitionBy("band", "bucket")
+    star = (
+        matched.select(
+            F.min("id").over(hubw).alias("id_a"), F.col("id").alias("id_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    adopt = (
+        matched.filter(F.col("cluster").isNotNull())
+        .select(F.col("cluster").alias("id_a"), F.col("id").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    edges = star.unionByName(adopt)
+    comp = connected_components(edges)
+    base_min = (
+        comp.join(
+            adopt.select(F.col("id_a").alias("id")).distinct(), "id", "left_semi"
+        )
+        .groupBy("cluster")
+        .agg(F.min("id").alias("__bmin"))
+    )
+    final = comp.join(base_min, "cluster", "left").select(
+        "id", F.coalesce("__bmin", F.col("cluster")).alias("cluster")
+    )
+    return (
+        delta_df.select(F.col(id_col).alias("id"))
+        .join(final, "id", "left")
+        .select("id", F.coalesce("cluster", F.col("id")).alias("cluster"))
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -187,6 +187,62 @@ def dedup_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "incremental_neardup_assign",
+    """
+    SELECT CAST(SUM(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_delta,
+           TRUE AS partitions_consistent
+    FROM documents
+    """,
+)
+def incremental_neardup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest (r5, operators/dedup.
+    lsh_cluster_index + incremental_cluster_assign): 80% of the corpus
+    is clustered once into a (band, bucket) → cluster index, the 20%
+    delta is assigned by probing that index + clustering a DELTA-SIZED
+    graph — never re-clustering the corpus (the near-dup extension of
+    ``incremental_dedup``'s exact-hash story). Self-checked like
+    dedup_star_clusters: the query recomputes the FULL clustering of
+    baseline ∪ delta in-Spark and asserts the delta docs are
+    partitioned identically (cluster-representative comparison over
+    delta ids) — the driver-green row pins incremental ≡ full on this
+    corpus each round."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    baseline = docs.filter(F.col("doc_id") % 5 != 4)
+    delta = docs.filter(F.col("doc_id") % 5 == 4)
+    idx = D.lsh_cluster_index(baseline, num_hashes=96, bands=24)
+    inc = D.incremental_cluster_assign(delta, idx, num_hashes=96, bands=24)
+    full = D.connected_components(
+        D.minhash_cluster_edges(docs, num_hashes=96, bands=24, verify=False)
+    )
+    fa = (
+        delta.select(F.col("doc_id").alias("id"))
+        .join(full, "id", "left")
+        .select("id", F.coalesce("cluster", F.col("id")).alias("fc"))
+    )
+    ri = inc.select(
+        "id", F.min("id").over(Window.partitionBy("cluster")).alias("ra")
+    )
+    rf = fa.select(
+        "id", F.min("id").over(Window.partitionBy("fc")).alias("rb")
+    )
+    mism = ri.join(rf, "id").select(
+        (F.col("ra") != F.col("rb")).cast("int").alias("m")
+    )
+    return delta.agg(
+        F.count(F.lit(1)).cast("long").alias("n_delta")
+    ).crossJoin(
+        mism.agg(
+            (F.coalesce(F.sum("m"), F.lit(0)) == 0).alias(
+                "partitions_consistent"
+            )
+        )
+    )
+
+
+@q(
     "dedup_simhash",
     f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS blocking_complete

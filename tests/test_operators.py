@@ -1512,3 +1512,79 @@ def test_char_entropy_golden(spark):
     assert got[2] == pytest.approx(1.0)
     assert got[3] == pytest.approx(2.0)
     assert got[4] is None
+
+
+def test_incremental_cluster_assign_golden(spark):
+    """r5: delta docs adopt EXISTING cluster labels through the
+    (band,bucket) index; new dup groups form fresh clusters; docs that
+    duplicate a previously-SINGLETON baseline doc join it."""
+    t_ab = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    t_cd = "one two three four five six seven eight nine ten " * 5
+    t_e = "lonely unique content that matches nothing else here " * 5
+    t_f = "another standalone document with its own words entirely " * 5
+    baseline = spark.createDataFrame(
+        [(1, t_ab), (2, t_ab), (3, t_cd), (4, t_cd), (5, t_e), (6, t_f)],
+        "doc_id long, text string",
+    )
+    idx = D.lsh_cluster_index(baseline)
+    delta = spark.createDataFrame(
+        [
+            (101, t_ab),  # copy of cluster {1,2} -> adopts label 1
+            (102, "brand new boilerplate page repeated verbatim " * 5),
+            (103, "brand new boilerplate page repeated verbatim " * 5),
+            (104, "totally fresh and unrelated delta content " * 5),
+            (105, t_e),  # copy of SINGLETON 5 -> joins it
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r["cluster"]
+        for r in D.incremental_cluster_assign(delta, idx).collect()
+    }
+    assert got[101] == 1
+    assert got[102] == 102 and got[103] == 102  # new dup group
+    assert got[104] == 104  # isolated
+    assert got[105] == 5  # previously-singleton baseline doc
+
+    # consistency with a full recluster of baseline ∪ delta: delta docs
+    # must be partitioned identically (cluster-rep comparison over
+    # delta ids only)
+    union = baseline.unionByName(delta)
+    full = D.connected_components(
+        D.minhash_cluster_edges(union, verify=False)
+    )
+    full_assign = {
+        r["id"]: r["cluster"]
+        for r in full.collect()
+        if r["id"] >= 100
+    }
+    full_assign = {i: full_assign.get(i, i) for i in got}
+
+    def canon(assign):
+        groups = {}
+        for i, c in assign.items():
+            groups.setdefault(c, []).append(i)
+        return sorted(tuple(sorted(v)) for v in groups.values())
+
+    # group 105 with 5 on the full side -> its rep there includes
+    # baseline ids; compare delta-only partitions by dropping baseline
+    # members from full groups
+    full_groups = {}
+    clustered = set()
+    for r in full.collect():
+        full_groups.setdefault(r["cluster"], []).append(r["id"])
+        clustered.add(r["id"])
+    for i in got:  # isolated docs never appear in components output
+        if i not in clustered:
+            full_groups[i] = [i]
+    full_delta_groups = sorted(
+        tuple(sorted(i for i in v if i >= 100))
+        for v in full_groups.values()
+        if any(i >= 100 for i in v)
+    )
+    inc_groups = canon(got)
+    # delta-only partitions must agree (singletons appear as 1-tuples)
+    inc_only = sorted(t for t in inc_groups)
+    assert [t for t in full_delta_groups if t] == [
+        t for t in inc_only if t
+    ]
