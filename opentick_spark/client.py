@@ -285,6 +285,7 @@ class TCPConnection:
 
         self._addr, self._port = addr, port
         self._db = db_name
+        self._protocol = protocol
         self._enc, self._dec = _codecs()[protocol]
         # RLock: the reconnect path re-enters _request while holding it
         self._lock = threading.RLock()
@@ -309,6 +310,13 @@ class TCPConnection:
 
         self._send_frame = send_frame
         self._sock = _socket.create_connection((self._addr, self._port))
+        if self._protocol == "json":
+            # announce the per-connection protocol switch exactly like
+            # the reference's json clients (server.go:288-291) — a
+            # bson-default server flips THIS connection to json; a
+            # json-configured server treats it as the same no-op switch.
+            # Sent on every (re)connect: the switch is per-socket.
+            send_frame(self._sock, b"protocol=json")
         # fresh futures dict per socket generation: a dying recv loop must
         # only fail ITS in-flight tickets, never a successor connection's
         self._futures = {}
@@ -578,6 +586,9 @@ def connect_tcp(
     protocol: str = "json",
 ) -> TCPConnection:
     """Connect to a running OpentickServer over TCP (C9/C10 wire path).
-    ``protocol`` must match the server's: ``"json"`` or ``"bson"`` (the
-    reference's default)."""
+    ``protocol``: ``"bson"`` (the reference default) or ``"json"`` —
+    negotiated per CONNECTION like the reference (server.go:288-291):
+    a json client announces itself with a ``protocol=json`` frame, so
+    either protocol works against a bson-default server; the server's
+    boot protocol only sets the per-connection default."""
     return TCPConnection(addr, port, db_name, protocol=protocol)

@@ -119,13 +119,26 @@ class _Session:
         self._next_id = 0
         self._wlock = threading.Lock()
         self.alive = True
+        # per-CONNECTION codec, initialized from the server default: the
+        # reference serves both protocols on one port — bson unless the
+        # client sends a literal "protocol=json" frame
+        # (server.go:282-291)
+        self.protocol = server.protocol
+        self._enc, self._dec = server._enc, server._dec
+
+    def _blob(self, payload: bytes):
+        """Codec-shape cached reply bytes for key "2" under THIS
+        connection's protocol: BSON carries real binary, JSON base64."""
+        if self.protocol == "bson":
+            return payload
+        return base64.b64encode(payload).decode("ascii")
 
     def send(self, payload: bytes) -> None:
         with self._wlock:
             send_frame(self.sock, payload)
 
     def reply(self, ticket: Any, result: Any) -> None:
-        self.reply_raw(self.server._enc({"0": ticket, "1": result}), ticket)
+        self.reply_raw(self._enc({"0": ticket, "1": result}), ticket)
 
     def reply_raw(self, payload: bytes, ticket: Any = None) -> None:
         # reference reply() guards the frame size and answers with an
@@ -133,7 +146,7 @@ class _Session:
         # (server.go:197-200 "Results too large"); our receivers also
         # enforce MAX_FRAME, so oversized replies must degrade to errors
         if len(payload) > MAX_FRAME:
-            payload = self.server._enc({"0": ticket, "1": "Results too large"})
+            payload = self._enc({"0": ticket, "1": "Results too large"})
         try:
             self.send(payload)
         except OSError:
@@ -145,11 +158,27 @@ class _Session:
                 body = recv_frame(self.sock)
                 if body is None:
                     break
-                if body in (b"H", b""):
-                    continue  # client-side heartbeat/noop
+                if body == b"":
+                    continue  # client heartbeat ack / noop
+                if body == b"H":
+                    # client-initiated heartbeat REQUEST: the reference
+                    # answers with an empty frame (server.go:292-295)
+                    try:
+                        self.send(b"")
+                    except OSError:
+                        break
+                    continue
                 try:
-                    msg = self.server._dec(body)
+                    msg = self._dec(body)
                 except Exception:
+                    if body == b"protocol=json":
+                        # per-connection protocol switch: bson-default
+                        # server, json clients announce themselves with
+                        # this literal frame (server.go:288-291); no
+                        # reply, subsequent frames ride json
+                        self.protocol = "json"
+                        self._enc, self._dec = _codecs()["json"]
+                        continue
                     break  # undecodable frame: drop THIS session only
                 self.server._dispatch(self, msg)
         except OSError:
@@ -198,7 +227,12 @@ class _Session:
                         # the reply SHAPE depends on the client's packed
                         # flag ("5") — key it, or a cached packed blob
                         # would be served to a row-shape client
+                        # keyed on the CONNECTION protocol too: with the
+                        # per-connection switch, one server can hold
+                        # bson and json sessions and their serialized
+                        # reply bytes are not interchangeable
                         cache_key = (
+                            self.protocol,
                             sql_text,
                             repr(args),
                             1 if msg.get("5") else 0,
@@ -207,33 +241,33 @@ class _Session:
                         if hit is not None:
                             self.server._bump("n_cache_hits")
                             self.reply_raw(
-                                self.server._enc(
-                                    {"0": ticket, "2": self.server._blob(hit)}
+                                self._enc(
+                                    {"0": ticket, "2": self._blob(hit)}
                                 ),
                                 ticket,
                             )
                             return
                     what = self._engine_pid(what)
-                if self.server.protocol == "json":
+                if self.protocol == "json":
                     # columnar fast path: engine hands over column lists
                     # (no server-side transpose), client zips after
                     # decode — json arrays encode/decode faster columnar
                     cols = self.engine.execute_columns(what, *args)
-                    payload = self.server._enc({"0": ticket, "1c": cols})
+                    payload = self._enc({"0": ticket, "1c": cols})
                 elif msg.get("5"):
                     # packed-columnar bson fast path (key "1p"),
                     # NEGOTIATED: only our client sends "5" — one
                     # struct-packed binary blob per column instead of
                     # ~4x-slower per-cell BSON (see wire_packed.py)
                     cols = self.engine.execute_columns(what, *args)
-                    payload = self.server._enc(
+                    payload = self._enc(
                         {"0": ticket, "1p": pack_columns(cols)}
                     )
                 else:
                     # bson keeps the reference's row shape in key "1"
                     # for reference clients (tests/test_wire_golden.py)
                     rows = self.engine.execute_rows(what, *args)
-                    payload = self.server._enc(
+                    payload = self._enc(
                         {"0": ticket, "1": _jsonable_rows(rows)}
                     )
                 if cache_key is not None:

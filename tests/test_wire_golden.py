@@ -277,3 +277,58 @@ def test_heartbeats_interleave_without_corrupting_stream(raw):
     time.sleep(0.5)
     rows = raw.exchange({"1": "run", "2": "select * from h", "3": []})["1"]
     assert rows == [[7]]
+
+
+# -------------------------------------------------- protocol negotiation
+def test_json_client_negotiates_on_bson_server(server):
+    """The reference serves BOTH protocols on one port: a json client
+    announces itself with a literal 'protocol=json' frame
+    (server.go:288-291). Our json client must work against the
+    bson-DEFAULT server through that switch."""
+    from opentick_spark.client import connect_tcp
+
+    c = connect_tcp(server.host, server.port, protocol="json")
+    try:
+        c.execute("create database pn")
+        c.use("pn")
+        c.execute("create table t(a int, v double, primary key(a))")
+        c.execute("insert into t(a, v) values(1, 2.5)")
+        assert c.execute("select * from t") == [(1, 2.5)]
+    finally:
+        c.close()
+
+
+def test_mixed_protocol_sessions_coexist(server):
+    """One bson session and one json session on the same server, both
+    live at once — per-connection codecs must not bleed."""
+    from opentick_spark.client import connect_tcp
+
+    cb = connect_tcp(server.host, server.port, protocol="bson")
+    cj = connect_tcp(server.host, server.port, protocol="json")
+    try:
+        cb.execute("create database px")
+        cb.use("px")
+        cj.use("px")
+        cb.execute("create table m(a int, primary key(a))")
+        cb.execute("insert into m(a) values(1)")
+        cj.execute("insert into m(a) values(2)")
+        assert cb.execute("select * from m") == [(1,), (2,)]
+        assert cj.execute("select * from m") == [(1,), (2,)]
+    finally:
+        cb.close()
+        cj.close()
+
+
+def test_client_heartbeat_request_gets_empty_frame(raw):
+    """A client-sent 1-byte 'H' frame is a heartbeat REQUEST the
+    reference answers with an EMPTY frame (server.go:292-295)."""
+    raw.sock.sendall(struct.pack("<I", 1) + b"H")
+    while True:
+        n = struct.unpack("<I", raw._recv_exact(4))[0]
+        body = raw._recv_exact(n) if n else b""
+        if n == 1 and body == b"H":
+            continue  # server's own periodic heartbeat push
+        assert n == 0 and body == b""
+        break
+    # the session is still healthy afterwards
+    assert raw.exchange({"1": "meta", "2": "list_databases"})["1"] is not None
