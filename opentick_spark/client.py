@@ -548,6 +548,19 @@ class TCPConnection:
 
     def batch_insert(self, sql: str, args_array: list[tuple]) -> None:
         pid = self.prepare(sql)
+        if self._protocol == "bson" and args_array:
+            # write-side packed columns (key "3p", wire_packed.py): one
+            # struct-packed blob per arg column instead of per-cell BSON
+            # — the ingest mirror of the "1p" reply path
+            from opentick_spark.wire_packed import pack_columns
+
+            cols = [list(c) for c in zip(*args_array)]
+            self._result(
+                self._request(
+                    {"1": "batch", "2": pid, "3p": pack_columns(cols)}
+                )
+            )
+            return
         self._result(
             self._request({"1": "batch", "2": pid, "3": [list(a) for a in args_array]})
         )

@@ -43,7 +43,7 @@ from typing import Any
 
 from opentick_spark.engine import Engine
 from opentick_spark.errors import OpentickError
-from opentick_spark.wire_packed import pack_columns
+from opentick_spark.wire_packed import pack_columns, unpack_columns
 
 _LEN = struct.Struct("<I")
 
@@ -276,7 +276,14 @@ class _Session:
                 return
             if cmd == "batch":
                 pid = self._engine_pid(msg["2"])
-                rows = [tuple(r) for r in msg.get("3") or []]
+                if msg.get("3p") is not None:
+                    # packed-columnar argsArray from our client
+                    # (wire_packed.py key "3p"); reference clients send
+                    # plain row arrays in "3"
+                    cols = unpack_columns(msg["3p"])
+                    rows = [tuple(r) for r in zip(*cols)] if cols else []
+                else:
+                    rows = [tuple(r) for r in msg.get("3") or []]
                 self.engine.batch_insert(pid, rows)
                 self.reply(ticket, None)
                 return
