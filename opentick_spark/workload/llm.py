@@ -187,6 +187,68 @@ def dedup_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "embedding_norm_stats",
+    """
+    WITH v AS (
+      SELECT list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    s AS (SELECT COUNT(*) AS n, AVG(sqrt(sq)) AS mn, AVG(sq) AS msq FROM v),
+    p AS (
+      SELECT pos, AVG(CAST(embedding[CAST(pos AS INT)] AS DOUBLE)) AS m
+      FROM embeddings,
+           LATERAL unnest(range(1, len(embedding)+1)) AS u(pos)
+      WHERE embedding IS NOT NULL
+      GROUP BY pos
+    ),
+    c AS (SELECT SUM(m*m) AS c2 FROM p)
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           ROUND(mn, 6) AS mean_norm,
+           ROUND(msq, 6) AS mean_sq_norm,
+           ROUND(sqrt(c2), 6) AS centroid_norm,
+           ROUND(c2 / msq, 6) AS isotropy_ratio
+    FROM s, c
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-geometry health check before ANN/clustering/dedup:
+    mean norm, mean squared norm, centroid norm, and the isotropy proxy
+    ||centroid||²/E[||v||²] (→0 for well-spread embeddings, →1 when the
+    space collapses toward a common direction — the classic symptom of
+    a degenerate embedding model that silently ruins cosine dedup).
+    Scale shape: norms are IN-ROW folds (narrow); the centroid is a
+    dim-sized (64-key) posexplode aggregate — the only shuffle carries
+    dim × partitions partial sums, invariant to corpus size. Rounded to
+    6: cross-engine summation order on the means."""
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    sq = F.expr(
+        "aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * "
+        "cast(x as double))"
+    )
+    s = emb.select(sq.alias("sq")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.avg(F.sqrt(F.col("sq"))).alias("mn"),
+        F.avg("sq").alias("msq"),
+    )
+    c = (
+        emb.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .agg(F.sum(F.col("m") * F.col("m")).alias("c2"))
+    )
+    return s.crossJoin(c).select(
+        "n_vectors",
+        F.round("mn", 6).alias("mean_norm"),
+        F.round("msq", 6).alias("mean_sq_norm"),
+        F.round(F.sqrt("c2"), 6).alias("centroid_norm"),
+        F.round(F.col("c2") / F.col("msq"), 6).alias("isotropy_ratio"),
+    )
+
+
+@q(
     "incremental_neardup_assign",
     """
     SELECT CAST(SUM(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT)

@@ -332,3 +332,40 @@ def test_client_heartbeat_request_gets_empty_frame(raw):
         break
     # the session is still healthy afterwards
     assert raw.exchange({"1": "meta", "2": "list_databases"})["1"] is not None
+
+
+def test_malformed_frames_drop_session_not_server(server):
+    """Garbage frames (random bytes, truncated BSON, hostile length
+    prefix) must kill at most THAT session — the server and concurrent
+    sessions stay healthy (the reference's per-connection goroutine
+    isolation)."""
+    from opentick_spark.client import connect_tcp
+
+    healthy = connect_tcp(server.host, server.port, protocol="bson")
+    try:
+        healthy.execute("create database rb")
+        healthy.use("rb")
+        healthy.execute("create table t(a int, primary key(a))")
+        for garbage in (
+            b"\x00\x01\x02\x03\xff\xfe",
+            b"{not json or bson",
+            bytes.fromhex("32000000103000"),  # truncated BSON document
+            b"protocol=yaml",  # unknown switch literal
+        ):
+            s = socket.create_connection((server.host, server.port), timeout=10)
+            s.sendall(struct.pack("<I", len(garbage)) + garbage)
+            s.close()
+        # oversize length prefix: receiver must refuse, not allocate
+        s = socket.create_connection((server.host, server.port), timeout=10)
+        s.sendall(struct.pack("<I", 1 << 30))
+        s.close()
+        # concurrent session unaffected throughout
+        healthy.execute("insert into t(a) values(1)")
+        assert healthy.execute("select * from t") == [(1,)]
+        # and fresh sessions still connect
+        fresh = connect_tcp(server.host, server.port, protocol="json")
+        fresh.use("rb")
+        assert fresh.execute("select * from t") == [(1,)]
+        fresh.close()
+    finally:
+        healthy.close()
