@@ -1019,6 +1019,64 @@ def market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "rolling_beta_7d",
+    """
+    WITH d AS (
+      SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS day, AVG(value) AS v
+      FROM events WHERE event_type = 'purchase' AND user_id < 50 GROUP BY 1, 2
+    ),
+    m AS (SELECT day, AVG(v) AS mv FROM d GROUP BY day),
+    j AS (SELECT user_id, day, v, mv FROM d JOIN m USING (day)),
+    w AS (
+      SELECT user_id, day,
+             covar_pop(v, mv) OVER win AS cv,
+             var_pop(mv) OVER win AS vm,
+             COUNT(*) OVER win AS n_obs
+      FROM j
+      WINDOW win AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, epoch_us(day) AS day_us,
+           ROUND(cv / vm, 4) AS rolling_beta, CAST(n_obs AS BIGINT) AS n_obs
+    FROM w WHERE n_obs >= 5 AND vm > 0
+    """,
+)
+def rolling_beta_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day beta vs the equal-weight market series — the
+    time-varying companion to ``market_beta``: cov/var over a bounded
+    ROWS frame per user-day. Shape: daily agg (one shuffle), the
+    day-cardinality market side broadcast back, then ONE window shuffle
+    on user_id with a 7-row frame — bounded state per key, and the
+    frame is hot-key-splittable with the exact prefix-halo technique
+    the skew suite covers for bounded frames."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 50)
+    )
+    day = F.expr(f"ts - pmod(ts, {86400 * 10**9})").alias("day")
+    d = ev.groupBy("user_id", day).agg(F.avg("value").alias("v"))
+    m = d.groupBy("day").agg(F.avg("v").alias("mv"))
+    j = d.join(F.broadcast(m), "day")
+    win = (
+        Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    )
+    w = j.select(
+        "user_id",
+        "day",
+        F.covar_pop("v", "mv").over(win).alias("cv"),
+        F.var_pop("mv").over(win).alias("vm"),
+        F.count(F.lit(1)).over(win).alias("n_obs"),
+    )
+    return w.filter((F.col("n_obs") >= 5) & (F.col("vm") > 0)).select(
+        "user_id",
+        (F.col("day") / 1000).cast("long").alias("day_us"),
+        F.round(F.col("cv") / F.col("vm"), 4).alias("rolling_beta"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+    )
+
+
+@q(
     "bar_downsample_daily",
     """
     SELECT user_id,

@@ -111,3 +111,62 @@ def test_packed_path_end_to_end(bserver):
         assert c.execute("select px from t where a=?", [1]) == [(2.5,)]
     finally:
         c.close()
+
+
+# ------------------------------------------------------ property testing
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_cell = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=True, width=64),
+    st.text(max_size=20),
+    st.tuples(
+        st.integers(min_value=0, max_value=2**31), 
+        st.integers(min_value=0, max_value=999_999_999),
+    ),
+)
+
+
+@st.composite
+def _typed_column(draw):
+    """A column the engine could emit: all non-null cells share a type."""
+    n = draw(st.integers(min_value=0, max_value=30))
+    proto = draw(_cell.filter(lambda v: v is not None))
+    cells = st.one_of(st.none(), st.from_type(type(proto)))
+    if isinstance(proto, tuple):
+        cells = st.one_of(
+            st.none(),
+            st.tuples(
+                st.integers(min_value=0, max_value=2**31),
+                st.integers(min_value=0, max_value=999_999_999),
+            ),
+        )
+    elif isinstance(proto, bool):
+        cells = st.one_of(st.none(), st.booleans())
+    elif isinstance(proto, int):
+        cells = st.one_of(
+            st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)
+        )
+    elif isinstance(proto, float):
+        cells = st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, allow_infinity=True, width=64),
+        )
+    elif isinstance(proto, str):
+        cells = st.one_of(st.none(), st.text(max_size=20))
+    return [draw(cells) for _ in range(n)]
+
+
+@given(st.lists(_typed_column(), max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_packed_roundtrip_property(cols):
+    # ragged columns can't form a result set: normalize lengths
+    if cols:
+        n = min(len(c) for c in cols)
+        cols = [c[:n] for c in cols]
+    payload = pack_columns(cols)
+    decoded = wire_bson.loads(wire_bson.dumps({"1p": payload}))["1p"]
+    assert unpack_columns(decoded) == cols
