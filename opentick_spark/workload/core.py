@@ -1077,6 +1077,135 @@ def rolling_beta_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "retention_cohorts",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(time_bucket(INTERVAL '1 day', ts)) AS cohort
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, time_bucket(INTERVAL '1 day', ts) AS day
+      FROM events
+    ),
+    r AS (
+      SELECT s.cohort, s.user_id,
+             MAX(CASE WHEN a.day = s.cohort + INTERVAL 1 DAY
+                 THEN 1 ELSE 0 END) AS d1,
+             MAX(CASE WHEN a.day = s.cohort + INTERVAL 7 DAY
+                 THEN 1 ELSE 0 END) AS d7
+      FROM s JOIN a USING (user_id) GROUP BY 1, 2
+    )
+    SELECT epoch_us(cohort) AS cohort_day_us,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(d1), 6) AS retained_d1,
+           ROUND(AVG(d7), 6) AS retained_d7
+    FROM r GROUP BY cohort
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the product-analytics staple: users cohorted
+    by first-signup day, retention = fraction active exactly 1 and 7
+    days later. Shape: two day-level aggregations (map-side combinable),
+    ONE equi-join on user_id, final rollup on day-cardinality cohort
+    keys — never a per-user-pair operation, so the plan is flat in user
+    count at 100 TB."""
+    day_ns = 86400 * 10**9
+    ev = load(spark, sf_dir, "events")
+    day = F.expr(f"ts - pmod(ts, {day_ns})")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("cohort"))
+    )
+    a = ev.select("user_id", day.alias("day")).distinct()
+    r = (
+        s.join(a, "user_id")
+        .groupBy("cohort", "user_id")
+        .agg(
+            F.max(
+                (F.col("day") == F.col("cohort") + F.lit(day_ns)).cast("int")
+            ).alias("d1"),
+            F.max(
+                (F.col("day") == F.col("cohort") + F.lit(7 * day_ns)).cast(
+                    "int"
+                )
+            ).alias("d7"),
+        )
+    )
+    return r.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.avg("d1"), 6).alias("retained_d1"),
+        F.round(F.avg("d7"), 6).alias("retained_d7"),
+    ).select(
+        (F.col("cohort") / 1000).cast("long").alias("cohort_day_us"),
+        "n_users",
+        "retained_d1",
+        "retained_d7",
+    )
+
+
+@q(
+    "referential_integrity_audit",
+    """
+    SELECT
+      CAST((SELECT COUNT(*) FROM lineitem l
+            LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL) AS BIGINT) AS orphan_lineitems,
+      CAST((SELECT COUNT(*) FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL) AS BIGINT) AS orphan_orders,
+      CAST((SELECT COUNT(*) FROM orders o
+            LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+            ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_orderkey IS NULL) AS BIGINT) AS empty_orders,
+      CAST((SELECT COUNT(*) FROM part p
+            LEFT JOIN (SELECT DISTINCT l_partkey FROM lineitem) l
+            ON p.p_partkey = l.l_partkey
+            WHERE l.l_partkey IS NULL) AS BIGINT) AS unreferenced_parts
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key health audit across the warehouse — the data-quality
+    gate a pipeline runs before training-data extraction: orphan facts
+    (lineitems without an order, orders without a customer) and dangling
+    dimensions (orders with no lines, parts never referenced). All four
+    are ANTI-join counts: dimension sides broadcast where small, fact
+    sides never move twice, and each count is a map-side-combinable
+    aggregate of the join output — no collect, no cross product."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    p = load(spark, sf_dir, "part")
+
+    def cnt(df, alias):
+        return df.agg(F.count(F.lit(1)).cast("long").alias(alias))
+
+    orphan_li = cnt(
+        li.join(F.broadcast(o.select("o_orderkey")),
+                li.l_orderkey == o.o_orderkey, "left_anti"),
+        "orphan_lineitems",
+    )
+    orphan_o = cnt(
+        o.join(F.broadcast(c.select("c_custkey")),
+               o.o_custkey == c.c_custkey, "left_anti"),
+        "orphan_orders",
+    )
+    empty_o = cnt(
+        o.join(li.select("l_orderkey").distinct(),
+               o.o_orderkey == li.l_orderkey, "left_anti"),
+        "empty_orders",
+    )
+    unref_p = cnt(
+        p.join(li.select("l_partkey").distinct(),
+               p.p_partkey == li.l_partkey, "left_anti"),
+        "unreferenced_parts",
+    )
+    return (
+        orphan_li.crossJoin(orphan_o).crossJoin(empty_o).crossJoin(unref_p)
+    )
+
+
+@q(
     "bar_downsample_daily",
     """
     SELECT user_id,

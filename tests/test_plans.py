@@ -344,3 +344,76 @@ def test_collocation_pmi_topk_and_broadcast(spark, queries):
     assert plan.count("BroadcastHashJoin") >= 2  # unigram table twice
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ----------------------------------------------------------- round-5 plans
+def test_chunk_dedup_no_pairwise_no_python(spark, queries):
+    plan = plan_of(queries["chunk_dedup_stats"](spark, SF))
+    # global chunk frequency is a hash agg + equi-join back on the
+    # hash — never pairwise, never Python in the hot path
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_char_entropy_is_arrow_narrow(spark, queries):
+    plan = plan_of(queries["char_entropy_stats"](spark, SF))
+    # in-row entropy: Arrow-batched eval, zero Exchange (the SQL
+    # formulation would shuffle every character of the corpus)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_wav_decode_join_is_hash_not_nested(spark, queries):
+    plan = plan_of(queries["wav_decode_features"](spark, SF))
+    assert "BatchEvalPython" not in plan  # header/PCM decode is Arrow
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_beta_single_window_shuffle(spark, queries):
+    plan = plan_of(queries["rolling_beta_7d"](spark, SF))
+    # day-cardinality market side broadcast; ONE window exchange on
+    # user_id; bounded ROWS frame (never an unbounded running state)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window") == 1
+    assert "specifiedwindowframe(RowFrame, -6, currentrow" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_embedding_norm_stats_dim_sized_shuffle(spark, queries):
+    plan = plan_of(queries["embedding_norm_stats"](spark, SF))
+    # norms fold in-row; the centroid aggregate's exchange carries only
+    # dim x partitions partial sums; final combine is two 1-row aggs
+    assert "BatchEvalPython" not in plan
+    assert "Generate posexplode" in plan or "posexplode" in plan
+
+
+def test_retention_cohorts_no_cross_product(spark, queries):
+    plan = plan_of(queries["retention_cohorts"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_referential_audit_is_anti_joins(spark, queries):
+    plan = plan_of(queries["referential_integrity_audit"](spark, SF))
+    assert plan.count("LeftAnti") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_star_edges_no_self_join_blowup(spark, queries):
+    # dedup_star_clusters computes BOTH graphs; the star arm must plan
+    # a window min over (band, bucket), not another banded self-join —
+    # count the banded equi-self-joins: exactly the one from the pairs
+    # arm's candidate generation
+    from opentick_spark.operators.dedup import minhash_cluster_edges
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(
+        minhash_cluster_edges(docs, num_hashes=32, bands=8, verify=False)
+    )
+    assert "Window" in plan  # hub = min(id) OVER (band, bucket)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
