@@ -999,6 +999,86 @@ def char_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "streaming_chunk_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    base AS (
+      SELECT doc_id, string_split(nt, ' ') AS w FROM t WHERE nt <> ''
+    ),
+    c AS (
+      SELECT md5(array_to_string(w[(i*20+1):((i+1)*20)], ' ')) AS h
+      FROM base,
+           LATERAL unnest(range(0, CAST(ceil(len(w)/20.0) AS BIGINT))) AS u(i)
+    )
+    SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_chunks FROM c
+    """,
+)
+def streaming_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming chunk-level exact dedup (the ingest-time face of
+    chunk_dedup_stats): documents arrive in THREE real micro-batches,
+    each batch explodes its 20-word chunks with md5 hashes, and
+    ``dropDuplicates`` keyed state emits every chunk hash exactly ONCE
+    across the whole stream — first-occurrence-wins paragraph dedup at
+    ingest, state sized by distinct chunks not deliveries. The result
+    COUNTS the sink rows (not distinct-counts them), so any
+    state-failure double emission would fail the oracle, which computes
+    the batch-distinct chunk count in DuckDB."""
+    name = "chunkdedup_sink_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="otspark_chunk_src_")
+    # three real files -> three micro-batches with maxFilesPerTrigger=1
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(
+        src_dir
+    )
+    from opentick_spark.streaming.ingest import state_partitions
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    norm = X.normalize_text(F.col("text"))
+    toks = X.ws_tokens(F.col("nt"))
+    chunks = (
+        stream.filter(F.length(F.trim(norm)) > 0)
+        .select(norm.alias("nt"))
+        .select(toks.alias("__w"), F.size(toks).alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(
+            "__w",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.ceil(F.col("__n") / F.lit(20)).cast("long") - 1,
+                )
+            ).alias("__i"),
+        )
+        .select(
+            F.expr("md5(array_join(slice(__w, __i * 20 + 1, 20), ' '))").alias(
+                "h"
+            )
+        )
+    )
+    with state_partitions(spark, 8):
+        query = (
+            chunks.dropDuplicates(["h"])
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="otspark_chunk_ck_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chunks")
+    )
+
+
+@q(
     "wav_decode_features",
     """
     WITH t AS (
