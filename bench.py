@@ -100,6 +100,50 @@ def bench_ingest_async_100k(spark):
     return dt
 
 
+def bench_scan_async_fanout(spark):
+    """Reference harness row 4/9: 100k rows read via ASYNC FAN-OUT —
+    one async select per `interval`, all futures resolved (BASELINE.md:
+    Go 1.782 s, Python 1.618 s, C++ 1.495 s; bindings/go/test.go:84-99).
+    Data spread over 10 intervals, 10 concurrent selects through the
+    client's future pool over one engine."""
+    import tempfile
+
+    from opentick_spark import client as otc
+
+    conn = otc.connect(
+        spark=spark, warehouse=tempfile.mkdtemp(prefix="otspark_fanout_")
+    )
+    conn.execute("create database f")
+    conn.use("f")
+    conn.execute(
+        "create table test(sec int, interval int, tm timestamp, open double, "
+        "high double, low double, close double, v double, vwap double, "
+        "primary key(sec, interval, tm))"
+    )
+    conn.batch_insert(
+        "insert into test(sec, interval, tm, open, high, low, close, v, vwap) "
+        "values(?, ?, ?, ?, ?, ?, ?, ?, ?)",
+        [
+            (1, b, i, 2.2, 2.4, 2.1, 2.3, 1e6, 2.25)
+            for b in range(10)
+            for i in range(10_000)
+        ],
+    )
+    conn.execute("select * from test where sec=1 and interval=0 and tm=0")
+    t0 = time.time()
+    futs = [
+        conn.execute_async(
+            "select * from test where sec=1 and interval=?", (b,)
+        )
+        for b in range(10)
+    ]
+    total = sum(len(f.get(180)) for f in futs)
+    dt = time.time() - t0
+    assert total == 100_000, total
+    conn.close()
+    return dt
+
+
 def bench_wire_roundtrip(spark):
     """Full client-server wire path (C9): 100k-row batch ingest and
     100k-row scan THROUGH the TCP server — the shape the reference's
@@ -242,6 +286,8 @@ def main():
         )
     )
     timings["scan_split_10"] = time.time() - t0
+    # per-interval async fan-out (BASELINE rows 4/9: Go 1.78s / Py 1.62s)
+    timings["scan_async_fanout"] = bench_scan_async_fanout(spark)
     # full TCP client-server path (r4): comparable to the reference's
     # client-measured numbers (BASELINE rows 2/7 ingest, 3/8 scan)
     (
