@@ -1588,3 +1588,38 @@ def test_incremental_cluster_assign_golden(spark):
     assert [t for t in full_delta_groups if t] == [
         t for t in inc_only if t
     ]
+
+
+def test_lsh_cluster_index_explicit_clusters_and_empty_cases(spark):
+    t = "shared boilerplate content for explicit cluster labels " * 5
+    baseline = spark.createDataFrame(
+        [(10, t), (11, t), (12, "something entirely different here " * 5)],
+        "doc_id long, text string",
+    )
+    # caller-supplied assignment with a custom label scheme
+    clusters = spark.createDataFrame(
+        [(10, 7), (11, 7), (12, 12)], "id long, cluster long"
+    )
+    idx = D.lsh_cluster_index(baseline, clusters=clusters)
+    delta = spark.createDataFrame([(100, t)], "doc_id long, text string")
+    got = {
+        r["id"]: r["cluster"]
+        for r in D.incremental_cluster_assign(delta, idx).collect()
+    }
+    assert got == {100: 7}  # adopts the CALLER's label, not min doc id
+    # empty delta -> empty result, no crash
+    empty_delta = spark.createDataFrame([], "doc_id long, text string")
+    assert D.incremental_cluster_assign(empty_delta, idx).count() == 0
+    # empty index (nothing clustered yet) -> delta self-clusters
+    empty_idx = idx.limit(0)
+    got2 = {
+        r["id"]: r["cluster"]
+        for r in D.incremental_cluster_assign(
+            spark.createDataFrame(
+                [(200, t), (201, t), (202, "lone wolf doc " * 10)],
+                "doc_id long, text string",
+            ),
+            empty_idx,
+        ).collect()
+    }
+    assert got2 == {200: 200, 201: 200, 202: 202}
