@@ -38,12 +38,13 @@ The driver's correctness gate checks the FIRST 50 entries of
   rotate into the driver window next round in place of long-stable
   ones.
 
-End of round 4 the ENTIRE registry (window + extras; 164 queries,
-160 with oracles) was
-value-verified against DuckDB at BOTH sf0.01 (the driver's scale) and
-sf0.1 (10×) — the 10× run has caught real bugs invisible at sf0.01
-(r3: a keeper tie-break). Run ``SPARK_GRAFT_ORACLE_SF_DIR=
-/root/testdata/sf0.1 python tests/oracle_check.py`` to reproduce.
+Every round the ENTIRE registry (window + extras; 175 queries, 171
+with oracles as of round 5 — authoritative counts in COVERAGE.md's
+generated rotation table) is value-verified against DuckDB at BOTH
+sf0.01 (the driver's scale) and sf0.1 (10×) — the 10× run has caught
+real bugs invisible at sf0.01 (r3: a keeper tie-break). Run
+``SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.1 python
+tests/oracle_check.py`` to reproduce.
 
 Round-5 rotation: the window swapped in the ENTIRE 31-entry
 never-driver-checked backlog from round 4 (per VERDICT r4 item 1) plus
