@@ -999,6 +999,63 @@ def char_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "heaps_law_stats",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split({_NORM}, ' ')) AS t
+      FROM documents WHERE {_NORM} <> ''
+    ),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab
+      FROM tok GROUP BY source
+    ),
+    fit AS (
+      SELECT ROUND(regr_slope(ln(vocab), ln(n_tokens)), 6) AS heaps_beta
+      FROM s
+    )
+    SELECT s.source, s.n_tokens, s.vocab,
+           ROUND(CAST(s.vocab AS DOUBLE) / s.n_tokens, 6) AS type_token_ratio,
+           fit.heaps_beta
+    FROM s, fit
+    """,
+)
+def heaps_law_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth diagnostics per source + a corpus-level Heaps'
+    law fit (V ≈ K·Nᵝ — β from an OLS regression of ln V on ln N across
+    sources, one `regr_slope` aggregate): the curation signal that
+    separates natural text (β ≈ 0.4–0.6) from template/boilerplate
+    sources (β → 0, vocabulary saturates) and random noise (β → 1).
+    Shape: one token-level hash aggregate per (source, token) — the
+    vocabulary count is map-side combinable — then a source-cardinality
+    regression broadcast back; nothing driver-side, nothing pairwise."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", X.normalize_text(F.col("text")).alias("nt")
+    ).filter(F.col("nt") != "")
+    tok = docs.select(
+        "source", F.explode(X.ws_tokens(F.col("nt"))).alias("t")
+    )
+    s = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count_distinct("t").cast("long").alias("vocab"),
+    )
+    fit = s.agg(
+        F.round(
+            F.expr("regr_slope(ln(vocab), ln(n_tokens))"), 6
+        ).alias("heaps_beta")
+    )
+    return s.crossJoin(F.broadcast(fit)).select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.round(F.col("vocab").cast("double") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        "heaps_beta",
+    )
+
+
+@q(
     "streaming_chunk_dedup",
     f"""
     WITH t AS (SELECT doc_id, {_NORM} AS nt FROM documents),
