@@ -1142,6 +1142,57 @@ def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "daily_growth_accounting",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, time_bucket(INTERVAL '1 day', ts) AS day
+      FROM events
+    ),
+    f AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id)
+    SELECT epoch_us(day) AS day_us,
+           CAST(COUNT(*) AS BIGINT) AS dau,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users
+    FROM d JOIN f USING (user_id)
+    GROUP BY day
+    """,
+)
+def daily_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting — DAU split into new vs returning by
+    first-seen attribution: two day-level aggregations plus one
+    user-keyed equi-join (first_day is user-cardinality, co-partitioned
+    with the activity frame on user_id so the join rides the same
+    exchange). Day-cardinality output at any scale."""
+    day_ns = 86400 * 10**9
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr(f"ts - pmod(ts, {day_ns})").alias("day")
+    ).distinct()
+    first = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        d.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dau"),
+            F.sum((F.col("day") == F.col("first_day")).cast("int"))
+            .cast("long")
+            .alias("new_users"),
+            F.sum((F.col("day") > F.col("first_day")).cast("int"))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .select(
+            (F.col("day") / 1000).cast("long").alias("day_us"),
+            "dau",
+            "new_users",
+            "returning_users",
+        )
+    )
+
+
+@q(
     "retention_cohorts",
     """
     WITH s AS (
