@@ -1142,6 +1142,76 @@ def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "roll_spread_estimate",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id, value,
+             lag(value) OVER w AS pv
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    d AS (
+      SELECT user_id, value - pv AS dp,
+             lag(value - pv) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS dpl
+      FROM p WHERE pv IS NOT NULL
+    ),
+    c AS (
+      SELECT user_id, covar_samp(dp, dpl) AS cv,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM d WHERE dpl IS NOT NULL
+      GROUP BY user_id HAVING COUNT(*) >= 10
+    )
+    SELECT user_id,
+           ROUND(CASE WHEN cv < 0 THEN 2 * sqrt(-cv) ELSE 0 END, 4)
+             AS roll_spread,
+           ROUND(cv, 2) AS serial_cov, n_obs
+    FROM c
+    """,
+)
+def roll_spread_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll (1984) implied effective spread: 2·√(−cov(Δpₜ, Δpₜ₋₁)) per
+    key from the serial covariance of consecutive price changes
+    (bid-ask bounce makes adjacent changes negatively correlated;
+    positive covariance floors at 0 by convention). ONE window shuffle
+    per key computes both lags (ties broken by event_id so the lag
+    order is engine-deterministic), then a per-key hash aggregate —
+    the classic microstructure measure at two-shuffle cost."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.lag("value").over(w).alias("pv"),
+    ).filter(F.col("pv").isNotNull())
+    d = p.select(
+        "user_id",
+        (F.col("value") - F.col("pv")).alias("dp"),
+        F.lag(F.col("value") - F.col("pv")).over(w).alias("dpl"),
+    ).filter(F.col("dpl").isNotNull())
+    c = (
+        d.groupBy("user_id")
+        .agg(
+            F.covar_samp("dp", "dpl").alias("cv"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+        .filter(F.col("n_obs") >= 10)
+    )
+    return c.select(
+        "user_id",
+        F.round(
+            F.when(F.col("cv") < 0, 2 * F.sqrt(-F.col("cv"))).otherwise(0.0),
+            4,
+        ).alias("roll_spread"),
+        F.round("cv", 2).alias("serial_cov"),
+        "n_obs",
+    )
+
+
+@q(
     "daily_growth_accounting",
     """
     WITH d AS (
