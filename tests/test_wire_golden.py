@@ -369,3 +369,22 @@ def test_malformed_frames_drop_session_not_server(server):
         fresh.close()
     finally:
         healthy.close()
+
+
+def test_json_client_reconnect_renegotiates(server):
+    """Auto-reconnect opens a FRESH socket; the per-connection
+    protocol=json announce must be re-sent or the bson-default server
+    would misparse every frame after the drop."""
+    from opentick_spark.client import connect_tcp
+
+    c = connect_tcp(server.host, server.port, protocol="json")
+    try:
+        c.execute("create database rj")
+        c.use("rj")
+        c.execute("create table t(a int, v int, primary key(a))")
+        c.execute("insert into t(a, v) values(1, 10)")
+        c._sock.close()  # simulate a dropped connection
+        c.execute("insert into t(a, v) values(2, 20)")  # reconnect path
+        assert c.execute("select * from t") == [(1, 10), (2, 20)]
+    finally:
+        c.close()
