@@ -207,3 +207,28 @@ def test_sigkill_between_renames_recovers(spark, table):
     # and a later compaction completes normally
     TableStore(Catalog(wh), "cr", "t").compact(spark)
     assert _contents(spark, wh) == ROWS
+
+
+def test_engine_open_triggers_recovery(spark, table):
+    """Recovery must fire through the ENGINE path too — a fresh process
+    opening a crashed warehouse goes Engine.store -> TableStore.__init__,
+    not a direct TableStore construction."""
+    from opentick_spark.engine import Engine
+
+    _eng, wh = table
+    store_path = Catalog(wh).table_path("cr", "t")
+    data = os.path.join(store_path, "data")
+    # hand-build the mid-swap crash state (state 2: killed between the
+    # renames): stash present, no base, intent recorded
+    with open(os.path.join(store_path, "compact-intent.json"), "w") as f:
+        json.dump(
+            {"seq": 99, "tmp": "compact-gone", "hash_buckets": None,
+             "consumed_log": []},
+            f,
+        )
+    os.rename(os.path.join(data, "base"), os.path.join(data, "base.old"))
+    fresh = Engine(spark, wh)
+    fresh.use("cr")
+    got = sorted(tuple(r) for r in fresh.execute_rows("select * from t"))
+    assert got == ROWS
+    _assert_clean(wh)
