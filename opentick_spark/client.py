@@ -335,6 +335,8 @@ class TCPConnection:
                     break
                 if body == b"H":  # server heartbeat (C10) — liveness only
                     continue
+                if body == b"":  # server ack to client-initiated 'H'
+                    continue
                 msg = self._dec(body)
                 if "2" in msg:
                     # server cache hit: key "2" carries the PRE-SERIALIZED
@@ -356,11 +358,18 @@ class TCPConnection:
                     fut.set_result(self._extract_result(msg))
         except OSError:
             pass
-        # drop in-flight futures so callers fail fast instead of hanging
-        for fut in list(futures.values()):
-            if not fut.done():
-                fut.set_exception(Error("Connection closed"))
-        futures.clear()
+        except Exception:
+            # a decode error must not kill the loop SILENTLY — fall
+            # through to the same in-flight cleanup so callers fail fast
+            pass
+        finally:
+            # drop in-flight futures so callers fail fast instead of
+            # hanging until timeout — on ANY exit path, including decode
+            # errors (r6 ADVICE fix)
+            for fut in list(futures.values()):
+                if not fut.done():
+                    fut.set_exception(Error("Connection closed"))
+            futures.clear()
 
     def _request(self, msg: dict, retried: bool = False) -> CFuture:
         with self._lock:
@@ -554,6 +563,17 @@ class TCPConnection:
             # — the ingest mirror of the "1p" reply path
             from opentick_spark.wire_packed import pack_columns
 
+            # zip(*rows) silently truncates ragged rows to the shortest —
+            # a malformed batch would insert TRUNCATED data. The row path
+            # ships rows verbatim and lets the server raise the arity
+            # error; match that contract by validating before packing.
+            width = len(args_array[0])
+            for i, row in enumerate(args_array):
+                if len(row) != width:
+                    raise Error(
+                        f"batch_insert: row {i} has {len(row)} args, "
+                        f"expected {width}"
+                    )
             cols = [list(c) for c in zip(*args_array)]
             self._result(
                 self._request(

@@ -370,6 +370,12 @@ def wav_features(
             return None
         fb = m["sample_width"] * m["n_channels"]
         data = payload[m["data_offset"] : m["data_offset"] + m["n_frames"] * fb]
+        # truncated payload quarantine: the header's n_frames may promise
+        # more bytes than the payload carries; clamp to whole frames so
+        # frombuffer (itemsize) and reshape (n_channels) never raise
+        # inside the executor — a corrupt WAV yields NULLs, not a job kill
+        if len(data) % fb:
+            data = data[: len(data) - len(data) % fb]
         x = np.frombuffer(data, dtype=_WIDTH_DTYPE[m["sample_width"]]).astype(
             np.float64
         )
@@ -388,9 +394,15 @@ def wav_features(
         zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
         return (rms, peak, zc, m["duration_s"])
 
+    def safe_one(payload: bytes):
+        try:
+            return one(payload)
+        except Exception:
+            return None  # NULL quarantine for any malformed payload
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [one(p) for p in pdf[payload_col]]
+            feats = [safe_one(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),

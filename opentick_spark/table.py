@@ -138,23 +138,37 @@ class TableStore:
 
         ``_compact_locked`` publishes through a short non-atomic window:
         write ``compact-intent.json`` → rename(base → base.old) →
-        rename(tmp → base) → rmtree(base.old) → GC consumed log →
-        write meta → remove intent. A process killed anywhere in that
-        window leaves one of four distinguishable states, and the
-        intent file (recorded BEFORE the first rename) makes the
-        decision deterministic without reading any parquet:
+        rename(tmp → base) → rename(base.old → compact-trash-*) →
+        rmtree(trash) → GC consumed log → write meta → remove intent.
+        A process killed anywhere in that window leaves one of five
+        distinguishable states, and the intent file (recorded BEFORE
+        the first rename) makes the decision deterministic without
+        reading any parquet. The trash rename matters: ``rmtree`` is
+        not atomic, so the old base is moved aside ATOMICALLY before
+        deletion — a visible ``base.old`` is therefore always a fully
+        intact pre-compaction base, never a half-deleted one.
 
-        - stash (``base.old``) present → killed mid-swap; the log is
-          still intact (stash removal precedes log GC), so ROLL BACK:
-          drop the half-installed new base if any, restore the stash.
+        - stash (``base.old``) + tmp dir, no installed base → killed
+          mid-swap; the log is still intact (stash disposal precedes
+          log GC), so ROLL BACK: restore the stash.
+        - stash + installed base, tmp gone → killed between
+          rename(tmp → base) and the trash rename; the new base is
+          fully installed and the stash is intact, so ROLL FORWARD
+          (cheaper than redoing the compaction): trash the stash,
+          finish log GC + meta.
         - intent + tmp dir, no stash → killed before the first rename;
           roll back by GC'ing the tmp dir.
-        - intent, no tmp, no stash → killed during/after log GC; the
-          new base is fully installed and the old one is gone, so ROLL
-          FORWARD: finish deleting the consumed log entries and commit
-          the meta recorded in the intent.
-        - orphaned ``compact-*`` dirs with no intent → killed during
-          the parquet write; plain GC.
+        - intent, no tmp, no stash → killed during/after trash
+          disposal or log GC; the new base is fully installed and the
+          old one is gone, so ROLL FORWARD: finish deleting the
+          consumed log entries and commit the meta recorded in the
+          intent.
+        - orphaned ``compact-*`` dirs/files with no intent → killed
+          during the parquet write (or mid-trash-rmtree, or between
+          intent-tmp write and its replace); plain GC — dirs via
+          rmtree, leaked ``compact-intent.json.*.tmp`` files via
+          unlink (rmtree on a file is a no-op and would otherwise
+          force this locked sweep on every open).
 
         Fast path is three ``os.path`` checks with no lock; the lock is
         taken only when something suspicious is present, and re-checked
@@ -188,36 +202,65 @@ class TableStore:
             if os.path.exists(intent_p):
                 with open(intent_p) as f:
                     intent = json.load(f)
+
+            def _roll_forward() -> None:
+                # new base fully installed, old base disposed (or moved
+                # to trash): finish the log GC + meta commit the
+                # compactor would have done
+                for entry in intent["consumed_log"]:
+                    p = os.path.join(self.log_path, entry)
+                    if os.path.isdir(p):
+                        shutil.rmtree(p)
+                    elif os.path.exists(p):
+                        os.remove(p)
+                meta = self._meta()
+                meta["seq"] = intent["seq"]
+                meta["compacted"] = True
+                meta["hash_buckets"] = intent["hash_buckets"]
+                meta["last_compact_seq"] = intent["seq"]
+                self._write_meta(meta)
+                os.remove(intent_p)
+
             if os.path.isdir(stash):
-                # mid-swap: log untouched -> roll back to pre-compaction
-                if os.path.isdir(self.base_path):
-                    shutil.rmtree(self.base_path)
-                os.rename(stash, self.base_path)
-                if os.path.exists(intent_p):
-                    os.remove(intent_p)
+                tmp_installed = intent is not None and not os.path.isdir(
+                    os.path.join(self.path, intent["tmp"])
+                )
+                if tmp_installed and os.path.isdir(self.base_path):
+                    # killed between rename(tmp -> base) and the trash
+                    # rename: new base fully installed, stash intact ->
+                    # roll FORWARD; the stash goes to trash (atomic) and
+                    # is GC'd with the other stale dirs below
+                    os.rename(
+                        stash,
+                        os.path.join(
+                            self.path, f"compact-trash-{uuid.uuid4().hex}"
+                        ),
+                    )
+                    _roll_forward()
+                else:
+                    # mid-swap: log untouched -> roll back to
+                    # pre-compaction (base.old is always intact — rmtree
+                    # only ever runs on compact-trash-*)
+                    if os.path.isdir(self.base_path):
+                        shutil.rmtree(self.base_path)
+                    os.rename(stash, self.base_path)
+                    if os.path.exists(intent_p):
+                        os.remove(intent_p)
             elif intent is not None:
                 tmp = os.path.join(self.path, intent["tmp"])
                 if os.path.isdir(tmp):
                     # killed before the swap began: plain rollback
                     os.remove(intent_p)
                 else:
-                    # new base fully installed, old base gone: finish
-                    # the log GC + meta commit the compactor would have
-                    for entry in intent["consumed_log"]:
-                        p = os.path.join(self.log_path, entry)
-                        if os.path.isdir(p):
-                            shutil.rmtree(p)
-                        elif os.path.exists(p):
-                            os.remove(p)
-                    meta = self._meta()
-                    meta["seq"] = intent["seq"]
-                    meta["compacted"] = True
-                    meta["hash_buckets"] = intent["hash_buckets"]
-                    meta["last_compact_seq"] = intent["seq"]
-                    self._write_meta(meta)
-                    os.remove(intent_p)
+                    _roll_forward()
             for tmp in _stale_tmps():
-                shutil.rmtree(tmp, ignore_errors=True)
+                if os.path.isdir(tmp):
+                    shutil.rmtree(tmp, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
 
     def _next_seq(self) -> int:
         with self._lock, self._file_lock():
@@ -620,7 +663,16 @@ class TableStore:
         stash = self.base_path + ".old"
         os.rename(self.base_path, stash)
         os.rename(tmp_dir, self.base_path)
-        shutil.rmtree(stash)
+        # rename-before-delete: rmtree is NOT atomic, so a kill mid-delete
+        # must never leave a *partial* directory named base.old — recovery
+        # would "restore" it over the complete new base and silently lose
+        # every row whose old-base file was already removed. A visible
+        # base.old therefore always means an intact pre-compaction base;
+        # partial deletes only ever exist under compact-trash-*, which
+        # recovery plain-GCs.
+        trash = os.path.join(self.path, f"compact-trash-{uuid.uuid4().hex}")
+        os.rename(stash, trash)
+        shutil.rmtree(trash)
         for entry in consumed_log:
             p = os.path.join(self.log_path, entry)
             if os.path.isdir(p):

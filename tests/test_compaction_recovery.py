@@ -1,7 +1,8 @@
 """Kill-point matrix for the compaction publish window (r5, VERDICT
 item 3): a process dying anywhere inside ``_compact_locked``'s swap —
-intent write → rename(base→stash) → rename(tmp→base) → rmtree(stash) →
-log GC → meta commit → intent removal — must leave a table that the next
+intent write → rename(base→stash) → rename(tmp→base) →
+rename(stash→trash) → rmtree(trash) → log GC → meta commit → intent
+removal — must leave a table that the next
 ``TableStore`` open repairs to a consistent state: either the exact
 pre-compaction contents (rollback) or the exact post-compaction contents
 (roll-forward), never a missing/empty base, dangling stash, half-GC'd
@@ -80,11 +81,27 @@ def _crash_compact(spark, wh, monkeypatch, point):
                 raise _Boom
 
         monkeypatch.setattr(os, "replace", patched)
-    elif point == "before-stash-gc":
+    elif point == "before-stash-disposal":
+        real_mv = os.rename
+
+        def patched(src, dst):
+            if src == store.base_path + ".old":
+                raise _Boom
+            return real_mv(src, dst)
+
+        monkeypatch.setattr(os, "rename", patched)
+    elif point == "mid-trash-rmtree":
         real_rm = shutil.rmtree
 
         def patched(p, *a, **k):
-            if p == store.base_path + ".old":
+            if "compact-trash-" in os.path.basename(p):
+                # delete one file, then die: a PARTIAL trash dir — the
+                # state that, pre-r6, existed under the name base.old
+                # and was silently "restored" as a truncated base
+                for root, _dirs, files in os.walk(p):
+                    if files:
+                        os.remove(os.path.join(root, files[0]))
+                        break
                 raise _Boom
             return real_rm(p, *a, **k)
 
@@ -118,16 +135,46 @@ def test_crash_after_intent_rolls_back(spark, table, monkeypatch):
     assert _contents(spark, wh) == ROWS
 
 
-def test_crash_before_stash_gc_rolls_back(spark, table, monkeypatch):
+def test_crash_before_stash_disposal_rolls_forward(spark, table, monkeypatch):
     # killed after the new base is installed but before the stash is
-    # removed: log is still intact, so recovery rolls BACK
+    # moved to trash: the new base is COMPLETE and the stash intact, so
+    # recovery rolls FORWARD (r6; pre-r6 this rolled back — safe but
+    # wasteful — and the rename-before-rmtree protocol that prevents
+    # partial-stash restores makes forward the cheap correct choice)
     _eng, wh = table
-    store = _crash_compact(spark, wh, monkeypatch, "before-stash-gc")
+    store = _crash_compact(spark, wh, monkeypatch, "before-stash-disposal")
     assert os.path.isdir(store.base_path + ".old")  # crash state on disk
+    assert os.path.isdir(store.base_path)  # new base fully installed
     assert _contents(spark, wh) == ROWS
     _assert_clean(wh)
-    meta = TableStore(Catalog(wh), "cr", "t")._meta()
-    assert not meta.get("compacted", False)  # rollback kept old meta
+    fresh = TableStore(Catalog(wh), "cr", "t")
+    assert os.listdir(fresh.log_path) == []  # roll-forward finished GC
+    meta = fresh._meta()
+    assert meta["compacted"] is True
+    assert meta["last_compact_seq"] == meta["seq"]
+
+
+def test_crash_mid_trash_rmtree_is_gcd(spark, table, monkeypatch):
+    # THE r5-advice data-loss hole: a kill mid-rmtree of the old base.
+    # Pre-r6 the half-deleted dir was still named base.old, so recovery
+    # "restored" a TRUNCATED base over the complete new one, silently
+    # losing rows. Now the old base is atomically renamed to
+    # compact-trash-* first, so the partial dir is plain-GC'd and the
+    # installed new base survives with every row.
+    _eng, wh = table
+    store = _crash_compact(spark, wh, monkeypatch, "mid-trash-rmtree")
+    trash = [
+        e
+        for e in os.listdir(store.path)
+        if e.startswith("compact-trash-")
+    ]
+    assert trash  # crash state: partial trash dir on disk
+    assert not os.path.isdir(store.base_path + ".old")  # never ambiguous
+    assert _contents(spark, wh) == ROWS  # zero rows lost
+    _assert_clean(wh)
+    fresh = TableStore(Catalog(wh), "cr", "t")
+    assert os.listdir(fresh.log_path) == []
+    assert fresh._meta()["compacted"] is True
 
 
 def test_crash_during_log_gc_rolls_forward(spark, table, monkeypatch):

@@ -99,6 +99,29 @@ def test_wav_features_closed_form(wav_df):
     assert feats[4]["rms"] is None and feats[4]["duration_s"] is None
 
 
+def test_wav_features_truncated_payload_quarantined(spark):
+    """r6 ADVICE fix: a WAV whose data chunk is shorter than the header's
+    n_frames promise (truncated upload) must yield NULL features — not an
+    executor-side frombuffer/reshape crash that kills the whole job."""
+    full = _make_wav(8_000)
+    stereo = _make_wav(3_000, n_channels=2)
+    rows = [
+        (1, full[: len(full) - 7]),  # 7 bytes short: not frame-aligned
+        (2, stereo[: len(stereo) - 2]),  # one channel of the last frame
+        (3, full[:45]),  # header + a single lonely byte
+        (4, full),  # control: intact file still decodes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = {r["id"]: r.asDict() for r in M.wav_features(df).collect()}
+    # truncated files decode the frames that ARE present (clamped to
+    # whole frames) — the square wave stats are unchanged
+    assert feats[1]["rms"] == pytest.approx(8192 / 32768)
+    assert feats[2]["rms"] == pytest.approx(8192 / 32768)
+    assert feats[3]["rms"] == 0.0  # zero whole frames survive the clamp
+    assert feats[4]["rms"] == pytest.approx(8192 / 32768)
+    assert feats[4]["zero_crossings"] == 7_999
+
+
 def test_wav_plan_is_narrow(spark, wav_df):
     plan = (
         M.wav_features(wav_df)

@@ -123,6 +123,38 @@ def test_wire_heartbeat_liveness(conn):
     assert conn.execute("select * from t") == [(1,)]
 
 
+def test_wire_client_initiated_heartbeat_empty_ack(conn):
+    """r6 ADVICE fix: the server answers a client-initiated 'H' with an
+    EMPTY frame (server.go:292-295). The client recv loop must treat
+    b'' as a no-op — not feed it to the decoder, which raises a
+    non-OSError that used to kill the loop without failing in-flight
+    futures (callers then hung until timeout)."""
+    _mkdb(conn, "whb")
+    conn.execute("create table t(a int, primary key(a))")
+    conn._send_frame(conn._sock, b"H")  # provoke the b'' ack
+    time.sleep(0.3)  # let the ack traverse the recv loop
+    assert conn._recv_thread.is_alive()  # loop survived the empty frame
+    conn.execute("insert into t(a) values(1)")
+    assert conn.execute("select * from t") == [(1,)]
+
+
+def test_wire_decode_error_fails_inflight_futures(conn):
+    """A decode error in the recv loop must fail in-flight futures fast
+    (the `finally` cleanup), never strand them until timeout."""
+    from opentick_spark.errors import OpentickError as Error
+
+    _mkdb(conn, "wdec")
+    conn.execute("create table t(a int, primary key(a))")
+    real_dec = conn._dec
+    conn._dec = lambda b: (_ for _ in ()).throw(ValueError("corrupt frame"))
+    try:
+        fut = conn.execute_async("select * from t")
+        with pytest.raises(Error, match="Connection closed"):
+            fut.get(10)  # fails fast via finally-cleanup, no 60s hang
+    finally:
+        conn._dec = real_dec
+
+
 def test_wire_auto_reconnect(conn):
     """Dropping the socket mid-session must transparently reconnect,
     restore the session db, and re-prepare (connection-scoped ids)."""
