@@ -302,6 +302,63 @@ def band_buckets(
     )
 
 
+def lsh_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared LSH sub-plans — ``(shingle sets, banded buckets)`` —
+    factored out (r6) so a caller that needs BOTH the all-pairs and the
+    star-edge view of the same corpus (e.g. an equivalence self-check,
+    or batch + incremental index builds) tokenizes and minhashes ONCE:
+
+    - ``sh``: (id, sh: array<string>) shingle sets, one tokenize pass,
+      id-hash partitioned. Consumed by signature derivation and by both
+      sides of Jaccard verification joins.
+    - ``banded``: (id, band, bucket) LSH bucket occupancy.
+
+    Both are eagerly ``localCheckpoint``-ed when ``materialize`` (the
+    default): each is consumed 2+ times per arm, and cross-arm Catalyst
+    cannot reuse exchanges between separate actions. At cluster scale
+    substitute ``checkpoint()``/a persisted table for multi-job reuse.
+    """
+    sh = (
+        exploded_shingles(df, id_col, text_col, n, distinct=False)
+        .groupBy("id")
+        .agg(F.collect_set("g").alias("sh"))
+    )
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
+    re_exploded = sh.select("id", F.explode("sh").alias("g"))
+    sigs = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, seed, shingles=re_exploded
+    )
+    banded = band_buckets(sigs, num_hashes, bands)
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
+    return sh, banded
+
+
+def star_edges_from_buckets(banded: DataFrame) -> DataFrame:
+    """Per-(band, bucket) STAR edges — hub = min(id), one edge
+    hub→member: n-1 edges per bucket instead of C(n,2). The linear-
+    fan-out candidate construction shared by ``minhash_cluster_edges``,
+    ``lsh_cluster_index``, and ``incremental_cluster_assign``."""
+    hub = Window.partitionBy("band", "bucket")
+    return (
+        banded.select(
+            F.min("id").over(hub).alias("id_a"), F.col("id").alias("id_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -312,36 +369,25 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     materialize_shingles: bool = True,
+    frames: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
     banding: k=128 hashes → 32 bands × 4 rows ⇒ P(candidate | J) =
     1-(1-J^4)^32, ≈1 for J≥0.7, ≈.03 for J≤0.2 — candidates shuffle on
     (band, band-hash), so cost scales with collisions, not pairs.
+    ``frames``: precomputed ``lsh_frames`` output so a caller running
+    several arms over the same corpus tokenizes once.
     Output: (id_a, id_b, jac) — same contract as ngram_jaccard_pairs.
     """
-    # one tokenize pass: materialize shingle SETS first (co-partitioned
-    # on id by exploded_shingles' spread), derive both the signatures and
-    # the verification arrays from that shared subplan — Catalyst reuses
-    # the exchange, and the post-explode groupBy(id) needs no shuffle
-    sh = (
-        exploded_shingles(df, id_col, text_col, n, distinct=False)
-        .groupBy("id")
-        .agg(F.collect_set("g").alias("sh"))
+    sh, banded = (
+        frames
+        if frames is not None
+        else lsh_frames(
+            df, id_col, text_col, n, num_hashes, bands, seed,
+            materialize=materialize_shingles,
+        )
     )
-    if materialize_shingles:
-        # the shingle-set frame is consumed THREE times (signature
-        # derivation + both sides of the verification join); an eager
-        # localCheckpoint computes the tokenize→shuffle→collect_set chain
-        # once and keeps the id-hash partitioning, so every consumer
-        # reads the materialized blocks instead of re-running the scan.
-        # (Makes the operator eager — acceptable: callers want the pairs.)
-        sh = sh.localCheckpoint(eager=True)
-    re_exploded = sh.select("id", F.explode("sh").alias("g"))
-    sigs = minhash_signatures(
-        df, id_col, text_col, n, num_hashes, seed, shingles=re_exploded
-    )
-    banded = band_buckets(sigs, num_hashes, bands)
     cand = (
         banded.alias("x")
         .join(
@@ -385,6 +431,7 @@ def minhash_cluster_edges(
     seed: int = 42,
     verify: bool = True,
     materialize_shingles: bool = True,
+    frames: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Linear-fan-out LSH edges for CLUSTERING — the scale path when a
     pathological duplicate group (one doc ingested 10k times) makes
@@ -410,29 +457,19 @@ def minhash_cluster_edges(
     copies — the pathological shape this operator exists for) every
     edge verifies and clustering is unchanged
     (tests/test_operators.py asserts the equivalence on clique groups).
+    ``frames``: precomputed ``lsh_frames`` output for multi-arm reuse.
     Output: (id_a, id_b[, jac]) with id_a < id_b — feeds
     ``connected_components`` directly.
     """
-    sh = (
-        exploded_shingles(df, id_col, text_col, n, distinct=False)
-        .groupBy("id")
-        .agg(F.collect_set("g").alias("sh"))
-    )
-    if materialize_shingles:
-        sh = sh.localCheckpoint(eager=True)
-    re_exploded = sh.select("id", F.explode("sh").alias("g"))
-    sigs = minhash_signatures(
-        df, id_col, text_col, n, num_hashes, seed, shingles=re_exploded
-    )
-    banded = band_buckets(sigs, num_hashes, bands)
-    hub = Window.partitionBy("band", "bucket")
-    edges = (
-        banded.select(
-            F.min("id").over(hub).alias("id_a"), F.col("id").alias("id_b")
+    sh, banded = (
+        frames
+        if frames is not None
+        else lsh_frames(
+            df, id_col, text_col, n, num_hashes, bands, seed,
+            materialize=materialize_shingles,
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
     )
+    edges = star_edges_from_buckets(banded)
     if not verify:
         return edges
     na, nb = F.size("sh_a"), F.size("sh_b")
@@ -459,31 +496,24 @@ def lsh_cluster_index(
     num_hashes: int = 128,
     bands: int = 32,
     seed: int = 42,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """The persisted state for incremental near-dup ingest: a
     (band, bucket) → cluster index of an already-clustered corpus.
     ``clusters`` is the full assignment (id, cluster) — when omitted it
     is computed here as connected components over star edges with
     SINGLETON docs assigned their own id (so a future delta doc that
-    duplicates a previously-unique doc still finds it). Index size is
-    at most one row per occupied (band, bucket) — signature-sized, not
-    text-sized; at 100 TB this is the table you keep between ingest
-    batches instead of re-reading the corpus."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
-    banded = band_buckets(sigs, num_hashes, bands)
+    duplicates a previously-unique doc still finds it). ``banded``:
+    precomputed (id, band, bucket) occupancy (``lsh_frames``) so multi-
+    arm callers minhash once. Index size is at most one row per
+    occupied (band, bucket) — signature-sized, not text-sized; at
+    100 TB this is the table you keep between ingest batches instead of
+    re-reading the corpus."""
+    if banded is None:
+        sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+        banded = band_buckets(sigs, num_hashes, bands)
     if clusters is None:
-        comp = connected_components(
-            minhash_cluster_edges(
-                df,
-                id_col,
-                text_col,
-                n,
-                num_hashes,
-                bands,
-                seed=seed,
-                verify=False,
-            )
-        )
+        comp = connected_components(star_edges_from_buckets(banded))
         clusters = (
             df.select(F.col(id_col).alias("id"))
             .join(comp, "id", "left")
@@ -507,6 +537,7 @@ def incremental_cluster_assign(
     num_hashes: int = 128,
     bands: int = 32,
     seed: int = 42,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Assign a DELTA of new documents to existing near-dup clusters
     WITHOUT re-clustering the corpus — the near-dup extension of the
@@ -524,19 +555,18 @@ def incremental_cluster_assign(
     baseline itself is never relabeled — append-only semantics,
     documented). Candidate granularity matches
     ``minhash_cluster_edges(verify=False)``: LSH bucket co-occupancy,
-    the standard large-corpus approximation. Output: (id, cluster) for
-    every delta doc."""
-    sigs = minhash_signatures(delta_df, id_col, text_col, n, num_hashes, seed)
-    nb = band_buckets(sigs, num_hashes, bands)
-    matched = nb.join(index, ["band", "bucket"], "left")
-    hubw = Window.partitionBy("band", "bucket")
-    star = (
-        matched.select(
-            F.min("id").over(hubw).alias("id_a"), F.col("id").alias("id_b")
+    the standard large-corpus approximation. ``banded``: precomputed
+    delta (id, band, bucket) occupancy for multi-arm reuse.
+    Output: (id, cluster) for every delta doc."""
+    if banded is None:
+        sigs = minhash_signatures(
+            delta_df, id_col, text_col, n, num_hashes, seed
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+        nb = band_buckets(sigs, num_hashes, bands)
+    else:
+        nb = banded
+    matched = nb.join(index, ["band", "bucket"], "left")
+    star = star_edges_from_buckets(matched)
     adopt = (
         matched.filter(F.col("cluster").isNotNull())
         .select(F.col("cluster").alias("id_a"), F.col("id").alias("id_b"))
@@ -676,9 +706,14 @@ def connected_components(
     near-dup chains converge too. ``localCheckpoint`` truncates lineage
     so plans don't grow with iterations (the standard Spark
     iterative-algorithm hygiene; at cluster scale use checkpoint() to
-    reliable storage). Raises RuntimeError if ``max_iter`` is exhausted
-    with changes still pending — never silently returns non-converged
-    labels. Output: (id, cluster) for every id appearing in ``pairs``.
+    reliable storage). Convergence early-exit (r6): the OLD label rides
+    along inside the checkpointed frame, so the changed-check is a
+    filter+limit over already-materialized blocks — no join, no
+    shuffle; and iteration 1 skips the check entirely (any non-empty
+    edge set flips at least one label on the first propagation).
+    Raises RuntimeError if ``max_iter`` is exhausted with changes still
+    pending — never silently returns non-converged labels. Output:
+    (id, cluster) for every id appearing in ``pairs``.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.unionByName(
@@ -692,7 +727,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -700,6 +735,7 @@ def connected_components(
         )
         prop = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
             "id",
+            F.col("cluster").alias("__old"),
             F.least(
                 F.col("cluster"), F.coalesce(F.col("__nbr"), F.col("cluster"))
             ).alias("cluster"),
@@ -713,6 +749,7 @@ def connected_components(
             prop.join(lut, prop.cluster == F.col("__lid"), "left")
             .select(
                 "id",
+                "__old",
                 F.least(
                     F.col("cluster"),
                     F.coalesce(F.col("__lcluster"), F.col("cluster")),
@@ -720,23 +757,57 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
+        labels = new_labels.select("id", "cluster")
+        if it > 0 or max_iter == 1:
+            changed = (
+                new_labels.filter(F.col("cluster") != F.col("__old"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                converged = True
+                break
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} "
             "iterations; raise max_iter"
         )
     return labels
+
+
+def connected_components_multi(
+    graphs: list[DataFrame],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> list[DataFrame]:
+    """Connected components over SEVERAL independent graphs in ONE
+    propagation loop (r6): each graph's numeric node ids are tag-encoded
+    as ``id*k + tag`` (disjoint residue classes, so components never mix
+    across graphs), the union graph runs a single min-label loop, and
+    the per-graph labelings are decoded back by residue. An equivalence
+    self-check that clusters the same corpus two ways pays ONE iteration
+    loop (max of the two graphs' rounds) instead of the sum — the
+    per-iteration fixed cost (checkpoint + convergence job) is the
+    dominant term for small-diameter dedup graphs. Requires integral
+    node ids small enough that ``id*k`` cannot overflow (doc ids are
+    fine; 2^63/k headroom)."""
+    k = len(graphs)
+    tagged = None
+    for t, g in enumerate(graphs):
+        e = g.select(
+            (F.col(id_a).cast("long") * k + t).alias("id_a"),
+            (F.col(id_b).cast("long") * k + t).alias("id_b"),
+        )
+        tagged = e if tagged is None else tagged.unionByName(e)
+    labels = connected_components(tagged, max_iter=max_iter)
+    return [
+        labels.filter(F.col("id") % k == t).select(
+            ((F.col("id") - t) / k).cast("long").alias("id"),
+            ((F.col("cluster") - t) / k).cast("long").alias("cluster"),
+        )
+        for t in range(k)
+    ]
 
 
 def embedding_cosine_pairs(

@@ -416,3 +416,291 @@ def wav_features(
     return df.select(id_col, payload_col).mapInPandas(
         batches, WAV_FEATURES_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG: stdlib-real image decode (r6) — the image counterpart of the WAV
+# work. PNG's compression is zlib DEFLATE and its scanline filters are
+# pure arithmetic, so a genuine decode needs NOTHING beyond the stdlib:
+# parse the chunk stream, inflate IDAT with ``zlib``, unfilter scanlines
+# (all five filter types), and read true pixels. No Pillow, no fake
+# kernel. Mirrors the reference's posture of typed media columns with
+# real metadata (reference stores media as opaque blobs; decode parity
+# is an extension surface here).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit only; palette/interlace are
+# quarantined as unsupported, like non-PCM WAV)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _encode_png(arr, filter_type: int = 0) -> bytes:
+    """Minimal stdlib PNG ENCODER for synthesis/tests: 8-bit gray
+    (h, w), gray+alpha (h, w, 2), RGB (h, w, 3) or RGBA (h, w, 4),
+    non-interlaced, one IDAT. ``filter_type`` applies the same PNG
+    filter to every scanline (0..4) — exercising the decoder's
+    unfilter paths with a genuine round-trip."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        line = a[y].reshape(-1).astype(np.int32)
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:  # Sub
+            left = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+            filt = line - left
+        elif filter_type == 2:  # Up
+            filt = line - prev
+        elif filter_type == 3:  # Average
+            left = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+            filt = line - (left + prev) // 2
+        elif filter_type == 4:  # Paeth
+            left = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+            ul = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = line - pred
+        else:
+            raise ValueError(f"filter_type {filter_type}")
+        raw.append(filter_type)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = line
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _parse_png_chunks(payload: bytes):
+    """Yield (tag, data) over a PNG chunk stream; raises on truncation."""
+    import struct
+
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated chunk")
+        yield tag, data
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IEND":
+            return
+
+
+def _decode_png(payload: bytes):
+    """Stdlib-real PNG decode: returns dict(width, height, bit_depth,
+    color_type, n_channels, pixels: uint8 ndarray (h, w, c)) or None
+    for non-PNG / unsupported (palette, interlaced, non-8-bit) /
+    corrupt payloads — NULL-quarantine semantics like
+    ``_parse_wav_header``. All five scanline filters are implemented;
+    Sub is a per-lane cumulative sum, Up is vectorized, Average/Paeth
+    walk pixels with lane-vector steps (correctness path — synthetic
+    corpora emit filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    try:
+        if not payload.startswith(_PNG_SIG):
+            return None
+        ihdr = None
+        idat = bytearray()
+        for tag, data in _parse_png_chunks(payload):
+            if tag == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif tag == b"IDAT":
+                idat += data
+        if ihdr is None or not idat:
+            return None
+        w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+        if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+            return None
+        c = _PNG_CHANNELS[color_type]
+        stride = w * c
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != h * (stride + 1):
+            return None
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+            ft = row[0]
+            line = np.frombuffer(row, dtype=np.uint8, offset=1).copy()
+            if ft == 0:
+                rec = line
+            elif ft == 1:  # Sub: per-lane prefix sum mod 256
+                rec = (
+                    np.cumsum(line.reshape(w, c), axis=0, dtype=np.int64) % 256
+                ).astype(np.uint8).reshape(stride)
+            elif ft == 2:  # Up
+                rec = line + prev  # uint8 wraps mod 256 natively
+            elif ft in (3, 4):  # Average / Paeth: sequential in x
+                rec = np.empty(stride, dtype=np.uint8)
+                li = line.astype(np.int32).reshape(w, c)
+                up = prev.astype(np.int32).reshape(w, c)
+                rv = rec.reshape(w, c)
+                left = np.zeros(c, dtype=np.int32)
+                ul = np.zeros(c, dtype=np.int32)
+                for x in range(w):
+                    if ft == 3:
+                        pred = (left + up[x]) // 2
+                    else:
+                        p = left + up[x] - ul
+                        pa = np.abs(p - left)
+                        pb = np.abs(p - up[x])
+                        pc = np.abs(p - ul)
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc),
+                            left,
+                            np.where(pb <= pc, up[x], ul),
+                        )
+                    left = (li[x] + pred) % 256
+                    ul = up[x]
+                    rv[x] = left
+            else:
+                return None
+            out[y] = rec
+            prev = out[y]
+        return {
+            "width": int(w),
+            "height": int(h),
+            "bit_depth": int(bit_depth),
+            "color_type": int(color_type),
+            "n_channels": int(c),
+            "pixels": out.reshape(h, w, c),
+        }
+    except Exception:
+        return None
+
+
+PNG_META_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("color_type", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def png_metadata(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL PNG header decode over Arrow batches (stdlib zlib — no
+    codec dependency): dimensions, bit depth, color type, channel
+    count. Corrupt/unsupported payloads yield NULLs. Narrow map — no
+    shuffle, partitioning preserved."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [_decode_png(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "width": [m and m["width"] for m in metas],
+                    "height": [m and m["height"] for m in metas],
+                    "bit_depth": [m and m["bit_depth"] for m in metas],
+                    "color_type": [m and m["color_type"] for m in metas],
+                    "n_channels": [m and m["n_channels"] for m in metas],
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, PNG_META_SCHEMA
+    )
+
+
+PNG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("mean_pixel", T.DoubleType(), True),
+        T.StructField("std_pixel", T.DoubleType(), True),
+        T.StructField("min_pixel", T.IntegerType(), True),
+        T.StructField("max_pixel", T.IntegerType(), True),
+        T.StructField(
+            "channel_means", T.ArrayType(T.DoubleType(), True), True
+        ),
+    ]
+)
+
+
+def png_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL pixel statistics from genuinely decoded PNGs: inflate IDAT,
+    unfilter, then numpy mean/std/min/max over true pixel values plus
+    per-channel means — the image analog of ``wav_features``. Corrupt
+    or unsupported payloads yield NULL features (quarantine). Narrow
+    Arrow map; at 100 TB this runs where the bytes live, no shuffle."""
+    import numpy as np
+
+    def one(payload: bytes):
+        m = _decode_png(payload)
+        if m is None:
+            return None
+        px = m["pixels"].astype(np.float64)
+        return (
+            m["width"],
+            m["height"],
+            m["n_channels"],
+            float(px.mean()),
+            float(px.std()),
+            int(px.min()),
+            int(px.max()),
+            [float(v) for v in px.mean(axis=(0, 1))],
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "width": [f and f[0] for f in feats],
+                    "height": [f and f[1] for f in feats],
+                    "n_channels": [f and f[2] for f in feats],
+                    "mean_pixel": [f and f[3] for f in feats],
+                    "std_pixel": [f and f[4] for f in feats],
+                    "min_pixel": [f[5] if f else None for f in feats],
+                    "max_pixel": [f[6] if f else None for f in feats],
+                    "channel_means": [f[7] if f else None for f in feats],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, PNG_FEATURES_SCHEMA
+    )

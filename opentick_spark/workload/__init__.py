@@ -46,15 +46,17 @@ real bugs invisible at sf0.01 (r3: a keeper tie-break). Run
 ``SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.1 python
 tests/oracle_check.py`` to reproduce.
 
-Round-5 rotation: the window swapped in the ENTIRE 31-entry
-never-driver-checked backlog from round 4 (per VERDICT r4 item 1) plus
-19 shape-distinct keeps — streaming micro-batch, dialect/tick parity,
-and one representative per extension family. Every rotated-out entry
-was driver-green in a prior round with an unchanged implementation and
-keeps oracle_check value coverage each round. The per-query rotation
-history (query → rounds driver-checked → last local verification) is
-the audit table in COVERAGE.md — the authoritative record, replacing
-the per-round docstring changelogs that used to live here.
+Round-6 rotation: the window leads with the 14 oracle-backed round-5
+additions that have never had a driver row (VERDICT r5 item 2), then
+the 26 stalest driver-green entries (last checked round 2), then 10
+round-3-stale picks chosen so every execution family — dedup,
+similarity, text, multimodal, streaming, sketch, BPE — still gets a
+driver row this round. Every rotated-out entry was driver-green in a
+prior round with an unchanged implementation and keeps oracle_check
+value coverage each round. The per-query rotation history (query →
+rounds driver-checked → last local verification) is the audit table in
+COVERAGE.md — the authoritative record, replacing the per-round
+docstring changelogs that used to live here.
 """
 
 from opentick_spark.workload.core import ORACLES as _CORE_O
@@ -67,73 +69,74 @@ from opentick_spark.workload.tick import QUERIES as _TICK_Q
 ALL_QUERIES = {**_CORE_Q, **_TICK_Q, **_LLM_Q}
 ALL_ORACLES = {**_CORE_O, **_TICK_O, **_LLM_O}
 
-# The driver's 50-query correctness window (round 5 rotation, per the
-# documented policy: never-yet-driver-checked entries lead; rotated-out
-# entries were driver-green in a prior round with unchanged
-# implementations and keep tests/oracle_check.py value coverage every
-# round). Full per-query rotation history lives in COVERAGE.md (the
-# audit table the r4 verdict asked for — query → rounds driver-checked
-# → local verification), replacing the docstring changelogs.
+# The driver's 50-query correctness window (round 6 rotation, per the
+# documented policy: never-yet-driver-checked entries lead; then the
+# stalest driver-green entries; rotated-out entries were driver-green in
+# a prior round with unchanged implementations and keep
+# tests/oracle_check.py value coverage every round). Full per-query
+# rotation history lives in COVERAGE.md (the audit table the r4 verdict
+# asked for — query → rounds driver-checked → local verification),
+# replacing the docstring changelogs.
 _DRIVER_WINDOW = [
-    # ---- the 31 round-4 additions that had never had a driver row
-    # (the full never-driver-checked backlog named in VERDICT r4) ----
-    "source_overlap_matrix",
-    "run_length_histogram",
-    "value_decile_stats",
-    "lead_lag_correlation",
-    "dedup_edit_distance",
-    "collocation_pmi_top100",
-    "funnel_time_to_convert",
-    "user_ts_features",
-    "streaming_topk_values",
-    "lang_id_confusion",
-    "psi_value_drift",
-    "tokenizer_fertility_by_lang",
-    "hard_negative_mining",
-    "key_skew_report",
-    "hll_distinct_rollup",
-    "bloom_decontaminate",
-    "dedup_ppjoin",
-    "embedding_random_projection",
-    "group_kfold_stats",
-    "dedup_containment",
-    "split_contamination_stats",
-    "dataset_card",
-    "mahalanobis_outliers",
-    "hourly_seasonality",
-    "user_activity_entropy",
-    "event_type_lift",
-    "pareto_nation_revenue",
-    "supplier_concentration_hhi",
-    "vwap_slippage",
-    "adj_factor_audit",
-    "label_cohesion_stats",
-    # two more oracle-backed never-driver-checked entries found by the
-    # COVERAGE.md audit sweep (not in the VERDICT list)
-    "exact_quantiles_by_type",
-    "users_high_value_no_error",
-    # ---- 19 keeps: shape-distinct representatives per family, so the
-    # driver still exercises every execution shape each round ----
-    # streaming micro-batch execution
-    "streaming_dedup_ingest",
-    "streaming_dedup_watermark",
-    "streaming_ohlcv",
-    "continuous_ohlcv",
-    # reference-parity dialect/tick surface
-    "dialect_upsert_delete",
-    "adj_forward",
-    "meta_catalog",
-    "split_range_scan",
-    # one representative per extension family
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "asof_join_purchase_signup",
-    "approx_distinct_users",
-    "stratified_sample",
-    "snapshot_diff",
-    "incremental_dedup",
-    "multimodal_audio_windows",
-    "hybrid_search",
+    # ---- the 14 oracle-backed round-5 additions that have never had a
+    # driver row (the full never-driver-checked backlog named in
+    # VERDICT r5 item 2) ----
+    "chunk_dedup_stats",
+    "char_entropy_stats",
+    "wav_decode_features",
+    "dedup_star_clusters",
+    "incremental_neardup_assign",
+    "embedding_norm_stats",
+    "rolling_beta_7d",
+    "retention_cohorts",
+    "referential_integrity_audit",
+    "hll_intersection_users",
+    "streaming_chunk_dedup",
+    "heaps_law_stats",
+    "daily_growth_accounting",
+    "roll_spread_estimate",
+    # ---- 26 stalest entries: last driver-checked in round 2 (the
+    # relational/dialect/tick core that sat out rounds 3-5) ----
+    "adj_backward",
+    "brand_nation_revenue",
+    "cohort_retention",
+    "dialect_point_get",
+    "dialect_prefix_scan",
+    "dialect_range_tail",
+    "ewma_final_price",
+    "full_scan_agg",
+    "funnel_signup_purchase",
+    "gap_fill_locf",
+    "json_props_stats",
+    "ohlcv_rollup",
+    "pivot_event_counts",
+    "pk_point_get",
+    "pk_prefix_scan",
+    "pk_range_scan",
+    "pricing_summary",
+    "revenue_by_nation",
+    "scalar_subquery_filter",
+    "session_windows",
+    "stats_by_event_type",
+    "streaming_upsert_ingest",
+    "tail_limit",
+    "top_orders_by_revenue",
+    "vwap_hourly",
+    "window_rank_topn",
+    # ---- 10 round-3-stale picks chosen for family/shape coverage, so
+    # the driver still exercises every execution shape this round:
+    # dedup, similarity (LSH + IVF), text, multimodal, streaming
+    # micro-batch, sketch/quantile, BPE ----
+    "approx_quantiles",
+    "dedup_exact",
+    "dedup_simhash",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "text_quality",
+    "text_lang_id",
+    "multimodal_features",
+    "streaming_window_counts",
+    "bpe_encode_docs",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

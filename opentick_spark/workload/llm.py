@@ -166,14 +166,21 @@ def dedup_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     query computes connected components over BOTH graphs in-Spark and
     asserts they are identical on this corpus — the driver-green row
     pins the clustering-equivalence claim, the skew drill pins the
-    asymptotics (PLANS.md)."""
+    asymptotics (PLANS.md). Both arms share one ``lsh_frames`` pass
+    (r6): tokenize + minhash + banding run once, each arm reads the
+    materialized shingle/bucket frames."""
     docs = load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, num_hashes=96, bands=24, threshold=0.5)
-    star = D.minhash_cluster_edges(
-        docs, num_hashes=96, bands=24, threshold=0.5
+    frames = D.lsh_frames(docs, num_hashes=96, bands=24)
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=96, bands=24, threshold=0.5, frames=frames
     )
-    ca = D.connected_components(pairs).withColumnRenamed("cluster", "ca")
-    cb = D.connected_components(star).withColumnRenamed("cluster", "cb")
+    star = D.minhash_cluster_edges(
+        docs, num_hashes=96, bands=24, threshold=0.5, frames=frames
+    )
+    # one propagation loop for both clusterings (tag-encoded union)
+    comp_a, comp_b = D.connected_components_multi([pairs, star])
+    ca = comp_a.withColumnRenamed("cluster", "ca")
+    cb = comp_b.withColumnRenamed("cluster", "cb")
     mism = ca.join(cb, "id", "full_outer").select(
         (~F.col("ca").eqNullSafe(F.col("cb"))).cast("int").alias("m")
     )
@@ -268,16 +275,44 @@ def incremental_neardup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline ∪ delta in-Spark and asserts the delta docs are
     partitioned identically (cluster-representative comparison over
     delta ids) — the driver-green row pins incremental ≡ full on this
-    corpus each round."""
+    corpus each round. All three arms (index build, delta assign, full
+    re-cluster) share ONE ``lsh_frames`` pass over the corpus (r6):
+    baseline/delta bucket occupancy are id-filters over the shared
+    banded frame, so the corpus is tokenized and minhashed once."""
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     baseline = docs.filter(F.col("doc_id") % 5 != 4)
     delta = docs.filter(F.col("doc_id") % 5 == 4)
-    idx = D.lsh_cluster_index(baseline, num_hashes=96, bands=24)
-    inc = D.incremental_cluster_assign(delta, idx, num_hashes=96, bands=24)
-    full = D.connected_components(
-        D.minhash_cluster_edges(docs, num_hashes=96, bands=24, verify=False)
+    _sh, banded = D.lsh_frames(docs, num_hashes=96, bands=24)
+    b_banded = banded.filter(F.col("id") % 5 != 4)
+    # index-build CC and full-recluster CC are independent — one
+    # tag-encoded propagation loop runs both (the delta-assign CC has a
+    # data dependency on the index, so it stays separate)
+    comp_b, full = D.connected_components_multi(
+        [
+            D.star_edges_from_buckets(b_banded),
+            D.star_edges_from_buckets(banded),
+        ]
+    )
+    clusters_b = (
+        baseline.select(F.col("doc_id").alias("id"))
+        .join(comp_b, "id", "left")
+        .select("id", F.coalesce("cluster", F.col("id")).alias("cluster"))
+    )
+    idx = D.lsh_cluster_index(
+        baseline,
+        clusters=clusters_b,
+        num_hashes=96,
+        bands=24,
+        banded=b_banded,
+    )
+    inc = D.incremental_cluster_assign(
+        delta,
+        idx,
+        num_hashes=96,
+        bands=24,
+        banded=banded.filter(F.col("id") % 5 == 4),
     )
     fa = (
         delta.select(F.col("doc_id").alias("id"))
@@ -1208,6 +1243,79 @@ def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zero_crossings").cast("long").alias("zero_crossings"),
         F.col("duration_s").cast("double").alias("duration_s"),
         F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
+@q(
+    "png_decode_features",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             32 + (doc_id % 7) * 16 AS v1,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS nc
+      FROM documents
+    )
+    SELECT doc_id AS id,
+           CAST(8 + (doc_id % 5) * 2 AS INT) AS width,
+           CAST(6 + (doc_id % 3) * 2 AS INT) AS height,
+           CAST(nc AS INT) AS n_channels,
+           CAST(v1 + 32 AS DOUBLE) AS mean_pixel,
+           CAST(32 AS DOUBLE) AS std_pixel,
+           CAST(v1 AS INT) AS min_pixel,
+           CAST(v1 + 64 AS INT) AS max_pixel
+    FROM t
+    """,
+)
+def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode at corpus scale with ZERO codec dependencies
+    (r6, VERDICT item 4 — the image analog of wav_decode_features): every
+    doc gets a genuine PNG payload — zlib-DEFLATE IDAT, true scanline
+    filters — whose pixels are a closed-form checkerboard in doc_id
+    (v1/v1+64 alternating; even pixel count ⇒ mean = v1+32 and
+    std = 32 EXACTLY, both dyadic — no float rounding), then
+    ``operators/multimodal.png_features`` inflates, unfilters and
+    measures TRUE pixel values. The scanline filter type cycles
+    doc_id % 5, so all five PNG filters (None/Sub/Up/Average/Paeth)
+    are decode-verified against the arithmetic oracle on every run.
+    Scale posture: synthesis and decode are narrow Arrow maps — no
+    shuffle, no driver collect."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 8 + d % 5 * 2
+                h = 6 + d % 3 * 2
+                c = (1, 3, 4)[d % 3]
+                v1 = 32 + (d % 7) * 16
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.where((xx + yy) % 2 == 0, v1, v1 + 64).astype(
+                    np.uint8
+                )
+                img = np.repeat(img[:, :, None], c, axis=2)
+                payloads.append(M._encode_png(img, filter_type=d % 5))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    pngs = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return M.png_features(pngs).select(
+        "id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_channels").cast("int").alias("n_channels"),
+        F.col("mean_pixel").cast("double").alias("mean_pixel"),
+        F.col("std_pixel").cast("double").alias("std_pixel"),
+        F.col("min_pixel").cast("int").alias("min_pixel"),
+        F.col("max_pixel").cast("int").alias("max_pixel"),
     )
 
 

@@ -1,0 +1,62 @@
+"""Subprocess reader for the reader-vs-compaction race test: boots its
+own SparkSession (a genuinely separate process — no shared store lock,
+no shared JVM) and loops full-table reads while the parent process
+appends + compacts. Contract under test (table.py compact() docstring,
+the VACUUM-style transient): every SUCCESSFUL read is a consistent
+pre- or post-compaction snapshot — all keys present, all values from
+ONE generation — and a read racing the swap may FAIL transiently (the
+Delta/Iceberg expired-snapshot analog) but must never succeed with
+missing or mixed rows.
+
+argv: warehouse db table n_keys stop_file
+stdout: one line ``READS <n_success> <n_transient>`` then
+``READER_OK`` or ``READER_VIOLATION <detail>``.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from opentick_spark.catalog import Catalog  # noqa: E402
+from opentick_spark.session import get_spark  # noqa: E402
+from opentick_spark.table import TableStore  # noqa: E402
+
+
+def main() -> None:
+    warehouse, db, table, n_keys_s, stop_file = sys.argv[1:6]
+    n_keys = int(n_keys_s)
+    spark = get_spark(app_name="compact_reader", shuffle_partitions=4)
+    store = TableStore(Catalog(warehouse), db, table)  # opened ONCE:
+    # per-read re-opens would block on the compactor's file lock and
+    # serialize the race away — the transient window only exists for a
+    # reader whose store handle predates the swap
+    print("READER_READY", flush=True)
+    n_success = 0
+    n_transient = 0
+    violation = None
+    while not os.path.exists(stop_file):
+        try:
+            rows = store.read(spark).collect()
+        except Exception:
+            n_transient += 1
+            continue
+        n_success += 1
+        got_keys = sorted(r["a"] for r in rows)
+        gens = {r["v"] for r in rows}
+        if got_keys != list(range(n_keys)) or len(gens) != 1:
+            violation = (
+                f"keys={len(got_keys)}/{n_keys} generations={sorted(gens)[:5]}"
+            )
+            break
+        time.sleep(0.01)
+    print(f"READS {n_success} {n_transient}", flush=True)
+    if violation:
+        print(f"READER_VIOLATION {violation}", flush=True)
+        sys.exit(3)
+    print("READER_OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
