@@ -71,18 +71,37 @@ def _fake_decode_features(payload: bytes) -> list[float]:
 
 
 def _real_decode_features(payload: bytes) -> list[float]:
-    """Real image decode behind an optional Pillow import: grayscale
-    luminance histogram over FEATURE_DIM buckets. Raises
-    NotImplementedError (not ImportError) when the codec library is
-    absent so callers see the same contract the stub documents."""
+    """Real image decode: grayscale luminance histogram over
+    FEATURE_DIM buckets. PNG payloads decode with the module's own
+    stdlib codec (``_decode_png`` — zlib inflate + unfilter, no
+    external dependency; r6); other formats fall back to Pillow when
+    importable and raise NotImplementedError (not ImportError) when the
+    codec library is absent, so callers see the contract the stub
+    documents."""
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        m = _decode_png(payload)
+        if m is not None:
+            px = m["pixels"].astype(np.float64)
+            # luminance = channel mean (alpha included as-is for GA/RGBA
+            # — a histogram feature, not a compositing operation)
+            luma = px.mean(axis=2).astype(np.int64).reshape(-1)
+            counts = np.bincount(
+                np.clip(luma * FEATURE_DIM // 256, 0, FEATURE_DIM - 1),
+                minlength=FEATURE_DIM,
+            )
+            total = max(1, m["width"] * m["height"])
+            return [c / total for c in counts.tolist()]
     try:
         from io import BytesIO
 
         from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
-            "real media decode requires a codec library (Pillow) that is "
-            "not installed; use decode='fake' for the deterministic stub"
+            "real media decode of non-PNG formats requires a codec "
+            "library (Pillow) that is not installed; PNG decodes with "
+            "the stdlib codec, or use decode='fake' for the stub"
         ) from e
     img = Image.open(BytesIO(payload)).convert("L")
     counts = [0] * FEATURE_DIM
