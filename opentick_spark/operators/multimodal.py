@@ -2,12 +2,16 @@
 
 The Spark-side plumbing is real and tested: binary payload columns,
 metadata structs, Arrow-batched ``mapInPandas`` pipelines with explicit
-output schemas, and partition-count-preserving batch shapes. The actual
-codec work (JPEG decode, audio resample, video frame extraction) needs
-libraries this environment does not ship, so the decode kernel is STUBBED:
-``decode=\"fake\"`` (default) derives deterministic features from the bytes
-themselves; ``decode=\"real\"`` raises NotImplementedError where a codec
-(Pillow/ffmpeg/torchaudio) would be called.
+output schemas, and partition-count-preserving batch shapes. Two codecs
+are STDLIB-REAL — WAV (``wave``: true PCM decode, r5) and PNG (``zlib``
+IDAT inflate + scanline unfiltering, r6) — powering genuine metadata,
+feature, windowing and perceptual-dedup operators with zero external
+dependencies. Formats that genuinely need codec libraries this
+environment does not ship (JPEG, video) keep the stub contract:
+``decode=\"fake\"`` (default) derives deterministic features from the
+bytes themselves; ``decode=\"real\"`` decodes PNG for real and raises
+NotImplementedError for the rest where a codec (Pillow/ffmpeg) would
+be called.
 
 At 100 TB the pattern matters more than the kernel: binaries stay in
 columnar storage next to their metadata, pipelines stream Arrow batches
@@ -722,4 +726,96 @@ def png_features(
 
     return df.select(id_col, payload_col).mapInPandas(
         batches, PNG_FEATURES_SCHEMA
+    )
+
+
+def _dhash(pixels, hash_size: int = 8) -> int:
+    """Perceptual difference-hash of a decoded image: grayscale luma,
+    downsample to (hash_size, hash_size+1) — exact block mean when the
+    dimensions divide, deterministic nearest-neighbor sampling
+    otherwise — then one bit per horizontal gradient sign. Invariant to
+    uniform brightness shifts (a constant offset cancels in the
+    differences), which is what makes it a PERCEPTUAL dedup key rather
+    than a byte hash. Returned as a signed 64-bit int (Spark long)."""
+    import numpy as np
+
+    px = pixels.astype(np.float64).mean(axis=2)
+    h, w = px.shape
+    th, tw = hash_size, hash_size + 1
+    if h % th == 0 and w % tw == 0:
+        small = px.reshape(th, h // th, tw, w // tw).mean(axis=(1, 3))
+    else:
+        ys = (np.arange(th) * h) // th
+        xs = (np.arange(tw) * w) // tw
+        small = px[np.ix_(ys, xs)]
+    bits = (small[:, 1:] > small[:, :-1]).reshape(-1)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+IMAGE_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual hash per image payload over genuinely decoded PNG
+    pixels (stdlib codec — no Pillow): (id, dhash). Corrupt or
+    non-PNG payloads yield NULL (quarantine). Narrow Arrow map — the
+    decode+hash runs where the bytes live; only the 8-byte hash ever
+    moves, the 100 TB posture for image dedup."""
+
+    def one(payload: bytes):
+        m = _decode_png(payload)
+        if m is None:
+            return None
+        return _dhash(m["pixels"], hash_size)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "dhash": [one(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, IMAGE_DHASH_SCHEMA
+    )
+
+
+def image_dedup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Exact-dHash image dedup: every image joins the group of its
+    perceptual hash; keeper = min(id) per group (the same
+    keeper-election contract as the text dedup family). Brightness-
+    shifted duplicates group together even though their BYTES differ —
+    a chunk/byte hash cannot do this. NULL-hash (undecodable) payloads
+    are quarantined as their own keeper, never grouped. ONE shuffle on
+    the 8-byte hash; for Hamming-radius near-dup at scale, block the
+    hash pigeonhole-style like ``dedup.simhash_pairs``."""
+    from pyspark.sql import Window
+
+    sigs = image_dhash(df, id_col, payload_col, hash_size)
+    keeper = F.min("id").over(Window.partitionBy("dhash"))
+    return sigs.select(
+        "id",
+        F.when(F.col("dhash").isNull(), F.col("id"))
+        .otherwise(keeper)
+        .alias("keeper"),
     )

@@ -1319,6 +1319,54 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "image_dedup_dhash",
+    """
+    SELECT doc_id AS id,
+           MIN(doc_id) OVER (PARTITION BY doc_id % 40) AS keeper
+    FROM documents
+    """,
+)
+def image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image dedup over genuinely decoded pixels (r6): every
+    doc gets a real PNG whose pattern is seeded by doc_id % 40 — so the
+    corpus carries 40 planted duplicate groups — and each clone is
+    brightness-shifted by (doc_id % 3)·10, so the clones' BYTES (and
+    any chunk/byte hash) differ while their pixel gradients are
+    identical. ``multimodal.image_dedup_groups`` must recover the
+    planted partition exactly: dHash (stdlib PNG decode → block-mean
+    downsample → horizontal gradient signs) is invariant to the uniform
+    brightness shift by construction. Keeper election = min(doc_id) per
+    group — arithmetic the oracle replays. Scale: decode+hash is a
+    narrow Arrow map; only the 8-byte hash shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rng = np.random.RandomState(d % 40)
+                img = rng.randint(0, 180, size=(32, 36)).astype(np.int64)
+                img = (img + (d % 3) * 10).astype(np.uint8)  # clone jitter
+                payloads.append(M._encode_png(img[:, :, None]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    pngs = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return M.image_dedup_groups(pngs).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("keeper").cast("long").alias("keeper"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming
 

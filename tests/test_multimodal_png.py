@@ -81,3 +81,50 @@ def test_png_plan_is_narrow(spark, png_df):
     )
     assert "Exchange" not in plan  # pure narrow map
     assert "BatchEvalPython" not in plan  # Arrow path, not row-UDF
+
+
+def test_dhash_brightness_invariance_and_distinctness():
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 180, size=(32, 36, 1)).astype(np.uint8)
+    shifted = (base.astype(np.int64) + 40).astype(np.uint8)
+    other = np.random.RandomState(4).randint(
+        0, 180, size=(32, 36, 1)
+    ).astype(np.uint8)
+    h_base = M._dhash(base)
+    assert h_base == M._dhash(shifted)  # uniform shift cancels
+    assert h_base != M._dhash(other)  # different pattern, different hash
+    # non-divisible dimensions take the nearest-neighbor path and still
+    # hash deterministically
+    odd = rng.randint(0, 180, size=(13, 17, 3)).astype(np.uint8)
+    assert M._dhash(odd) == M._dhash(odd)
+
+
+def test_image_dedup_groups_perceptual(spark):
+    def png(seed, offset):
+        img = np.random.RandomState(seed).randint(
+            0, 180, size=(32, 36)
+        ).astype(np.int64)
+        return _encode_png(((img + offset) % 256).astype(np.uint8)[:, :, None])
+
+    rows = [
+        (10, png(1, 0)),
+        (11, png(1, 10)),  # brightness-shifted clone of 10
+        (12, png(1, 20)),  # another clone
+        (20, png(2, 0)),  # distinct image
+        (30, b"corrupt"),  # quarantined: own keeper
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["id"]: r["keeper"] for r in M.image_dedup_groups(df).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 30: 30}
+
+
+def test_image_dhash_plan_is_narrow(spark):
+    df = spark.createDataFrame(
+        [(1, _encode_png(np.zeros((8, 9), np.uint8)))],
+        "doc_id long, payload binary",
+    )
+    plan = (
+        M.image_dhash(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
