@@ -635,6 +635,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     token_ngram: int = 2,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance with chunk blocking.
 
@@ -645,7 +646,9 @@ def simhash_pairs(
     (chunk_idx, chunk_value), then verify bit_count(xor) exactly:
     **100% recall** at the requested radius, cost scaling with chunk
     collisions (wider radius ⇒ narrower chunks ⇒ more candidates — the
-    standard Hamming-ball blocking trade-off).
+    standard Hamming-ball blocking trade-off). ``sigs``: precomputed
+    ``simhash_signatures`` frame so multi-arm callers (the blocked-vs-
+    exhaustive self-check) hash the corpus once.
     Output: (id_a, id_b, hamming).
     """
     if not 0 <= max_hamming <= 31:
@@ -657,7 +660,8 @@ def simhash_pairs(
     # chunk unequal)
     chunk_bits = min(31, 64 // n_chunks)
     mask = F.lit((1 << chunk_bits) - 1).cast("long")
-    sigs = simhash_signatures(df, id_col, text_col, token_ngram)
+    if sigs is None:
+        sigs = simhash_signatures(df, id_col, text_col, token_ngram)
     chunks = sigs.select(
         "id",
         "sh",

@@ -357,8 +357,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifier, O(n²) popcounts — an oracle-only cost, not the scale
     path). A blocking bug flips the boolean and fails the hash gate."""
     docs = load(spark, sf_dir, "documents")
-    sigs = D.simhash_signatures(docs)
-    blocked = D.simhash_pairs(docs, max_hamming=8)
+    # one signature pass, materialized: the blocked arm and BOTH sides
+    # of the exhaustive verifier read the same checkpointed frame (r6)
+    sigs = D.simhash_signatures(docs).localCheckpoint(eager=True)
+    blocked = D.simhash_pairs(docs, max_hamming=8, sigs=sigs)
     exhaustive = (
         sigs.alias("x")
         .join(sigs.alias("y"), F.col("x.id") < F.col("y.id"))
