@@ -1173,6 +1173,79 @@ def streaming_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "streaming_image_dedup",
+    """
+    SELECT CAST(COUNT(DISTINCT doc_id % 40) AS BIGINT) AS n_distinct_images
+    FROM documents
+    """,
+)
+def streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PERCEPTUAL image dedup (r6): the ingest-time face of
+    ``image_dedup_dhash``. Images arrive in THREE real micro-batches
+    (the same 40 planted pattern groups, brightness-jittered per clone
+    so their bytes differ across deliveries), each batch decodes PNGs
+    and computes dHash in a narrow Arrow map, and ``dropDuplicates``
+    keyed state emits each perceptual hash exactly ONCE across the
+    whole stream — first-occurrence-wins image dedup at ingest, state
+    sized by DISTINCT images (40 hashes) not deliveries (N docs). The
+    result COUNTS sink rows, so a state failure double-emitting, or a
+    dHash failing brightness invariance across batches, fails the
+    oracle."""
+    import numpy as np
+    import pandas as pd
+
+    name = "imgdedup_sink_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="otspark_img_src_")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(
+        src_dir
+    )
+    from opentick_spark.streaming.ingest import state_partitions
+
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rng = np.random.RandomState(d % 40)
+                img = rng.randint(0, 180, size=(32, 36)).astype(np.int64)
+                img = (img + (d % 3) * 10).astype(np.uint8)
+                payloads.append(M._encode_png(img[:, :, None]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    pngs = stream.mapInPandas(gen, "doc_id long, payload binary")
+    hashes = M.image_dhash(pngs).select("dhash")
+    with state_partitions(spark, 8):
+        query = (
+            hashes.dropDuplicates(["dhash"])
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="otspark_img_ck_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_images")
+    )
+
+
+@q(
     "wav_decode_features",
     """
     WITH t AS (
