@@ -128,3 +128,28 @@ def test_image_dhash_plan_is_narrow(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------ property testing
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    c=st.integers(min_value=1, max_value=4),
+    ft=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, ft, seed):
+    """Any 8-bit image, any dimensions, any scanline filter: encode →
+    decode is the identity on pixels and metadata."""
+    a = np.random.RandomState(seed).randint(0, 256, size=(h, w, c)).astype(
+        np.uint8
+    )
+    d = _decode_png(_encode_png(a, filter_type=ft))
+    assert d is not None
+    assert (d["height"], d["width"], d["n_channels"]) == (h, w, c)
+    assert np.array_equal(d["pixels"], a)
