@@ -442,7 +442,9 @@ def wav_features(
 
 
 # ---------------------------------------------------------------------------
-# PNG: stdlib-real image decode (r6) — the image counterpart of the WAV
+# PNG: stdlib-real image decode (r6, per the public PNG spec — RFC 2083 /
+# W3C PNG second edition: chunk stream, IHDR fields, DEFLATE IDAT, and
+# the five type-0 scanline filters) — the image counterpart of the WAV
 # work. PNG's compression is zlib DEFLATE and its scanline filters are
 # pure arithmetic, so a genuine decode needs NOTHING beyond the stdlib:
 # parse the chunk stream, inflate IDAT with ``zlib``, unfilter scanlines

@@ -417,3 +417,47 @@ def test_star_edges_no_self_join_blowup(spark, queries):
     )
     assert "Window" in plan  # hub = min(id) OVER (band, bucket)
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_runtime_bloom_filter_join_eligible(spark):
+    """100 TB posture evidence (r6): a selective dim filter joined into
+    a big fact over a SHUFFLE join is eligible for Spark's runtime
+    bloom-filter injection — the fact side gets a might_contain()
+    pre-filter built from the dim side, cutting shuffle volume before
+    the join. At production scale this fires on the default config
+    (application side > 10 GiB scan, dim side above the broadcast
+    threshold); at test scale those thresholds gate it OFF, so the test
+    lowers them to pin that OUR join shape qualifies — if a refactor
+    broke the equi-join condition or hid the selective filter behind a
+    Python UDF, the injection would stop planning."""
+    defaults = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    for k in defaults:
+        defaults[k] = spark.conf.get(k)
+    # the default gates document WHY this never fires at sf0.01
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    ) == "true"
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0b",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        import pyspark.sql.functions as F
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        sel = orders.filter(F.col("o_totalprice") > 400000).select(
+            "o_orderkey"
+        )
+        j = lineitem.join(sel, lineitem.l_orderkey == sel.o_orderkey)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt  # dim side builds the filter
+        assert "might_contain" in opt  # fact scan applies it
+    finally:
+        for k, v in defaults.items():
+            spark.conf.set(k, v)
