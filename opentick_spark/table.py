@@ -382,12 +382,46 @@ class TableStore:
 
     # ------------------------------------------------------------------
     # read path (Spark)
-    def _raw(self, spark: SparkSession) -> DataFrame:
+    def _raw(
+        self, spark: SparkSession, with_log_flag: bool = False
+    ) -> DataFrame | tuple[DataFrame, bool]:
         """Union of base (compacted) + log (commits), with a consistent
         ``__bucket`` column when the base is hash-bucketed (log rows
-        compute it on the fly so pruning filters stay valid)."""
+        compute it on the fly so pruning filters stay valid).
+
+        ``with_log_flag`` additionally returns whether LOG FILES WERE
+        LISTED into the plan — the authoritative input for the caller's
+        skip-latest-wins decision. Deciding that from ``meta.compacted``
+        is a cross-process RACE: a reader can list a log commit while a
+        concurrent compaction publishes ``compacted=True``, and a
+        meta-based skip would then return base+log rows WITHOUT
+        resolution — duplicate PKs in a successful read. The listing is
+        what the scan will actually read, so it can't disagree with the
+        plan.
+
+        LISTING ORDER IS LOAD-BEARING (r6, caught by the cross-process
+        reader-race test): the log is listed BEFORE the base. A
+        concurrent compaction swaps the base in BEFORE it GCs the log,
+        so log-listed-empty implies the new base is already installed —
+        every interleaving then yields a consistent snapshot (possibly
+        with same-seq duplicate rows across base+log, which latest-wins
+        resolves to identical values) or a transient file-not-found the
+        caller may retry. Base-first listing has a silent zero-row
+        window: list the pre-first-compaction EMPTY base, then the log
+        after its GC — both empty, read "succeeds" with no rows."""
         meta = self._meta()
         nb = meta.get("hash_buckets")
+        has_log = False
+        log = None
+        if os.listdir(self.log_path):
+            has_log = True
+            log = (
+                spark.read.schema(self.spark_schema())
+                .option("recursiveFileLookup", "true")
+                .parquet(self.log_path)
+            )
+            if nb:
+                log = log.withColumn(BUCKET_COL, self._bucket_expr(nb))
         parts = []
         if os.listdir(self.base_path):
             # explicit schema: a compacted-empty base (only _SUCCESS, no
@@ -399,21 +433,15 @@ class TableStore:
             if nb:
                 base = base.withColumn(BUCKET_COL, F.col(BUCKET_COL).cast("int"))
             parts.append(base)
-        if os.listdir(self.log_path):
-            log = (
-                spark.read.schema(self.spark_schema())
-                .option("recursiveFileLookup", "true")
-                .parquet(self.log_path)
-            )
-            if nb:
-                log = log.withColumn(BUCKET_COL, self._bucket_expr(nb))
+        if log is not None:
             parts.append(log)
         if not parts:
-            return spark.createDataFrame([], self.spark_schema())
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            out = spark.createDataFrame([], self.spark_schema())
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        return (out, has_log) if with_log_flag else out
 
     def read(
         self,
@@ -439,7 +467,7 @@ class TableStore:
         compact raise rather than silently return post-compaction
         state."""
         schema = self.schema
-        df = self._raw(spark)
+        df, has_log = self._raw(spark, with_log_flag=True)
         meta = self._meta()
         nb = meta.get("hash_buckets")
         if nb and leading_eq is not None:
@@ -460,8 +488,12 @@ class TableStore:
                 )
             df = df.filter(F.col(SEQ_COL) <= as_of_seq)
         # a compacted base alone needs no latest-wins agg; any snapshot
-        # read re-resolves because post-compact commits may be excluded
-        if not (meta.get("compacted", False) and as_of_seq is None):
+        # read re-resolves because post-compact commits may be excluded.
+        # The skip keys off what was LISTED (has_log), never off
+        # meta.compacted — the meta read races concurrent compactions
+        # in other processes and could skip resolution on a plan that
+        # unioned base + log (see _raw docstring, r6)
+        if not (not has_log and as_of_seq is None):
             # latest-wins as ONE hash aggregation (max_by over the commit
             # seq): partial-aggregates map-side and needs no per-partition
             # sort, unlike a row_number window — the cheaper plan at any

@@ -10,7 +10,10 @@ missing or mixed rows.
 
 argv: warehouse db table n_keys stop_file
 stdout: one line ``READS <n_success> <n_transient>`` then
-``READER_OK`` or ``READER_VIOLATION <detail>``.
+``READER_OK`` or ``READER_VIOLATION <detail>``. Progress is also
+written to ``<stop_file>.progress`` after every successful read so the
+parent can keep compacting until the race has actually been exercised
+(a fixed generation count under-runs on a contended box).
 """
 
 import os
@@ -35,14 +38,21 @@ def main() -> None:
     print("READER_READY", flush=True)
     n_success = 0
     n_transient = 0
+    last_err = ""
     violation = None
     while not os.path.exists(stop_file):
         try:
             rows = store.read(spark).collect()
-        except Exception:
+        except Exception as e:
             n_transient += 1
+            last_err = f"{type(e).__name__}: {e}"[:200].replace("\n", " ")
             continue
         n_success += 1
+        try:
+            with open(stop_file + ".progress", "w") as f:
+                f.write(str(n_success))
+        except OSError:
+            pass
         got_keys = sorted(r["a"] for r in rows)
         gens = {r["v"] for r in rows}
         if got_keys != list(range(n_keys)) or len(gens) != 1:
@@ -52,6 +62,8 @@ def main() -> None:
             break
         time.sleep(0.01)
     print(f"READS {n_success} {n_transient}", flush=True)
+    if last_err:
+        print(f"LAST_TRANSIENT {last_err}", flush=True)
     if violation:
         print(f"READER_VIOLATION {violation}", flush=True)
         sys.exit(3)

@@ -196,10 +196,32 @@ def test_cross_process_reader_during_compaction(spark, tmp_path):
             if "READER_READY" in line:
                 break
         # each generation: ONE atomic overwrite of every key, then a
-        # compaction (rename swap + old-base trash + log GC)
-        for g in range(1, 13):
+        # compaction (rename swap + old-base trash + log GC). Keep
+        # generating until the reader has demonstrably read between
+        # swaps (progress file), so a contended box can't under-run the
+        # race; hard caps bound the loop either way.
+        progress = stop_file + ".progress"
+
+        def reads_so_far() -> int:
+            try:
+                with open(progress) as f:
+                    return int(f.read() or 0)
+            except (OSError, ValueError):
+                return 0
+
+        deadline = time.time() + 120
+        g = 0
+        while (g < 12 or reads_so_far() < 5) and g < 60:
+            if time.time() > deadline:
+                break
+            g += 1
             store.append_rows([{"a": k, "v": g} for k in range(n_keys)])
             store.compact(spark)
+            # leave a stable window between swaps: real compactions are
+            # periodic maintenance, not a tight loop — back-to-back
+            # swaps on a warm session would make EVERY reader scan
+            # straddle a swap and starve the success count
+            time.sleep(0.5)
     finally:
         with open(stop_file, "w") as f:
             f.write("stop")
