@@ -821,3 +821,99 @@ def image_dedup_groups(
         .otherwise(keeper)
         .alias("keeper"),
     )
+
+
+def _audio_fingerprint(payload: bytes, n_windows: int = 32) -> int | None:
+    """Perceptual fingerprint of a decoded WAV: the sign pattern of the
+    energy-envelope derivative — true PCM decode (stdlib ``wave``
+    header + numpy), mean |amplitude| per window, one bit per
+    adjacent-window comparison. Invariant to uniform GAIN scaling (a
+    positive gain scales every window energy equally, so the
+    comparisons are unchanged) — the audio analog of ``_dhash``'s
+    brightness invariance. Returns a signed 64-bit int (n_windows-1
+    meaningful bits) or None for corrupt/unsupported/too-short
+    payloads."""
+    import numpy as np
+
+    m = _parse_wav_header(payload)
+    if m is None or m["sample_width"] not in _WIDTH_DTYPE:
+        return None
+    fb = m["sample_width"] * m["n_channels"]
+    data = payload[m["data_offset"] : m["data_offset"] + m["n_frames"] * fb]
+    if len(data) % fb:
+        data = data[: len(data) - len(data) % fb]
+    x = np.frombuffer(data, dtype=_WIDTH_DTYPE[m["sample_width"]]).astype(
+        np.float64
+    )
+    if m["sample_width"] == 1:
+        x = x - 128.0
+    if m["n_channels"] > 1:
+        x = x.reshape(-1, m["n_channels"]).mean(axis=1)
+    w = x.size // n_windows
+    if w == 0:
+        return None
+    env = np.abs(x[: n_windows * w]).reshape(n_windows, w).mean(axis=1)
+    bits = env[1:] > env[:-1]
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("fp", T.LongType(), True),
+    ]
+)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_windows: int = 32,
+) -> DataFrame:
+    """(id, fp) perceptual audio fingerprints over genuinely decoded
+    PCM — narrow Arrow map, NULL quarantine for undecodable payloads;
+    only the 8-byte fingerprint ever shuffles."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "fp": [
+                        _audio_fingerprint(p, n_windows)
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, AUDIO_FP_SCHEMA
+    )
+
+
+def audio_dedup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_windows: int = 32,
+) -> DataFrame:
+    """Exact-fingerprint audio dedup with min-id keeper election —
+    gain-rescaled duplicates (re-encoded louder/quieter copies) group
+    together where byte hashes cannot; corrupt payloads quarantine as
+    their own keeper. Completes the perceptual-dedup trilogy: text
+    (MinHash shingles), image (``image_dedup_groups``), audio. ONE
+    shuffle on the fingerprint."""
+    from pyspark.sql import Window
+
+    sigs = audio_fingerprint(df, id_col, payload_col, n_windows)
+    keeper = F.min("id").over(Window.partitionBy("fp"))
+    return sigs.select(
+        "id",
+        F.when(F.col("fp").isNull(), F.col("id"))
+        .otherwise(keeper)
+        .alias("keeper"),
+    )

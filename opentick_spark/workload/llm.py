@@ -1246,6 +1246,63 @@ def streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "audio_dedup_fingerprint",
+    """
+    SELECT doc_id AS id,
+           MIN(doc_id) OVER (PARTITION BY doc_id % 35) AS keeper
+    FROM documents
+    """,
+)
+def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL audio dedup over genuinely decoded PCM (r6 — the
+    audio leg of the dedup trilogy beside image_dedup_dhash): every doc
+    gets a real stdlib-``wave`` WAV whose sample pattern is seeded by
+    doc_id % 35 (35 planted duplicate groups) and each clone is GAIN-
+    scaled by 1 + doc_id % 3 — different bytes, same energy-envelope
+    shape. ``multimodal.audio_dedup_groups`` must recover the planted
+    partition exactly: the fingerprint (mean |amplitude| per window →
+    derivative sign bits) is gain-invariant by construction. Keeper =
+    min(doc_id) per group — arithmetic the oracle replays. Narrow
+    Arrow decode; only 8-byte fingerprints shuffle."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rng = np.random.RandomState(d % 35)
+                base = rng.randint(-8000, 8000, size=3200)
+                gain = 1 + d % 3
+                pcm = (base * gain).astype("<i2").tobytes()
+                bio = io.BytesIO()
+                with _wave.open(bio, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(pcm)
+                payloads.append(bio.getvalue())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    wavs = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return M.audio_dedup_groups(wavs).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("keeper").cast("long").alias("keeper"),
+    )
+
+
+@q(
     "wav_decode_features",
     """
     WITH t AS (

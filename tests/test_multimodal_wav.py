@@ -131,3 +131,56 @@ def test_wav_plan_is_narrow(spark, wav_df):
     )
     assert "Exchange" not in plan  # pure narrow map
     assert "BatchEvalPython" not in plan  # Arrow path, not row-UDF
+
+
+def test_audio_fingerprint_gain_invariance_and_distinctness():
+    """r6: the perceptual audio fingerprint (energy-envelope derivative
+    signs over true PCM) is invariant to uniform gain and distinguishes
+    different signals — the audio analog of the image dHash."""
+    import io
+
+    def wav_of(samples) -> bytes:
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+        return bio.getvalue()
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(-8000, 8000, size=3200)
+    other = np.random.RandomState(12).randint(-8000, 8000, size=3200)
+    fp = M._audio_fingerprint(wav_of(base))
+    assert fp is not None
+    assert fp == M._audio_fingerprint(wav_of(base * 3))  # gain cancels
+    assert fp != M._audio_fingerprint(wav_of(other))
+    assert M._audio_fingerprint(b"not audio") is None  # quarantine
+    assert M._audio_fingerprint(wav_of([5, -5])) is None  # too short
+
+
+def test_audio_dedup_groups_perceptual(spark):
+    import io
+
+    def wav_of(seed, gain):
+        samples = (
+            np.random.RandomState(seed).randint(-8000, 8000, size=3200) * gain
+        )
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.astype("<i2").tobytes())
+        return bio.getvalue()
+
+    rows = [
+        (10, wav_of(1, 1)),
+        (11, wav_of(1, 2)),  # louder re-encode of 10
+        (12, wav_of(1, 3)),
+        (20, wav_of(2, 1)),  # distinct signal
+        (30, b"corrupt"),  # quarantined: own keeper
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["id"]: r["keeper"] for r in M.audio_dedup_groups(df).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 30: 30}
