@@ -1303,6 +1303,71 @@ def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "video_frame_stats",
+    """
+    WITH t AS (
+      SELECT doc_id, 2 + doc_id % 4 AS nf,
+             16 + (doc_id % 5) * 8 AS v1
+      FROM documents
+    )
+    SELECT doc_id AS id,
+           CAST(u.f AS INT) AS frame_idx,
+           CAST(v1 + 32 + u.f * 2 AS DOUBLE) AS mean_pixel,
+           CAST(32 AS DOUBLE) AS std_pixel,
+           CAST(384 AS BIGINT) AS n_frame_bytes
+    FROM t, LATERAL unnest(range(0, nf)) AS u(f)
+    """,
+)
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode at corpus scale (r6 — video joins
+    WAV and PNG as stdlib-real): every doc gets a genuine AVI (RIFF
+    hdrl/avih/strl/movi chunk tree, raw-DIB 24bpp frames with true
+    bottom-up BGR padded rows) holding 2 + doc_id % 4 checkerboard
+    frames whose pixel values are closed-form in (doc_id, frame_idx) —
+    per-frame brightness ramps by 2/frame, so mean = v1+32+2f and
+    std = 32 EXACTLY (dyadic). ``multimodal.video_frame_stats`` parses
+    the actual container, slices each '00db' chunk, un-pads and flips
+    the DIB rows, and measures TRUE pixels; the oracle replays the
+    arithmetic per (doc, frame). Scale: synthesis + parse + stats are
+    one narrow Arrow map; only per-frame scalars leave the executor."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf = 2 + d % 4
+                v1 = 16 + (d % 5) * 8
+                yy, xx = np.mgrid[0:8, 0:16]
+                checker = ((xx + yy) % 2) * 64
+                frames = [
+                    (checker + v1 + 2 * f).astype(np.uint8)[:, :, None]
+                    .repeat(3, axis=2)
+                    for f in range(nf)
+                ]
+                payloads.append(M._encode_avi(frames, fps=10))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    avis = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return M.video_frame_stats(avis).select(
+        "id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("mean_pixel").cast("double").alias("mean_pixel"),
+        F.col("std_pixel").cast("double").alias("std_pixel"),
+        F.col("n_frame_bytes").cast("long").alias("n_frame_bytes"),
+    )
+
+
+@q(
     "wav_decode_features",
     """
     WITH t AS (

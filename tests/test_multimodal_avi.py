@@ -1,0 +1,116 @@
+"""Stdlib-real AVI video container decode (r6): payloads are genuine
+RIFF/AVI files — hdrl/avih/strl/movi chunk tree, raw-DIB 24bpp frames
+with true bottom-up BGR padded rows — built by the module's own
+minimal writer; ``video_metadata``/``video_frame_stats`` walk the
+actual chunk tree and measure TRUE pixels. No codec library anywhere.
+Compressed-stream payloads stay container-real / pixel-quarantined."""
+
+import numpy as np
+import pytest
+
+from opentick_spark.operators import multimodal as M
+from opentick_spark.operators.multimodal import (
+    _avi_frame_pixels,
+    _encode_avi,
+    _parse_avi,
+)
+
+
+def test_avi_roundtrip_exact_pixels():
+    rng = np.random.RandomState(5)
+    for shape in [(8, 16, 3), (5, 7, 3), (6, 9, 3)]:  # incl. padded rows
+        frames = [
+            rng.randint(0, 256, size=shape).astype(np.uint8)
+            for _ in range(3)
+        ]
+        payload = _encode_avi(frames, fps=25)
+        m = _parse_avi(payload)
+        assert m is not None
+        assert (m["width"], m["height"]) == (shape[1], shape[0])
+        assert m["fps"] == 25 and len(m["frames"]) == 3
+        for i, f in enumerate(frames):
+            assert np.array_equal(_avi_frame_pixels(payload, m, i), f)
+
+
+def test_avi_parse_quarantines_garbage():
+    assert _parse_avi(b"not an avi") is None
+    whole = _encode_avi([np.zeros((4, 4, 3), np.uint8)])
+    assert _parse_avi(whole[:30]) is None  # truncated mid-header
+    assert _parse_avi(whole[:-10]) is None  # truncated mid-movi
+
+
+def test_avi_compressed_stream_is_container_real_pixel_null():
+    # hand-build a parseable AVI whose strf declares MJPG compression:
+    # metadata parses, pixels quarantine
+    import struct
+
+    whole = bytearray(_encode_avi([np.zeros((4, 4, 3), np.uint8)]))
+    pos = bytes(whole).find(struct.pack("<Iii", 40, 4, 4))
+    assert pos > 0
+    whole[pos + 16 : pos + 20] = b"MJPG"
+    m = _parse_avi(bytes(whole))
+    assert m is not None and m["width"] == 4
+    assert m["compression"] != 0
+    assert _avi_frame_pixels(bytes(whole), m, 0) is None
+
+
+@pytest.fixture(scope="module")
+def avi_df(spark):
+    def checker_avi(n_frames, v1):
+        yy, xx = np.mgrid[0:8, 0:16]
+        base = ((xx + yy) % 2) * 64
+        frames = [
+            (base + v1 + 2 * f).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+            for f in range(n_frames)
+        ]
+        return _encode_avi(frames, fps=10)
+
+    rows = [
+        (1, checker_avi(3, 16)),
+        (2, checker_avi(1, 40)),
+        (3, b"corrupt video"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_video_metadata_real_containers(avi_df):
+    meta = {r["id"]: r.asDict() for r in M.video_metadata(avi_df).collect()}
+    assert (meta[1]["width"], meta[1]["height"]) == (16, 8)
+    assert meta[1]["fps"] == 10 and meta[1]["n_frames"] == 3
+    assert meta[1]["is_raw_dib"] is True and meta[1]["bit_count"] == 24
+    assert meta[2]["n_frames"] == 1
+    assert meta[3]["width"] is None  # quarantined, not raised
+
+
+def test_video_frame_stats_closed_form(avi_df):
+    rows = {
+        (r["id"], r["frame_idx"]): r.asDict()
+        for r in M.video_frame_stats(avi_df).collect()
+    }
+    # checkerboard v1 / v1+64, brightness +2 per frame:
+    # mean = v1 + 32 + 2f, std = 32, both exact
+    assert rows[(1, 0)]["mean_pixel"] == 48.0
+    assert rows[(1, 2)]["mean_pixel"] == 52.0
+    assert rows[(1, 1)]["std_pixel"] == 32.0
+    assert rows[(2, 0)]["mean_pixel"] == 72.0
+    assert rows[(1, 0)]["n_frame_bytes"] == 16 * 3 * 8
+    assert not any(k[0] == 3 for k in rows)  # corrupt: no frames
+
+
+def test_video_frame_sampling_every_k(avi_df):
+    sampled = M.video_frame_stats(avi_df, every_k=2).collect()
+    idx = sorted(
+        (r["id"], r["frame_idx"]) for r in sampled if r["id"] == 1
+    )
+    assert idx == [(1, 0), (1, 2)]  # every 2nd of 3 frames
+
+
+def test_video_plan_is_narrow(spark, avi_df):
+    plan = (
+        M.video_frame_stats(avi_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
