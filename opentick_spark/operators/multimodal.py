@@ -2,16 +2,19 @@
 
 The Spark-side plumbing is real and tested: binary payload columns,
 metadata structs, Arrow-batched ``mapInPandas`` pipelines with explicit
-output schemas, and partition-count-preserving batch shapes. Two codecs
-are STDLIB-REAL — WAV (``wave``: true PCM decode, r5) and PNG (``zlib``
-IDAT inflate + scanline unfiltering, r6) — powering genuine metadata,
-feature, windowing and perceptual-dedup operators with zero external
-dependencies. Formats that genuinely need codec libraries this
-environment does not ship (JPEG, video) keep the stub contract:
+output schemas, and partition-count-preserving batch shapes. Three
+formats are STDLIB-REAL — WAV (``wave``: true PCM decode, r5), PNG
+(``zlib`` IDAT inflate + scanline unfiltering, r6), and AVI video
+(RIFF chunk-tree parse with raw-DIB frames decoding to true pixels,
+r6) — powering genuine metadata, feature, windowing and
+perceptual-dedup operators with zero external dependencies. Formats
+that genuinely need codec libraries this environment does not ship
+(JPEG, MJPEG/H.264 frame payloads) keep the stub contract:
 ``decode=\"fake\"`` (default) derives deterministic features from the
 bytes themselves; ``decode=\"real\"`` decodes PNG for real and raises
 NotImplementedError for the rest where a codec (Pillow/ffmpeg) would
-be called.
+be called; compressed AVI streams stay container-real with NULL pixel
+stats.
 
 At 100 TB the pattern matters more than the kernel: binaries stay in
 columnar storage next to their metadata, pipelines stream Arrow batches
