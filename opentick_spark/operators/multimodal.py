@@ -1187,3 +1187,72 @@ def video_frame_stats(
     return df.select(id_col, payload_col).mapInPandas(
         batches, VIDEO_FRAME_STATS_SCHEMA
     )
+
+
+def video_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_k: int = 1,
+    hash_size: int = 8,
+) -> DataFrame:
+    """(id, fp) perceptual video fingerprints: dHash every ``every_k``-th
+    genuinely decoded raw-DIB frame, then hash the ordered dHash
+    sequence into one 64-bit fingerprint. Brightness-shifted duplicate
+    videos fingerprint identically (each frame's dHash is invariant);
+    reordered or trimmed videos do not (the sequence is part of the
+    hash). NULL for corrupt/compressed payloads. Narrow Arrow map."""
+
+    def one(payload: bytes):
+        m = _parse_avi(payload)
+        if m is None or not m["frames"]:
+            return None
+        hs = []
+        for fi in range(0, len(m["frames"]), every_k):
+            px = _avi_frame_pixels(payload, m, fi)
+            if px is None:
+                return None
+            hs.append(_dhash(px, hash_size))
+        # order-sensitive 64-bit mix of the frame-hash sequence (FNV-1a
+        # over the 8-byte words — deterministic, stdlib-only)
+        v = 0xCBF29CE484222325
+        for h in hs:
+            for b in (h & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little"):
+                v = ((v ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "fp": [one(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, AUDIO_FP_SCHEMA
+    )
+
+
+def video_dedup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_k: int = 1,
+) -> DataFrame:
+    """Exact-fingerprint video dedup with min-id keeper election —
+    the fourth modality leg (text shingles, image dHash, audio
+    envelope, video frame-hash sequence). Brightness-regraded duplicate
+    clips group together; corrupt payloads quarantine as their own
+    keeper. ONE shuffle on the 8-byte fingerprint."""
+    from pyspark.sql import Window
+
+    sigs = video_fingerprint(df, id_col, payload_col, every_k)
+    keeper = F.min("id").over(Window.partitionBy("fp"))
+    return sigs.select(
+        "id",
+        F.when(F.col("fp").isNull(), F.col("id"))
+        .otherwise(keeper)
+        .alias("keeper"),
+    )

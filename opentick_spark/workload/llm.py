@@ -1368,6 +1368,61 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "video_dedup_fingerprint",
+    """
+    SELECT doc_id AS id,
+           MIN(doc_id) OVER (PARTITION BY doc_id % 30) AS keeper
+    FROM documents
+    """,
+)
+def video_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL video dedup over genuinely decoded frames (r6 — the
+    fourth modality leg: text shingles, image dHash, audio envelope,
+    video frame-hash sequence). Every doc gets a real raw-DIB AVI whose
+    frame patterns are seeded by doc_id % 30 (30 planted duplicate
+    groups, 3 frames each) and each clone is brightness-regraded by
+    (doc_id % 3)·12 across ALL frames — different bytes in every frame,
+    same gradient structure. ``multimodal.video_dedup_groups`` must
+    recover the planted partition exactly: per-frame dHash is
+    brightness-invariant and the order-sensitive FNV mix pins the
+    sequence. Keeper = min(doc_id) per group — arithmetic the oracle
+    replays."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rng = np.random.RandomState(d % 30)
+                regrade = (d % 3) * 12
+                frames = []
+                for _f in range(3):
+                    img = rng.randint(0, 180, size=(16, 18)).astype(np.int64)
+                    frames.append(
+                        (img + regrade)
+                        .astype(np.uint8)[:, :, None]
+                        .repeat(3, axis=2)
+                    )
+                payloads.append(M._encode_avi(frames, fps=10))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    avis = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return M.video_dedup_groups(avis).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("keeper").cast("long").alias("keeper"),
+    )
+
+
+@q(
     "wav_decode_features",
     """
     WITH t AS (
