@@ -30,7 +30,12 @@ from opentick_spark.table import TableStore  # noqa: E402
 def main() -> None:
     warehouse, db, table, n_keys_s, stop_file = sys.argv[1:6]
     n_keys = int(n_keys_s)
-    spark = get_spark(app_name="compact_reader", shuffle_partitions=4)
+    # small core count: the reader only collects 50 rows per read and
+    # competes with the parent's 32-thread compaction jobs — fewer task
+    # slots means less scheduler contention and faster read turnaround
+    spark = get_spark(
+        app_name="compact_reader", master="local[4]", shuffle_partitions=4
+    )
     store = TableStore(Catalog(warehouse), db, table)  # opened ONCE:
     # per-read re-opens would block on the compactor's file lock and
     # serialize the race away — the transient window only exists for a
