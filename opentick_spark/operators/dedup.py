@@ -651,6 +651,23 @@ def simhash_pairs(
     exhaustive self-check) hash the corpus once.
     Output: (id_a, id_b, hamming).
     """
+    if sigs is None:
+        sigs = simhash_signatures(df, id_col, text_col, token_ngram)
+    return hamming_blocked_pairs(sigs, sig_col="sh", max_hamming=max_hamming)
+
+
+def hamming_blocked_pairs(
+    sigs: DataFrame,
+    sig_col: str = "sh",
+    id_col: str = "id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Generic Hamming-ball blocking over any (id, 64-bit signature)
+    frame — factored out of ``simhash_pairs`` (r6) so perceptual media
+    hashes (image dHash, audio/video fingerprints) get the same
+    100%-recall near-dup scale path: pigeonhole chunks, equi-join on
+    (chunk_idx, chunk_val), exact ``bit_count(xor)`` verification.
+    Output: (id_a, id_b, hamming)."""
     if not 0 <= max_hamming <= 31:
         raise ValueError("max_hamming must be in [0, 31]")
     n_chunks = max_hamming + 1
@@ -660,15 +677,18 @@ def simhash_pairs(
     # chunk unequal)
     chunk_bits = min(31, 64 // n_chunks)
     mask = F.lit((1 << chunk_bits) - 1).cast("long")
-    if sigs is None:
-        sigs = simhash_signatures(df, id_col, text_col, token_ngram)
+    sigs = sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("__sig")
+    ).filter(F.col("__sig").isNotNull())
     chunks = sigs.select(
         "id",
-        "sh",
+        "__sig",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("sh"), chunk_bits * i).bitwiseAND(mask)
+                    F.shiftright(F.col("__sig"), chunk_bits * i).bitwiseAND(
+                        mask
+                    )
                     for i in range(n_chunks)
                 ]
             )
@@ -685,7 +705,9 @@ def simhash_pairs(
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh"))).alias("hamming"),
+            F.bit_count(
+                F.col("x.__sig").bitwiseXOR(F.col("y.__sig"))
+            ).alias("hamming"),
         )
         .distinct()
     )

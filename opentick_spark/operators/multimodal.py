@@ -1256,3 +1256,26 @@ def video_dedup_groups(
         .otherwise(keeper)
         .alias("keeper"),
     )
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    hash_size: int = 8,
+) -> DataFrame:
+    """NEAR-duplicate image pairs: dHash over genuinely decoded pixels,
+    then Hamming-ball blocking (``dedup.hamming_blocked_pairs`` — the
+    same pigeonhole construction as text SimHash, 100% recall at the
+    radius). Catches re-encodes with small pixel noise that flip a few
+    gradient bits, where the exact-hash ``image_dedup_groups`` would
+    split the group. Output: (id_a, id_b, hamming). Scale: decode is a
+    narrow Arrow map; blocking shuffles only (id, 8-byte hash) chunk
+    rows."""
+    from opentick_spark.operators.dedup import hamming_blocked_pairs
+
+    sigs = image_dhash(df, id_col, payload_col, hash_size).withColumnRenamed(
+        "dhash", "sh"
+    )
+    return hamming_blocked_pairs(sigs, sig_col="sh", max_hamming=max_hamming)

@@ -1368,6 +1368,82 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "image_neardup_hamming",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_images, TRUE AS blocking_complete
+    FROM documents
+    """,
+)
+def image_neardup_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image detection under pixel noise (r6): clones of
+    the doc_id %% 40 base patterns get per-clone random pixel
+    perturbations, so their dHashes differ by a FEW bits — exact-hash
+    grouping would split them; Hamming-radius blocking must catch them.
+    Signature values aren't SQL-reproducible, so the checkable contract
+    is the pigeonhole guarantee itself (dedup_simhash's pattern):
+    ``image_neardup_pairs``' blocked candidates at radius 6 must EQUAL
+    the exhaustive all-pairs Hamming scan — 100%% recall by
+    construction; the exhaustive arm is the in-Spark verifier (an
+    oracle-only quadratic, not the scale path). A blocking bug flips
+    the boolean and fails the driver's value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from opentick_spark.operators.dedup import hamming_blocked_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rng = np.random.RandomState(d % 40)
+                img = rng.randint(0, 180, size=(32, 36)).astype(np.int64)
+                # per-clone noise: a different rng stream from doc_id
+                noise = np.random.RandomState(10_000 + d)
+                ij = noise.randint(0, 32 * 36, size=8)
+                flat = img.reshape(-1)
+                flat[ij] = np.clip(
+                    flat[ij] + noise.randint(-40, 41, size=8), 0, 179
+                )
+                payloads.append(
+                    M._encode_png(img.astype(np.uint8)[:, :, None])
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    pngs = docs.mapInPandas(gen, "doc_id long, payload binary")
+    sigs = M.image_dhash(pngs).withColumnRenamed("dhash", "sh")
+    sigs = sigs.localCheckpoint(eager=True)  # consumed by both arms
+    blocked = hamming_blocked_pairs(sigs, max_hamming=6)
+    exhaustive = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), F.col("x.id") < F.col("y.id"))
+        .filter(
+            F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh"))) <= 6
+        )
+    )
+    ni = sigs.agg(F.count(F.lit(1)).cast("long").alias("n_images"))
+    nb = blocked.agg(F.count(F.lit(1)).alias("__blocked"))
+    ne = exhaustive.agg(F.count(F.lit(1)).alias("__exhaustive"))
+    return (
+        ni.crossJoin(nb)
+        .crossJoin(ne)
+        .select(
+            "n_images",
+            (F.col("__blocked") == F.col("__exhaustive")).alias(
+                "blocking_complete"
+            ),
+        )
+    )
+
+
+@q(
     "video_dedup_fingerprint",
     """
     SELECT doc_id AS id,

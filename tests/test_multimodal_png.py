@@ -153,3 +153,56 @@ def test_png_roundtrip_property(h, w, c, ft, seed):
     assert d is not None
     assert (d["height"], d["width"], d["n_channels"]) == (h, w, c)
     assert np.array_equal(d["pixels"], a)
+
+
+def test_image_neardup_pairs_catches_noisy_clones(spark):
+    """r6: small pixel noise flips a few dHash bits — exact grouping
+    splits the pair, Hamming blocking at radius 6 must recover it with
+    the pigeonhole 100%-recall guarantee."""
+    base = np.random.RandomState(1).randint(0, 180, size=(32, 36)).astype(
+        np.int64
+    )
+    h_base = M._dhash(base.astype(np.uint8)[:, :, None])
+
+    def perturb(scale, n):
+        out = base.copy().reshape(-1)
+        nz = np.random.RandomState(2)
+        ij = nz.randint(0, out.size, size=n)
+        out[ij] = np.clip(out[ij] + nz.randint(-scale, scale + 1, size=n), 0, 179)
+        return out.reshape(32, 36)
+
+    # scale the noise until it flips 1-6 dHash bits (deterministic:
+    # fixed seeds, increasing magnitude)
+    noisy = None
+    for scale in (40, 80, 120, 179):
+        for n in (16, 48, 96):
+            cand = perturb(scale, n)
+            hd = bin(
+                (M._dhash(cand.astype(np.uint8)[:, :, None]) ^ h_base)
+                & ((1 << 64) - 1)
+            ).count("1")
+            if 0 < hd <= 6:
+                noisy = cand
+                break
+        if noisy is not None:
+            break
+    assert noisy is not None
+    other = np.random.RandomState(9).randint(0, 180, size=(32, 36))
+    df = spark.createDataFrame(
+        [
+            (1, _encode_png(base.astype(np.uint8)[:, :, None])),
+            (2, _encode_png(noisy.astype(np.uint8)[:, :, None])),
+            (3, _encode_png(other.astype(np.uint8)[:, :, None])),
+        ],
+        "doc_id long, payload binary",
+    )
+    # the noisy clone differs by a few bits but NOT zero: exact-hash
+    # grouping splits it (this is the gap near-dup blocking closes)
+    h = {r["id"]: r["dhash"] for r in M.image_dhash(df).collect()}
+    assert h[1] != h[2]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.image_neardup_pairs(df, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and 0 < pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
