@@ -3732,15 +3732,76 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("source_pagerank")  # rows-only: iterative power iteration, not SQL
+def _pagerank_oracle_sql(iterations: int = 12, damping: float = 0.85) -> str:
+    """DuckDB oracle for source_pagerank: the source_overlap_matrix edge
+    CTE (same {_NGRAM8}/{_NORM} macros, jac filter applied on the SAME
+    rounded value the Spark operator rounds), then the textbook power
+    iteration UNROLLED as a generated chain of per-iteration CTEs —
+    recursive-CTE aggregation over the working table is restricted in
+    some engines, and a fixed 12-step unroll is exactly what the Spark
+    loop executes anyway. Teleport/init arithmetic mirrors graph.py
+    bit-for-bit ((1.0-0.85)/N, 1.0/N, pr/deg in doubles); summation
+    order differs, absorbed by the final ROUND(pr, 6)."""
+    steps = []
+    for i in range(iterations):
+        steps.append(
+            f"""r{i + 1} AS (
+      SELECT n.node,
+             (1.0 - {damping})/(SELECT n FROM nn)
+             + {damping} * COALESCE(c.inflow, 0.0) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r{i}.pr / e.deg) AS inflow
+        FROM e JOIN r{i} ON r{i}.node = e.src GROUP BY 1
+      ) c ON c.node = n.node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, {_NGRAM8} AS sh
+      FROM (SELECT doc_id, source, string_split({_NORM}, ' ') AS __toks
+            FROM documents)
+    ),
+    gg AS (SELECT DISTINCT source, unnest(sh) AS g FROM t),
+    sizes AS (SELECT source, COUNT(*) AS n FROM gg GROUP BY 1),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+      FROM gg a JOIN gg b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT src_a, src_b
+      FROM shared
+      JOIN sizes sa ON sa.source = src_a
+      JOIN sizes sb ON sb.source = src_b
+      WHERE ROUND(shared::DOUBLE / (sa.n + sb.n - shared), 6) >= 0.0005
+    ),
+    ed AS (
+      SELECT src_a AS src, src_b AS dst FROM pairs
+      UNION
+      SELECT src_b AS src, src_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY 1),
+    e AS (SELECT ed.src, ed.dst, deg.deg FROM ed JOIN deg USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM ed),
+    nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+    r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS pr FROM nodes),
+    {chain}
+    SELECT node AS source, ROUND(pr, 6) AS pr FROM r{iterations}
+    """
+
+
+@q("source_pagerank", _pagerank_oracle_sql())
 def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality of sources in the shared-8-gram overlap graph
     — which source sits at the center of the republishing network. Edges
     from shingle_overlap_matrix (Jaccard ≥ 0.0005 to drop hapax-collision
     noise), 12 undirected power iterations with localCheckpoint lineage
-    cuts (operators/graph.py). Deterministic (fixed init/iterations), so
-    the driver's rows-only check is stable; the golden pytest pins the
-    iteration against textbook numpy PageRank."""
+    cuts (operators/graph.py). Oracle-backed as of r6: the iteration is
+    fixed-step and float-deterministic, so DuckDB can replay it as an
+    unrolled 12-CTE chain (_pagerank_oracle_sql) on the proven
+    source_overlap_matrix edge SQL; the golden pytest additionally pins
+    the iteration against textbook numpy PageRank."""
     from opentick_spark.operators.graph import pagerank
 
     docs = load(spark, sf_dir, "documents")

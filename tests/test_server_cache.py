@@ -5,7 +5,6 @@ without touching the engine — reference server.go:341-350 + reply()
 (server_test.go:161-183): reads are STALE within the TTL (deleted rows
 keep appearing), fresh after expiry."""
 
-import time
 
 import pytest
 
@@ -17,8 +16,14 @@ def cache_server(spark, tmp_path_factory):
     from opentick_spark.server import OpentickServer
 
     wh = str(tmp_path_factory.mktemp("cache_wh"))
+    # TTL must be load-proof: under a full-suite parallel run, >1.5 s of
+    # wall clock can pass between populating the cache and the stale-read
+    # assertion, legitimately expiring the entry and flaking the test.
+    # Use a TTL no loaded run can cross; expiry itself is tested by
+    # rewinding the stored deadlines, not by sleeping (same contract,
+    # zero wall-clock dependence).
     srv = OpentickServer(
-        spark, wh, heartbeat_s=5.0, cache_expiration=1.5
+        spark, wh, heartbeat_s=5.0, cache_expiration=60.0
     ).start()
     yield srv
     srv.stop()
@@ -76,7 +81,10 @@ def test_wire_cache_stale_hits_skip_engine(cache_server, monkeypatch):
         assert calls["n"] == n_after_first + 1  # only the delete ran
         # a no-cache execute bypasses and sees the truth immediately
         assert c.execute("select * from test where sec=?", (1,), cache=False) == []
-        time.sleep(1.6)  # TTL expiry → fresh execution
+        # TTL expiry → fresh execution: rewind every stored deadline to
+        # the epoch instead of sleeping past a real 60 s TTL
+        for k, (_exp, blob) in list(cache_server._resp_cache.items()):
+            cache_server._resp_cache[k] = (0.0, blob)
         assert c.execute("select * from test where sec=?", (1,)) == []
     finally:
         c.close()
