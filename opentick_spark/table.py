@@ -724,12 +724,25 @@ class TableStore:
         return self._meta()["seq"]
 
     def diff(
-        self, spark: SparkSession, from_seq: int, to_seq: int | None = None
+        self,
+        spark: SparkSession,
+        from_seq: int,
+        to_seq: int | None = None,
+        include_old: bool = False,
     ) -> DataFrame:
         """Row-level diff between two snapshots of this table:
         one row per PK whose state differs, with ``change`` ∈
         ``added | removed | changed`` and the value columns from the
         ``to_seq`` side (NULL for removed rows).
+
+        ``include_old`` additionally emits every value column as
+        ``old_<name>`` from the ``from_seq`` side (NULL for added rows)
+        — the retraction half a consumer needs to MAINTAIN derived
+        state rather than rebuild it: an incremental aggregate
+        subtracts the old values of changed/removed rows and adds the
+        new values of changed/added rows (operators/ivm.py). Costs
+        nothing extra: the from-side values are already in the
+        full-outer join.
 
         The incremental-pipeline primitive: downstream work (dedup,
         tokenization, feature extraction) re-runs only on the diff
@@ -768,6 +781,11 @@ class TableStore:
             .when(F.col("__in_b").isNull(), F.lit("removed"))
             .when(~same, F.lit("changed"))
         )
+        old_cols = (
+            [F.col(f"__a_{v}").alias(f"old_{v}") for v in vals]
+            if include_old
+            else []
+        )
         return (
             j.withColumn("change", change)
             .filter(F.col("change").isNotNull())
@@ -775,8 +793,173 @@ class TableStore:
                 *pk,
                 "change",
                 *[F.col(f"__b_{v}").alias(v) for v in vals],
+                *old_cols,
             )
         )
+
+    def log_diff(
+        self,
+        spark: SparkSession,
+        from_seq: int,
+        include_old: bool = False,
+        broadcast_delta: bool = True,
+    ) -> DataFrame:
+        """Delta-sized diff against the CURRENT state: same output
+        contract as ``diff(from_seq)`` but computed from the commit log
+        tail, never a full-table join.
+
+        ``diff`` resolves BOTH snapshots and full-outer-joins them —
+        two table-sized latest-wins shuffles plus a table-sized join.
+        Right for arbitrary snapshot pairs; wrong cost model for the
+        overwhelmingly common "what changed since my checkpoint"
+        question that incremental pipelines (operators/ivm.py,
+        incremental dedup) ask, where the answer is delta-sized.
+
+        Plan, stage by stage:
+
+        1. **New side = the log tail only.** Commits are directories
+           named by sequence, so commits > ``from_seq`` are selected by
+           PATH — file-level pruning; pre-checkpoint data is never
+           listed, let alone read. Latest-wins within the tail is a
+           hash aggregation over delta-sized input.
+        2. **Old side = point lookup of touched PKs** in the
+           ``from_seq`` snapshot. The touched-PK set (delta-sized by
+           construction) LEFT-SEMI joins the raw base+log scan as a
+           broadcast hash join — the snapshot streams through with
+           ZERO shuffle, and only surviving (delta-sized) rows enter
+           the latest-wins aggregation. A leading-PK min/max range
+           filter derived from the tail additionally reaches the
+           parquet scan, so a PK-sorted compacted base (compact() is
+           repartitionByRange + sortWithinPartitions on the PK) prunes
+           row groups — the common new-data-has-high-keys delta reads
+           almost none of the base.
+        3. Classification is a left join of two delta-sized frames:
+           tombstone+old → removed, tombstone+no-old → dropped (delete
+           of absent PK), row+no-old → added, row+old → changed iff any
+           value differs (NULL-safe), else dropped — exactly ``diff``'s
+           semantics, equivalence pinned per-seed in tests/test_ivm.py.
+
+        ``broadcast_delta=False`` drops the broadcast hint for
+        backfill-sized deltas where the touched-PK set would not fit an
+        executor; AQE then picks the join strategy. Raises like
+        ``read(as_of_seq=...)`` when ``from_seq`` predates the last
+        compaction (collapsed history cannot be diffed)."""
+        meta = self._meta()
+        if from_seq < meta.get("last_compact_seq", 0):
+            raise ValueError(
+                f"log_diff from_seq={from_seq} predates the last "
+                f"compaction (seq {meta.get('last_compact_seq')}); "
+                "history before a compact is collapsed"
+            )
+        schema = self.schema
+        pk = [c.name for c in schema.key_columns]
+        pk_phys = [c.physical for c in schema.key_columns]
+        vals = [c.name for c in schema.columns if not c.is_key]
+        val_phys = [c.physical for c in schema.columns if not c.is_key]
+        tail = sorted(
+            os.path.join(self.log_path, d)
+            for d in os.listdir(self.log_path)
+            if d.startswith("commit-") and int(d.split("-")[1]) > from_seq
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField(c.name, spark_type(c.type), True)
+                for c in schema.key_columns
+            ]
+            + [T.StructField("change", T.StringType(), True)]
+            + [
+                T.StructField(c.name, spark_type(c.type), True)
+                for c in schema.columns
+                if not c.is_key
+            ]
+            + (
+                [
+                    T.StructField(f"old_{c.name}", spark_type(c.type), True)
+                    for c in schema.columns
+                    if not c.is_key
+                ]
+                if include_old
+                else []
+            )
+        )
+        if not tail:
+            return spark.createDataFrame([], out_schema)
+        log = spark.read.schema(self.spark_schema()).parquet(*tail)
+        latest = F.max_by(
+            F.struct(*val_phys, DEL_COL),
+            F.struct(F.col(SEQ_COL), F.col(SUB_COL)),
+        ).alias("__latest")
+        new = (
+            log.groupBy(*[F.col(p) for p in pk_phys])
+            .agg(latest)
+            .select(
+                *pk_phys,
+                *[F.col(f"__latest.{p}").alias(f"__n_{p}") for p in val_phys],
+                F.col(f"__latest.{DEL_COL}").alias("__n_del"),
+            )
+        )
+        touched = new.select(*pk_phys)
+        if broadcast_delta:
+            touched = F.broadcast(touched)
+        raw = self._raw(spark).filter(F.col(SEQ_COL) <= from_seq)
+        if meta.get("hash_buckets"):
+            raw = raw.drop(BUCKET_COL)
+        # leading-PK range pushdown: every touched PK lies in the tail's
+        # [min, max], so the superset filter is safe and reaches the
+        # parquet scan for row-group pruning on the PK-sorted base.
+        # One 1-row collect over the delta — driver-side scalars only.
+        lead = pk_phys[0]
+        bounds = new.agg(
+            F.min(F.col(lead)).alias("lo"), F.max(F.col(lead)).alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is not None:
+            raw = raw.filter(F.col(lead).between(bounds["lo"], bounds["hi"]))
+        old = (
+            raw.join(touched, pk_phys, "left_semi")
+            .groupBy(*[F.col(p) for p in pk_phys])
+            .agg(latest)
+            .filter(~F.col(f"__latest.{DEL_COL}"))
+            .select(
+                *pk_phys,
+                F.lit(True).alias("__in_old"),
+                *[F.col(f"__latest.{p}").alias(f"__o_{p}") for p in val_phys],
+            )
+        )
+        j = new.join(old, pk_phys, "left")
+        same = F.lit(True)
+        for p in val_phys:
+            same = same & F.col(f"__n_{p}").eqNullSafe(F.col(f"__o_{p}"))
+        change = (
+            F.when(F.col("__n_del") & F.col("__in_old").isNotNull(), "removed")
+            .when(~F.col("__n_del") & F.col("__in_old").isNull(), "added")
+            .when(~F.col("__n_del") & ~same, "changed")
+        )
+        out = (
+            j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(
+                *[
+                    F.col(p).alias(n)
+                    for p, n in zip(pk_phys, pk, strict=True)
+                ],
+                "change",
+                *[
+                    F.when(
+                        F.col("change") != "removed", F.col(f"__n_{p}")
+                    ).alias(n)
+                    for p, n in zip(val_phys, vals, strict=True)
+                ],
+                *(
+                    [
+                        F.col(f"__o_{p}").alias(f"old_{n}")
+                        for p, n in zip(val_phys, vals, strict=True)
+                    ]
+                    if include_old
+                    else []
+                ),
+            )
+        )
+        return out
 
     def commits_since_compact(self) -> int:
         meta = self._meta()
