@@ -328,6 +328,7 @@ class TCPConnection:
     def _recv_loop(self, sock, futures: dict) -> None:
         from opentick_spark.server import recv_frame
 
+        cause = None
         try:
             while True:
                 body = recv_frame(sock)
@@ -357,18 +358,23 @@ class TCPConnection:
                 if fut is not None and not fut.done():
                     fut.set_result(self._extract_result(msg))
         except OSError:
-            pass
-        except Exception:
-            # a decode error must not kill the loop SILENTLY — fall
-            # through to the same in-flight cleanup so callers fail fast
-            pass
+            pass  # orderly shutdown / socket teardown
+        except Exception as exc:  # decode/protocol bug — name it
+            cause = exc
         finally:
             # drop in-flight futures so callers fail fast instead of
-            # hanging until timeout — on ANY exit path, including decode
-            # errors (r6 ADVICE fix)
+            # hanging until timeout — on ANY exit path. A decode error
+            # is surfaced BY NAME on every pending future (a bare
+            # "Connection closed" would mask the root cause of a
+            # protocol/codec bug — r6 ADVICE).
+            err = (
+                Error(f"Connection closed (recv loop died: {cause!r})")
+                if cause is not None
+                else Error("Connection closed")
+            )
             for fut in list(futures.values()):
                 if not fut.done():
-                    fut.set_exception(Error("Connection closed"))
+                    fut.set_exception(err)
             futures.clear()
 
     def _request(self, msg: dict, retried: bool = False) -> CFuture:

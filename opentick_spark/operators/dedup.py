@@ -815,9 +815,10 @@ def connected_components_multi(
     self-check that clusters the same corpus two ways pays ONE iteration
     loop (max of the two graphs' rounds) instead of the sum — the
     per-iteration fixed cost (checkpoint + convergence job) is the
-    dominant term for small-diameter dedup graphs. Requires integral
-    node ids small enough that ``id*k`` cannot overflow (doc ids are
-    fine; 2^63/k headroom)."""
+    dominant term for small-diameter dedup graphs. Requires
+    ``|id| < 2^63/k`` so the tag encoding ``id*k + t`` cannot overflow
+    a long; negative ids are fine — ``pmod`` keeps the residue classes
+    disjoint and the exact integral ``div`` decode is sign-correct."""
     k = len(graphs)
     tagged = None
     for t, g in enumerate(graphs):
@@ -827,10 +828,15 @@ def connected_components_multi(
         )
         tagged = e if tagged is None else tagged.unionByName(e)
     labels = connected_components(tagged, max_iter=max_iter)
+    # pmod (not %: Spark's % keeps the dividend's sign, dropping
+    # negative-id rows) + integral div (not /: float division loses
+    # exactness above 2^53, silently merging distinct high ids).
+    # (id - t) is exactly divisible by k whenever pmod(id,k)==t, so
+    # div is exact for any sign.
     return [
-        labels.filter(F.col("id") % k == t).select(
-            ((F.col("id") - t) / k).cast("long").alias("id"),
-            ((F.col("cluster") - t) / k).cast("long").alias("cluster"),
+        labels.filter(F.pmod(F.col("id"), F.lit(k)) == t).select(
+            F.expr(f"(id - {t}) div {k}").alias("id"),
+            F.expr(f"(cluster - {t}) div {k}").alias("cluster"),
         )
         for t in range(k)
     ]

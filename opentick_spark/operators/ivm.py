@@ -111,13 +111,24 @@ def merge_agg_state(
     with a group-keyed TableStore the zero-count groups become
     tombstone deletes and the rest a latest-wins upsert commit)."""
     d = delta.select(
-        *group_cols,
+        *[F.col(c).alias(f"__dk_{c}") for c in group_cols],
         F.col(IVM_COUNT).alias("__d_n"),
         *[F.col(f"delta_{c}").alias(f"__d_{c}") for c in sum_cols],
     )
-    j = state.join(d, group_cols, "full_outer")
+    # NULL-safe equality: a NULL group key is a legal group (SQL GROUP
+    # BY puts all NULLs in one group); a plain equi-join would never
+    # match it and the state row + delta row would both survive as
+    # duplicates instead of merging (pinned by
+    # test_ivm_null_group_key_merges).
+    cond = F.lit(True)
+    for c in group_cols:
+        cond = cond & state[c].eqNullSafe(d[f"__dk_{c}"])
+    j = state.join(d, cond, "full_outer")
     merged = j.select(
-        *group_cols,
+        *[
+            F.coalesce(state[c], d[f"__dk_{c}"]).alias(c)
+            for c in group_cols
+        ],
         (
             F.coalesce(F.col(IVM_COUNT), F.lit(0))
             + F.coalesce(F.col("__d_n"), F.lit(0))

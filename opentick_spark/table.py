@@ -859,7 +859,8 @@ class TableStore:
         tail = sorted(
             os.path.join(self.log_path, d)
             for d in os.listdir(self.log_path)
-            if d.startswith("commit-") and int(d.split("-")[1]) > from_seq
+            if d.startswith("commit-")
+            and int(d.split("-")[1].split(".")[0]) > from_seq
         )
         out_schema = T.StructType(
             [

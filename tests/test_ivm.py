@@ -173,6 +173,81 @@ def test_diff_include_old_columns(spark, eng):
     )
 
 
+def test_ivm_null_group_key_merges(spark, eng):
+    """SQL GROUP BY puts all NULL keys in ONE group; the state merge
+    must honor that. A plain equi-join never matches NULL=NULL, which
+    left a stale state row AND a fresh delta row for the NULL group
+    (r6 ADVICE) — pinned here against the recompute oracle."""
+    st = _mk_store(eng, "tnull")
+    st.append_dataframe(
+        spark.createDataFrame(
+            [(1, None, 1.0, 10), (2, None, 2.0, 20), (3, "a", 3.0, 30)],
+            "k long, grp string, v double, w long",
+        )
+    )
+    state = full_state(st.read(spark), ["grp"], ["v", "w"])
+    s1 = st.current_seq()
+    # touch the NULL group from both directions: update + insert + a
+    # key-move INTO the NULL group
+    st.append_dataframe(
+        spark.createDataFrame(
+            [(1, None, 100.0, 10), (3, None, 3.0, 30), (4, None, 4.0, 40)],
+            "k long, grp string, v double, w long",
+        )
+    )
+    got = _canon(_maintained(spark, st, s1, state))
+    want = _canon(full_state(st.read(spark), ["grp"], ["v", "w"]))
+    assert got == want
+    # exactly ONE row for the NULL group — no duplicate state rows
+    assert sum(1 for g, *_ in got if g is None) == 1
+
+
+def test_log_diff_equals_diff_across_commit_kinds(spark, eng):
+    """log_diff (tail-only incremental plan, table.py:800) must equal
+    the full-outer-join diff for every from_seq, with the log tail
+    containing BOTH commit layouts: directory commits (append_dataframe)
+    and FILE commits named commit-<seq>.parquet (the engine row/batch
+    insert path, table.py:343) — the file names broke the tail listing's
+    seq parse before the r7 fix. Randomized per-seed like the IVM
+    drill."""
+
+    def canon(df):
+        return sorted(
+            tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+        )
+
+    for seed in (7, 31):
+        rng = random.Random(seed)
+        st = _mk_store(eng, f"ld{seed}")
+        st.append_dataframe(
+            _rows_df(
+                spark,
+                [
+                    (k, f"g{k % 3}", round(rng.uniform(-9, 9), 2), k)
+                    for k in range(20)
+                ],
+            )
+        )
+        s1 = st.current_seq()
+        # dir commit: updates + inserts + a delete
+        st.append_dataframe(
+            _rows_df(spark, [(1, "gx", 99.0, 1), (25, "gy", 5.0, 25)])
+        )
+        st.delete_where(spark, F.col("k") == 2)
+        # FILE commits via the row path (one upsert, one tombstone of an
+        # ABSENT pk — must classify as dropped, i.e. appear in neither)
+        st.append_rows([{"k": 3, "grp": "gz", "v": 7.5, "w": 3}])
+        st.append_rows([{"k": 999, "grp": None, "v": None, "w": None}],
+                       delete=True)
+        for include_old in (False, True):
+            got = canon(st.log_diff(spark, s1, include_old=include_old))
+            want = canon(st.diff(spark, s1, include_old=include_old))
+            assert got == want, (
+                f"seed {seed} include_old={include_old}: log_diff != diff"
+            )
+        assert len(canon(st.log_diff(spark, s1))) > 0
+
+
 def test_group_delta_requires_old_columns(spark, eng):
     st = _mk_store(eng, "t4")
     st.append_dataframe(_rows_df(spark, [(1, "a", 1.0, 1)]))

@@ -460,6 +460,34 @@ def test_connected_components(spark):
     }
 
 
+def test_connected_components_multi_extreme_ids(spark):
+    """The tag decode must be EXACT integer arithmetic: ids above 2^53
+    are indistinguishable after float division (r6 ADVICE — `/` then
+    cast silently merged distinct high ids), and negative ids need
+    pmod (Spark's % keeps the dividend's sign, so `% k == t` dropped
+    their label rows entirely)."""
+    big = 1 << 60
+    g1 = spark.createDataFrame(
+        [(big, big + 1), (big + 2, big + 3), (-5, -6)],
+        "id_a long, id_b long",
+    )
+    g2 = spark.createDataFrame(
+        [(big + 1, big + 2), (7, -8)], "id_a long, id_b long"
+    )
+    l1, l2 = D.connected_components_multi([g1, g2])
+    c1 = {r.id: r.cluster for r in l1.collect()}
+    c2 = {r.id: r.cluster for r in l2.collect()}
+    # graph 1: {big..big+3 in two pairs} + {-5,-6}; ids decode exactly
+    assert set(c1) == {big, big + 1, big + 2, big + 3, -5, -6}
+    assert c1[big] == c1[big + 1] and c1[big + 2] == c1[big + 3]
+    assert c1[big] != c1[big + 2]  # NOT merged by float imprecision
+    assert c1[-5] == c1[-6] and c1[-5] not in (c1[big], c1[big + 2])
+    # graph 2 is independent: big+1 and big+2 ARE connected there
+    assert set(c2) == {big + 1, big + 2, 7, -8}
+    assert c2[big + 1] == c2[big + 2]
+    assert c2[7] == c2[-8] != c2[big + 1]
+
+
 def test_int8_quantization_roundtrip(vectors):
     import numpy as np
 
