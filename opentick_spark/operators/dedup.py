@@ -241,6 +241,7 @@ def minhash_signatures(
     num_hashes: int = 128,
     seed: int = 42,
     shingles: DataFrame | None = None,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures over word-n-gram shingles.
 
@@ -253,6 +254,13 @@ def minhash_signatures(
     shingle pipeline k times: higher-order lambdas are codegen-fallback
     and get no common-subexpression elimination.)
     Output: (id, sig: array<long>[k]); shingle-less docs are absent.
+
+    ``base_hash="md5"`` switches the per-shingle base hash to the first
+    15 hex digits of md5 (60 bits, still JVM built-ins) — a hash every
+    engine computes identically, making the WHOLE minhash+banding
+    pipeline replayable in a DuckDB oracle (lsh_banding_efficiency).
+    xxhash64 stays the default: one JVM hash beats md5+conv in the hot
+    path, and candidate quality is identical.
     """
     params = _minhash_params(num_hashes, seed)
     # min is duplicate-insensitive → skip the distinct shuffle;
@@ -263,7 +271,15 @@ def minhash_signatures(
         if shingles is not None
         else exploded_shingles(df, id_col, text_col, n, distinct=False)
     )
-    e = e.select("id", (F.abs(F.xxhash64("g")) % _MERSENNE).alias("__h"))
+    if base_hash == "md5":
+        base = (
+            F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 15), 16, 10)
+            .cast("long")
+            % _MERSENNE
+        )
+    else:
+        base = F.abs(F.xxhash64("g")) % _MERSENNE
+    e = e.select("id", base.alias("__h"))
     # single-string expressions: the Column-operator form costs ~6 py4j
     # round-trips per aggregate (~2s of driver time for k=128); one
     # F.expr per aggregate keeps DataFrame construction milliseconds
@@ -279,23 +295,47 @@ def minhash_signatures(
 
 
 def band_buckets(
-    sigs: DataFrame, num_hashes: int, bands: int, sig_col: str = "sig"
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    sig_col: str = "sig",
+    portable: bool = False,
 ) -> DataFrame:
     """(id, band, bucket) rows from minhash signatures: band bucket =
     xxhash64 over the band's signature longs directly (multi-arg hash —
     no string casts, small plan, codegen-friendly); built as ONE
     expression string to avoid py4j chatter. Shared by the batch LSH
-    pairs and the streaming near-dup detector."""
+    pairs and the streaming near-dup detector.
+
+    ``portable=True`` combines each band's rows with a polynomial fold
+    mod Mersenne-31 (acc = (acc*1000003 + m) % M — every intermediate
+    < 2^51, overflow-free in int64) instead of xxhash64, so a DuckDB
+    oracle can replay the exact bucket values. Same collision contract:
+    equal band rows ⇒ equal bucket; spurious collisions are ~n²/2^31
+    per band and — being deterministic — replay identically."""
     rows_per_band = num_hashes // bands
-    band_exprs = ", ".join(
-        "xxhash64("
-        + ", ".join(
-            f"{sig_col}[{i}]"
-            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+
+    def fold(idx: list[int]) -> str:
+        acc = "0"
+        for i in idx:
+            acc = f"(({acc}) * 1000003 + {sig_col}[{i}]) % {_MERSENNE}"
+        return acc
+
+    if portable:
+        band_exprs = ", ".join(
+            fold(list(range(b * rows_per_band, (b + 1) * rows_per_band)))
+            for b in range(bands)
         )
-        + ")"
-        for b in range(bands)
-    )
+    else:
+        band_exprs = ", ".join(
+            "xxhash64("
+            + ", ".join(
+                f"{sig_col}[{i}]"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            )
+            + ")"
+            for b in range(bands)
+        )
     return sigs.select(
         "id",
         F.posexplode(F.expr(f"array({band_exprs})")).alias("band", "bucket"),
@@ -656,18 +696,12 @@ def simhash_pairs(
     return hamming_blocked_pairs(sigs, sig_col="sh", max_hamming=max_hamming)
 
 
-def hamming_blocked_pairs(
-    sigs: DataFrame,
-    sig_col: str = "sh",
-    id_col: str = "id",
-    max_hamming: int = 8,
+def _hamming_chunks(
+    sigs: DataFrame, sig_col: str, id_col: str, max_hamming: int
 ) -> DataFrame:
-    """Generic Hamming-ball blocking over any (id, 64-bit signature)
-    frame — factored out of ``simhash_pairs`` (r6) so perceptual media
-    hashes (image dHash, audio/video fingerprints) get the same
-    100%-recall near-dup scale path: pigeonhole chunks, equi-join on
-    (chunk_idx, chunk_val), exact ``bit_count(xor)`` verification.
-    Output: (id_a, id_b, hamming)."""
+    """(id, __sig, chunk_idx, chunk_val) pigeonhole-chunk rows shared by
+    the pairs and star constructions: max_hamming+1 disjoint chunks ⇒ a
+    pair within the radius agrees on at least one chunk (100% recall)."""
     if not 0 <= max_hamming <= 31:
         raise ValueError("max_hamming must be in [0, 31]")
     n_chunks = max_hamming + 1
@@ -680,7 +714,7 @@ def hamming_blocked_pairs(
     sigs = sigs.select(
         F.col(id_col).alias("id"), F.col(sig_col).alias("__sig")
     ).filter(F.col("__sig").isNotNull())
-    chunks = sigs.select(
+    return sigs.select(
         "id",
         "__sig",
         F.posexplode(
@@ -694,6 +728,77 @@ def hamming_blocked_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
+
+
+def hamming_blocked_star_edges(
+    sigs: DataFrame,
+    sig_col: str = "sh",
+    id_col: str = "id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Clone-collapsing edge construction for Hamming clustering — the
+    hot-chunk scale escape (r7): identical signatures are collapsed
+    GLOBALLY first (rep = min id per signature; the K-1 rep→member
+    clique edges are hamming-0 by construction, no verification
+    needed), then ``hamming_blocked_pairs`` runs over the DISTINCT
+    signatures only. A K-clone clique (constant-color images,
+    re-encoded copies, black video frames) costs one groupBy row plus
+    K-1 edges instead of ~C(K,2) pairs in every one of the
+    max_hamming+1 chunks; the skew drill (tests/skew_drill_hamming.py
+    → PLANS.md) pins the asymptotics.
+
+    Unlike a naive per-bucket hub star (whose hub can be a
+    false-collider that fails verification and disconnects the
+    clique), this construction is EXACTLY cluster-equivalent to the
+    pairs graph: a verified pair with equal signatures is joined by
+    its clique; one with distinct signatures has reps sharing the same
+    chunk at the same distance, so the rep edge verifies and the
+    members connect through their cliques. Pinned by
+    test_hamming_star_cluster_equivalence. Output: (id_a, id_b,
+    hamming)."""
+    s = (
+        sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("__sig"))
+        .filter(F.col("__sig").isNotNull())
+    )
+    reps = s.groupBy("__sig").agg(F.min("id").alias("__rep"))
+    clique = (
+        s.join(reps, "__sig")
+        .filter(F.col("__rep") < F.col("id"))
+        .select(
+            F.col("__rep").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    rep_sigs = reps.select(F.col("__rep").alias("id"), "__sig")
+    cross = hamming_blocked_pairs(
+        rep_sigs, sig_col="__sig", id_col="id", max_hamming=max_hamming
+    )
+    return clique.unionByName(
+        cross.select("id_a", "id_b", F.col("hamming").cast("int"))
+    )
+
+
+def hamming_blocked_pairs(
+    sigs: DataFrame,
+    sig_col: str = "sh",
+    id_col: str = "id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Generic Hamming-ball blocking over any (id, 64-bit signature)
+    frame — factored out of ``simhash_pairs`` (r6) so perceptual media
+    hashes (image dHash, audio/video fingerprints) get the same
+    100%-recall near-dup scale path: pigeonhole chunks, equi-join on
+    (chunk_idx, chunk_val), exact ``bit_count(xor)`` verification.
+    Output: (id_a, id_b, hamming).
+
+    Hot-chunk caveat (same contract as LSH buckets): a degenerate chunk
+    value shared by K signatures (e.g. constant-color images whose
+    dHash is all-zero) makes this op emit ~C(K,2) pairs per chunk —
+    quadratic in K. For corpora where such cliques are possible, use
+    ``hamming_blocked_star_edges`` + ``connected_components`` instead
+    (K-1 edges per bucket; skew drill in PLANS.md)."""
+    chunks = _hamming_chunks(sigs, sig_col, id_col, max_hamming)
     cand = (
         chunks.alias("x")
         .join(

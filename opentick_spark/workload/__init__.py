@@ -38,23 +38,24 @@ The driver's correctness gate checks the FIRST 50 entries of
   rotate into the driver window next round in place of long-stable
   ones.
 
-Every round the ENTIRE registry (window + extras; 185 queries, 182
-with oracles as of late round 6 — authoritative counts in COVERAGE.md's
+Every round the ENTIRE registry (window + extras; 186 queries, ALL 186
+with oracles as of round 7 — authoritative counts in COVERAGE.md's
 generated rotation table) is value-verified against DuckDB at BOTH
 sf0.01 (the driver's scale) and sf0.1 (10×) — the 10× run has caught
 real bugs invisible at sf0.01 (r3: a keeper tie-break). Run
 ``SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.1 python
 tests/oracle_check.py`` to reproduce.
 
-Round-6 rotation: the window leads with the 14 oracle-backed round-5
-additions that have never had a driver row (VERDICT r5 item 2), then
-the 26 stalest driver-green entries (last checked round 2), then the
-7 oracle-backed round-6 additions (rotated in mid-round so brand-new
-operators get first-time driver evidence this round, the signal the
-judge weighs most), then 3 round-3-stale picks keeping the remaining
-families — similarity top-k, text heuristics, BPE — in the round. Every rotated-out entry was driver-green in a
-prior round with an unchanged implementation and keeps oracle_check
-value coverage each round. The per-query rotation history (query →
+Round-7 rotation: the window leads with the 5 never-driver-checked
+entries (VERDICT r6 items 1+3 — incremental_agg_maintenance,
+source_pagerank, and the former rows-only trio, which gained real
+oracles this round: a full MinHash-banding SQL replay on the portable
+md5 hash family, the sim_topk self-check contract, and a planted-zlib
+closed form), then the 16 round-2-stale relational entries, then 29 of
+the 32 round-3-stale cohort (3 deferred to r8 as the then-stalest).
+Every rotated-out entry was driver-green in a prior round with an
+unchanged implementation and keeps oracle_check value coverage each
+round. The per-query rotation history (query →
 rounds driver-checked → last local verification) is the audit table in
 COVERAGE.md — the authoritative record, replacing the per-round
 docstring changelogs that used to live here.
@@ -79,67 +80,71 @@ ALL_ORACLES = {**_CORE_O, **_TICK_O, **_LLM_O}
 # asked for — query → rounds driver-checked → local verification),
 # replacing the docstring changelogs.
 _DRIVER_WINDOW = [
-    # ---- the 14 oracle-backed round-5 additions that have never had a
-    # driver row (the full never-driver-checked backlog named in
-    # VERDICT r5 item 2) ----
-    "chunk_dedup_stats",
-    "char_entropy_stats",
-    "wav_decode_features",
-    "dedup_star_clusters",
-    "incremental_neardup_assign",
-    "embedding_norm_stats",
-    "rolling_beta_7d",
-    "retention_cohorts",
-    "referential_integrity_audit",
-    "hll_intersection_users",
-    "streaming_chunk_dedup",
-    "heaps_law_stats",
-    "daily_growth_accounting",
-    "roll_spread_estimate",
-    # ---- 26 stalest entries: last driver-checked in round 2 (the
-    # relational/dialect/tick core that sat out rounds 3-5) ----
-    "adj_backward",
-    "brand_nation_revenue",
-    "cohort_retention",
-    "dialect_point_get",
-    "dialect_prefix_scan",
-    "dialect_range_tail",
-    "ewma_final_price",
-    "full_scan_agg",
-    "funnel_signup_purchase",
-    "gap_fill_locf",
-    "json_props_stats",
-    "ohlcv_rollup",
-    "pivot_event_counts",
-    "pk_point_get",
-    "pk_prefix_scan",
-    "pk_range_scan",
-    "pricing_summary",
-    "revenue_by_nation",
-    "scalar_subquery_filter",
-    "session_windows",
-    "stats_by_event_type",
-    "streaming_upsert_ingest",
-    "tail_limit",
-    "top_orders_by_revenue",
-    "vwap_hourly",
-    "window_rank_topn",
-    # ---- the 7 oracle-backed round-6 additions (perceptual dedup across
-    # image/audio/video, stdlib PNG+AVI decode, Hamming-ball blocking,
-    # streaming image dedup) — never driver-checked; rotated in mid-round
-    # so they get first-time driver evidence THIS round rather than r7 ----
-    "png_decode_features",
-    "image_dedup_dhash",
-    "image_neardup_hamming",
-    "streaming_image_dedup",
-    "audio_dedup_fingerprint",
-    "video_frame_stats",
-    "video_dedup_fingerprint",
-    # ---- 3 round-3-stale picks keeping otherwise-unrepresented families
-    # (similarity top-k, text heuristics, BPE) in the driver's round ----
-    "sim_topk_ivf",
-    "text_lang_id",
-    "bpe_encode_docs",
+    # ---- round 7: the 5 entries that have NEVER had a driver row
+    # (VERDICT r6 items 1+3). incremental_agg_maintenance and
+    # source_pagerank were oracle-backed late in r6; the former
+    # rows-only trio (ann_recall_report, lsh_banding_efficiency,
+    # text_compression_ratio) gained oracles this round — full MinHash
+    # SQL replay via the portable md5 hash family, the sim_topk
+    # self-check contract, and the planted-zlib closed form — so the
+    # "pytest-pinned exception class" is gone: 186/186 oracle-backed ----
+    "incremental_agg_maintenance",
+    "source_pagerank",
+    "ann_recall_report",
+    "lsh_banding_efficiency",
+    "text_compression_ratio",
+    # ---- the 16 stalest driver-green entries (last checked round 2:
+    # the relational window/setop/grouping family) ----
+    "conditional_agg_filter",
+    "cube_status_priority",
+    "distinct_suppliers_per_flag",
+    "except_all_high_value",
+    "grouping_sets_mixed",
+    "intersect_users",
+    "interval_join_windows",
+    "rollup_nation_region",
+    "salted_join_revenue",
+    "semi_anti_join",
+    "set_ops_except",
+    "window_count_distinct",
+    "window_lead_lag",
+    "window_range_frame",
+    "window_rank_stats",
+    "window_running_sum",
+    # ---- 29 of the 32 round-3-stale entries (dedup/text/streaming/
+    # corpus/similarity cohort). Deferred to r8 as the then-stalest:
+    # sim_topk_pq, sim_topk_quantized, multimodal_frame_sample (their
+    # families stay represented below via sim_topk_bruteforce/lsh and
+    # multimodal_features; all three keep oracle_check coverage) ----
+    "approx_quantiles",
+    "contamination_8gram",
+    "corpus_pipeline",
+    "corpus_split_stats",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_simhash",
+    "embedding_label_stats",
+    "hop_window_counts",
+    "mixture_sample",
+    "multimodal_features",
+    "pack_sequences_by_lang",
+    "profile_orders",
+    "semantic_dedup",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "streaming_join_purchases",
+    "streaming_session_windows",
+    "streaming_stateful_totals",
+    "streaming_window_counts",
+    "text_bm25_search",
+    "text_chunking",
+    "text_dup_ngram_coverage",
+    "text_fingerprint",
+    "text_pii_redaction",
+    "text_quality",
+    "text_repetition",
+    "text_token_count_total",
+    "text_unigram_nll",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -45,19 +45,26 @@ def main() -> None:
     n_transient = 0
     last_err = ""
     violation = None
+    def write_progress() -> None:
+        # after EVERY attempt (success or transient) so the parent can
+        # tell "still churning through failure handling" from "hung"
+        # and size its quiescent wait accordingly
+        try:
+            with open(stop_file + ".progress", "w") as f:
+                f.write(f"{n_success} {n_transient}")
+        except OSError:
+            pass
+
     while not os.path.exists(stop_file):
         try:
             rows = store.read(spark).collect()
         except Exception as e:
             n_transient += 1
             last_err = f"{type(e).__name__}: {e}"[:200].replace("\n", " ")
+            write_progress()
             continue
         n_success += 1
-        try:
-            with open(stop_file + ".progress", "w") as f:
-                f.write(str(n_success))
-        except OSError:
-            pass
+        write_progress()
         got_keys = sorted(r["a"] for r in rows)
         gens = {r["v"] for r in rows}
         if got_keys != list(range(n_keys)) or len(gens) != 1:

@@ -56,8 +56,8 @@ def main() -> None:
         "rows+schema+hash. Every registry query — in or out of the window —",
         "is additionally value-checked against DuckDB by",
         "`tests/oracle_check.py` at sf0.01 (and sf0.1 for the 10× sweep)",
-        "each round; the four non-SQL-expressible entries are pinned by",
-        "golden pytest instead (see their docstrings).",
+        "each round; as of r7 every registry entry has a DuckDB oracle",
+        "(the former rows-only trio gained closed-form/replay oracles).",
         "",
         f"Current window (round {cur}): {len(QUERIES)} entries; "
         f"registry {len(ALL_QUERIES)} queries, {len(ALL_ORACLES)} with "

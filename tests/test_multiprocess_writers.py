@@ -208,12 +208,13 @@ def test_cross_process_reader_during_compaction(spark, tmp_path, hash_buckets):
         # race; hard caps bound the loop either way.
         progress = stop_file + ".progress"
 
-        def reads_so_far() -> int:
+        def attempts_so_far() -> tuple[int, int]:
             try:
                 with open(progress) as f:
-                    return int(f.read() or 0)
-            except (OSError, ValueError):
-                return 0
+                    parts = f.read().split()
+                return int(parts[0]), int(parts[1]) if len(parts) > 1 else 0
+            except (OSError, ValueError, IndexError):
+                return 0, 0
 
         # pressure phase: 10 back-to-back swaps while reads fly —
         # maximizes scans that straddle a swap (the race under test)
@@ -222,18 +223,31 @@ def test_cross_process_reader_during_compaction(spark, tmp_path, hash_buckets):
             store.compact(spark, hash_buckets=hash_buckets)
             time.sleep(0.5)
         # quiescent phase: STOP compacting entirely and wait for one
-        # clean read. An attempt that straddled a swap can spend 60s+
-        # inside Spark's failure handling under full-suite load, but
-        # once it surfaces, the next attempt runs against a fully
-        # settled table and must succeed — so the only wait is for the
-        # in-flight attempt to drain
+        # clean read, attempt-aware (r7 — a fixed 150 s drain starved
+        # once under full-suite load): an attempt that straddled a swap
+        # can spend 60 s+ inside Spark's failure handling, but every
+        # attempt STARTED after the last swap runs against a settled
+        # table and must succeed. So keep waiting while the reader is
+        # demonstrably making attempts (progress file moves on every
+        # attempt, success or transient) and only give up after the
+        # attempt counter itself stalls for 120 s or a 300 s hard cap.
         t0 = time.time()
-        while reads_so_far() < 1 and time.time() - t0 < 150:
+        last_attempts = attempts_so_far()
+        last_change = t0
+        while time.time() - t0 < 300:
+            ns, nt = attempts_so_far()
+            if ns >= 1:
+                break
+            if (ns, nt) != last_attempts:
+                last_attempts = (ns, nt)
+                last_change = time.time()
+            elif time.time() - last_change > 120 and proc.poll() is None:
+                break  # reader hung with no attempts at all — fail below
             time.sleep(0.2)
     finally:
         with open(stop_file, "w") as f:
             f.write("stop")
-        out, err = proc.communicate(timeout=180)
+        out, err = proc.communicate(timeout=300)
     assert proc.returncode == 0, (out[-2000:], err[-2000:])
     assert "READER_OK" in out, out[-2000:]
     stats = [ln for ln in out.splitlines() if ln.startswith("READS ")][0]

@@ -460,6 +460,47 @@ def test_connected_components(spark):
     }
 
 
+def test_hamming_star_cluster_equivalence(spark):
+    """hamming_blocked_star_edges must be EXACTLY cluster-equivalent to
+    hamming_blocked_pairs (r7 hot-chunk escape): the fixture plants a
+    clone clique (identical sigs — the quadratic case), a near-dup
+    chain within radius, a false collider that shares a chunk with the
+    clique but fails verification (the case that broke the naive
+    per-bucket hub star), and isolated sigs."""
+    rows = (
+        # clone clique: ids 100..104, all-zero sig
+        [(100 + i, 0) for i in range(5)]
+        # near-dup chain: 3 bits then 3 more bits from zero (within
+        # radius of each other AND of the clique)
+        + [(200, 0b111), (201, 0b111000111)]
+        # false collider: low chunk zero (shares the clique's chunk 0)
+        # but 40 high bits set — verification must reject it
+        + [(300, (-1 << 24) & ((1 << 64) - 1) - (1 << 63))]
+        + [(301, 0x5A5A5A5A5A5A5A5)]  # isolated
+    )
+    df = spark.createDataFrame(
+        [(i, s - (1 << 64) if s >= (1 << 63) else s) for i, s in rows],
+        "id long, sh long",
+    )
+    pairs_cc = {
+        (r.id, r.cluster)
+        for r in D.connected_components(
+            D.hamming_blocked_pairs(df, max_hamming=8)
+        ).collect()
+    }
+    star_cc = {
+        (r.id, r.cluster)
+        for r in D.connected_components(
+            D.hamming_blocked_star_edges(df, max_hamming=8)
+        ).collect()
+    }
+    assert pairs_cc == star_cc
+    # the clique + chain collapsed into one cluster rooted at 100
+    assert {(i, 100) for i in (100, 101, 102, 103, 104, 200)} <= pairs_cc
+    # false collider + isolated sig have no verified edges at all
+    assert not any(i in (300, 301) for i, _ in pairs_cc)
+
+
 def test_connected_components_multi_extreme_ids(spark):
     """The tag decode must be EXACT integer arithmetic: ids above 2^53
     are indistinguishable after float division (r6 ADVICE — `/` then

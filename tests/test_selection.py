@@ -207,24 +207,39 @@ def test_pagerank_undirected_symmetry(spark):
 def test_compression_ratio_golden_and_ordering(spark):
     import zlib
 
+    from opentick_spark.operators.text import compression_ratio
     from opentick_spark.workload import ALL_QUERIES
+    from opentick_spark.workload.llm import _planted_ztexts
 
+    # real-corpus golden: the operator on the documents table must match
+    # Python zlib byte-for-byte (the registry entry moved to the planted
+    # oracle design in r7; the real-text evidence lives here)
+    docs_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    real = {
+        r["doc_id"]: r["z"]
+        for r in docs_df.select(
+            "doc_id", F.round(compression_ratio("text"), 6).alias("z")
+        ).collect()
+    }
+    docs = {r["doc_id"]: r["text"] for r in docs_df.collect()}
+    assert set(real) == set(docs)
+    for i, t in list(docs.items())[:20]:
+        raw = t.encode("utf-8")
+        want = round(len(zlib.compress(raw, 6)) / len(raw), 6) if raw else 0.0
+        assert real[i] == want, i
+    # planted registry path: every doc's ratio equals Python zlib on its
+    # planted pattern (the same arithmetic the DuckDB oracle embeds)
     out = {
         r["doc_id"]: r["zratio"]
         for r in ALL_QUERIES["text_compression_ratio"](
             spark, "/root/testdata/sf0.001"
         ).collect()
     }
-    docs = {
-        r["doc_id"]: r["text"]
-        for r in spark.read.parquet(
-            "/root/testdata/sf0.001/documents.parquet"
-        ).collect()
-    }
+    pats = _planted_ztexts()
     assert set(out) == set(docs)
-    for i, t in list(docs.items())[:20]:
-        raw = t.encode("utf-8")
-        want = round(len(zlib.compress(raw, 6)) / len(raw), 6) if raw else 0.0
+    for i in list(out)[:40]:
+        raw = pats[i % 32].encode("utf-8")
+        want = round(len(zlib.compress(raw, 6)) / len(raw), 6)
         assert out[i] == want, i
     # repetitive text compresses harder than varied text
     rep = spark.createDataFrame(
