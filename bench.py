@@ -438,11 +438,37 @@ def main():
         # r4 sketch family: mergeable hourly HLL partials → day rollup
         "hll_distinct_rollup",
     ]
+    # r7 (VERDICT item 5): the slowest registry rows get the same
+    # min-of-3 + published-spread treatment as the harness shapes —
+    # single-rep rows can't distinguish real drift from the documented
+    # 1g-heap GC tail (r6 flagged ohlcv_rollup/tfidf_top_terms/
+    # hll_distinct_rollup creeping 1.15-1.23x with no way to tell).
+    # Set = top-10 registry rows by BENCH_r06 time ∪ the three flagged
+    # creepers.
+    rep_queries = {
+        "dedup_minhash_lsh",
+        "dup_span_stats",
+        "streaming_window_counts",
+        "tfidf_top_terms",
+        "revenue_by_nation",
+        "corpus_pipeline",
+        "sim_topk_bruteforce",
+        "scalar_subquery_filter",
+        "top_orders_by_revenue",
+        "adj_forward",
+        "ohlcv_rollup",
+        "hll_distinct_rollup",
+    }
     for name in headline:
         fn = QUERIES[name]
-        t0 = time.time()
-        materialize(fn(spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        if name in rep_queries:
+            timings[name] = timed_reps(
+                spark, name, lambda f=fn: materialize(f(spark, SF_DIR))
+            )
+        else:
+            t0 = time.time()
+            materialize(fn(spark, SF_DIR))
+            timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     timings = {k: round(v, 3) for k, v in timings.items()}

@@ -38,7 +38,7 @@ The driver's correctness gate checks the FIRST 50 entries of
   rotate into the driver window next round in place of long-stable
   ones.
 
-Every round the ENTIRE registry (window + extras; 186 queries, ALL 186
+Every round the ENTIRE registry (window + extras; 187 queries, ALL 187
 with oracles as of round 7 — authoritative counts in COVERAGE.md's
 generated rotation table) is value-verified against DuckDB at BOTH
 sf0.01 (the driver's scale) and sf0.1 (10×) — the 10× run has caught
@@ -51,8 +51,12 @@ entries (VERDICT r6 items 1+3 — incremental_agg_maintenance,
 source_pagerank, and the former rows-only trio, which gained real
 oracles this round: a full MinHash-banding SQL replay on the portable
 md5 hash family, the sim_topk self-check contract, and a planted-zlib
-closed form), then the 16 round-2-stale relational entries, then 29 of
-the 32 round-3-stale cohort (3 deferred to r8 as the then-stalest).
+closed form) plus the mid-round mjpg_frame_stats (real MJPG decode via
+the r7 from-scratch baseline-JPEG codec, planted closed-form DC
+oracle), then the 16 round-2-stale relational entries, then 28 of the
+32 round-3-stale cohort (4 deferred to r8 as the then-stalest:
+sim_topk_pq, sim_topk_quantized, multimodal_frame_sample,
+text_token_count_total).
 Every rotated-out entry was driver-green in a prior round with an
 unchanged implementation and keeps oracle_check value coverage each
 round. The per-query rotation history (query →
@@ -93,6 +97,10 @@ _DRIVER_WINDOW = [
     "ann_recall_report",
     "lsh_banding_efficiency",
     "text_compression_ratio",
+    # mid-r7 addition (the r6 precedent: brand-new operators get
+    # first-time driver evidence THIS round): real MJPG decode via the
+    # from-scratch baseline-JPEG codec, planted closed-form DC oracle
+    "mjpg_frame_stats",
     # ---- the 16 stalest driver-green entries (last checked round 2:
     # the relational window/setop/grouping family) ----
     "conditional_agg_filter",
@@ -111,11 +119,12 @@ _DRIVER_WINDOW = [
     "window_range_frame",
     "window_rank_stats",
     "window_running_sum",
-    # ---- 29 of the 32 round-3-stale entries (dedup/text/streaming/
+    # ---- 28 of the 32 round-3-stale entries (dedup/text/streaming/
     # corpus/similarity cohort). Deferred to r8 as the then-stalest:
-    # sim_topk_pq, sim_topk_quantized, multimodal_frame_sample (their
-    # families stay represented below via sim_topk_bruteforce/lsh and
-    # multimodal_features; all three keep oracle_check coverage) ----
+    # sim_topk_pq, sim_topk_quantized, multimodal_frame_sample,
+    # text_token_count_total (their families stay represented below
+    # via sim_topk_bruteforce/lsh, multimodal_features and the other
+    # text entries; all four keep oracle_check coverage) ----
     "approx_quantiles",
     "contamination_8gram",
     "corpus_pipeline",
@@ -143,7 +152,6 @@ _DRIVER_WINDOW = [
     "text_pii_redaction",
     "text_quality",
     "text_repetition",
-    "text_token_count_total",
     "text_unigram_nll",
 ]
 

@@ -133,14 +133,13 @@ def test_ann_recall_report_floors(spark):
         ).collect()
     }
     assert set(rows) == {"int8", "ivf_p4", "lsh_h2", "pq_rerank"}
-    # measured at sf0.01: int8 .984 / pq .936 / ivf .51 / lsh .326 —
-    # gates sit below with headroom, deterministic methods so any drop
-    # is a code change, not noise
-    assert rows["int8"]["recall_at_10"] >= 0.9
-    assert rows["pq_rerank"]["recall_at_10"] >= 0.8
-    assert rows["ivf_p4"]["recall_at_10"] >= 0.4
-    assert rows["lsh_h2"]["recall_at_10"] >= 0.25
-    assert all(r["mrr_at_10"] >= 0.9 for r in rows.values())
+    # r7: the query carries the floor check itself (self-check contract
+    # with _ANN_FLOORS, measured at both SFs with margin — recall@10
+    # int8 .984 / pq .936 / ivf .51 / lsh .326 at sf0.01); all booleans
+    # must hold, and n_queries is the real query-set size
+    assert all(r["recall_ok"] for r in rows.values())
+    assert all(r["mrr_ok"] for r in rows.values())
+    assert all(r["n_queries"] == 50 for r in rows.values())
 
 
 def test_edit_distance_pairs_fixture(spark):
