@@ -461,3 +461,37 @@ def test_runtime_bloom_filter_join_eligible(spark):
     finally:
         for k, v in defaults.items():
             spark.conf.set(k, v)
+
+
+def test_portable_minhash_banding_stays_jvm(spark, queries):
+    """r7: the portable hash family (md5+conv base hash, polynomial
+    band folds) must not cost the JVM path — lsh_banding_efficiency's
+    whole pipeline plans with zero Python eval stages, and the
+    candidate join is a real equi-join, never a cartesian."""
+    plan = plan_of(queries["lsh_banding_efficiency"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hamming_star_edges_collapse_clones_first(spark):
+    """r7 hot-chunk escape: the star construction must plan the GLOBAL
+    signature-dedup aggregate (clone collapse) feeding the blocked
+    pairs join — an aggregate on the signature, no window hub (the
+    naive per-bucket hub was cluster-INequivalent), no cartesian."""
+    from opentick_spark.operators.dedup import hamming_blocked_star_edges
+
+    sigs = spark.range(100).selectExpr("id", "xxhash64(id) AS sh")
+    plan = plan_of(hamming_blocked_star_edges(sigs, max_hamming=8))
+    assert plan.count("HashAggregate") >= 2  # partial+final sig dedup
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mjpg_frame_stats_is_narrow_arrow(spark, queries):
+    """r7: synthesis + MJPG (JPEG) decode + per-frame stats is one
+    narrow Arrow pipeline — video bytes never shuffle; the only Python
+    stages are mapInPandas (Arrow), never row-at-a-time."""
+    plan = plan_of(queries["mjpg_frame_stats"](spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
