@@ -18,6 +18,7 @@ parent can keep compacting until the race has actually been exercised
 
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -25,6 +26,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from opentick_spark.catalog import Catalog  # noqa: E402
 from opentick_spark.session import get_spark  # noqa: E402
 from opentick_spark.table import TableStore  # noqa: E402
+
+#: per-attempt wall cap: under full-suite load a single attempt that
+#: straddled a swap can sit in Spark's failure handling for minutes —
+#: unbounded attempts are what starved the r6/r7 liveness floor. A
+#: watchdog cancels the attempt's job group instead; the cancelled
+#: attempt counts as transient and the NEXT attempt (against a settled
+#: table in the quiescent phase) completes fast.
+ATTEMPT_CAP_S = 45.0
+
+
+def _read_bounded(spark, store):
+    sc = spark.sparkContext
+    sc.setJobGroup("reader_attempt", "race reader attempt",
+                   interruptOnCancel=True)
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(ATTEMPT_CAP_S):
+            try:
+                sc.cancelJobGroup("reader_attempt")
+            except Exception:
+                pass
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        return store.read(spark).collect()
+    finally:
+        done.set()
 
 
 def main() -> None:
@@ -57,7 +87,7 @@ def main() -> None:
 
     while not os.path.exists(stop_file):
         try:
-            rows = store.read(spark).collect()
+            rows = _read_bounded(spark, store)
         except Exception as e:
             n_transient += 1
             last_err = f"{type(e).__name__}: {e}"[:200].replace("\n", " ")
