@@ -38,7 +38,7 @@ The driver's correctness gate checks the FIRST 50 entries of
   rotate into the driver window next round in place of long-stable
   ones.
 
-Every round the ENTIRE registry (window + extras; 187 queries, ALL 187
+Every round the ENTIRE registry (window + extras; 188 queries, ALL 188
 with oracles as of round 7 — authoritative counts in COVERAGE.md's
 generated rotation table) is value-verified against DuckDB at BOTH
 sf0.01 (the driver's scale) and sf0.1 (10×) — the 10× run has caught
@@ -51,12 +51,13 @@ entries (VERDICT r6 items 1+3 — incremental_agg_maintenance,
 source_pagerank, and the former rows-only trio, which gained real
 oracles this round: a full MinHash-banding SQL replay on the portable
 md5 hash family, the sim_topk self-check contract, and a planted-zlib
-closed form) plus the mid-round mjpg_frame_stats (real MJPG decode via
-the r7 from-scratch baseline-JPEG codec, planted closed-form DC
-oracle), then the 16 round-2-stale relational entries, then 28 of the
-32 round-3-stale cohort (4 deferred to r8 as the then-stalest:
+closed form) plus the mid-round additions mjpg_frame_stats (real MJPG
+decode via the r7 from-scratch baseline-JPEG codec, planted
+closed-form DC oracle) and log_diff_incremental (tail-only CDC diff,
+VALUES oracle), then the 16 round-2-stale relational entries, then 27
+of the 32 round-3-stale cohort (5 deferred to r8 as the then-stalest:
 sim_topk_pq, sim_topk_quantized, multimodal_frame_sample,
-text_token_count_total).
+text_token_count_total, text_repetition).
 Every rotated-out entry was driver-green in a prior round with an
 unchanged implementation and keeps oracle_check value coverage each
 round. The per-query rotation history (query →
@@ -91,16 +92,20 @@ _DRIVER_WINDOW = [
     # text_compression_ratio) gained oracles this round — full MinHash
     # SQL replay via the portable md5 hash family, the sim_topk
     # self-check contract, and the planted-zlib closed form — so the
-    # "pytest-pinned exception class" is gone: 186/186 oracle-backed ----
+    # "pytest-pinned exception class" is gone: every registry entry
+    # (188 as of mid-r7) is oracle-backed ----
     "incremental_agg_maintenance",
     "source_pagerank",
     "ann_recall_report",
     "lsh_banding_efficiency",
     "text_compression_ratio",
-    # mid-r7 addition (the r6 precedent: brand-new operators get
+    # mid-r7 additions (the r6 precedent: brand-new operators get
     # first-time driver evidence THIS round): real MJPG decode via the
-    # from-scratch baseline-JPEG codec, planted closed-form DC oracle
+    # from-scratch baseline-JPEG codec (planted closed-form DC oracle),
+    # and the tail-only incremental log_diff (VALUES oracle, both
+    # commit layouts in the tail, include_old retraction columns)
     "mjpg_frame_stats",
+    "log_diff_incremental",
     # ---- the 16 stalest driver-green entries (last checked round 2:
     # the relational window/setop/grouping family) ----
     "conditional_agg_filter",
@@ -119,12 +124,13 @@ _DRIVER_WINDOW = [
     "window_range_frame",
     "window_rank_stats",
     "window_running_sum",
-    # ---- 28 of the 32 round-3-stale entries (dedup/text/streaming/
+    # ---- 27 of the 32 round-3-stale entries (dedup/text/streaming/
     # corpus/similarity cohort). Deferred to r8 as the then-stalest:
     # sim_topk_pq, sim_topk_quantized, multimodal_frame_sample,
-    # text_token_count_total (their families stay represented below
-    # via sim_topk_bruteforce/lsh, multimodal_features and the other
-    # text entries; all four keep oracle_check coverage) ----
+    # text_token_count_total, text_repetition (their families stay
+    # represented below via sim_topk_bruteforce/lsh,
+    # multimodal_features and the other text entries; all five keep
+    # oracle_check coverage) ----
     "approx_quantiles",
     "contamination_8gram",
     "corpus_pipeline",
@@ -151,7 +157,6 @@ _DRIVER_WINDOW = [
     "text_fingerprint",
     "text_pii_redaction",
     "text_quality",
-    "text_repetition",
     "text_unigram_nll",
 ]
 

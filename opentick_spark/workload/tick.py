@@ -272,6 +272,56 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "log_diff_incremental",
+    """
+    SELECT * FROM (VALUES
+      (3, 'changed', 330.0, 30.0),
+      (5, 'removed', CAST(NULL AS DOUBLE), 50.0),
+      (7, 'changed', 770.0, 70.0),
+      (9, 'added', 90.0, CAST(NULL AS DOUBLE))
+    ) AS t(doc_id, change, score, old_score)
+    """,
+)
+def log_diff_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TAIL-ONLY incremental diff (TableStore.log_diff, r6/r7): same
+    added/removed/changed classification as ``diff`` but the new side
+    reads ONLY commits after ``from_seq`` (path-level pruning — the
+    pre-checkpoint corpus is never listed) and the old side is a
+    broadcast-semi-join point lookup of the touched PKs, so cost is
+    delta-sized at any corpus size — the 100 TB CDC shape. The tail
+    deliberately mixes BOTH commit layouts (dialect row inserts =
+    commit-<seq>.parquet FILES, bulk append_dataframe = commit
+    DIRECTORIES — the file layout broke the tail listing before the r7
+    fix) and ``include_old=True`` exercises the retraction columns.
+    Closed-form DML script → VALUES oracle;
+    log_diff == diff equivalence is property-tested per-seed in
+    tests/test_ivm.py."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_logdiff_"))
+    eng.execute("create database v")
+    eng.use("v")
+    eng.execute(
+        "create table docs(doc_id int, score double, primary key(doc_id))"
+    )
+    pid = eng.prepare("insert into docs(doc_id, score) values(?, ?)")
+    eng.batch_insert(pid, [(i, float(i) * 10) for i in range(1, 9)])
+    st = eng.store("v", "docs")
+    seq_a = st.current_seq()
+    # file commits (dialect row path): change 3, add 9, delete 5
+    eng.batch_insert(pid, [(3, 330.0), (9, 90.0)])
+    eng.execute("delete from docs where doc_id=5")
+    # directory commit (Spark bulk path): change 7
+    st.append_dataframe(
+        spark.createDataFrame([(7, 770.0)], "doc_id int, score double")
+    )
+    return st.log_diff(spark, seq_a, include_old=True).select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        "change",
+        "score",
+        "old_score",
+    )
+
+
+@q(
     "incremental_agg_maintenance",
     """
     WITH final AS (
