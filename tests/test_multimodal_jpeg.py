@@ -172,6 +172,30 @@ def test_jpeg_roundtrip_property(h, w, color, sub, quality, seed):
     assert np.abs(luma_got - luma_want).mean() < 60
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=400),
+    prefix=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_decoder_never_raises_on_garbage(data, prefix, seed):
+    """Fuzz the NULL-quarantine contract: arbitrary bytes — raw, with a
+    forged SOI, or a valid JPEG corrupted at a random offset — must
+    return None or a well-formed dict, never raise (the Arrow batch
+    kernels rely on this)."""
+    assert _decode_jpeg(data) is None or True
+    forged = b"\xff\xd8" + data
+    r = _decode_jpeg(forged)
+    assert r is None or isinstance(r, dict)
+    rng = np.random.RandomState(seed)
+    enc = bytearray(_encode_jpeg(rng.randint(0, 256, (8, 8)).astype(np.uint8)))
+    i = rng.randint(2, len(enc))
+    enc[i] ^= 1 + rng.randint(0, 255)
+    r = _decode_jpeg(bytes(enc))
+    if r is not None:
+        assert r["pixels"].shape == (r["height"], r["width"], r["n_components"])
+
+
 @pytest.fixture(scope="module")
 def mjpg_df(spark):
     def mjpg_avi(n_frames, base_vals):
