@@ -66,6 +66,20 @@ def test_jpeg_constant_color_exact(subsample):
     assert set(dec["pixels"].reshape(-1).tolist()) == {want}
 
 
+def test_mjpg_planted_design_has_no_half_boundary_pixels():
+    """The mjpg_frame_stats oracle's fp-stability claim: at the
+    quality-90 DC step (q=3) NO 8-bit value reconstructs to an exact
+    .5 boundary, so the decoder's floor(x+0.5) under ±1e-13 IDCT noise
+    cannot flip a pixel against the closed-form lut."""
+    q = int(_jpeg_qtables(90)[0][0, 0])
+    assert q == 3
+    for v in range(256):
+        f = 8.0 * (v - 128.0)
+        qv = math.floor(abs(f) / q + 0.5) * (1 if f >= 0 else -1)
+        rec = qv * q / 8.0 + 128.0
+        assert abs(rec - math.floor(rec) - 0.5) > 1e-9, v
+
+
 def test_jpeg_smooth_roundtrip_small_error():
     xs = np.linspace(0, 255, 64)
     g = np.meshgrid(xs, xs)
