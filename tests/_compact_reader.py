@@ -27,30 +27,48 @@ from opentick_spark.catalog import Catalog  # noqa: E402
 from opentick_spark.session import get_spark  # noqa: E402
 from opentick_spark.table import TableStore  # noqa: E402
 
-#: per-attempt wall cap: under full-suite load a single attempt that
-#: straddled a swap can sit in Spark's failure handling for minutes —
-#: unbounded attempts are what starved the r6/r7 liveness floor. A
-#: watchdog cancels the attempt's job group instead; the cancelled
-#: attempt counts as transient and the NEXT attempt (against a settled
-#: table in the quiescent phase) completes fast.
+#: per-attempt wall caps: an attempt that straddled a swap can sit in
+#: Spark's failure handling for minutes — unbounded doomed attempts
+#: are what starved the r6/r7 liveness floor — so a watchdog cancels
+#: the attempt's job group and the attempt counts as transient. Two
+#: hard-won subtleties (each diagnosed from a real wedge):
+#:
+#: 1. The cancel must LOOP, not fire once: driver-side planning of the
+#:    read under a saturated box can exceed the cap, and a one-shot
+#:    cancel that lands while NO job is active is a no-op ("Cannot
+#:    find active jobs") — the job that starts a moment later then
+#:    runs unbounded (observed: 610 s, killed only by shutdown).
+#: 2. The pressure-phase cap must not apply once the parent signals
+#:    QUIESCENCE (<stop>.quiesce): the table is settled, every attempt
+#:    is healthy, and a 50-row read legitimately took 150 s under four
+#:    concurrent Spark JVMs — a tight cap was cancelling reads that
+#:    would have succeeded. Quiescent attempts still get a LARGE cap
+#:    so a scheduler-wedged job dies and retries instead of starving
+#:    the floor forever.
 ATTEMPT_CAP_S = 45.0
+QUIESCENT_CAP_S = 240.0
 
 
-def _read_bounded(spark, store):
+def _read_bounded(spark, store, cap_s: float):
     sc = spark.sparkContext
-    sc.setJobGroup("reader_attempt", "race reader attempt",
-                   interruptOnCancel=True)
+    # interruptOnCancel stays False: cancellation only needs the JOB to
+    # abort promptly; interrupting task threads mid-parquet-IO risks
+    # wedging the channel and losing the whole reader
+    sc.setJobGroup("reader_attempt", "race reader attempt")
     done = threading.Event()
 
     def watchdog():
-        if not done.wait(ATTEMPT_CAP_S):
+        if done.wait(cap_s):
+            return
+        while True:  # cancel NOW, then keep cancelling: subtlety 1
             try:
                 sc.cancelJobGroup("reader_attempt")
             except Exception:
                 pass
+            if done.wait(15.0):
+                return
 
-    t = threading.Thread(target=watchdog, daemon=True)
-    t.start()
+    threading.Thread(target=watchdog, daemon=True).start()
     try:
         return store.read(spark).collect()
     finally:
@@ -75,6 +93,8 @@ def main() -> None:
     n_transient = 0
     last_err = ""
     violation = None
+    quiesce_file = stop_file + ".quiesce"
+
     def write_progress() -> None:
         # after EVERY attempt (success or transient) so the parent can
         # tell "still churning through failure handling" from "hung"
@@ -85,16 +105,54 @@ def main() -> None:
         except OSError:
             pass
 
-    while not os.path.exists(stop_file):
+    # liveness heartbeat, independent of attempt duration: an unbounded
+    # quiescent-phase attempt can legitimately run for minutes on a
+    # saturated box, and the parent must be able to tell "slow but
+    # alive" from "wedged". The same thread hastens shutdown: once the
+    # parent writes the stop file, cancel the in-flight attempt so the
+    # process exits promptly instead of finishing a minutes-long read.
+    def heartbeat() -> None:
+        while not os.path.exists(stop_file):
+            try:
+                os.utime(stop_file + ".progress", None)
+            except OSError:
+                write_progress()
+            time.sleep(5)
         try:
-            rows = _read_bounded(spark, store)
+            spark.sparkContext.cancelJobGroup("reader_attempt")
+        except Exception:
+            pass
+
+    write_progress()
+    threading.Thread(target=heartbeat, daemon=True).start()
+
+    while not os.path.exists(stop_file):
+        t_a = time.time()
+        try:
+            cap = (
+                QUIESCENT_CAP_S
+                if os.path.exists(quiesce_file)
+                else ATTEMPT_CAP_S
+            )
+            rows = _read_bounded(spark, store, cap)
         except Exception as e:
             n_transient += 1
             last_err = f"{type(e).__name__}: {e}"[:200].replace("\n", " ")
             write_progress()
+            # timeline on stderr: the parent persists it for post-mortem
+            print(
+                f"ATTEMPT t={time.time() - t_a:.1f}s transient {last_err}",
+                file=sys.stderr,
+                flush=True,
+            )
             continue
         n_success += 1
         write_progress()
+        print(
+            f"ATTEMPT t={time.time() - t_a:.1f}s ok rows={len(rows)}",
+            file=sys.stderr,
+            flush=True,
+        )
         got_keys = sorted(r["a"] for r in rows)
         gens = {r["v"] for r in rows}
         if got_keys != list(range(n_keys)) or len(gens) != 1:

@@ -222,34 +222,55 @@ def test_cross_process_reader_during_compaction(spark, tmp_path, hash_buckets):
             store.append_rows([{"a": k, "v": g} for k in range(n_keys)])
             store.compact(spark, hash_buckets=hash_buckets)
             time.sleep(0.5)
-        # quiescent phase: STOP compacting entirely and wait for one
-        # clean read, attempt-aware (r7 — a fixed 150 s drain starved
-        # once under full-suite load): an attempt that straddled a swap
-        # can spend 60 s+ inside Spark's failure handling, but every
-        # attempt STARTED after the last swap runs against a settled
-        # table and must succeed. So keep waiting while the reader is
-        # demonstrably making attempts (progress file moves on every
-        # attempt, success or transient) and only give up after the
-        # attempt counter itself stalls for 120 s or a 300 s hard cap.
+        # quiescent phase (r7, twice-diagnosed under load): signal the
+        # reader that swaps are OVER — from here every attempt is
+        # healthy, so the reader disables its pressure-phase watchdog
+        # and lets the attempt run to completion however slow the box
+        # is (measured: a 50-row read took 150 s under four concurrent
+        # Spark JVMs; the earlier 45 s cap was cancelling reads that
+        # would have succeeded — the exact liveness-floor failure it
+        # was meant to prevent). The parent then waits for ONE clean
+        # read with a generous cap, using the reader's 5 s heartbeat
+        # (progress-file mtime) to distinguish slow-but-alive from
+        # wedged.
+        with open(stop_file + ".quiesce", "w") as f:
+            f.write("quiesce")
         t0 = time.time()
-        last_attempts = attempts_so_far()
-        last_change = t0
-        while time.time() - t0 < 300:
-            ns, nt = attempts_so_far()
+        while time.time() - t0 < 600:
+            ns, _nt = attempts_so_far()
             if ns >= 1:
                 break
-            if (ns, nt) != last_attempts:
-                last_attempts = (ns, nt)
-                last_change = time.time()
-            elif time.time() - last_change > 120 and proc.poll() is None:
-                break  # reader hung with no attempts at all — fail below
+            try:
+                hb_age = time.time() - os.path.getmtime(progress)
+            except OSError:
+                hb_age = 0.0
+            if hb_age > 60 and proc.poll() is None:
+                break  # heartbeat dead: reader wedged — fail below
             time.sleep(0.2)
     finally:
         with open(stop_file, "w") as f:
             f.write("stop")
         out, err = proc.communicate(timeout=300)
-    assert proc.returncode == 0, (out[-2000:], err[-2000:])
-    assert "READER_OK" in out, out[-2000:]
+        # self-diagnosing failures: a suite-level run only keeps the
+        # one-line summary, so persist the full reader transcript +
+        # parent timeline where a post-mortem can read it
+        import datetime
+
+        diag = (
+            f"/tmp/race_debug_{'bucketed' if hash_buckets else 'flat'}.txt"
+        )
+        try:
+            with open(diag, "w") as f:
+                f.write(
+                    f"when={datetime.datetime.now().isoformat()}\n"
+                    f"returncode={proc.returncode}\n"
+                    f"--- reader stdout ---\n{out[-8000:]}\n"
+                    f"--- reader stderr (tail) ---\n{err[-8000:]}\n"
+                )
+        except OSError:
+            pass
+    assert proc.returncode == 0, (diag, out[-2000:], err[-2000:])
+    assert "READER_OK" in out, (diag, out[-2000:])
     stats = [ln for ln in out.splitlines() if ln.startswith("READS ")][0]
     n_success, n_transient = map(int, stats.split()[1:])
     # the race must actually have been exercised: at least one
@@ -257,11 +278,10 @@ def test_cross_process_reader_during_compaction(spark, tmp_path, hash_buckets):
     # assertions above are the contract (any torn/empty/mixed read
     # exits the reader with READER_VIOLATION and fails returncode);
     # the floor only guards against a reader that never got through —
-    # under full-suite CPU load a single transient-error attempt can
-    # take 60s+ of Spark failure handling, legitimately starving any
-    # higher bar (healthy runs bank 5-15 successes in the pressure
-    # phase)
-    assert n_success >= 1, (n_success, n_transient)
+    # per-attempt cost is bounded by the reader's job-group watchdog
+    # (tests/_compact_reader.py), so the drain fits many attempts
+    last = [ln for ln in out.splitlines() if ln.startswith("LAST_")]
+    assert n_success >= 1, (n_success, n_transient, last, diag)
 
 
 def test_missing_file_reads_fail_loudly_not_silently(spark):
