@@ -48,31 +48,51 @@ from opentick_spark.table import TableStore  # noqa: E402
 ATTEMPT_CAP_S = 45.0
 QUIESCENT_CAP_S = 240.0
 
+_attempt_seq = 0
+
 
 def _read_bounded(spark, store, cap_s: float):
+    """One read attempt with a HARD wall cap, immune to a wedged JVM
+    (r7, third iteration — diagnosed from persisted transcripts): the
+    attempt runs in its own thread with its own job group; the caller
+    waits ``cap_s`` then best-effort-cancels and ABANDONS it. Earlier
+    designs cancelled the shared job group from a watchdog while the
+    main thread stayed blocked in collect() — and a reader whose JVM
+    stops scheduling tasks (observed: a 50-row job alive 605 s with
+    its task executing only at shutdown) never returns control to the
+    loop at all, starving the liveness floor no matter how the parent
+    waits. Abandoned threads are daemonic and die with the process;
+    per-attempt group names keep late cancels from hitting later
+    attempts. Raises TimeoutError on abandonment (counted transient)."""
+    global _attempt_seq
+    _attempt_seq += 1
+    group = f"reader_attempt_{_attempt_seq}"
     sc = spark.sparkContext
-    # interruptOnCancel stays False: cancellation only needs the JOB to
-    # abort promptly; interrupting task threads mid-parquet-IO risks
-    # wedging the channel and losing the whole reader
-    sc.setJobGroup("reader_attempt", "race reader attempt")
-    done = threading.Event()
+    result: dict = {}
 
-    def watchdog():
-        if done.wait(cap_s):
-            return
-        while True:  # cancel NOW, then keep cancelling: subtlety 1
-            try:
-                sc.cancelJobGroup("reader_attempt")
-            except Exception:
-                pass
-            if done.wait(15.0):
-                return
+    def run():
+        # pinned-thread py4j: properties set here bind to THIS thread's
+        # JVM thread, so the job carries our per-attempt group
+        sc.setJobGroup(group, "race reader attempt")
+        try:
+            result["rows"] = store.read(spark).collect()
+        except Exception as e:  # surfaced by the caller
+            result["err"] = e
 
-    threading.Thread(target=watchdog, daemon=True).start()
-    try:
-        return store.read(spark).collect()
-    finally:
-        done.set()
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(cap_s)
+    if t.is_alive():
+        try:
+            sc.cancelJobGroup(group)
+        except Exception:
+            pass
+        t.join(10.0)  # grace for the cancel to surface
+    if t.is_alive():
+        raise TimeoutError(f"attempt abandoned after {cap_s:.0f}s cap")
+    if "err" in result:
+        raise result["err"]
+    return result["rows"]
 
 
 def main() -> None:
@@ -118,8 +138,8 @@ def main() -> None:
             except OSError:
                 write_progress()
             time.sleep(5)
-        try:
-            spark.sparkContext.cancelJobGroup("reader_attempt")
+        try:  # hasten shutdown: everything in this JVM may die now
+            spark.sparkContext.cancelAllJobs()
         except Exception:
             pass
 

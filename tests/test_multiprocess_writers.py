@@ -37,6 +37,12 @@ def test_concurrent_process_writers_no_lost_commits(spark, tmp_path):
     eng.use("mp")
     eng.execute("create table t(a int, v int, primary key(a))")
 
+    # stderr goes to FILES, never an undrained pipe: a subprocess JVM
+    # whose stderr pipe fills BLOCKS inside log4j while holding the
+    # TaskSchedulerImpl lock — a whole-JVM scheduler deadlock (the r7
+    # reader-race wedge, diagnosed by jstack). Files also keep the
+    # transcripts for post-mortems.
+    errs = [str(tmp_path / f"writer{w}.err") for w in range(N_WORKERS)]
     procs = [
         subprocess.Popen(
             [
@@ -50,14 +56,14 @@ def test_concurrent_process_writers_no_lost_commits(spark, tmp_path):
                 str(N_KEYS),
             ],
             stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
+            stderr=open(errs[w], "w"),
             text=True,
         )
         for w in range(N_WORKERS)
     ]
-    for p in procs:
-        out, err = p.communicate(timeout=120)
-        assert p.returncode == 0, err
+    for w, p in enumerate(procs):
+        out, _ = p.communicate(timeout=120)
+        assert p.returncode == 0, open(errs[w]).read()[-2000:]
         assert "WORKER_DONE" in out
 
     store = eng.store("mp", "t")
@@ -105,6 +111,8 @@ def test_concurrent_writers_with_compaction(spark, tmp_path):
     store = eng.store("mpc", "t")
 
     n_batches, n_keys = 10, 25
+    # stderr to files — see the pipe-deadlock note in the first test
+    errs = [str(tmp_path / f"cwriter{w}.err") for w in range(4)]
     procs = [
         subprocess.Popen(
             [
@@ -119,7 +127,7 @@ def test_concurrent_writers_with_compaction(spark, tmp_path):
                 str(w * 1000),  # disjoint key base
             ],
             stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
+            stderr=open(errs[w], "w"),
             text=True,
         )
         for w in range(4)
@@ -129,9 +137,9 @@ def test_concurrent_writers_with_compaction(spark, tmp_path):
         store.compact(spark, hash_buckets=4)
         n_compactions += 1
         _t.sleep(0.1)
-    for p in procs:
-        out, err = p.communicate(timeout=60)
-        assert p.returncode == 0, err
+    for w, p in enumerate(procs):
+        out, _ = p.communicate(timeout=60)
+        assert p.returncode == 0, open(errs[w]).read()[-2000:]
     assert n_compactions >= 1
     store.compact(spark)  # final collapse: read must be base-only
 
@@ -193,7 +201,18 @@ def test_cross_process_reader_during_compaction(spark, tmp_path, hash_buckets):
             stop_file,
         ],
         stdout=subprocess.PIPE,
-        stderr=subprocess.PIPE,
+        # stderr MUST go to a file, never an undrained pipe: Spark's
+        # FILE_NOT_EXIST task-failure warnings (multi-KB stack traces,
+        # emitted on exactly the transient reads this test provokes)
+        # fill a 64 KB pipe within a few attempts, log4j then BLOCKS
+        # mid-write while the logging thread holds the
+        # TaskSchedulerImpl lock, and the reader JVM's entire scheduler
+        # deadlocks — tasks never run, cancels never process — until
+        # communicate() finally drains the pipe at shutdown. This was
+        # THE r6/r7 "liveness floor" wedge (jstack-proven: DAG event
+        # loop BLOCKED on TaskSchedulerImpl held by a logWarning inside
+        # an AbstractOutputStreamAppender write).
+        stderr=open(str(tmp_path / "reader.err"), "w"),
         text=True,
     )
     try:
@@ -236,6 +255,7 @@ def test_cross_process_reader_during_compaction(spark, tmp_path, hash_buckets):
         with open(stop_file + ".quiesce", "w") as f:
             f.write("quiesce")
         t0 = time.time()
+        dumped = False
         while time.time() - t0 < 600:
             ns, _nt = attempts_so_far()
             if ns >= 1:
@@ -246,11 +266,36 @@ def test_cross_process_reader_during_compaction(spark, tmp_path, hash_buckets):
                 hb_age = 0.0
             if hb_age > 60 and proc.poll() is None:
                 break  # heartbeat dead: reader wedged — fail below
+            if time.time() - t0 > 300 and not dumped:
+                # post-mortem gold: thread-dump the reader's JVM while
+                # it is actually wedged (a transcript can only say WHAT
+                # failed; the jstack says WHERE it was stuck)
+                dumped = True
+                try:
+                    kids = subprocess.run(
+                        ["pgrep", "-P", str(proc.pid)],
+                        capture_output=True, text=True, timeout=10,
+                    ).stdout.split()
+                    jstack = os.path.join(
+                        os.environ.get("JAVA_HOME", "/usr"), "bin", "jstack"
+                    )
+                    for k in kids:
+                        with open(f"/tmp/race_jstack_{k}.txt", "w") as jf:
+                            subprocess.run(
+                                [jstack, k], stdout=jf,
+                                stderr=subprocess.DEVNULL, timeout=60,
+                            )
+                except Exception:
+                    pass
             time.sleep(0.2)
     finally:
         with open(stop_file, "w") as f:
             f.write("stop")
-        out, err = proc.communicate(timeout=300)
+        out, _ = proc.communicate(timeout=300)
+        try:
+            err = open(str(tmp_path / "reader.err")).read()
+        except OSError:
+            err = ""
         # self-diagnosing failures: a suite-level run only keeps the
         # one-line summary, so persist the full reader transcript +
         # parent timeline where a post-mortem can read it
