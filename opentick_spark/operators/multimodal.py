@@ -1893,3 +1893,94 @@ def _decode_jpeg(payload: bytes):
         }
     except Exception:
         return None
+
+
+VIDEO_FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("fhash", T.LongType(), True),
+    ]
+)
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_k: int = 1,
+    hash_size: int = 8,
+) -> DataFrame:
+    """(id, frame_idx, fhash) — per-frame perceptual dHash over
+    genuinely decoded frames (raw-DIB sliced, MJPG through the r7
+    baseline-JPEG decoder). The positional building block
+    ``video_fingerprint`` collapses into one 64-bit value; kept
+    separate for SUBSEQUENCE analytics (clip containment below).
+    Undecodable payloads/frames are absent. Narrow Arrow map — only
+    (8-byte hash, int) pairs leave the executor."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"id": [], "frame_idx": [], "fhash": []}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                m = _parse_avi(p)
+                if m is None:
+                    continue
+                for fi in range(0, len(m["frames"]), every_k):
+                    px = _avi_frame_pixels(p, m, fi)
+                    if px is None:
+                        continue
+                    out["id"].append(int(i))
+                    out["frame_idx"].append(fi)
+                    out["fhash"].append(_dhash(px, hash_size))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, VIDEO_FRAME_HASH_SCHEMA
+    )
+
+
+def video_clip_containments(hashes: DataFrame) -> DataFrame:
+    """Clip detection: (id_a, id_b, offset) for every pair where video
+    a's ENTIRE frame-hash sequence appears contiguously inside video b
+    at ``offset`` (a ≠ b) — the "this upload is a clip of that one"
+    relation that whole-video fingerprints cannot express (any trim
+    changes the sequence hash).
+
+    Spark-first shape — never pairwise over videos: one equi-join on
+    the 8-byte frame hash aligns candidate positions, the offset
+    ``b.frame_idx − a.frame_idx`` groups alignments, and a containment
+    is exactly an alignment whose distinct matched positions cover ALL
+    of a's frames (count == |a|). Cost scales with hash collisions
+    (shared content), not videos²; a degenerate constant-frame corpus
+    concentrates in one hash bucket — the same skew contract as LSH
+    buckets. Input: a ``video_frame_hashes`` frame."""
+    n = hashes.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    a = hashes.select(
+        F.col("id").alias("id_a"),
+        F.col("frame_idx").alias("__ia"),
+        "fhash",
+    )
+    b = hashes.select(
+        F.col("id").alias("id_b"),
+        F.col("frame_idx").alias("__ib"),
+        "fhash",
+    )
+    aligned = (
+        a.join(b, "fhash")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__ib") - F.col("__ia")).alias("offset"),
+            "__ia",
+        )
+    )
+    covered = aligned.groupBy("id_a", "id_b", "offset").agg(
+        F.countDistinct("__ia").alias("__matched")
+    )
+    return (
+        covered.join(n.withColumnRenamed("id", "id_a"), "id_a")
+        .filter(F.col("__matched") == F.col("__n"))
+        .select("id_a", "id_b", F.col("offset").cast("int").alias("offset"))
+    )

@@ -38,7 +38,7 @@ The driver's correctness gate checks the FIRST 50 entries of
   rotate into the driver window next round in place of long-stable
   ones.
 
-Every round the ENTIRE registry (window + extras; 188 queries, ALL 188
+Every round the ENTIRE registry (window + extras; 189 queries, ALL 189
 with oracles as of round 7 — authoritative counts in COVERAGE.md's
 generated rotation table) is value-verified against DuckDB at BOTH
 sf0.01 (the driver's scale) and sf0.1 (10×) — the 10× run has caught
@@ -53,11 +53,13 @@ oracles this round: a full MinHash-banding SQL replay on the portable
 md5 hash family, the sim_topk self-check contract, and a planted-zlib
 closed form) plus the mid-round additions mjpg_frame_stats (real MJPG
 decode via the r7 from-scratch baseline-JPEG codec, planted
-closed-form DC oracle) and log_diff_incremental (tail-only CDC diff,
-VALUES oracle), then the 16 round-2-stale relational entries, then 27
-of the 32 round-3-stale cohort (5 deferred to r8 as the then-stalest:
-sim_topk_pq, sim_topk_quantized, multimodal_frame_sample,
-text_token_count_total, text_repetition).
+closed-form DC oracle), log_diff_incremental (tail-only CDC diff,
+VALUES oracle) and video_clip_containment (frame-hash subsequence
+join, planted arithmetic oracle), then the 16 round-2-stale
+relational entries, then 26 of the 32 round-3-stale cohort (6
+deferred to r8 as the then-stalest: sim_topk_pq, sim_topk_quantized,
+multimodal_frame_sample, text_token_count_total, text_repetition,
+corpus_split_stats).
 Every rotated-out entry was driver-green in a prior round with an
 unchanged implementation and keeps oracle_check value coverage each
 round. The per-query rotation history (query →
@@ -102,10 +104,14 @@ _DRIVER_WINDOW = [
     # mid-r7 additions (the r6 precedent: brand-new operators get
     # first-time driver evidence THIS round): real MJPG decode via the
     # from-scratch baseline-JPEG codec (planted closed-form DC oracle),
-    # and the tail-only incremental log_diff (VALUES oracle, both
-    # commit layouts in the tail, include_old retraction columns)
+    # the tail-only incremental log_diff (VALUES oracle, both commit
+    # layouts in the tail, include_old retraction columns), and video
+    # clip containment (frame-hash subsequence join, planted
+    # group/role/offset arithmetic oracle — 3,325 rows at sf0.01 /
+    # 333,325 at sf0.1, both value-exact)
     "mjpg_frame_stats",
     "log_diff_incremental",
+    "video_clip_containment",
     # ---- the 16 stalest driver-green entries (last checked round 2:
     # the relational window/setop/grouping family) ----
     "conditional_agg_filter",
@@ -124,17 +130,17 @@ _DRIVER_WINDOW = [
     "window_range_frame",
     "window_rank_stats",
     "window_running_sum",
-    # ---- 27 of the 32 round-3-stale entries (dedup/text/streaming/
+    # ---- 26 of the 32 round-3-stale entries (dedup/text/streaming/
     # corpus/similarity cohort). Deferred to r8 as the then-stalest:
     # sim_topk_pq, sim_topk_quantized, multimodal_frame_sample,
-    # text_token_count_total, text_repetition (their families stay
-    # represented below via sim_topk_bruteforce/lsh,
-    # multimodal_features and the other text entries; all five keep
-    # oracle_check coverage) ----
+    # text_token_count_total, text_repetition, corpus_split_stats
+    # (their families stay represented below via
+    # sim_topk_bruteforce/lsh, multimodal_features, corpus_pipeline
+    # and the other text entries; all six keep oracle_check
+    # coverage) ----
     "approx_quantiles",
     "contamination_8gram",
     "corpus_pipeline",
-    "corpus_split_stats",
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_simhash",

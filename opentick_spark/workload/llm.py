@@ -1367,6 +1367,78 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "video_clip_containment",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 25 AS g, (doc_id // 25) % 3 AS role
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(CASE WHEN a.role = 1 AND b.role = 0 THEN 1 ELSE 0 END
+                AS INT) AS offset
+    FROM d a JOIN d b ON a.g = b.g AND a.doc_id != b.doc_id
+    WHERE (a.role = 0 AND b.role = 0)
+       OR (a.role = 1 AND b.role IN (0, 1))
+    """,
+)
+def video_clip_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP detection across a video corpus (r7): find every video
+    whose entire frame sequence appears contiguously inside another —
+    the re-upload/trim relation a whole-video fingerprint cannot see.
+    ``multimodal.video_clip_containments``: per-frame dHash over
+    genuinely decoded frames, ONE equi-join on the 8-byte frame hash,
+    offset-grouped coverage count — never pairwise over videos.
+
+    Planted design (closed-form oracle): group g = doc_id % 25 shares
+    a 6-frame base sequence of seeded-random frames; role =
+    (doc_id // 25) % 3 — 0 = full base, 1 = CLIP of frames 1-4,
+    2 = decoy with doc-unique frames. Expected containments are pure
+    doc_id arithmetic: equal sequences mutually contain at offset 0
+    (base↔base, clip↔clip within a group), every clip sits in every
+    base at offset 1, decoys match nothing."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def frame(seed: int):
+        a = np.random.RandomState(seed).randint(
+            0, 256, (8, 16)
+        ).astype(np.uint8)
+        return a[:, :, None].repeat(3, axis=2)
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g, role = d % 25, (d // 25) % 3
+                if role == 0:
+                    frames = [frame(1000 * g + f) for f in range(6)]
+                elif role == 1:
+                    frames = [frame(1000 * g + f) for f in range(1, 5)]
+                else:
+                    frames = [
+                        frame(7_000_000 + d * 10 + f) for f in range(3)
+                    ]
+                payloads.append(M._encode_avi(frames, fps=10))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    avis = docs.mapInPandas(gen, "doc_id long, payload binary")
+    hashes = M.video_frame_hashes(avis)
+    return M.video_clip_containments(hashes).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("offset").cast("int").alias("offset"),
+    )
+
+
 def _mjpg_oracle() -> str:
     """Closed-form oracle for the MJPG planted design: a block-constant
     grayscale-valued frame survives baseline-JPEG as pure DC
