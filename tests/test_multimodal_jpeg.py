@@ -276,6 +276,53 @@ def test_mjpg_video_fingerprint_and_dedup(spark):
     assert keep[3] == 3
 
 
+def test_video_clip_containment_semantics(spark):
+    """Subsequence containment must be CONTIGUOUS at one offset:
+    repeated frames, gapped decoys and reversed clips are rejected;
+    equal sequences mutually contain at offset 0; a true clip reports
+    its exact offset. Built directly on the (id, frame_idx, fhash)
+    frame so the arithmetic is tested without codec noise."""
+    rows = [
+        # video 1: base [A B C D]
+        (1, 0, 100), (1, 1, 200), (1, 2, 300), (1, 3, 400),
+        # video 2: clip [B C] -> contained in 1 at offset 1
+        (2, 0, 200), (2, 1, 300),
+        # video 3: gapped [B D] -> NOT contained (no single offset)
+        (3, 0, 200), (3, 1, 400),
+        # video 4: reversed [C B] -> NOT contained
+        (4, 0, 300), (4, 1, 200),
+        # video 5: identical to 2 -> mutual containment at offset 0
+        (5, 0, 200), (5, 1, 300),
+        # video 6: repeated frame [B B] -> needs ADJACENT B's: none
+        (6, 0, 200), (6, 1, 200),
+    ]
+    hashes = spark.createDataFrame(
+        rows, "id long, frame_idx int, fhash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["offset"]
+        for r in M.video_clip_containments(hashes).collect()
+    }
+    assert got == {
+        (2, 1): 1, (5, 1): 1,  # clips of the base at offset 1
+        (2, 5): 0, (5, 2): 0,  # equal sequences, both directions
+    }
+
+
+def test_video_clip_containment_plan_no_cartesian(spark):
+    hashes = spark.range(30).selectExpr(
+        "id", "CAST(id % 3 AS INT) AS frame_idx", "xxhash64(id) AS fhash"
+    )
+    plan = (
+        M.video_clip_containments(hashes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_jpeg_image_dhash_pipeline(spark):
     """image_dhash accepts JPEG payloads since r7: a JPEG and the PNG
     of the SAME pixels hash identically when the JPEG decode is exact
