@@ -1463,8 +1463,12 @@ class _BitWriter:
         self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
+        # T.81 F.1.2.3: pad the final partial byte with 1-bits only.
+        # (r8 ADVICE: the old 9-nbits formula emitted a leading 0 pad
+        # bit when nbits==1, which strict third-party decoders can read
+        # as the start of a spurious Huffman code.)
         if self.nbits:
-            self.write(0x7F, 7 - ((self.nbits - 1) % 8) + 1)  # pad with 1s
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
         return bytes(self.out)
 
 
@@ -1735,14 +1739,27 @@ def _decode_jpeg(payload: bytes):
         restart = 0
         scan_comps = None
         scan_pos = None
-        while pos + 4 <= len(payload):
+        while pos + 2 <= len(payload):
             if payload[pos] != 0xFF:
                 return None
-            marker = payload[pos + 1]
+            pos += 1
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+            # the marker byte (r8 ADVICE — legal JPEGs with fill bytes
+            # were misparsing the length field and getting quarantined)
+            while pos < len(payload) and payload[pos] == 0xFF:
+                pos += 1
+            if pos >= len(payload):
+                return None
+            marker = payload[pos]
+            pos += 1
             if marker == 0xD9:  # EOI
                 break
-            (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
-            body = payload[pos + 4 : pos + 2 + ln]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue  # TEM / RSTn: standalone, no length field
+            if pos + 2 > len(payload):
+                return None
+            (ln,) = struct.unpack(">H", payload[pos : pos + 2])
+            body = payload[pos + 2 : pos + ln]
             if marker == 0xDB:  # DQT
                 p = 0
                 while p < len(body):
@@ -1788,9 +1805,9 @@ def _decode_jpeg(payload: bytes):
                      body[2 + 2 * i] & 0xF)
                     for i in range(ns)
                 ]
-                scan_pos = pos + 2 + ln
+                scan_pos = pos + ln
                 break
-            pos += 2 + ln
+            pos += ln
         if sof is None or scan_comps is None:
             return None
         if not huff:  # MJPG convention: tables omitted -> Annex K
@@ -1916,8 +1933,14 @@ def video_frame_hashes(
     baseline-JPEG decoder). The positional building block
     ``video_fingerprint`` collapses into one 64-bit value; kept
     separate for SUBSEQUENCE analytics (clip containment below).
-    Undecodable payloads/frames are absent. Narrow Arrow map — only
-    (8-byte hash, int) pairs leave the executor."""
+    Undecodable PAYLOADS are absent; an undecodable individual FRAME
+    emits its row with a NULL fhash (r8 ADVICE — silently dropping it
+    let ``video_clip_containments`` judge a video on its decodable
+    subset and report a containment that is not actually contiguous;
+    a NULL never equi-joins, so such a video can never be claimed
+    fully contained, and a gap in the containing side stays a gap).
+    Narrow Arrow map — only (8-byte hash, int) pairs leave the
+    executor."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1928,11 +1951,11 @@ def video_frame_hashes(
                     continue
                 for fi in range(0, len(m["frames"]), every_k):
                     px = _avi_frame_pixels(p, m, fi)
-                    if px is None:
-                        continue
                     out["id"].append(int(i))
                     out["frame_idx"].append(fi)
-                    out["fhash"].append(_dhash(px, hash_size))
+                    out["fhash"].append(
+                        None if px is None else _dhash(px, hash_size)
+                    )
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(
@@ -1982,5 +2005,124 @@ def video_clip_containments(hashes: DataFrame) -> DataFrame:
     return (
         covered.join(n.withColumnRenamed("id", "id_a"), "id_a")
         .filter(F.col("__matched") == F.col("__n"))
+        .select("id_a", "id_b", F.col("offset").cast("int").alias("offset"))
+    )
+
+
+def video_sequence_groups(hashes: DataFrame) -> DataFrame:
+    """Global collapse of identical frame-hash SEQUENCES (r8 — the
+    ``hamming_blocked_star_edges`` pattern one level up): one row per
+    video, (id, rep, n_members, has_null), where ``rep`` = min id over
+    all videos with the exact same ordered (frame_idx, fhash) sequence.
+    Grouping is on the sequence VALUE itself (array<struct>), not a
+    hash of it, so there is no collision risk. ``has_null`` marks
+    sequences containing an undecodable frame (NULL fhash) — such a
+    video can never be claimed contained (NULL never matches), which
+    the expansion helpers must respect."""
+    seqs = hashes.groupBy("id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("frame_idx", "fhash"))
+        ).alias("__seq")
+    )
+    groups = seqs.groupBy("__seq").agg(
+        F.min("id").alias("rep"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return (
+        seqs.join(groups, "__seq")
+        .select(
+            "id",
+            "rep",
+            "n_members",
+            F.exists("__seq", lambda s: s["fhash"].isNull()).alias(
+                "has_null"
+            ),
+        )
+    )
+
+
+def video_clip_containment_groups(hashes: DataFrame) -> DataFrame:
+    """Scale path for clip containment under degenerate corpora (r8,
+    VERDICT r7 item 4): K re-uploads with IDENTICAL frame sequences
+    (constant-frame videos, exact re-posts) make every frame of every
+    clone collide into the same fhash bucket, so the naive
+    ``video_clip_containments`` alignment join emits ~(K·F)² rows —
+    quadratic in K — before coverage counting, exactly the pre-star
+    Hamming hot-chunk cliff. This collapses identical sequences
+    GLOBALLY first (``video_sequence_groups``), runs the alignment
+    join over one representative per distinct sequence, and returns
+    the GROUP-level relation — linear in distinct content, never in
+    clone count:
+
+      (rep_a, rep_b, offset, n_a, n_b)
+
+    - rep_a ≠ rep_b: every member of a's group is contained in every
+      member of b's group at ``offset`` (sequence-identical videos
+      contain identically — exact transfer, including the NULL-frame
+      contract, since members share the rep's sequence verbatim).
+    - rep_a == rep_b (offset 0): the n>1 fully-decodable groups —
+      mutual containment among all members (suppressed when the shared
+      sequence has a NULL fhash: a video with an undecodable frame is
+      never claimed contained).
+
+    ``expand_containment_groups`` reproduces the exact pair relation
+    (= ``video_clip_containments`` output) when the output size is
+    affordable; at scale, consume the grouped form. Pinned by
+    test_video_clip_star_pair_equivalence; asymptotics by
+    tests/skew_drill_clip.py (PLANS.md)."""
+    members = video_sequence_groups(hashes)
+    sizes = members.select("rep", "n_members", "has_null").distinct()
+    rep_hashes = hashes.join(
+        sizes.select(F.col("rep").alias("id")), "id", "left_semi"
+    )
+    rep_pairs = video_clip_containments(rep_hashes)
+    inter = (
+        rep_pairs.join(
+            sizes.select(
+                F.col("rep").alias("id_a"), F.col("n_members").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("rep").alias("id_b"), F.col("n_members").alias("n_b")
+            ),
+            "id_b",
+        )
+        .select(
+            F.col("id_a").alias("rep_a"),
+            F.col("id_b").alias("rep_b"),
+            "offset",
+            "n_a",
+            "n_b",
+        )
+    )
+    intra = (
+        sizes.filter((F.col("n_members") > 1) & ~F.col("has_null"))
+        .select(
+            F.col("rep").alias("rep_a"),
+            F.col("rep").alias("rep_b"),
+            F.lit(0).cast("int").alias("offset"),
+            F.col("n_members").alias("n_a"),
+            F.col("n_members").alias("n_b"),
+        )
+    )
+    return inter.unionByName(intra)
+
+
+def expand_containment_groups(
+    grouped: DataFrame, members: DataFrame
+) -> DataFrame:
+    """Expand ``video_clip_containment_groups`` output back to the full
+    (id_a, id_b, offset) pair relation via two membership joins —
+    output-sized work (the pair relation over K clones is inherently
+    K², so only expand when that is what you actually want).
+    ``members`` is a ``video_sequence_groups`` frame."""
+    ma = members.select(F.col("id").alias("id_a"), F.col("rep").alias("rep_a"))
+    mb = members.select(F.col("id").alias("id_b"), F.col("rep").alias("rep_b"))
+    return (
+        grouped.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b", F.col("offset").cast("int").alias("offset"))
     )

@@ -46,20 +46,14 @@ real bugs invisible at sf0.01 (r3: a keeper tie-break). Run
 ``SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.1 python
 tests/oracle_check.py`` to reproduce.
 
-Round-7 rotation: the window leads with the 5 never-driver-checked
-entries (VERDICT r6 items 1+3 — incremental_agg_maintenance,
-source_pagerank, and the former rows-only trio, which gained real
-oracles this round: a full MinHash-banding SQL replay on the portable
-md5 hash family, the sim_topk self-check contract, and a planted-zlib
-closed form) plus the mid-round additions mjpg_frame_stats (real MJPG
-decode via the r7 from-scratch baseline-JPEG codec, planted
-closed-form DC oracle), log_diff_incremental (tail-only CDC diff,
-VALUES oracle) and video_clip_containment (frame-hash subsequence
-join, planted arithmetic oracle), then the 16 round-2-stale
-relational entries, then 26 of the 32 round-3-stale cohort (6
-deferred to r8 as the then-stalest: sim_topk_pq, sim_topk_quantized,
-multimodal_frame_sample, text_token_count_total, text_repetition,
-corpus_split_stats).
+Round-8 rotation (VERDICT r7 item 3): the window leads with the six
+entries deferred from r7 as then-stalest (sim_topk_pq,
+sim_topk_quantized, multimodal_frame_sample, text_token_count_total,
+text_repetition, corpus_split_stats — all last driver-checked r3),
+then the complete 33-entry round-4-stale cohort, then the
+alphabetical head of the round-5-stale cohort; mid-round r8 additions
+swap into that final block so brand-new operators get first-time
+driver evidence the same round they land (the r6/r7 precedent).
 Every rotated-out entry was driver-green in a prior round with an
 unchanged implementation and keeps oracle_check value coverage each
 round. The per-query rotation history (query →
@@ -87,83 +81,65 @@ ALL_ORACLES = {**_CORE_O, **_TICK_O, **_LLM_O}
 # asked for — query → rounds driver-checked → local verification),
 # replacing the docstring changelogs.
 _DRIVER_WINDOW = [
-    # ---- round 7: the 5 entries that have NEVER had a driver row
-    # (VERDICT r6 items 1+3). incremental_agg_maintenance and
-    # source_pagerank were oracle-backed late in r6; the former
-    # rows-only trio (ann_recall_report, lsh_banding_efficiency,
-    # text_compression_ratio) gained oracles this round — full MinHash
-    # SQL replay via the portable md5 hash family, the sim_topk
-    # self-check contract, and the planted-zlib closed form — so the
-    # "pytest-pinned exception class" is gone: every registry entry
-    # (188 as of mid-r7) is oracle-backed ----
-    "incremental_agg_maintenance",
-    "source_pagerank",
-    "ann_recall_report",
-    "lsh_banding_efficiency",
-    "text_compression_ratio",
-    # mid-r7 additions (the r6 precedent: brand-new operators get
-    # first-time driver evidence THIS round): real MJPG decode via the
-    # from-scratch baseline-JPEG codec (planted closed-form DC oracle),
-    # the tail-only incremental log_diff (VALUES oracle, both commit
-    # layouts in the tail, include_old retraction columns), and video
-    # clip containment (frame-hash subsequence join, planted
-    # group/role/offset arithmetic oracle — 3,325 rows at sf0.01 /
-    # 333,325 at sf0.1, both value-exact)
-    "mjpg_frame_stats",
-    "log_diff_incremental",
-    "video_clip_containment",
-    # ---- the 16 stalest driver-green entries (last checked round 2:
-    # the relational window/setop/grouping family) ----
-    "conditional_agg_filter",
-    "cube_status_priority",
-    "distinct_suppliers_per_flag",
-    "except_all_high_value",
-    "grouping_sets_mixed",
-    "intersect_users",
-    "interval_join_windows",
-    "rollup_nation_region",
-    "salted_join_revenue",
-    "semi_anti_join",
-    "set_ops_except",
-    "window_count_distinct",
-    "window_lead_lag",
-    "window_range_frame",
-    "window_rank_stats",
-    "window_running_sum",
-    # ---- 26 of the 32 round-3-stale entries (dedup/text/streaming/
-    # corpus/similarity cohort). Deferred to r8 as the then-stalest:
-    # sim_topk_pq, sim_topk_quantized, multimodal_frame_sample,
-    # text_token_count_total, text_repetition, corpus_split_stats
-    # (their families stay represented below via
-    # sim_topk_bruteforce/lsh, multimodal_features, corpus_pipeline
-    # and the other text entries; all six keep oracle_check
-    # coverage) ----
-    "approx_quantiles",
-    "contamination_8gram",
-    "corpus_pipeline",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_simhash",
-    "embedding_label_stats",
-    "hop_window_counts",
-    "mixture_sample",
-    "multimodal_features",
-    "pack_sequences_by_lang",
-    "profile_orders",
-    "semantic_dedup",
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "streaming_join_purchases",
-    "streaming_session_windows",
-    "streaming_stateful_totals",
-    "streaming_window_counts",
-    "text_bm25_search",
-    "text_chunking",
-    "text_dup_ngram_coverage",
-    "text_fingerprint",
-    "text_pii_redaction",
-    "text_quality",
-    "text_unigram_nll",
+    # ---- round 8 rotation (VERDICT r7 item 3): lead with the six
+    # entries deferred from the r7 window as then-stalest (all last
+    # driver-checked r3, all oracle-backed) ----
+    "sim_topk_pq",
+    "sim_topk_quantized",
+    "multimodal_frame_sample",
+    "text_token_count_total",
+    "text_repetition",
+    "corpus_split_stats",
+    # ---- the complete round-4-stale cohort (33 entries, last driver
+    # row r4: sampling/market/text-stats/streaming-enrich family) ----
+    "balanced_sample_per_lang",
+    "bar_downsample_daily",
+    "curated_corpus_stats",
+    "data_quality_report",
+    "decayed_event_stats",
+    "dedup_embedding_lsh",
+    "dedup_keeper_by_quality",
+    "dedup_ngram_jaccard",
+    "dsir_importance_scores",
+    "dup_span_stats",
+    "event_transitions",
+    "heavy_hitter_words",
+    "knn_label_vote",
+    "length_batch_stats",
+    "mad_outlier_stats",
+    "market_beta",
+    "max_drawdown",
+    "negative_sampling",
+    "realized_vol_hourly",
+    "return_correlation",
+    "rolling_zscore_outliers",
+    "seq_len_histogram",
+    "source_mixture_stats",
+    "source_token_entropy",
+    "streaming_enrich",
+    "streaming_hop_counts",
+    "temperature_sample",
+    "text_bigram_nll",
+    "tfidf_top_terms",
+    "token_shard_stats",
+    "twap_hourly",
+    "vocab_coverage_top100",
+    "weighted_sample_docs",
+    # ---- 11 of the round-5-stale cohort (alphabetical head; the rest
+    # rotate in r9). Mid-round r8 additions swap in HERE (newest ops
+    # get first-time driver evidence, the r6/r7 precedent) displacing
+    # the tail of this block back to the r9 queue ----
+    "adj_factor_audit",
+    "adj_forward",
+    "approx_distinct_users",
+    "asof_join_purchase_signup",
+    "bloom_decontaminate",
+    "collocation_pmi_top100",
+    "continuous_ohlcv",
+    "dataset_card",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_edit_distance",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -16,7 +16,8 @@ id — uniform 64-bit, so organic chunk collisions stay rare) + K clones
 of the all-zero signature (every chunk collides — the worst case).
 
 Measures (fresh plans, shared warm session):
-- pairs op at K=400 and K=1200 (expect ~9x time/rows from 3x clones)
+- pairs op at K=400, 1200, 4000 (expect ~9x time/rows per 3x clones;
+  K=10000 is excluded — 9 chunks x C(10k,2) ~ 4.5e8 pre-distinct rows)
 - star edges + components at the same Ks AND K=10000 (expect flat)
 - pairs-vs-star cluster equivalence at K=400
 

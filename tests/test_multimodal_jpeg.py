@@ -343,3 +343,152 @@ def test_jpeg_image_dhash_pipeline(spark):
     h = {r["id"]: r["dhash"] for r in M.image_dhash(df).collect()}
     assert h[1] is not None and h[1] == h[2]
     assert h[3] is None
+
+
+@pytest.mark.parametrize("nbits", [1, 2, 3, 4, 5, 6, 7])
+def test_bitwriter_flush_pads_with_one_bits_only(nbits):
+    """T.81 F.1.2.3 (r8 ADVICE): the final partial byte is padded with
+    1-bits ONLY. The old 9-nbits formula emitted a leading 0 pad bit at
+    nbits==1, which strict decoders read as a spurious Huffman code."""
+    w = M._BitWriter()
+    w.write(0, nbits)  # nbits pending zero bits
+    out = w.flush()
+    assert out == bytes([(1 << (8 - nbits)) - 1])
+    # and an aligned stream takes no pad byte at all
+    w2 = M._BitWriter()
+    w2.write(0xA5, 8)
+    assert w2.flush() == b"\xa5"
+
+
+def test_jpeg_decoder_tolerates_fill_bytes_and_tem():
+    """T.81 B.1.1.2 (r8 ADVICE): any number of 0xFF fill bytes may
+    precede a marker, and TEM (0x01) is standalone (no length field).
+    Such streams are legal JPEGs and must decode identically, not get
+    NULL-quarantined."""
+    img = _block_gray([[30, 100, 200], [250, 5, 128]])
+    payload = _encode_jpeg(img, quality=75)
+    base = _decode_jpeg(payload)
+    assert base is not None
+    # inject fill bytes + a TEM marker right after SOI
+    doctored = payload[:2] + b"\xff\xff\xff\x01" + payload[2:]
+    dec = _decode_jpeg(doctored)
+    assert dec is not None
+    assert np.array_equal(dec["pixels"], base["pixels"])
+    # fill bytes before EVERY marker segment (rewrite the header walk)
+    doctored2 = payload[:2] + b"\xff" + payload[2:]
+    dec2 = _decode_jpeg(doctored2)
+    assert dec2 is not None
+    assert np.array_equal(dec2["pixels"], base["pixels"])
+
+
+def test_video_clip_containment_null_fhash_breaks_false_alignment(spark):
+    """r8 ADVICE: an undecodable frame emits a NULL fhash row instead
+    of vanishing. NULL never equi-joins, so (a) a video with an
+    undecodable frame is NEVER claimed contained (its coverage count
+    can't reach |frames|), and (b) a gap in the containing side stays
+    a gap instead of letting the clip's frames skip over it."""
+    rows = [
+        # base [A B C D]
+        (1, 0, 100), (1, 1, 200), (1, 2, 300), (1, 3, 400),
+        # clip [B ? C]: middle frame undecodable -> NOT contained even
+        # though its decodable subset {B@0, C@2} aligns with base
+        (2, 0, 200), (2, 1, None), (2, 2, 300),
+        # fully decodable clip [B C] -> still contained at offset 1
+        (3, 0, 200), (3, 1, 300),
+        # base with an undecodable middle [A ? C D]: clip [B C] must
+        # NOT be claimed contained in it (B would land on the hole)
+        (4, 0, 100), (4, 1, None), (4, 2, 300), (4, 3, 400),
+    ]
+    hashes = spark.createDataFrame(
+        rows, "id long, frame_idx int, fhash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["offset"]
+        for r in M.video_clip_containments(hashes).collect()
+    }
+    assert got == {(3, 1): 1}
+
+
+def test_video_frame_hashes_emits_null_for_undecodable_frame(spark):
+    """An AVI whose middle frame is corrupt MJPG yields all three
+    frame_idx rows, the middle one with fhash NULL (r8 ADVICE)."""
+    f0 = np.full((16, 16), 40, dtype=np.uint8)[:, :, None].repeat(3, 2)
+    f1 = np.full((16, 16), 90, dtype=np.uint8)[:, :, None].repeat(3, 2)
+    f2 = np.full((16, 16), 140, dtype=np.uint8)[:, :, None].repeat(3, 2)
+    avi = _encode_avi([f0, f1, f2], fps=10, codec="MJPG")
+    # corrupt frame 1's JPEG body in place: find its SOI inside the
+    # movi chunk stream and truncate the entropy data to garbage
+    meta = M._parse_avi(avi)
+    off, size = meta["frames"][1]
+    corrupted = bytearray(avi)
+    corrupted[off : off + size] = b"\x00" * size
+    df = spark.createDataFrame(
+        [(7, bytes(corrupted))], "doc_id long, payload binary"
+    )
+    out = {
+        r["frame_idx"]: r["fhash"]
+        for r in M.video_frame_hashes(df).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[1] is None
+    assert out[0] is not None and out[2] is not None
+
+
+def test_video_clip_star_pair_equivalence(spark):
+    """r8 (VERDICT item 4): the grouped containment path (global
+    sequence collapse -> rep-level alignment -> membership expansion)
+    reproduces the naive pair relation EXACTLY on a mixed corpus:
+    clone groups (the hot-bucket shape), true clips, clip clones,
+    gapped/reversed decoys, and NULL-frame (undecodable) variants."""
+    rows = [
+        # base [A B C D] + two exact clones (ids 10, 11)
+        (1, 0, 100), (1, 1, 200), (1, 2, 300), (1, 3, 400),
+        (10, 0, 100), (10, 1, 200), (10, 2, 300), (10, 3, 400),
+        (11, 0, 100), (11, 1, 200), (11, 2, 300), (11, 3, 400),
+        # clip [B C] + one clone (ids 2, 12)
+        (2, 0, 200), (2, 1, 300),
+        (12, 0, 200), (12, 1, 300),
+        # gapped decoy [B D]
+        (3, 0, 200), (3, 1, 400),
+        # reversed decoy [C B]
+        (4, 0, 300), (4, 1, 200),
+        # clip with undecodable middle [B ? C] + an identical clone:
+        # NEVER contained, and the clone group must not claim mutual
+        # containment either (has_null suppresses the intra clique)
+        (5, 0, 200), (5, 1, None), (5, 2, 300),
+        (15, 0, 200), (15, 1, None), (15, 2, 300),
+        # container with a hole [A ? C D]: contains nothing extra
+        (6, 0, 100), (6, 1, None), (6, 2, 300), (6, 3, 400),
+    ]
+    hashes = spark.createDataFrame(
+        rows, "id long, frame_idx int, fhash long"
+    )
+    naive = {
+        (r["id_a"], r["id_b"], r["offset"])
+        for r in M.video_clip_containments(hashes).collect()
+    }
+    members = M.video_sequence_groups(hashes)
+    grouped = M.video_clip_containment_groups(hashes)
+    star = {
+        (r["id_a"], r["id_b"], r["offset"])
+        for r in M.expand_containment_groups(grouped, members).collect()
+    }
+    assert star == naive
+    # sanity: the relation is non-trivial (clone cliques + clip pairs)
+    assert (2, 1, 1) in naive and (12, 10, 1) in naive
+    assert (10, 1, 0) in naive and (1, 10, 0) in naive
+    assert not any(a in (5, 15) for a, _b, _o in naive)
+
+
+def test_video_clip_groups_plan_no_cartesian(spark):
+    hashes = spark.range(30).selectExpr(
+        "id", "CAST(id % 3 AS INT) AS frame_idx", "xxhash64(id) AS fhash"
+    )
+    plan = (
+        M.video_clip_containment_groups(hashes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

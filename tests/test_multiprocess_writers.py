@@ -10,8 +10,10 @@ transactions do for the reference; this asserts the end-to-end contract:
   tombstones drop the key).
 """
 
+import contextlib
 import glob
 import os
+import pathlib
 import subprocess
 import sys
 
@@ -43,28 +45,33 @@ def test_concurrent_process_writers_no_lost_commits(spark, tmp_path):
     # reader-race wedge, diagnosed by jstack). Files also keep the
     # transcripts for post-mortems.
     errs = [str(tmp_path / f"writer{w}.err") for w in range(N_WORKERS)]
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable,
-                os.path.join(REPO, "tests", "_mp_writer.py"),
-                wh,
-                "mp",
-                "t",
-                str(w),
-                str(N_BATCHES),
-                str(N_KEYS),
-            ],
-            stdout=subprocess.PIPE,
-            stderr=open(errs[w], "w"),
-            text=True,
-        )
-        for w in range(N_WORKERS)
-    ]
-    for w, p in enumerate(procs):
-        out, _ = p.communicate(timeout=120)
-        assert p.returncode == 0, open(errs[w]).read()[-2000:]
-        assert "WORKER_DONE" in out
+    # ExitStack closes every stderr handle after communicate() (r8
+    # ADVICE: bare open()s leaked fds until GC under -W error)
+    with contextlib.ExitStack() as stack:
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(REPO, "tests", "_mp_writer.py"),
+                    wh,
+                    "mp",
+                    "t",
+                    str(w),
+                    str(N_BATCHES),
+                    str(N_KEYS),
+                ],
+                stdout=subprocess.PIPE,
+                stderr=stack.enter_context(open(errs[w], "w")),
+                text=True,
+            )
+            for w in range(N_WORKERS)
+        ]
+        for w, p in enumerate(procs):
+            out, _ = p.communicate(timeout=120)
+            assert p.returncode == 0, (
+                pathlib.Path(errs[w]).read_text()[-2000:]
+            )
+            assert "WORKER_DONE" in out
 
     store = eng.store("mp", "t")
     # 1. commit-log integrity: one commit per allocated seq, contiguous
@@ -113,33 +120,36 @@ def test_concurrent_writers_with_compaction(spark, tmp_path):
     n_batches, n_keys = 10, 25
     # stderr to files — see the pipe-deadlock note in the first test
     errs = [str(tmp_path / f"cwriter{w}.err") for w in range(4)]
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable,
-                os.path.join(REPO, "tests", "_mp_writer.py"),
-                wh,
-                "mpc",
-                "t",
-                str(w),
-                str(n_batches),
-                str(n_keys),
-                str(w * 1000),  # disjoint key base
-            ],
-            stdout=subprocess.PIPE,
-            stderr=open(errs[w], "w"),
-            text=True,
-        )
-        for w in range(4)
-    ]
-    n_compactions = 0
-    while any(p.poll() is None for p in procs):
-        store.compact(spark, hash_buckets=4)
-        n_compactions += 1
-        _t.sleep(0.1)
-    for w, p in enumerate(procs):
-        out, _ = p.communicate(timeout=60)
-        assert p.returncode == 0, open(errs[w]).read()[-2000:]
+    with contextlib.ExitStack() as stack:
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(REPO, "tests", "_mp_writer.py"),
+                    wh,
+                    "mpc",
+                    "t",
+                    str(w),
+                    str(n_batches),
+                    str(n_keys),
+                    str(w * 1000),  # disjoint key base
+                ],
+                stdout=subprocess.PIPE,
+                stderr=stack.enter_context(open(errs[w], "w")),
+                text=True,
+            )
+            for w in range(4)
+        ]
+        n_compactions = 0
+        while any(p.poll() is None for p in procs):
+            store.compact(spark, hash_buckets=4)
+            n_compactions += 1
+            _t.sleep(0.1)
+        for w, p in enumerate(procs):
+            out, _ = p.communicate(timeout=60)
+            assert p.returncode == 0, (
+                pathlib.Path(errs[w]).read_text()[-2000:]
+            )
     assert n_compactions >= 1
     store.compact(spark)  # final collapse: read must be base-only
 
@@ -190,6 +200,7 @@ def test_cross_process_reader_during_compaction(spark, tmp_path, hash_buckets):
     store.append_rows([{"a": k, "v": 0} for k in range(n_keys)])
 
     stop_file = str(tmp_path / "stop")
+    reader_err = open(str(tmp_path / "reader.err"), "w")
     proc = subprocess.Popen(
         [
             sys.executable,
@@ -212,7 +223,7 @@ def test_cross_process_reader_during_compaction(spark, tmp_path, hash_buckets):
         # THE r6/r7 "liveness floor" wedge (jstack-proven: DAG event
         # loop BLOCKED on TaskSchedulerImpl held by a logWarning inside
         # an AbstractOutputStreamAppender write).
-        stderr=open(str(tmp_path / "reader.err"), "w"),
+        stderr=reader_err,
         text=True,
     )
     try:
@@ -292,8 +303,9 @@ def test_cross_process_reader_during_compaction(spark, tmp_path, hash_buckets):
         with open(stop_file, "w") as f:
             f.write("stop")
         out, _ = proc.communicate(timeout=300)
+        reader_err.close()
         try:
-            err = open(str(tmp_path / "reader.err")).read()
+            err = pathlib.Path(tmp_path / "reader.err").read_text()
         except OSError:
             err = ""
         # self-diagnosing failures: a suite-level run only keeps the
