@@ -139,7 +139,10 @@ _DRIVER_WINDOW = [
     "dataset_card",
     "dedup_clusters",
     "dedup_containment",
-    "dedup_edit_distance",
+    # ---- mid-round r8 additions (first-time driver evidence; the
+    # displaced r5-stale tail rejoins the r9 queue) ----
+    # value-exact planted-geometry ANN recall (VERDICT r7 item 5)
+    "ann_recall_planted",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -3653,6 +3653,152 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_ANN_PLANTED_ORACLE = """
+    WITH stripe AS (
+      SELECT vec_id % 16 AS st, COUNT(*) AS pop FROM embeddings GROUP BY 1
+    ),
+    per_q AS (
+      SELECT r.s AS qs,
+             LEAST(7, COALESCE(m.pop, 0)) AS m,
+             COALESCE(t.pop, 0) AS t
+      FROM (SELECT unnest(range(8)) AS s) r
+      LEFT JOIN stripe m ON m.st = r.s
+      LEFT JOIN stripe t ON t.st = r.s + 8
+    ),
+    calc AS (
+      SELECT qs, m, t, LEAST(10, m + t) AS n_rel FROM per_q
+    )
+    SELECT mm.method,
+           CAST(8 AS BIGINT) AS n_queries,
+           ROUND(AVG(CASE WHEN mm.method = 'ivf_p1'
+                          THEN c.m * 1.0 / c.n_rel
+                          ELSE 1.0 END), 6) AS recall_at_10,
+           ROUND(AVG(1.0), 6) AS mrr_at_10
+    FROM calc c, (VALUES ('exact'), ('int8'), ('ivf_p1'), ('ivf_p2'))
+                 AS mm(method)
+    GROUP BY 1
+"""
+
+
+@q("ann_recall_planted", _ANN_PLANTED_ORACLE)
+def ann_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-EXACT ANN recall scorecard (r8, VERDICT r7 item 5 — the
+    mjpg/zlib planted-design precedent applied to retrieval): the
+    embeddings table's vec_ids key a 16-dim planted geometry whose
+    exact top-10 AND whose IVF routing are both closed-form, so
+    recall@10/MRR@10 are numeric literals the DuckDB oracle derives
+    from pure stripe-count arithmetic — no trusted booleans.
+
+    The plant (stripe = vec_id % 16, r = rank within stripe):
+    - main stripe s<8: vec = e_s + g·e_{s+8}, g = 0.01(r+1) for the 7
+      lowest ids (cos to query e_s ≈ 0.9975+, distinct, ordered by g),
+      g = 3.0 for the rest (cos = 0.316 — never in a top-10).
+    - twin stripe s+8: every member IDENTICALLY 0.92·e_s + 0.392·e_s+8
+      (cos to query = 0.92; ties broken by neighbor_id everywhere).
+    - queries: e_s exactly, ids 10M+s — never corpus members.
+
+    Forced behavior, provable from the geometry (test-pinned):
+    - exact top-10 = min(7,pop) low-g mains then lowest-id twins.
+    - ``seed_centroids`` stripes on id%16, so each cluster seeds its
+      own centroid; a query's centroid ranking is own-main (≈0.9999),
+      own-twin (0.92), all others 0. nprobe=1 probes ONLY the main
+      list, which holds exactly the low-g mains (big-g members route
+      to the twin centroid: cos 0.663 vs 0.326) → recall is EXACTLY
+      m/n_rel (7/10 at standard SFs); nprobe=2 adds the twin list →
+      recall 1. int8 quantization (1/127 grid) cannot reorder gaps
+      this wide → set-equal to exact → recall 1. MRR = 1 for every
+      method (rank-1 is always the g=0.01 main).
+
+    The lsh/pq paths keep the floor contract in ``ann_recall_report``
+    (their bucketing depends on seeded random hyperplanes / trained
+    codebooks that no SQL replay can reproduce); this query makes the
+    recall ARITHMETIC itself value-exact."""
+    from pyspark.sql import Window
+
+    ids = load(spark, sf_dir, "embeddings").select("vec_id")
+    w = Window.partitionBy(F.col("vec_id") % 16).orderBy("vec_id")
+    corpus = ids.withColumn("__r", F.row_number().over(w) - 1).select(
+        "vec_id",
+        F.expr(
+            """
+            transform(sequence(0, 15), a -> CAST(
+              CASE
+                WHEN vec_id % 16 < 8 AND a = vec_id % 16 THEN 1.0
+                WHEN vec_id % 16 < 8 AND a = vec_id % 16 + 8 THEN
+                  CASE WHEN __r < 7 THEN 0.01 * (__r + 1) ELSE 3.0 END
+                WHEN vec_id % 16 >= 8 AND a = vec_id % 16 - 8 THEN 0.92
+                WHEN vec_id % 16 >= 8 AND a = vec_id % 16 THEN 0.392
+                ELSE 0.0
+              END AS FLOAT))
+            """
+        ).alias("embedding"),
+    )
+    # the four method plans each consume corpus/queries/exact several
+    # times; cut the shared window-function lineage once (tiny frames:
+    # N×16 floats and 80 id pairs)
+    corpus = corpus.localCheckpoint(eager=True)
+    queries = spark.range(8).selectExpr(
+        "id + 10000000 AS vec_id",
+        "transform(sequence(0, 15), a -> CAST("
+        "  CASE WHEN a = id THEN 1.0 ELSE 0.0 END AS FLOAT)) AS embedding",
+    )
+    exact = (
+        S.brute_force_topk(corpus, queries, k=10)
+        .select("query_id", "neighbor_id", F.col("rank").alias("__xrank"))
+        .localCheckpoint(eager=True)
+    )
+    n_rel = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__n_rel")
+    )
+    methods = {
+        "exact": lambda: S.brute_force_topk(corpus, queries, k=10),
+        "int8": lambda: S.quantized_topk(corpus, queries, k=10),
+        "ivf_p1": lambda: S.ivf_topk(
+            corpus, queries, k=10, ncentroids=16, nprobe=1
+        ),
+        "ivf_p2": lambda: S.ivf_topk(
+            corpus, queries, k=10, ncentroids=16, nprobe=2
+        ),
+    }
+    reports = []
+    for name, fn in sorted(methods.items()):
+        got = fn().select("query_id", "neighbor_id", "rank")
+        hits = got.join(
+            F.broadcast(exact.withColumn("__rel", F.lit(1))),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        per_q = (
+            hits.groupBy("query_id")
+            .agg(
+                F.sum(F.coalesce("__rel", F.lit(0))).alias("__hits"),
+                F.min(
+                    F.when(F.col("__rel") == 1, F.col("rank"))
+                ).alias("__first"),
+            )
+            .join(F.broadcast(n_rel), "query_id")
+        )
+        reports.append(
+            per_q.agg(
+                F.lit(name).alias("method"),
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.round(
+                    F.avg(F.col("__hits") / F.col("__n_rel")), 6
+                ).alias("recall_at_10"),
+                F.round(
+                    F.avg(
+                        F.coalesce(1.0 / F.col("__first"), F.lit(0.0))
+                    ),
+                    6,
+                ).alias("mrr_at_10"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 @q(
     "dedup_edit_distance",
     f"""

@@ -453,3 +453,26 @@ def test_random_projection_preserves_relative_distances(spark):
     n = len(o)
     corr = _np.corrcoef(ro, rp)[0, 1]
     assert n >= 8 and corr > 0.2
+
+
+def test_ann_recall_planted_values_exact(spark):
+    """r8 (VERDICT r7 item 5): the planted 16-dim geometry forces every
+    method's recall/MRR to closed-form values — IVF@nprobe=1 retrieves
+    exactly the 7 low-g mains of the probed list (recall 0.7), one more
+    probe reaches the twin list (recall 1.0), int8's 1/127 grid cannot
+    reorder the planted gaps (recall 1.0), MRR is 1.0 everywhere."""
+    from opentick_spark.workload import ALL_QUERIES
+
+    rows = {
+        r["method"]: r
+        for r in ALL_QUERIES["ann_recall_planted"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert set(rows) == {"exact", "int8", "ivf_p1", "ivf_p2"}
+    assert all(r["n_queries"] == 8 for r in rows.values())
+    assert all(r["mrr_at_10"] == 1.0 for r in rows.values())
+    assert rows["exact"]["recall_at_10"] == 1.0
+    assert rows["int8"]["recall_at_10"] == 1.0
+    assert rows["ivf_p1"]["recall_at_10"] == 0.7
+    assert rows["ivf_p2"]["recall_at_10"] == 1.0
