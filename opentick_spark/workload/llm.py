@@ -1397,6 +1397,20 @@ def video_clip_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id arithmetic: equal sequences mutually contain at offset 0
     (base↔base, clip↔clip within a group), every clip sits in every
     base at offset 1, decoys match nothing."""
+    hashes = M.video_frame_hashes(_clip_corpus(spark, sf_dir))
+    return M.video_clip_containments(hashes).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("offset").cast("int").alias("offset"),
+    )
+
+
+def _clip_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted clip-detection AVI corpus shared by
+    ``video_clip_containment`` (pair path) and
+    ``video_clip_containment_grouped`` (r8 scale path): group g =
+    doc_id %% 25, role = (doc_id // 25) %% 3 — full base (6 frames),
+    clip (frames 1-4), doc-unique decoy (3 frames)."""
     import numpy as np
     import pandas as pd
 
@@ -1430,12 +1444,59 @@ def video_clip_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    avis = docs.mapInPandas(gen, "doc_id long, payload binary")
-    hashes = M.video_frame_hashes(avis)
-    return M.video_clip_containments(hashes).select(
-        F.col("id_a").cast("long").alias("id_a"),
-        F.col("id_b").cast("long").alias("id_b"),
+    return docs.mapInPandas(gen, "doc_id long, payload binary")
+
+
+@q(
+    "video_clip_containment_grouped",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 25 AS g, (doc_id // 25) % 3 AS role
+      FROM documents
+    ),
+    agg AS (
+      SELECT g,
+             MIN(CASE WHEN role = 0 THEN doc_id END) AS rb,
+             COUNT(CASE WHEN role = 0 THEN 1 END) AS nb,
+             MIN(CASE WHEN role = 1 THEN doc_id END) AS rc,
+             COUNT(CASE WHEN role = 1 THEN 1 END) AS nc
+      FROM d GROUP BY g
+    )
+    SELECT rc AS rep_a, rb AS rep_b, CAST(1 AS INT) AS offset,
+           CAST(nc AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+    FROM agg WHERE nc >= 1 AND nb >= 1
+    UNION ALL
+    SELECT rb, rb, CAST(0 AS INT), CAST(nb AS BIGINT),
+           CAST(nb AS BIGINT)
+    FROM agg WHERE nb > 1
+    UNION ALL
+    SELECT rc, rc, CAST(0 AS INT), CAST(nc AS BIGINT),
+           CAST(nc AS BIGINT)
+    FROM agg WHERE nc > 1
+    """,
+)
+def video_clip_containment_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clip-containment SCALE path (r8, VERDICT r7 item 4) on the
+    same planted corpus as ``video_clip_containment``:
+    ``multimodal.video_clip_containment_groups`` collapses identical
+    frame sequences globally, aligns one representative per distinct
+    sequence, and returns the group-level relation — linear in distinct
+    content where the pair path is quadratic in clones (skew drill in
+    PLANS.md: pairs OOM at K=4000, groups flat at K=10000).
+
+    The oracle replays the group arithmetic exactly: per planted group
+    g, bases collapse to rep=min(base ids) and clips to rep=min(clip
+    ids); output = clip-group→base-group at offset 1 plus the n>1
+    mutual-containment cliques at offset 0; decoys are singleton groups
+    that contain nothing — absent. Pair-path equivalence is pinned by
+    test_video_clip_star_pair_equivalence."""
+    hashes = M.video_frame_hashes(_clip_corpus(spark, sf_dir))
+    return M.video_clip_containment_groups(hashes).select(
+        F.col("rep_a").cast("long").alias("rep_a"),
+        F.col("rep_b").cast("long").alias("rep_b"),
         F.col("offset").cast("int").alias("offset"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
     )
 
 
