@@ -839,6 +839,57 @@ def ivf_topk_indexed(
     )
 
 
+def semantic_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-level decontamination (r8): flag every TRAIN vector
+    whose nearest EVAL vector is at cosine ≥ ``threshold`` — the
+    semantic complement of the lexical ``contamination_8gram`` sweep
+    (a paraphrased benchmark leak shares no 8-grams but keeps its
+    embedding). Output: (train_id, eval_id, cos) — one row per
+    contaminated train vector, its nearest eval neighbor (ties broken
+    by lower eval_id).
+
+    Scale shape: eval sets are benchmark-sized, so the eval side is a
+    broadcast; the per-train argmax is a struct-max AGGREGATE (max of
+    (cos, -eval_id)), which partial-aggregates map-side — the shuffle
+    carries one row per train vector per partition, never the
+    train×eval pair fan-out a window rank would. Brute-force exact is
+    the oracle baseline (house posture); prefilter with
+    ``lsh_topk``/``ivf_topk`` when the eval set outgrows a broadcast."""
+    t = train.select(
+        F.col(id_col).alias("train_id"), F.col(vec_col).alias("tv")
+    )
+    e = eval_set.select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev")
+    )
+    scored = t.crossJoin(F.broadcast(e)).select(
+        "train_id",
+        "eval_id",
+        cosine(F.col("tv"), F.col("ev")).alias("cos"),
+    )
+    best = scored.groupBy("train_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos").alias("c"),
+                (-F.col("eval_id")).alias("nid"),
+            )
+        ).alias("m")
+    )
+    return (
+        best.filter(F.col("m.c") >= threshold)
+        .select(
+            "train_id",
+            (-F.col("m.nid")).alias("eval_id"),
+            F.col("m.c").alias("cos"),
+        )
+    )
+
+
 def knn_label_vote(
     corpus: DataFrame,
     queries: DataFrame,

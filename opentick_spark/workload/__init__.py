@@ -137,13 +137,14 @@ _DRIVER_WINDOW = [
     "collocation_pmi_top100",
     "continuous_ohlcv",
     "dataset_card",
-    "dedup_clusters",
     # ---- mid-round r8 additions (first-time driver evidence; the
     # displaced r5-stale tail rejoins the r9 queue) ----
     # value-exact planted-geometry ANN recall (VERDICT r7 item 5)
     "ann_recall_planted",
     # clip-containment scale path: global sequence collapse (item 4)
     "video_clip_containment_grouped",
+    # embedding-level benchmark decontamination (new r8 operator)
+    "semantic_contamination",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -399,6 +399,44 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+@q(
+    "semantic_contamination",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS (SELECT * FROM e WHERE vec_id % 20 = 0),
+    tr AS (SELECT * FROM e WHERE vec_id % 20 != 0),
+    scored AS (
+      SELECT tr.vec_id AS train_id, ev.vec_id AS eval_id,
+             list_cosine_similarity(tr.v, ev.v) AS raw_cos
+      FROM tr, ev
+    ),
+    ranked AS (
+      SELECT train_id, eval_id, raw_cos,
+             ROW_NUMBER() OVER (PARTITION BY train_id
+                                ORDER BY raw_cos DESC, eval_id) AS rk
+      FROM scored
+    )
+    SELECT train_id, eval_id, ROUND(raw_cos, 6) AS cos
+    FROM ranked WHERE rk = 1 AND raw_cos >= 0.35
+    """,
+)
+def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination (r8): train vectors
+    (vec_id %% 20 != 0) whose nearest eval vector (vec_id %% 20 = 0) is
+    at cosine ≥ 0.35 — the semantic complement of the lexical
+    ``contamination_8gram`` sweep (a paraphrased leak shares no 8-grams
+    but keeps its embedding). ``similarity.semantic_contamination``:
+    broadcast eval side, JVM cosine, per-train struct-max aggregate
+    (map-side combinable — no train×eval pair shuffle)."""
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 20 == 0)
+    tr = emb.filter(F.col("vec_id") % 20 != 0)
+    out = S.semantic_contamination(tr, ev, threshold=0.35)
+    return out.select(
+        "train_id", "eval_id", F.round("cos", 6).alias("cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 

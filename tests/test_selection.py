@@ -476,3 +476,58 @@ def test_ann_recall_planted_values_exact(spark):
     assert rows["int8"]["recall_at_10"] == 1.0
     assert rows["ivf_p1"]["recall_at_10"] == 0.7
     assert rows["ivf_p2"]["recall_at_10"] == 1.0
+
+
+def test_semantic_contamination_semantics(spark):
+    """Nearest-eval argmax with (cos desc, eval_id asc) tie-break;
+    below-threshold train vectors are absent."""
+    from opentick_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # eval
+            (20, [1.0, 0.0]),  # eval, duplicate of 0 -> tie on cos
+            (40, [0.0, 1.0]),  # eval
+            (1, [1.0, 0.0]),   # train: ties evals 0 and 20 -> picks 0
+            (2, [0.6, 0.8]),   # train: nearest is 40 (0.8) over 0 (0.6)
+            (3, [0.0, -1.0]),  # train: max cos 0.0 -> excluded
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    ev = emb.filter("vec_id % 20 = 0")
+    tr = emb.filter("vec_id % 20 != 0")
+    got = {
+        r["train_id"]: (r["eval_id"], round(r["cos"], 6))
+        for r in S.semantic_contamination(tr, ev, threshold=0.5).collect()
+    }
+    assert got == {1: (0, 1.0), 2: (40, 0.8)}
+
+
+def test_semantic_contamination_plan_partial_agg_no_pair_shuffle(spark):
+    """The per-train argmax must partial-aggregate map-side: the plan
+    shows a partial_max BEFORE the train_id exchange (the shuffle
+    carries one row per train vector per partition, never the
+    train x eval pair fan-out a window rank would), and the eval side
+    is broadcast."""
+    from opentick_spark.operators import similarity as S
+
+    emb = spark.range(100).selectExpr(
+        "id AS vec_id",
+        "array(CAST(id AS FLOAT), CAST(id % 7 AS FLOAT)) AS embedding",
+    )
+    ev = emb.filter("vec_id % 20 = 0")
+    tr = emb.filter("vec_id % 20 != 0")
+    plan = (
+        S.semantic_contamination(tr, ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # a partial_max below any train_id exchange = map-side combine (on
+    # some sources Catalyst elides the exchange entirely); a window-
+    # rank implementation would shuffle every train x eval pair and
+    # print a Window node instead
+    assert "partial_max" in plan, plan[:2000]
+    assert "Broadcast" in plan
+    assert "BatchEvalPython" not in plan and "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
