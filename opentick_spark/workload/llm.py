@@ -1435,7 +1435,13 @@ def video_clip_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id arithmetic: equal sequences mutually contain at offset 0
     (base↔base, clip↔clip within a group), every clip sits in every
     base at offset 1, decoys match nothing."""
-    hashes = M.video_frame_hashes(_clip_corpus(spark, sf_dir))
+    # the containment op consumes the hash frame three times (|a| count
+    # + both join sides); checkpointing makes the Python corpus-gen +
+    # decode pipeline run ONCE (r8: 16.2 s → 10.2 s at sf0.1) — the
+    # frame is narrow (id, idx, 8-byte hash), cheap to materialize
+    hashes = M.video_frame_hashes(_clip_corpus(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
     return M.video_clip_containments(hashes).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -1528,7 +1534,12 @@ def video_clip_containment_grouped(spark: SparkSession, sf_dir: str) -> DataFram
     mutual-containment cliques at offset 0; decoys are singleton groups
     that contain nothing — absent. Pair-path equivalence is pinned by
     test_video_clip_star_pair_equivalence."""
-    hashes = M.video_frame_hashes(_clip_corpus(spark, sf_dir))
+    # same one-pass checkpoint as video_clip_containment: the grouped
+    # op consumes the hash frame for sequence collapse, the rep
+    # semi-join, and the rep-level alignment
+    hashes = M.video_frame_hashes(_clip_corpus(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
     return M.video_clip_containment_groups(hashes).select(
         F.col("rep_a").cast("long").alias("rep_a"),
         F.col("rep_b").cast("long").alias("rep_b"),
@@ -3850,7 +3861,11 @@ def ann_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("__n_rel")
     )
     methods = {
-        "exact": lambda: S.brute_force_topk(corpus, queries, k=10),
+        # the control arm reuses the checkpointed baseline (recall 1.0
+        # by definition; pins the scoring harness, not the search)
+        "exact": lambda: exact.select(
+            "query_id", "neighbor_id", F.col("__xrank").alias("rank")
+        ),
         "int8": lambda: S.quantized_topk(corpus, queries, k=10),
         "ivf_p1": lambda: S.ivf_topk(
             corpus, queries, k=10, ncentroids=16, nprobe=1
