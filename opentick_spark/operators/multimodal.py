@@ -1477,7 +1477,11 @@ def _jpeg_category(v: int) -> int:
 
 
 def _encode_jpeg(
-    arr, quality: int = 75, subsample: bool = False, restart: int = 0
+    arr,
+    quality: int = 75,
+    subsample: bool = False,
+    restart: int = 0,
+    app1: bytes | None = None,
 ) -> bytes:
     """Minimal from-scratch baseline-JPEG ENCODER for synthesis/tests:
     8-bit gray (h, w) or RGB (h, w, 3), SOF0 sequential, Annex K
@@ -1616,6 +1620,8 @@ def _encode_jpeg(
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if app1 is not None:  # e.g. an Exif blob from _encode_exif
+        out += seg(0xFFE1, app1)
     out += dqt(0, ql)
     if not gray:
         out += dqt(1, qc)
@@ -2125,4 +2131,218 @@ def expand_containment_groups(
         .join(mb, "rep_b")
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b", F.col("offset").cast("int").alias("offset"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata: audit + privacy strip (r8). JPEG APP1 carries an Exif
+# blob — a TIFF 6.0 structure (public spec) whose IFD0 entries include
+# Orientation (0x0112) and a GPSInfo sub-IFD pointer (0x8825) — the tag
+# every training-data privacy pass must find and remove. The audit is
+# HEADER-ONLY: marker walk + IFD parse, no entropy decode — at corpus
+# scale you can sweep metadata without paying for pixels.
+
+_EXIF_ORIENTATION = 0x0112
+_EXIF_GPSINFO = 0x8825
+
+
+def _encode_exif(orientation: int = 1, gps: bool = False) -> bytes:
+    """Minimal little-endian Exif/TIFF blob for synthesis/tests: IFD0
+    with Orientation (SHORT) and, when ``gps``, a GPSInfo LONG pointer
+    to a one-entry GPS IFD (GPSVersionID 2.3). Layout per TIFF 6.0:
+    8-byte header, 12-byte IFD entries, offsets relative to the TIFF
+    header start."""
+    import struct
+
+    entries = [
+        struct.pack("<HHI", _EXIF_ORIENTATION, 3, 1)
+        + struct.pack("<HH", orientation & 0xFFFF, 0)
+    ]
+    n = 1 + (1 if gps else 0)
+    ifd0_size = 2 + 12 * n + 4
+    if gps:
+        gps_off = 8 + ifd0_size
+        entries.append(struct.pack("<HHII", _EXIF_GPSINFO, 4, 1, gps_off))
+    tiff = bytearray(b"II" + struct.pack("<HI", 42, 8))
+    tiff += struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
+    if gps:
+        tiff += struct.pack("<H", 1)
+        tiff += struct.pack("<HHI", 0x0000, 1, 4) + b"\x02\x03\x00\x00"
+        tiff += struct.pack("<I", 0)
+    return b"Exif\x00\x00" + bytes(tiff)
+
+
+def _jpeg_segments(payload: bytes):
+    """Yield (marker, seg_start, seg_end, body) for every header
+    segment from SOI to (and including) SOS, tolerating fill bytes and
+    standalone markers; stops at SOS (entropy data follows). Returns
+    None-yields nothing for non-JPEG."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        return
+    pos = 2
+    while pos + 2 <= len(payload):
+        seg_start = pos
+        if payload[pos] != 0xFF:
+            return
+        pos += 1
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= len(payload):
+            return
+        marker = payload[pos]
+        pos += 1
+        if marker == 0xD9:
+            return
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            yield marker, seg_start, pos, b""
+            continue
+        if pos + 2 > len(payload):
+            return
+        (ln,) = struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + ln]
+        yield marker, seg_start, pos + ln, body
+        if marker == 0xDA:
+            return
+        pos += ln
+
+
+def _parse_exif(body: bytes) -> dict | None:
+    """Parse an APP1 Exif body (either TIFF endianness): returns
+    {orientation, has_gps} or None when not an Exif blob / corrupt."""
+    import struct
+
+    try:
+        if body[:6] != b"Exif\x00\x00":
+            return None
+        t = body[6:]
+        if t[:2] == b"II":
+            e = "<"
+        elif t[:2] == b"MM":
+            e = ">"
+        else:
+            return None
+        if struct.unpack(e + "H", t[2:4])[0] != 42:
+            return None
+        (ifd_off,) = struct.unpack(e + "I", t[4:8])
+        (n,) = struct.unpack(e + "H", t[ifd_off : ifd_off + 2])
+        out = {"orientation": None, "has_gps": False}
+        for i in range(n):
+            ent = t[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+            tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+            if tag == _EXIF_ORIENTATION and typ == 3 and cnt == 1:
+                out["orientation"] = struct.unpack(e + "H", ent[8:10])[0]
+            elif tag == _EXIF_GPSINFO:
+                out["has_gps"] = True
+        return out
+    except Exception:
+        return None
+
+
+def _jpeg_meta(payload: bytes) -> dict | None:
+    """HEADER-ONLY JPEG metadata: dimensions from SOF0/SOF2, Exif
+    orientation + GPS presence from APP1 — no entropy decode. None for
+    non-JPEG."""
+    import struct
+
+    try:
+        meta = {
+            "width": None,
+            "height": None,
+            "orientation": None,
+            "has_gps": False,
+            "has_exif": False,
+        }
+        seen = False
+        for marker, _s, _e, body in _jpeg_segments(payload):
+            seen = True
+            if marker in (0xC0, 0xC1, 0xC2):
+                _prec, h, w, _nc = struct.unpack(">BHHB", body[:6])
+                meta["width"], meta["height"] = int(w), int(h)
+            elif marker == 0xE1:
+                ex = _parse_exif(body)
+                if ex is not None:
+                    meta["has_exif"] = True
+                    meta["orientation"] = ex["orientation"]
+                    meta["has_gps"] = ex["has_gps"]
+        return meta if seen else None
+    except Exception:
+        return None
+
+
+def _jpeg_strip_metadata(payload: bytes) -> bytes | None:
+    """Privacy strip: rebuild the JPEG with every APPn (0xE0-0xEF) and
+    COM (0xFE) segment removed — pixels untouched (the entropy stream
+    and all codec tables are copied verbatim). None for non-JPEG."""
+    out = bytearray(b"\xff\xd8")
+    any_seg = False
+    for marker, s, e, _body in _jpeg_segments(payload):
+        any_seg = True
+        if 0xE0 <= marker <= 0xEF or marker == 0xFE:
+            continue
+        out += payload[s:e]
+        if marker == 0xDA:
+            out += payload[e:]  # entropy-coded data + EOI, verbatim
+            return bytes(out)
+    return bytes(out) if any_seg else None
+
+
+JPEG_META_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("has_gps", T.BooleanType(), True),
+        T.StructField("has_exif", T.BooleanType(), True),
+    ]
+)
+
+
+def image_exif_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, width, height, orientation, has_gps, has_exif) per JPEG —
+    header-only (marker walk + TIFF IFD parse, no pixel decode): the
+    metadata sweep costs bytes-scanned-to-SOS, not decode CPU. Non-JPEG
+    payloads quarantine as all-NULL metadata rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in JPEG_META_SCHEMA.fields}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                m = _jpeg_meta(p) or {}
+                rows["id"].append(int(i))
+                rows["width"].append(m.get("width"))
+                rows["height"].append(m.get("height"))
+                rows["orientation"].append(m.get("orientation"))
+                rows["has_gps"].append(m.get("has_gps"))
+                rows["has_exif"].append(m.get("has_exif"))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, JPEG_META_SCHEMA
+    )
+
+
+def image_exif_strip(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, payload) with all APPn/COM metadata removed — the privacy
+    scrub before publication/training. Pixels are bit-identical (the
+    entropy stream is copied verbatim; pinned by test). Non-JPEG
+    payloads pass through unchanged."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, outs = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                s = _jpeg_strip_metadata(p)
+                ids.append(int(i))
+                outs.append(p if s is None else s)
+            yield pd.DataFrame({"id": ids, "payload": outs})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, "id long, payload binary"
     )

@@ -136,7 +136,6 @@ _DRIVER_WINDOW = [
     "bloom_decontaminate",
     "collocation_pmi_top100",
     "continuous_ohlcv",
-    "dataset_card",
     # ---- mid-round r8 additions (first-time driver evidence; the
     # displaced r5-stale tail rejoins the r9 queue) ----
     # value-exact planted-geometry ANN recall (VERDICT r7 item 5)
@@ -145,6 +144,8 @@ _DRIVER_WINDOW = [
     "video_clip_containment_grouped",
     # embedding-level benchmark decontamination (new r8 operator)
     "semantic_contamination",
+    # EXIF privacy audit + scrub verification (new r8 operator)
+    "image_exif_audit",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -1549,6 +1549,81 @@ def video_clip_containment_grouped(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@q(
+    "image_exif_audit",
+    """
+    SELECT doc_id,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CASE WHEN doc_id % 11 = 7 THEN NULL
+                ELSE CAST(1 + doc_id % 8 AS INT) END AS orientation,
+           CASE WHEN doc_id % 11 = 7 THEN FALSE
+                ELSE doc_id % 5 = 0 END AS has_gps,
+           doc_id % 11 != 7 AS has_exif,
+           TRUE AS strip_clean
+    FROM documents
+    """,
+)
+def image_exif_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF privacy audit + scrub verification (r8): every training
+    image's metadata — dimensions, Orientation, GPS presence — read
+    HEADER-ONLY (marker walk + TIFF 6.0 IFD parse, no entropy decode:
+    a corpus metadata sweep costs bytes-to-SOS, not decode CPU), then
+    ``image_exif_strip`` removes every APPn/COM segment and the audit
+    re-runs on the scrubbed bytes (``strip_clean`` — a residual Exif
+    flips it and fails the driver hash; pixel identity after strip is
+    pinned by pytest).
+
+    Planted design (closed-form oracle): 8×8 JPEGs via the from-scratch
+    encoder; orientation = 1 + doc_id %% 8; a GPSInfo IFD iff
+    doc_id %% 5 == 0; docs with doc_id %% 11 == 7 carry NO Exif at all
+    (the no-metadata path). All expectations are doc_id arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                img = np.full((8, 8), 40 + d % 50, dtype=np.uint8)
+                app1 = (
+                    None
+                    if d % 11 == 7
+                    else M._encode_exif(
+                        orientation=1 + d % 8, gps=(d % 5 == 0)
+                    )
+                )
+                payloads.append(M._encode_jpeg(img, quality=75, app1=app1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    jp = docs.mapInPandas(gen, "doc_id long, payload binary").localCheckpoint(
+        eager=True
+    )
+    meta = M.image_exif_meta(jp)
+    clean = M.image_exif_meta(
+        M.image_exif_strip(jp), id_col="id"
+    ).select("id", (~F.col("has_exif")).alias("strip_clean"))
+    return (
+        meta.join(clean, "id")
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+            F.col("orientation").cast("int").alias("orientation"),
+            "has_gps",
+            "has_exif",
+            "strip_clean",
+        )
+    )
+
+
 def _mjpg_oracle() -> str:
     """Closed-form oracle for the MJPG planted design: a block-constant
     grayscale-valued frame survives baseline-JPEG as pure DC

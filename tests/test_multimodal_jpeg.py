@@ -492,3 +492,56 @@ def test_video_clip_groups_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_exif_roundtrip_and_strip_pixel_identity():
+    """r8 EXIF ops: the planted Exif blob reads back exactly
+    (orientation + GPS presence, both TIFF endians tolerated on parse),
+    stripping removes every APPn/COM segment, and the scrubbed JPEG
+    decodes to BIT-IDENTICAL pixels (the entropy stream is copied
+    verbatim)."""
+    img = _block_gray([[30, 90], [150, 210]])
+    p = M._encode_jpeg(
+        img, quality=75, app1=M._encode_exif(orientation=6, gps=True)
+    )
+    m = M._jpeg_meta(p)
+    assert m == {
+        "width": 16, "height": 16, "orientation": 6,
+        "has_gps": True, "has_exif": True,
+    }
+    s = M._jpeg_strip_metadata(p)
+    ms = M._jpeg_meta(s)
+    assert ms["has_exif"] is False and ms["orientation"] is None
+    assert ms["width"] == 16 and ms["height"] == 16
+    d1, d2 = M._decode_jpeg(p), M._decode_jpeg(s)
+    assert np.array_equal(d1["pixels"], d2["pixels"])
+    # big-endian (MM) TIFF parses too
+    import struct
+    blob = bytearray(M._encode_exif(orientation=3, gps=False))
+    # rebuild as MM by hand: header + one IFD0 entry + next-offset
+    mm = (b"Exif\x00\x00" + b"MM" + struct.pack(">HI", 42, 8)
+          + struct.pack(">H", 1)
+          + struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">HH", 3, 0)
+          + struct.pack(">I", 0))
+    ex = M._parse_exif(bytes(mm))
+    assert ex == {"orientation": 3, "has_gps": False}
+    # non-JPEG and no-exif paths
+    assert M._jpeg_meta(b"not a jpeg") is None
+    plain = M._encode_jpeg(img)
+    mp = M._jpeg_meta(plain)
+    assert mp["has_exif"] is False and mp["has_gps"] is False
+
+
+def test_exif_meta_is_header_only_on_truncated_entropy():
+    """The audit must not need decodable pixels: truncating the
+    entropy-coded data after SOS leaves the metadata sweep intact."""
+    img = _block_gray([[30, 90], [150, 210]])
+    p = M._encode_jpeg(
+        img, quality=75, app1=M._encode_exif(orientation=2, gps=True)
+    )
+    # cut everything after SOS + a few bytes
+    sos = p.find(b"\xff\xda")
+    trunc = p[: sos + 16]
+    m = M._jpeg_meta(trunc)
+    assert m is not None and m["orientation"] == 2 and m["has_gps"]
+    assert M._decode_jpeg(trunc) is None  # pixels genuinely gone
