@@ -125,10 +125,10 @@ _DRIVER_WINDOW = [
     "twap_hourly",
     "vocab_coverage_top100",
     "weighted_sample_docs",
-    # ---- 11 of the round-5-stale cohort (alphabetical head; the rest
-    # rotate in r9). Mid-round r8 additions swap in HERE (newest ops
-    # get first-time driver evidence, the r6/r7 precedent) displacing
-    # the tail of this block back to the r9 queue ----
+    # ---- 7 of the round-5-stale cohort (alphabetical head; the rest
+    # — dataset_card, dedup_clusters, dedup_containment,
+    # dedup_edit_distance — were displaced by the four mid-round r8
+    # additions below and rejoin the r9 queue with the cohort) ----
     "adj_factor_audit",
     "adj_forward",
     "approx_distinct_users",
