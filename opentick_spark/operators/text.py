@@ -327,6 +327,38 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def dedup_aware_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: list[tuple[str, int]] = (("train", 80), ("val", 10), ("test", 10)),
+) -> DataFrame:
+    """Leakage-free dataset split (r8): exact-duplicate documents ALWAYS
+    land in the same split. A plain per-doc ``hash_split`` scatters a
+    duplicate group across train and test — the classic eval leak that
+    survives train-side-only dedup. Here the assignment hashes the
+    duplicate GROUP's representative (min id per normalized-text
+    group), so every copy inherits one split by construction.
+
+    Adds ``group_rep`` and ``split`` columns. One hash-shuffle (the
+    group window on the normalized-text hash); the split itself stays
+    the pure md5-bucket projection of ``hash_split`` — engine-stable,
+    replayable in SQL. Near-dup-aware splitting composes the same way:
+    feed ``dedup.connected_components`` labels in as ``group_rep`` and
+    call ``hash_split(df, id_col="group_rep")`` directly."""
+    from pyspark.sql import Window
+
+    g = F.sha2(normalize_text(F.col(text_col)), 256)
+    out = (
+        df.withColumn("__g", g)
+        .withColumn(
+            "group_rep", F.min(id_col).over(Window.partitionBy("__g"))
+        )
+        .drop("__g")
+    )
+    return hash_split(out, id_col="group_rep", splits=list(splits))
+
+
 def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Standard quality-scoring columns used for corpus filtering."""
     c = F.col(text_col)

@@ -125,17 +125,17 @@ _DRIVER_WINDOW = [
     "twap_hourly",
     "vocab_coverage_top100",
     "weighted_sample_docs",
-    # ---- 7 of the round-5-stale cohort (alphabetical head; the rest
-    # — dataset_card, dedup_clusters, dedup_containment,
-    # dedup_edit_distance — were displaced by the four mid-round r8
-    # additions below and rejoin the r9 queue with the cohort) ----
+    # ---- 6 of the round-5-stale cohort (alphabetical head; the rest
+    # — continuous_ohlcv, dataset_card, dedup_clusters,
+    # dedup_containment, dedup_edit_distance — were displaced by the
+    # five mid-round r8 additions below and rejoin the r9 queue with
+    # the cohort) ----
     "adj_factor_audit",
     "adj_forward",
     "approx_distinct_users",
     "asof_join_purchase_signup",
     "bloom_decontaminate",
     "collocation_pmi_top100",
-    "continuous_ohlcv",
     # ---- mid-round r8 additions (first-time driver evidence; the
     # displaced r5-stale tail rejoins the r9 queue) ----
     # value-exact planted-geometry ANN recall (VERDICT r7 item 5)
@@ -146,6 +146,8 @@ _DRIVER_WINDOW = [
     "semantic_contamination",
     # EXIF privacy audit + scrub verification (new r8 operator)
     "image_exif_audit",
+    # leakage-free dedup-aware dataset split (new r8 operator)
+    "dedup_aware_split_stats",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -2450,6 +2450,59 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_aware_split_stats",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS nrm FROM documents),
+    g AS (SELECT nrm, MIN(doc_id) AS rep FROM n GROUP BY 1),
+    d AS (
+      SELECT n.doc_id, g.rep,
+             list_reduce(
+               list_transform(range(1, 9),
+                 i -> strpos('0123456789abcdef',
+                             substr(md5(g.rep::VARCHAR), i, 1)) - 1),
+               (a, b) -> a * 16 + b) % 100 AS bucket
+      FROM n JOIN g USING (nrm)
+    ),
+    s AS (
+      SELECT doc_id, rep,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM d
+    )
+    SELECT split, COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT rep)::BIGINT AS n_groups,
+           CAST(0 AS BIGINT) AS leaked_groups
+    FROM s GROUP BY 1
+    """,
+)
+def dedup_aware_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free dataset splitting (r8, ``text.dedup_aware_split``):
+    exact-duplicate documents inherit their GROUP representative's
+    md5-bucket split, so a duplicate pair can never straddle
+    train/test — the eval leak a per-doc hash split allows.
+    ``leaked_groups`` counts groups observed in >1 split IN-SPARK
+    (zero by construction; a wiring bug flips the value and fails the
+    driver hash, while the oracle replays the whole group → rep →
+    bucket pipeline value-exactly)."""
+    docs = load(spark, sf_dir, "documents")
+    out = X.dedup_aware_split(docs)
+    leaks = (
+        out.groupBy("group_rep")
+        .agg(F.countDistinct("split").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("leaked_groups"))
+    )
+    stats = out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("group_rep").cast("long").alias("n_groups"),
+    )
+    return stats.crossJoin(F.broadcast(leaks)).select(
+        "split", "n_docs", "n_groups", "leaked_groups"
+    )
+
+
+@q(
     "corpus_split_stats",
     """
     WITH t AS (

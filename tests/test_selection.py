@@ -531,3 +531,32 @@ def test_semantic_contamination_plan_partial_agg_no_pair_shuffle(spark):
     assert "Broadcast" in plan
     assert "BatchEvalPython" not in plan and "Window" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_dedup_aware_split_no_leakage(spark):
+    """r8: exact duplicates inherit the group representative's split —
+    a duplicate pair can never straddle train/test — and unique docs
+    keep their own md5-bucket assignment."""
+    from opentick_spark.operators import text as X
+
+    rows = [
+        (1, "the same exact document"),
+        (500, "The same EXACT document!!"),   # normalizes identically
+        (900, "the same exact document"),
+        (2, "a unique document"),
+        (3, "another unique document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.dedup_aware_split(df).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # the duplicate trio shares rep=1 and a single split
+    assert {by_id[i]["group_rep"] for i in (1, 500, 900)} == {1}
+    assert len({by_id[i]["split"] for i in (1, 500, 900)}) == 1
+    # unique docs are their own rep, split = plain hash_split of own id
+    solo = X.hash_split(
+        df.filter("doc_id in (2, 3)"), id_col="doc_id"
+    ).collect()
+    expect = {r["doc_id"]: r["split"] for r in solo}
+    assert by_id[2]["split"] == expect[2]
+    assert by_id[3]["split"] == expect[3]
+    assert by_id[2]["group_rep"] == 2 and by_id[3]["group_rep"] == 3
