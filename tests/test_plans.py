@@ -495,3 +495,41 @@ def test_mjpg_frame_stats_is_narrow_arrow(spark, queries):
     plan = plan_of(queries["mjpg_frame_stats"](spark, SF))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_row_path_select_skips_sort_exchange(spark, tmp_path):
+    """r8 row/wire fast path: the client-materialized SELECT collects
+    UNSORTED (no rangepartitioning Exchange, no sampling job) and sorts
+    the Arrow table driver-side; the DataFrame API keeps the plan-level
+    global orderBy (the 100 TB contract)."""
+    import tempfile
+
+    from opentick_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.execute("create database p")
+    eng.use("p")
+    eng.execute(
+        "create table t(a int, b timestamp, x double, primary key(a, b))"
+    )
+    pid = eng.prepare("insert into t(a, b, x) values(?, ?, ?)")
+    eng.batch_insert(pid, [(1, i, float(i)) for i in range(100)])
+    resolved = eng._prepared[eng.prepare("select x from t where a=1")][1]
+    fast = eng._run_select(resolved, (), defer_sort=True)
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in fast_plan, fast_plan[:1500]
+    # the PK is carried through so the driver-side sort can order on it
+    assert set(fast.columns) >= {"a", "b", "x"}
+    df_plan = (
+        eng.execute("select x from t where a=1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in df_plan
+    # and the materialized rows really are PK-ascending
+    rows = eng.execute_rows("select b, x from t where a=1")
+    assert [r[1] for r in rows] == [float(i) for i in range(100)]
+    # LIMIT keeps the plan sort (TakeOrderedAndProject path)
+    tail = eng.execute_rows("select b, x from t where a=1 limit -5")
+    assert [r[1] for r in tail] == [99.0, 98.0, 97.0, 96.0, 95.0]
