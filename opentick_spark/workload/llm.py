@@ -35,6 +35,23 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
+def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id frame SPREAD for Python-codec corpus generators (r8): the
+    documents table is a single small parquet file at test SFs, so its
+    scan is ONE partition — a mapInPandas codec pipeline downstream of
+    it ran on one core (measured: mjpg_frame_stats spent 16.5 s at
+    sf0.1 doing ~26 s of single-threaded numpy JPEG work; encode+decode
+    is 2.6 ms/doc). An id-only round-robin repartition ahead of the
+    Python stage costs an 8-byte-row shuffle and engages every core; at
+    warehouse scale the scan is already multi-split and the exchange
+    coalesces under AQE."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(2 * spark.sparkContext.defaultParallelism)
+    )
+
+
 # DuckDB equivalent of text.normalize_text (note the 'g' flag — DuckDB's
 # regexp_replace is first-match-only by default, unlike Spark's)
 # note \x{4e00} syntax: DuckDB's RE2 does not understand Java's \uXXXX
@@ -1234,7 +1251,7 @@ def streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "imgdedup_sink_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="otspark_img_src_")
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(
         src_dir
     )
@@ -1308,7 +1325,7 @@ def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(it):
         for pdf in it:
@@ -1371,7 +1388,7 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(it):
         for pdf in it:
@@ -1458,7 +1475,7 @@ def _clip_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def frame(seed: int):
         a = np.random.RandomState(seed).randint(
@@ -1580,7 +1597,7 @@ def image_exif_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(it):
         for pdf in it:
@@ -1684,7 +1701,7 @@ def mjpg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(it):
         for pdf in it:
@@ -1744,7 +1761,7 @@ def image_neardup_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from opentick_spark.operators.dedup import hamming_blocked_pairs
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(it):
         for pdf in it:
@@ -1819,7 +1836,7 @@ def video_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(it):
         for pdf in it:
@@ -1887,7 +1904,7 @@ def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(it):
         for pdf in it:
@@ -1963,7 +1980,7 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(it):
         for pdf in it:
@@ -2023,7 +2040,7 @@ def image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def gen(it):
         for pdf in it:
