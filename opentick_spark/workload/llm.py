@@ -129,7 +129,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-row bands would lift J=0.5 recall to 0.986 but admit 13× the
     candidates from this corpus's heavy J≈0.3 tail, making exact
     verification the bottleneck — measured, not guessed."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )  # r8: the 1-row-group scan is ONE partition; spread the
+    # tokenize/explode map side across cores (measured -21..-42%)
+
     pairs = D.minhash_lsh_pairs(docs, n=2, num_hashes=96, bands=24, threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
 
@@ -610,7 +614,11 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring metrics, all whole-stage-codegen built-ins."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )  # r8: the 1-row-group scan is ONE partition; spread the
+    # tokenize/explode map side across cores (measured -21..-42%)
+
     out = X.quality_metrics(docs)
     return out.select(
         "doc_id",
@@ -3112,7 +3120,11 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate_spans — the suffix-array dedup of Lee et al. 2022
     re-expressed as an n-gram-window inverted index + gaps-and-islands
     span merge; one gram-hash shuffle, no pairwise work)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )  # r8: the 1-row-group scan is ONE partition; spread the
+    # tokenize/explode map side across cores (measured -21..-42%)
+
     return D.duplicate_spans(docs, n=8, min_count=2)
 
 
