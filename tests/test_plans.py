@@ -491,9 +491,18 @@ def test_hamming_star_edges_collapse_clones_first(spark):
 def test_mjpg_frame_stats_is_narrow_arrow(spark, queries):
     """r7: synthesis + MJPG (JPEG) decode + per-frame stats is one
     narrow Arrow pipeline — video bytes never shuffle; the only Python
-    stages are mapInPandas (Arrow), never row-at-a-time."""
+    stages are mapInPandas (Arrow), never row-at-a-time. r8: the ONE
+    allowed exchange is the 8-byte doc_id round-robin spread BEFORE the
+    codec (the 1-row-group scan is a single partition — unspread, the
+    whole JPEG pipeline ran on one core); payloads are generated after
+    it and still never cross an exchange."""
     plan = plan_of(queries["mjpg_frame_stats"](spark, SF))
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1
+    ex = plan.index("Exchange")
+    assert "RoundRobinPartitioning" in plan[ex : ex + 120]
+    # everything below the exchange is the bare id scan — payload
+    # columns exist only above it
+    assert "payload" not in plan[ex:]
     assert "BatchEvalPython" not in plan
 
 
