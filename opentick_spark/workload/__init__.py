@@ -38,8 +38,8 @@ The driver's correctness gate checks the FIRST 50 entries of
   rotate into the driver window next round in place of long-stable
   ones.
 
-Every round the ENTIRE registry (window + extras; 189 queries, ALL 189
-with oracles as of round 7 — authoritative counts in COVERAGE.md's
+Every round the ENTIRE registry (window + extras; 195 queries, ALL 195
+with oracles as of round 8 — authoritative counts in COVERAGE.md's
 generated rotation table) is value-verified against DuckDB at BOTH
 sf0.01 (the driver's scale) and sf0.1 (10×) — the 10× run has caught
 real bugs invisible at sf0.01 (r3: a keeper tie-break). Run
@@ -125,17 +125,16 @@ _DRIVER_WINDOW = [
     "twap_hourly",
     "vocab_coverage_top100",
     "weighted_sample_docs",
-    # ---- 6 of the round-5-stale cohort (alphabetical head; the rest
-    # — continuous_ohlcv, dataset_card, dedup_clusters,
-    # dedup_containment, dedup_edit_distance — were displaced by the
-    # five mid-round r8 additions below and rejoin the r9 queue with
-    # the cohort) ----
+    # ---- 5 of the round-5-stale cohort (alphabetical head; the rest
+    # — collocation_pmi_top100, continuous_ohlcv, dataset_card,
+    # dedup_clusters, dedup_containment, dedup_edit_distance — were
+    # displaced by the six mid-round r8 additions below and rejoin the
+    # r9 queue with the cohort) ----
     "adj_factor_audit",
     "adj_forward",
     "approx_distinct_users",
     "asof_join_purchase_signup",
     "bloom_decontaminate",
-    "collocation_pmi_top100",
     # ---- mid-round r8 additions (first-time driver evidence; the
     # displaced r5-stale tail rejoins the r9 queue) ----
     # value-exact planted-geometry ANN recall (VERDICT r7 item 5)
@@ -148,6 +147,8 @@ _DRIVER_WINDOW = [
     "image_exif_audit",
     # leakage-free dedup-aware dataset split (new r8 operator)
     "dedup_aware_split_stats",
+    # persisted partition-pruned IVF index, closed-form oracle (r8)
+    "sim_topk_ivf_indexed",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -3947,6 +3947,43 @@ _ANN_PLANTED_ORACLE = """
 """
 
 
+def _planted_ann_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted 16-dim ANN geometry (see ``ann_recall_planted`` for
+    the full derivation), keyed by the embeddings table's vec_ids:
+    stripe = vec_id % 16; main stripes s<8 are e_s + g·e_{s+8} (g =
+    0.01(r+1) for the 7 lowest ids per stripe, 3.0 for the rest); twin
+    stripes are identically 0.92·e_{s-8} + 0.392·e_s."""
+    from pyspark.sql import Window
+
+    ids = load(spark, sf_dir, "embeddings").select("vec_id")
+    w = Window.partitionBy(F.col("vec_id") % 16).orderBy("vec_id")
+    return ids.withColumn("__r", F.row_number().over(w) - 1).select(
+        "vec_id",
+        F.expr(
+            """
+            transform(sequence(0, 15), a -> CAST(
+              CASE
+                WHEN vec_id % 16 < 8 AND a = vec_id % 16 THEN 1.0
+                WHEN vec_id % 16 < 8 AND a = vec_id % 16 + 8 THEN
+                  CASE WHEN __r < 7 THEN 0.01 * (__r + 1) ELSE 3.0 END
+                WHEN vec_id % 16 >= 8 AND a = vec_id % 16 - 8 THEN 0.92
+                WHEN vec_id % 16 >= 8 AND a = vec_id % 16 THEN 0.392
+                ELSE 0.0
+              END AS FLOAT))
+            """
+        ).alias("embedding"),
+    )
+
+
+def _planted_ann_queries(spark: SparkSession) -> DataFrame:
+    """The 8 planted queries: e_s exactly, ids 10M+s (never corpus)."""
+    return spark.range(8).selectExpr(
+        "id + 10000000 AS vec_id",
+        "transform(sequence(0, 15), a -> CAST("
+        "  CASE WHEN a = id THEN 1.0 ELSE 0.0 END AS FLOAT)) AS embedding",
+    )
+
+
 @q("ann_recall_planted", _ANN_PLANTED_ORACLE)
 def ann_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VALUE-EXACT ANN recall scorecard (r8, VERDICT r7 item 5 — the
@@ -3980,35 +4017,11 @@ def ann_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (their bucketing depends on seeded random hyperplanes / trained
     codebooks that no SQL replay can reproduce); this query makes the
     recall ARITHMETIC itself value-exact."""
-    from pyspark.sql import Window
-
-    ids = load(spark, sf_dir, "embeddings").select("vec_id")
-    w = Window.partitionBy(F.col("vec_id") % 16).orderBy("vec_id")
-    corpus = ids.withColumn("__r", F.row_number().over(w) - 1).select(
-        "vec_id",
-        F.expr(
-            """
-            transform(sequence(0, 15), a -> CAST(
-              CASE
-                WHEN vec_id % 16 < 8 AND a = vec_id % 16 THEN 1.0
-                WHEN vec_id % 16 < 8 AND a = vec_id % 16 + 8 THEN
-                  CASE WHEN __r < 7 THEN 0.01 * (__r + 1) ELSE 3.0 END
-                WHEN vec_id % 16 >= 8 AND a = vec_id % 16 - 8 THEN 0.92
-                WHEN vec_id % 16 >= 8 AND a = vec_id % 16 THEN 0.392
-                ELSE 0.0
-              END AS FLOAT))
-            """
-        ).alias("embedding"),
-    )
     # the four method plans each consume corpus/queries/exact several
     # times; cut the shared window-function lineage once (tiny frames:
     # N×16 floats and 80 id pairs)
-    corpus = corpus.localCheckpoint(eager=True)
-    queries = spark.range(8).selectExpr(
-        "id + 10000000 AS vec_id",
-        "transform(sequence(0, 15), a -> CAST("
-        "  CASE WHEN a = id THEN 1.0 ELSE 0.0 END AS FLOAT)) AS embedding",
-    )
+    corpus = _planted_ann_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    queries = _planted_ann_queries(spark)
     exact = (
         S.brute_force_topk(corpus, queries, k=10)
         .select("query_id", "neighbor_id", F.col("rank").alias("__xrank"))
@@ -4068,6 +4081,61 @@ def ann_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+@q(
+    "sim_topk_ivf_indexed",
+    """
+    WITH base AS (
+      SELECT vec_id, vec_id % 16 AS st,
+             ROW_NUMBER() OVER (PARTITION BY vec_id % 16
+                                ORDER BY vec_id) AS r
+      FROM embeddings
+    ),
+    mcnt AS (
+      SELECT st, LEAST(7, COUNT(*)) AS m FROM base WHERE st < 8 GROUP BY st
+    ),
+    cand AS (
+      SELECT st AS qs, vec_id, r AS rk FROM base WHERE st < 8 AND r <= 7
+      UNION ALL
+      SELECT b.st - 8 AS qs, b.vec_id, COALESCE(mc.m, 0) + b.r AS rk
+      FROM base b LEFT JOIN mcnt mc ON mc.st = b.st - 8
+      WHERE b.st >= 8
+    )
+    SELECT CAST(10000000 + qs AS BIGINT) AS query_id,
+           vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rank
+    FROM cand WHERE rk <= 10
+    """,
+)
+def sim_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED-index ANN (r8): ``build_ivf_index`` writes the corpus
+    physically partitioned by centroid_id (parquet directory
+    partitioning — the "assignment becomes the table's partition key"
+    posture made an on-disk fact), then ``ivf_topk_indexed`` probes
+    nprobe lists per query as an ``isin`` PARTITION filter: every
+    unprobed directory is pruned at planning time, never opened — the
+    100 TB shape where a query scans nprobe/ncentroids of the corpus.
+
+    Runs on the planted 16-dim geometry (``_planted_ann_corpus``), so
+    nprobe=2 probes exactly {main, twin} of the query's stripe and the
+    retrieved top-10 is CLOSED-FORM: the ≤7 low-g mains in id order,
+    then the lowest-id twins (identical vectors — ties break by
+    neighbor_id) — pure vec_id window arithmetic the oracle replays.
+    cos is omitted from the output (its float replay adds nothing the
+    rank contract doesn't already pin)."""
+    import tempfile
+
+    corpus = _planted_ann_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    path = tempfile.mkdtemp(prefix="otspark_ivfidx_")
+    S.build_ivf_index(corpus, path, ncentroids=16)
+    out = S.ivf_topk_indexed(
+        spark, path, _planted_ann_queries(spark), k=10, nprobe=2
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 @q(
