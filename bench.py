@@ -443,6 +443,12 @@ def main():
         # subsequence join for clip containment
         "mjpg_frame_stats",
         "video_clip_containment",
+        # r8 new-operator rows (all cheap; min-of-3 from day one)
+        "video_clip_containment_grouped",
+        "image_exif_audit",
+        "semantic_contamination",
+        "dedup_aware_split_stats",
+        "sim_topk_ivf_indexed",
     ]
     # r7 (VERDICT item 5): the slowest registry rows get the same
     # min-of-3 + published-spread treatment as the harness shapes —
@@ -464,9 +470,14 @@ def main():
         "adj_forward",
         "ohlcv_rollup",
         "hll_distinct_rollup",
-        # r8: media family rows get min-of-3 from day one
+        # r8: media family + new-operator rows get min-of-3 from day one
         "mjpg_frame_stats",
         "video_clip_containment",
+        "video_clip_containment_grouped",
+        "image_exif_audit",
+        "semantic_contamination",
+        "dedup_aware_split_stats",
+        "sim_topk_ivf_indexed",
     }
     for name in headline:
         fn = QUERIES[name]

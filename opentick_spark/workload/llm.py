@@ -451,7 +451,11 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combinable — no train×eval pair shuffle)."""
     emb = load(spark, sf_dir, "embeddings")
     ev = emb.filter(F.col("vec_id") % 20 == 0)
-    tr = emb.filter(F.col("vec_id") % 20 != 0)
+    # spread the train side: the 1-row-group embeddings scan is ONE
+    # partition, which would single-core every train×eval JVM cosine
+    tr = emb.filter(F.col("vec_id") % 20 != 0).repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
     out = S.semantic_contamination(tr, ev, threshold=0.35)
     return out.select(
         "train_id", "eval_id", F.round("cos", 6).alias("cos")
