@@ -125,16 +125,15 @@ _DRIVER_WINDOW = [
     "twap_hourly",
     "vocab_coverage_top100",
     "weighted_sample_docs",
-    # ---- 5 of the round-5-stale cohort (alphabetical head; the rest
-    # — collocation_pmi_top100, continuous_ohlcv, dataset_card,
-    # dedup_clusters, dedup_containment, dedup_edit_distance — were
-    # displaced by the six mid-round r8 additions below and rejoin the
-    # r9 queue with the cohort) ----
+    # ---- 4 of the round-5-stale cohort (alphabetical head; the rest
+    # — bloom_decontaminate, collocation_pmi_top100, continuous_ohlcv,
+    # dataset_card, dedup_clusters, dedup_containment,
+    # dedup_edit_distance — were displaced by the seven mid-round r8
+    # additions below and rejoin the r9 queue with the cohort) ----
     "adj_factor_audit",
     "adj_forward",
     "approx_distinct_users",
     "asof_join_purchase_signup",
-    "bloom_decontaminate",
     # ---- mid-round r8 additions (first-time driver evidence; the
     # displaced r5-stale tail rejoins the r9 queue) ----
     # value-exact planted-geometry ANN recall (VERDICT r7 item 5)
@@ -149,6 +148,8 @@ _DRIVER_WINDOW = [
     "dedup_aware_split_stats",
     # persisted partition-pruned IVF index, closed-form oracle (r8)
     "sim_topk_ivf_indexed",
+    # incremental IVF append maintenance, same closed-form oracle (r8)
+    "sim_topk_ivf_append",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -4087,6 +4087,62 @@ def ann_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_IVF_PLANTED_TOPK_ORACLE = """
+    WITH base AS (
+      SELECT vec_id, vec_id % 16 AS st,
+             ROW_NUMBER() OVER (PARTITION BY vec_id % 16
+                                ORDER BY vec_id) AS r
+      FROM embeddings
+    ),
+    mcnt AS (
+      SELECT st, LEAST(7, COUNT(*)) AS m FROM base WHERE st < 8 GROUP BY st
+    ),
+    cand AS (
+      SELECT st AS qs, vec_id, r AS rk FROM base WHERE st < 8 AND r <= 7
+      UNION ALL
+      SELECT b.st - 8 AS qs, b.vec_id, COALESCE(mc.m, 0) + b.r AS rk
+      FROM base b LEFT JOIN mcnt mc ON mc.st = b.st - 8
+      WHERE b.st >= 8
+    )
+    SELECT CAST(10000000 + qs AS BIGINT) AS query_id,
+           vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rank
+    FROM cand WHERE rk <= 10
+"""
+
+
+@q("sim_topk_ivf_append", _IVF_PLANTED_TOPK_ORACLE)
+def sim_topk_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance end-to-end (r8): build the persisted
+    index on the EVEN-vec_id half of the planted corpus, then
+    ``ivf_index_append`` routes the ODD half to the EXISTING centroids
+    (one broadcast pass over just the delta, plain parquet append into
+    only the affected centroid partitions — no retraining, no rewrite,
+    concurrent readers stay consistent). Querying the grown index at
+    nprobe=2 must return EXACTLY the full-corpus closed form — the
+    planted geometry's routing is centroid-choice-insensitive (any
+    low-g main / any twin represents its cluster), so the half-corpus
+    seeds route the appended half identically and the oracle is the
+    same vec_id window arithmetic as ``sim_topk_ivf_indexed``."""
+    import tempfile
+
+    corpus = _planted_ann_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    path = tempfile.mkdtemp(prefix="otspark_ivfapp_")
+    S.build_ivf_index(
+        corpus.filter(F.col("vec_id") % 2 == 0), path, ncentroids=16
+    )
+    S.ivf_index_append(
+        spark, corpus.filter(F.col("vec_id") % 2 == 1), path
+    )
+    out = S.ivf_topk_indexed(
+        spark, path, _planted_ann_queries(spark), k=10, nprobe=2
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @q(
     "sim_topk_ivf_indexed",
     """
