@@ -449,6 +449,7 @@ def main():
         "semantic_contamination",
         "dedup_aware_split_stats",
         "sim_topk_ivf_indexed",
+        "sim_topk_ivf_append",
     ]
     # r7 (VERDICT item 5): the slowest registry rows get the same
     # min-of-3 + published-spread treatment as the harness shapes —
@@ -478,6 +479,7 @@ def main():
         "semantic_contamination",
         "dedup_aware_split_stats",
         "sim_topk_ivf_indexed",
+        "sim_topk_ivf_append",
     }
     for name in headline:
         fn = QUERIES[name]
