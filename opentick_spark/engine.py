@@ -352,6 +352,65 @@ class Engine:
             out = df if out is None else out.unionAll(df)
         return out.dropDuplicates(pk).orderBy(*pk).select(*want)
 
+    def execute_split_rows(
+        self, sql: str | int, ranges: list[tuple], *args: Any
+    ) -> list[tuple]:
+        """Client-materialized SplitRange (r8): the reference's
+        SplitRange contract is n parallel sub-scans whose rows land at
+        the CLIENT merged and PK-ordered (client/opentick.go:302-317) —
+        so, exactly like ``execute_rows``, paying a plan-level global
+        sort (range-exchange + sampling job) to order rows the driver
+        is about to hold in one Arrow table is pure overhead. The
+        fast-path OR-of-sub-ranges scan collects unsorted (PK carried)
+        and pyarrow sorts; LIMIT/adj split semantics fall back to the
+        sorted-plan path."""
+        pid = self.prepare(sql) if isinstance(sql, str) else sql
+        resolved = self._prepared[pid][1]
+        if not isinstance(resolved, ResolvedSelect):
+            raise OpentickError("execute_split requires a select")
+        if resolved.limit or resolved.adjs:
+            df = self.execute_split(pid, ranges, *args)
+            return list(zip(*self._materialize_columns(df, resolved)))
+        want = [c.name for c in resolved.cols]
+        pk = resolved.schema.pk_names
+        proj = list(dict.fromkeys(want + pk))
+        from opentick_spark.dialect.resolver import bind_conds
+
+        # same OR-predicate single scan as execute_split's fast path,
+        # minus the orderBy
+        pred = None
+        leading_eq = None
+        lead = resolved.schema.key_columns[0].name
+        for i, (lo, hi) in enumerate(ranges):
+            conds = bind_conds(resolved.conds, (*args, lo, hi))
+            if i == 0:
+                leading_eq = next(
+                    (
+                        c.equal
+                        for c in conds
+                        if c.col.name == lead and c.equal is not None
+                    ),
+                    None,
+                )
+            p = self._predicate(conds)
+            pred = p if pred is None else (pred | p)
+        st = self.store(resolved.schema.db, resolved.schema.name)
+        df = st.read(self.spark, leading_eq=leading_eq).filter(pred).select(*proj)
+        try:
+            tbl = df.toArrow()
+        except Exception:
+            d2 = self.execute_split(pid, ranges, *args)
+            return list(zip(*self._materialize_columns(d2, resolved)))
+        tbl = tbl.sort_by([(k, "ascending") for k in pk])
+        cols = [tbl.column(c.name).to_pylist() for c in resolved.cols]
+        for i, c in enumerate(resolved.cols):
+            if c.type == "timestamp":
+                cols[i] = [
+                    from_epoch_nanos(v) if v is not None else None
+                    for v in cols[i]
+                ]
+        return list(zip(*cols))
+
     def execute_rows(self, sql: str | int, *args: Any) -> list[tuple] | None:
         """Reference-client result shape: list of row tuples with timestamp
         columns as (epoch_sec, nanosec) pairs. Serves the SELECT response

@@ -903,3 +903,29 @@ def test_maybe_compact_policy(engine, spark):
     # byte-based trigger
     engine.batch_insert(pid, [(100, 1)])
     assert store.maybe_compact(spark, max_pending_commits=99, max_log_bytes=10) is True
+
+
+def test_execute_split_rows_matches_dataframe_path(kv):
+    """r8 execute_split_rows: client-materialized SplitRange (Arrow
+    collect + driver-side PK sort) returns exactly the sorted
+    DataFrame path's rows, including boundary dedup of inclusive
+    sub-ranges — timestamps in the (sec, nsec) client form."""
+    eng = kv
+    eng.execute(
+        "create table if not exists kvr(k int, t timestamp, x double, "
+        "primary key(k, t))"
+    )
+    pid = eng.prepare("insert into kvr(k, t, x) values(?, ?, ?)")
+    eng.batch_insert(pid, [(9, i, float(i)) for i in range(100)])
+    ranges = [(0, 4), (4, 8)]  # share boundary t=4
+    sql = "select k, t, x from kvr where k=9 and t>=? and t<=?"
+    rows = eng.execute_split_rows(sql, ranges)
+    assert len(rows) == 9  # 0..8 inclusive, boundary deduped
+    assert [r[2] for r in rows] == [float(i) for i in range(9)]
+    # int timestamp literals are SECONDS → (sec, nsec) client form
+    assert all(r[1] == (i, 0) for i, r in enumerate(rows))
+    # x-only projection (PK carried internally, dropped at the end)
+    xs = eng.execute_split_rows(
+        "select x from kvr where k=9 and t>=? and t<=?", ranges
+    )
+    assert [r[0] for r in xs] == [float(i) for i in range(9)]
