@@ -374,8 +374,6 @@ class Engine:
         want = [c.name for c in resolved.cols]
         pk = resolved.schema.pk_names
         proj = list(dict.fromkeys(want + pk))
-        from opentick_spark.dialect.resolver import bind_conds
-
         # same OR-predicate single scan as execute_split's fast path,
         # minus the orderBy
         pred = None
