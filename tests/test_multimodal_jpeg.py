@@ -545,3 +545,73 @@ def test_exif_meta_is_header_only_on_truncated_entropy():
     m = M._jpeg_meta(trunc)
     assert m is not None and m["orientation"] == 2 and m["has_gps"]
     assert M._decode_jpeg(trunc) is None  # pixels genuinely gone
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=400),
+    prefix=st.booleans(),
+    mutate=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_exif_parsers_never_raise(data, prefix, mutate, seed):
+    """The metadata sweep has the same never-raise quarantine contract
+    as the pixel decoder: random bytes, SOI-prefixed garbage, and
+    bit-flipped REAL Exif payloads all return None/partial metadata,
+    never an exception."""
+    import numpy as np
+
+    if mutate:
+        img = np.full((8, 8), 77, dtype=np.uint8)
+        base = bytearray(
+            M._encode_jpeg(
+                img, app1=M._encode_exif(orientation=5, gps=True)
+            )
+        )
+        rng = np.random.RandomState(seed)
+        for _ in range(4):
+            base[rng.randint(0, len(base))] = rng.randint(0, 256)
+        payload = bytes(base)
+    else:
+        payload = (b"\xff\xd8" + data) if prefix else data
+    m = M._jpeg_meta(payload)
+    assert m is None or isinstance(m, dict)
+    s = M._jpeg_strip_metadata(payload)
+    assert s is None or isinstance(s, bytes)
+    if s is not None:
+        # a stripped stream must never still carry APPn/COM segments
+        ms = M._jpeg_meta(s)
+        assert ms is None or ms["has_exif"] is False
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_video_clip_groups_equivalence_property(spark, data):
+    """Property version of test_video_clip_star_pair_equivalence: on
+    RANDOM small frame-hash corpora (heavy collisions, random lengths,
+    occasional NULL frames), expand(video_clip_containment_groups) ==
+    video_clip_containments exactly."""
+    n_videos = data.draw(st.integers(2, 8))
+    rows = []
+    for vid in range(n_videos):
+        n_frames = data.draw(st.integers(1, 5))
+        for fi in range(n_frames):
+            h = data.draw(
+                st.one_of(st.none(), st.integers(100, 104))  # tiny hash space
+            )
+            rows.append((vid, fi, h))
+    hashes = spark.createDataFrame(
+        rows, "id long, frame_idx int, fhash long"
+    )
+    naive = {
+        (r["id_a"], r["id_b"], r["offset"])
+        for r in M.video_clip_containments(hashes).collect()
+    }
+    members = M.video_sequence_groups(hashes)
+    star = {
+        (r["id_a"], r["id_b"], r["offset"])
+        for r in M.expand_containment_groups(
+            M.video_clip_containment_groups(hashes), members
+        ).collect()
+    }
+    assert star == naive
