@@ -965,10 +965,15 @@ def ivf_index_append(
     corpus grew": assignment is one broadcast pass over just the delta,
     and the append lands only in the affected centroid partitions
     (dynamic partition overwrite is NOT used — plain append, so
-    concurrent readers keep seeing a consistent index). Centroid drift
-    from accumulated appends is repaired by a periodic full
-    ``build_ivf_index`` rebuild, exactly like segment-merge maintenance
-    in a serving ANN index. Returns the number of vectors appended."""
+    EXISTING files are never touched and a concurrent reader never sees
+    a corrupt or partially-written file; it may however observe a
+    PREFIX of the delta while the append's task files land — ANN-grade
+    eventual freshness, not a transaction. Index growth that needs the
+    engine's atomic-commit semantics belongs in a TableStore table).
+    Centroid drift from accumulated appends is repaired by a periodic
+    full ``build_ivf_index`` rebuild, exactly like segment-merge
+    maintenance in a serving ANN index. Returns the number of vectors
+    appended."""
     cents = spark.read.parquet(f"{path}/centroids")
     delta = (
         new_vectors.select(
