@@ -336,3 +336,68 @@ def write_bucketed_table(
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(name)
+
+
+def read_arrow_ipc(
+    spark: SparkSession,
+    path: str,
+    schema: str | T.StructType | None = None,
+    on_corrupt: str = "error",
+) -> DataFrame:
+    """Distributed Arrow IPC file reader (Feather v2 / ``.arrow`` — the
+    zero-copy interchange format ML tooling emits). Spark ships no
+    native datasource for it, so files load through the ``binaryFile``
+    source (one row per file, whole-file content, distributed across
+    executors) and each file's record batches decode executor-side with
+    pyarrow inside ``mapInPandas`` — Arrow end-to-end, no row-at-a-time
+    Python.
+
+    - ``schema``: DDL string / StructType, or None to infer from ONE
+      file's IPC footer driver-side (a bounded metadata read, not a
+      data scan — unlike CSV/JSON inference).
+    - ``on_corrupt``: ``"error"`` (default — fail loudly, FAILFAST
+      posture) or ``"skip"`` (quarantine: a file pyarrow cannot open
+      contributes zero rows — one bad shard cannot kill a corpus-wide
+      ingest, mirroring the JSONL PERMISSIVE contract).
+    - Memory granularity is the FILE: each IPC file materializes as one
+      Arrow buffer on an executor, so this reads interchange-sized
+      shards (MBs-GBs), not single-TB monoliths — the format's own
+      sharding convention.
+    """
+    import glob as _glob
+
+    import pyarrow as pa
+
+    if on_corrupt not in ("error", "skip"):
+        raise ValueError("on_corrupt must be 'error' or 'skip'")
+    if schema is None:
+        candidates = sorted(
+            _glob.glob(path if "*" in path else f"{path.rstrip('/')}/*")
+        ) or ([path] if "*" not in path else [])
+        if not candidates:
+            raise FileNotFoundError(f"no Arrow IPC files under {path}")
+        with pa.memory_map(candidates[0]) as mm:
+            arrow_schema = pa.ipc.open_file(mm).schema
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        spark_schema = from_arrow_schema(arrow_schema)
+    elif isinstance(schema, str):
+        spark_schema = T.StructType.fromDDL(schema)
+    else:
+        spark_schema = schema
+    names = [f.name for f in spark_schema.fields]
+
+    def decode(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                try:
+                    reader = pa.ipc.open_file(pa.BufferReader(content))
+                except Exception:
+                    if on_corrupt == "skip":
+                        continue
+                    raise
+                for i in range(reader.num_record_batches):
+                    yield reader.get_batch(i).to_pandas()[names]
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(decode, spark_schema)

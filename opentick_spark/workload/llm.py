@@ -2532,6 +2532,64 @@ def dedup_aware_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "arrow_ipc_roundtrip_stats",
+    """
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def arrow_ipc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC interchange roundtrip (r8, ``sources.read_arrow_ipc``):
+    the corpus is exported executor-side as Feather-v2 shards (one IPC
+    file per partition, written inside mapInPandas — no driver
+    collect; shards land on a shared path, here local tmp) and read
+    back through the distributed IPC reader (binaryFile source +
+    per-file pyarrow decode); per-lang aggregates over the roundtrip
+    must equal the same aggregates over the source table — any row
+    lost, duplicated, or value-corrupted by either direction flips the
+    driver hash."""
+    import os
+    import tempfile
+    import uuid
+
+    import pandas as pd
+
+    from opentick_spark.sources import read_arrow_ipc
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out_dir = tempfile.gettempdir() + f"/otspark_ipc_{uuid.uuid4().hex}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shards(it):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tables = [pa.Table.from_pandas(pdf) for pdf in it if len(pdf)]
+        if tables:
+            tbl = pa.concat_tables(tables)
+            with pa.OSFile(f"{out_dir}/part-{pid:05d}.arrow", "wb") as f:
+                with pa.ipc.new_file(f, tbl.schema) as w:
+                    w.write_table(tbl)
+            yield pd.DataFrame({"n": [tbl.num_rows]})
+        else:
+            yield pd.DataFrame({"n": [0]})
+
+    shards = docs.repartition(8).mapInPandas(write_shards, "n long")
+    shards.write.mode("overwrite").format("noop").save()  # materialize writes
+    back = read_arrow_ipc(
+        spark, out_dir, schema="doc_id long, lang string, n_chars long"
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@q(
     "corpus_split_stats",
     """
     WITH t AS (

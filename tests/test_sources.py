@@ -200,3 +200,60 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_docs")
         spark.sql("DROP TABLE IF EXISTS bkt_stats")
+
+
+def test_read_arrow_ipc_roundtrip_and_inference(spark, tmp_path):
+    """r8 Arrow IPC source: multi-file, multi-batch Feather-v2 shards
+    read back exactly; schema inferred from ONE footer when omitted."""
+    import pyarrow as pa
+
+    from opentick_spark.sources import read_arrow_ipc
+
+    d = tmp_path / "ipc"
+    d.mkdir()
+    rows = []
+    for shard in range(3):
+        ids = list(range(shard * 10, shard * 10 + 10))
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([f"doc {i}" for i in ids]),
+                "score": pa.array([i / 4.0 for i in ids], pa.float64()),
+            }
+        )
+        with pa.OSFile(str(d / f"part-{shard}.arrow"), "wb") as f:
+            with pa.ipc.new_file(f, tbl.schema) as w:
+                # two batches per file: the reader must walk them all
+                w.write_table(tbl.slice(0, 4))
+                w.write_table(tbl.slice(4))
+        rows += [(i, f"doc {i}", i / 4.0) for i in ids]
+    out = read_arrow_ipc(spark, str(d))  # inferred schema
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == sorted(rows)
+    # explicit schema (subset order respected) + column projection
+    out2 = read_arrow_ipc(
+        spark, str(d), schema="doc_id long, text string, score double"
+    )
+    assert sorted(tuple(r) for r in out2.collect()) == sorted(rows)
+
+
+def test_read_arrow_ipc_corrupt_quarantine(spark, tmp_path):
+    """A corrupt shard fails loudly by default and contributes zero
+    rows under on_corrupt='skip' (the JSONL PERMISSIVE analog)."""
+    import pyarrow as pa
+    import pytest
+
+    from opentick_spark.sources import read_arrow_ipc
+
+    d = tmp_path / "ipc"
+    d.mkdir()
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())})
+    with pa.OSFile(str(d / "good.arrow"), "wb") as f:
+        with pa.ipc.new_file(f, tbl.schema) as w:
+            w.write_table(tbl)
+    (d / "bad.arrow").write_bytes(b"ARROW1\x00\x00 this is not an ipc file")
+    ok = read_arrow_ipc(spark, str(d), schema="doc_id long", on_corrupt="skip")
+    assert sorted(r["doc_id"] for r in ok.collect()) == [1, 2, 3]
+    strict = read_arrow_ipc(spark, str(d), schema="doc_id long")
+    with pytest.raises(Exception):
+        strict.collect()
