@@ -401,3 +401,74 @@ def read_arrow_ipc(
 
     files = spark.read.format("binaryFile").load(path).select("content")
     return files.mapInPandas(decode, spark_schema)
+
+
+def read_jsonl_compressed(
+    spark: SparkSession,
+    path: str,
+    schema: str | T.StructType,
+    codec: str = "zstd",
+    bad_record_col: str | None = "_corrupt_record",
+) -> DataFrame:
+    """Compressed line-delimited JSON — ``.jsonl.zst`` is THE shard
+    format big public text corpora ship in (also gzip/lz4/brotli via
+    the same pyarrow codecs). Spark's text source only splits codecs
+    the Hadoop native library provides (absent in many deployments,
+    including this one), so shards load through ``binaryFile`` (one
+    file per task — shard-parallel, exactly how these corpora are laid
+    out) and decompress executor-side through a streaming pyarrow
+    ``input_stream`` (C-speed, no Python byte loop). JSON parsing is
+    JVM ``from_json`` with the house PERMISSIVE contract: malformed
+    LINES land in ``bad_record_col`` instead of killing the ingest
+    (``bad_record_col=None`` = FAILFAST: raise on the first bad line).
+
+    Schema is REQUIRED (no inference — decompressing 100 TB twice to
+    guess types is never right). Memory granularity is the
+    decompressed file, matching the format's own sharding convention."""
+    import pyarrow as pa
+
+    if schema is None or schema == "infer":
+        raise ValueError(
+            "read_jsonl_compressed requires an explicit schema "
+            "(inference would decompress the corpus twice)"
+        )
+    struct = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    pa.Codec(codec)  # validate the codec name driver-side, fail fast
+
+    def lines(it):
+        import pandas as pd
+
+        for pdf in it:
+            for content in pdf["content"]:
+                text = pa.input_stream(
+                    pa.BufferReader(content), compression=codec
+                ).read()
+                ls = [
+                    line
+                    for line in text.decode("utf-8").split("\n")
+                    if line.strip()
+                ]
+                yield pd.DataFrame({"__line": ls})
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(lines, "__line string")
+    )
+    if bad_record_col:
+        parsed = struct.add(T.StructField(bad_record_col, T.StringType(), True))
+        out = raw.select(
+            F.from_json(
+                "__line",
+                parsed,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": bad_record_col},
+            ).alias("__r")
+        ).select("__r.*")
+        # from_json leaves the raw line only in the corrupt column; keep
+        # the house contract: data columns NULL + raw line preserved
+        return out
+    parsed = raw.select(
+        F.from_json("__line", struct, {"mode": "FAILFAST"}).alias("__r"),
+    ).select("__r.*")
+    return parsed

@@ -2590,6 +2590,89 @@ def arrow_ipc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "jsonl_zst_ingest_stats",
+    """
+    WITH g AS (
+      SELECT lang, COUNT(*)::BIGINT AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents WHERE doc_id % 50 != 13 GROUP BY 1
+    ),
+    c AS (
+      SELECT COUNT(*)::BIGINT AS n_corrupt
+      FROM documents WHERE doc_id % 50 = 13
+    )
+    SELECT g.lang, g.n_docs, g.total_chars, c.n_corrupt FROM g, c
+    """,
+)
+def jsonl_zst_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-JSONL corpus ingest (r8,
+    ``sources.read_jsonl_compressed``): the documents table is exported
+    executor-side as ``.jsonl.zst`` shards — with every doc_id %% 50 ==
+    13 line PLANTED corrupt (truncated JSON) — then read back through
+    the shard-parallel zstd path with the PERMISSIVE quarantine.
+    Per-lang aggregates over the surviving rows plus the corpus-wide
+    corrupt-line count must match the doc_id arithmetic exactly: a
+    decompression fault, a lost/duplicated line, or a quarantine leak
+    all flip the driver hash."""
+    import os
+    import tempfile
+    import uuid
+
+    import pandas as pd
+
+    from opentick_spark.sources import read_jsonl_compressed, split_corrupt
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out_dir = tempfile.gettempdir() + f"/otspark_zst_{uuid.uuid4().hex}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shards(it):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        sink = pa.BufferOutputStream()
+        n = 0
+        with pa.output_stream(sink, compression="zstd") as s:
+            for pdf in it:
+                for d, lang, nc in zip(
+                    pdf["doc_id"], pdf["lang"], pdf["n_chars"]
+                ):
+                    if int(d) % 50 == 13:
+                        s.write(f'{{"doc_id": {int(d)}, "lang":\n'.encode())
+                    else:
+                        s.write(
+                            f'{{"doc_id": {int(d)}, "lang": "{lang}", '
+                            f'"n_chars": {int(nc)}}}\n'.encode()
+                        )
+                    n += 1
+        if n:
+            with open(f"{out_dir}/part-{pid:05d}.jsonl.zst", "wb") as f:
+                f.write(sink.getvalue().to_pybytes())
+        yield pd.DataFrame({"n": [n]})
+
+    shards = docs.repartition(8).mapInPandas(write_shards, "n long")
+    shards.write.mode("overwrite").format("noop").save()
+    back = read_jsonl_compressed(
+        spark, out_dir, schema="doc_id long, lang string, n_chars long"
+    )
+    good, bad = split_corrupt(back)
+    n_corrupt = bad.agg(
+        F.count(F.lit(1)).cast("long").alias("n_corrupt")
+    )
+    return (
+        good.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(n_corrupt))
+    )
+
+
+@q(
     "corpus_split_stats",
     """
     WITH t AS (

@@ -257,3 +257,53 @@ def test_read_arrow_ipc_corrupt_quarantine(spark, tmp_path):
     strict = read_arrow_ipc(spark, str(d), schema="doc_id long")
     with pytest.raises(Exception):
         strict.collect()
+
+
+def test_read_jsonl_zst_roundtrip_and_quarantine(spark, tmp_path):
+    """r8 .jsonl.zst source: multi-shard zstd streams decode
+    shard-parallel; malformed lines quarantine into the corrupt column
+    (data columns NULL, raw line preserved); FAILFAST raises."""
+    import pyarrow as pa
+    import pytest
+
+    from opentick_spark.sources import read_jsonl_compressed, split_corrupt
+
+    d = tmp_path / "zst"
+    d.mkdir()
+    for shard in range(2):
+        sink = pa.BufferOutputStream()
+        with pa.output_stream(sink, compression="zstd") as s:
+            for i in range(shard * 5, shard * 5 + 5):
+                s.write(f'{{"doc_id": {i}, "text": "d{i}"}}\n'.encode())
+            if shard == 1:
+                s.write(b"{not json at all\n")
+        (d / f"part-{shard}.jsonl.zst").write_bytes(
+            sink.getvalue().to_pybytes()
+        )
+    df = read_jsonl_compressed(
+        spark, str(d), schema="doc_id long, text string"
+    )
+    good, bad = split_corrupt(df)
+    assert sorted(r["doc_id"] for r in good.collect()) == list(range(10))
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert bad_rows[0]["_corrupt_record"].startswith("{not json")
+    with pytest.raises(Exception):
+        read_jsonl_compressed(
+            spark, str(d), schema="doc_id long, text string",
+            bad_record_col=None,
+        ).collect()
+    with pytest.raises(ValueError):
+        read_jsonl_compressed(spark, str(d), schema="infer")
+    # gzip through the same path
+    import gzip
+
+    g = tmp_path / "gz"
+    g.mkdir()
+    (g / "p.jsonl.gz").write_bytes(
+        gzip.compress(b'{"doc_id": 99, "text": "z"}\n')
+    )
+    gz = read_jsonl_compressed(
+        spark, str(g), schema="doc_id long, text string", codec="gzip"
+    )
+    assert [r["doc_id"] for r in gz.collect()] == [99]
