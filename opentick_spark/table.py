@@ -352,25 +352,37 @@ class TableStore:
         self._publish(tmp, fname)  # atomic + loud on seq collision
         return n
 
-    def append_dataframe(self, df: DataFrame, delete: bool = False) -> None:
+    def append_dataframe(
+        self,
+        df: DataFrame,
+        delete: bool = False,
+        delete_col: str | None = None,
+    ) -> None:
         """Append a (possibly large) DataFrame as one commit — the Spark
         write path for bulk loads / streaming foreachBatch. ``delete``
-        writes the rows as tombstones."""
+        writes every row as a tombstone; ``delete_col`` (r8) names a
+        boolean column marking tombstones PER ROW, letting upserts and
+        deletes land in ONE atomic commit (the MERGE INTO primitive —
+        ``merge_into`` builds on this)."""
         schema = self.schema
         seq = self._next_seq()
         out = df
-        for c in schema.columns:
-            if c.name != c.physical:
-                out = out.withColumnRenamed(c.name, c.physical)
         # full monotonically_increasing_id (partition_id<<33 | row-in-
         # partition): unique within the commit, keeps partition bits, so
         # duplicate PKs in one bulk commit resolve by DataFrame row
         # position — the sequential-write-order analog of tr.Set
-        out = (
-            out.withColumn(SEQ_COL, F.lit(seq).cast("long"))
-            .withColumn(SUB_COL, F.monotonically_increasing_id())
-            .withColumn(DEL_COL, F.lit(delete))
+        if delete_col is not None:
+            out = out.withColumn(
+                DEL_COL, F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+        for c in schema.columns:
+            if c.name != c.physical:
+                out = out.withColumnRenamed(c.name, c.physical)
+        out = out.withColumn(SEQ_COL, F.lit(seq).cast("long")).withColumn(
+            SUB_COL, F.monotonically_increasing_id()
         )
+        if delete_col is None:
+            out = out.withColumn(DEL_COL, F.lit(delete))
         commit_dir = os.path.join(self.log_path, f"commit-{seq:012d}")
         # stage OUTSIDE log/ so concurrent readers never see a half-written
         # commit, then rename in (atomic; fails loudly if seq double-used)
@@ -531,6 +543,82 @@ class TableStore:
         # write unconditionally: an empty tombstone commit is harmless,
         # while an isEmpty() probe would execute the full read plan twice
         self.append_dataframe(doomed, delete=True)
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        when_matched: str | None = "update",
+        when_not_matched: str | None = "insert",
+    ) -> None:
+        """Lakehouse MERGE INTO, source-driven, as ONE atomic commit
+        (r8). A source row whose full PK exists in the current table
+        state is MATCHED; per clause:
+
+        - ``when_matched="update"`` — the source row upserts
+          (latest-wins append); ``"delete"`` — a tombstone for that PK;
+          ``None`` — matched rows are ignored.
+        - ``when_not_matched="insert"`` — the source row inserts;
+          ``None`` — unmatched rows are ignored.
+
+        Target rows the source doesn't touch are untouched by
+        construction (log append — nothing is rewritten). The whole
+        merge is ONE commit (one seq: updates, deletes, and inserts
+        become visible together and ``log_diff``/``changes`` see one
+        delta), via ``append_dataframe(delete_col=...)``'s per-row
+        tombstone flag. Matched-ness costs one column-pruned pass over
+        the resolved target PK set joined to the (delta-sized) source —
+        the same scan a lakehouse MERGE pays without partition pruning."""
+        if when_matched not in ("update", "delete", None):
+            raise ValueError("when_matched must be 'update', 'delete' or None")
+        if when_not_matched not in ("insert", None):
+            raise ValueError("when_not_matched must be 'insert' or None")
+        schema = self.schema
+        pk = [c.name for c in schema.key_columns]
+        val_cols = [c.name for c in schema.columns if c.name not in pk]
+        need_vals = when_matched == "update" or when_not_matched == "insert"
+        missing = [c for c in (pk + (val_cols if need_vals else [])) if c not in source.columns]
+        if missing:
+            raise ValueError(f"merge_into source is missing columns: {missing}")
+        tgt = (
+            self.read(spark)
+            .select(*pk)
+            .withColumn("__matched", F.lit(True))
+        )
+        j = source.join(tgt, pk, "left")
+        matched = F.coalesce(F.col("__matched"), F.lit(False))
+        parts = []
+        if when_matched == "update":
+            parts.append(
+                j.filter(matched)
+                .select(*pk, *val_cols)
+                .withColumn("__do_del", F.lit(False))
+            )
+        elif when_matched == "delete":
+            parts.append(
+                j.filter(matched)
+                .select(
+                    *pk,
+                    *[
+                        F.lit(None).cast(spark_type(c.type)).alias(c.name)
+                        for c in schema.columns
+                        if c.name not in pk
+                    ],
+                )
+                .withColumn("__do_del", F.lit(True))
+            )
+        if when_not_matched == "insert":
+            parts.append(
+                j.filter(~matched)
+                .select(*pk, *val_cols)
+                .withColumn("__do_del", F.lit(False))
+            )
+        if not parts:
+            return
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        self.append_dataframe(out, delete_col="__do_del")
 
     @staticmethod
     def _zorder_value(df: DataFrame, cols: list[str], bits: int = 21):

@@ -38,7 +38,7 @@ The driver's correctness gate checks the FIRST 50 entries of
   rotate into the driver window next round in place of long-stable
   ones.
 
-Every round the ENTIRE registry (window + extras; 198 queries, ALL 198
+Every round the ENTIRE registry (window + extras; 199 queries, ALL 199
 with oracles as of round 8 — authoritative counts in COVERAGE.md's
 generated rotation table) is value-verified against DuckDB at BOTH
 sf0.01 (the driver's scale) and sf0.1 (10×) — the 10× run has caught
@@ -125,14 +125,14 @@ _DRIVER_WINDOW = [
     "twap_hourly",
     "vocab_coverage_top100",
     "weighted_sample_docs",
-    # ---- 2 of the round-5-stale cohort (alphabetical head; the rest
-    # — approx_distinct_users, asof_join_purchase_signup,
-    # bloom_decontaminate, collocation_pmi_top100, continuous_ohlcv,
-    # dataset_card, dedup_clusters, dedup_containment,
-    # dedup_edit_distance — were displaced by the nine mid-round r8
-    # additions below and rejoin the r9 queue with the cohort) ----
+    # ---- 1 of the round-5-stale cohort (alphabetical head; the other
+    # ten — adj_forward, approx_distinct_users,
+    # asof_join_purchase_signup, bloom_decontaminate,
+    # collocation_pmi_top100, continuous_ohlcv, dataset_card,
+    # dedup_clusters, dedup_containment, dedup_edit_distance — were
+    # displaced by the eleven mid-round r8 additions below and rejoin
+    # the r9 queue with the cohort) ----
     "adj_factor_audit",
-    "adj_forward",
     # ---- mid-round r8 additions (first-time driver evidence; the
     # displaced r5-stale tail rejoins the r9 queue) ----
     # value-exact planted-geometry ANN recall (VERDICT r7 item 5)
@@ -153,6 +153,8 @@ _DRIVER_WINDOW = [
     "arrow_ipc_roundtrip_stats",
     # zstd-compressed JSONL ingest with planted corrupt lines (r8)
     "jsonl_zst_ingest_stats",
+    # atomic lakehouse MERGE INTO over the commit log (r8)
+    "merge_into_final_state",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -322,6 +322,53 @@ def log_diff_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "merge_into_final_state",
+    """
+    SELECT * FROM (VALUES
+      (1, 10.0, 'old'),
+      (2, 22.0, 'upd'),
+      (4, 44.0, 'upd'),
+      (5, 50.0, 'old'),
+      (8, 88.0, 'new')
+    ) AS t(k, v, tag)
+    """,
+)
+def merge_into_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE INTO (r8, ``TableStore.merge_into``): one
+    source-driven statement applies updates, deletes, and inserts as
+    ONE atomic commit (per-row tombstone flags in a single seq — a
+    reader sees all of the merge or none of it, and ``log_diff`` sees
+    one delta). Base table k=1..5 (v=10·k, tag 'old'); merge 1 updates
+    {2,4} and inserts {8}; merge 2 delete-matches {3} (its unmatched
+    source row {99} is ignored under when_not_matched=None). Final
+    state is the closed-form VALUES oracle: 1,5 stay 'old', 2,4
+    updated, 3 deleted, 8 inserted."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_merge_"))
+    eng.execute("create database m")
+    eng.use("m")
+    eng.execute(
+        "create table docs(k int, v double, tag text, primary key(k))"
+    )
+    pid = eng.prepare("insert into docs(k, v, tag) values(?, ?, ?)")
+    eng.batch_insert(pid, [(i, float(i) * 10, "old") for i in range(1, 6)])
+    st = eng.store("m", "docs")
+    upd = spark.createDataFrame(
+        [(2, 22.0, "upd"), (4, 44.0, "upd"), (8, 88.0, "new")],
+        "k int, v double, tag string",
+    )
+    st.merge_into(spark, upd, when_matched="update", when_not_matched="insert")
+    dele = spark.createDataFrame(
+        [(3, 0.0, "x"), (99, 0.0, "x")], "k int, v double, tag string"
+    )
+    st.merge_into(spark, dele, when_matched="delete", when_not_matched=None)
+    return eng.execute("select k, v, tag from docs").select(
+        F.col("k").cast("int").alias("k"),
+        F.col("v").cast("double").alias("v"),
+        "tag",
+    )
+
+
+@q(
     "incremental_agg_maintenance",
     """
     WITH final AS (

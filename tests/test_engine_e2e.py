@@ -929,3 +929,71 @@ def test_execute_split_rows_matches_dataframe_path(kv):
         "select x from kvr where k=9 and t>=? and t<=?", ranges
     )
     assert [r[0] for r in xs] == [float(i) for i in range(9)]
+
+
+def test_merge_into_clause_matrix_and_atomicity(spark, tmp_path):
+    """r8 TableStore.merge_into: update/delete/insert clause matrix,
+    ONE commit per merge (atomic visibility), untouched rows untouched,
+    and loud errors for bad clauses / missing source columns."""
+    import pytest
+
+    from opentick_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.execute("create database m")
+    eng.use("m")
+    eng.execute("create table t(k int, v double, tag text, primary key(k))")
+    pid = eng.prepare("insert into t(k, v, tag) values(?, ?, ?)")
+    eng.batch_insert(pid, [(i, float(i), "old") for i in range(5)])
+    st = eng.store("m", "t")
+
+    seq0 = st.current_seq()
+    src = spark.createDataFrame(
+        [(1, 11.0, "u"), (3, 33.0, "u"), (7, 77.0, "n")],
+        "k int, v double, tag string",
+    )
+    st.merge_into(spark, src)  # update + insert defaults
+    assert st.current_seq() == seq0 + 1  # ONE atomic commit
+    got = {r["k"]: (r["v"], r["tag"]) for r in eng.execute("select * from t").collect()}
+    assert got == {
+        0: (0.0, "old"), 1: (11.0, "u"), 2: (2.0, "old"),
+        3: (33.0, "u"), 4: (4.0, "old"), 7: (77.0, "n"),
+    }
+
+    # delete-matched, ignore-unmatched; delete source needs only the PK
+    st.merge_into(
+        spark,
+        spark.createDataFrame([(2,), (99,)], "k int"),
+        when_matched="delete",
+        when_not_matched=None,
+    )
+    assert sorted(
+        r["k"] for r in eng.execute("select k from t").collect()
+    ) == [0, 1, 3, 4, 7]
+
+    # matched=None leaves matched rows alone, still inserts new ones
+    st.merge_into(
+        spark,
+        spark.createDataFrame(
+            [(0, 999.0, "x"), (8, 88.0, "n")], "k int, v double, tag string"
+        ),
+        when_matched=None,
+        when_not_matched="insert",
+    )
+    got = {r["k"]: r["v"] for r in eng.execute("select * from t").collect()}
+    assert got[0] == 0.0 and got[8] == 88.0
+
+    # no-op merge appends nothing
+    seq = st.current_seq()
+    st.merge_into(
+        spark,
+        spark.createDataFrame([(0, 1.0, "y")], "k int, v double, tag string"),
+        when_matched=None,
+        when_not_matched=None,
+    )
+    assert st.current_seq() == seq
+
+    with pytest.raises(ValueError, match="when_matched"):
+        st.merge_into(spark, src, when_matched="upsert")
+    with pytest.raises(ValueError, match="missing columns"):
+        st.merge_into(spark, spark.createDataFrame([(1,)], "k int"))
