@@ -287,6 +287,44 @@ class Catalog:
             self._write_schema(schema)
             self._cache[(db, table)] = schema
 
+    def add_column(self, db: str, table: str, name: str, type_name: str) -> None:
+        """Schema evolution (extension, r8): append a NULLABLE value
+        column. Schema-only — no data files rewrite; every existing
+        commit/base file simply lacks the physical column and the read
+        path's EXPLICIT schema fills it with NULL (the same sparse-row
+        semantics a missing INSERT column gets). PK columns cannot be
+        added (row identity is immutable). The physical storage name is
+        uniquified against every live physical name so a column RENAMED
+        away from ``name`` (which keeps its creation-time physical) can
+        never be shadowed by re-adding ``name``."""
+        from opentick_spark.typesys import parse_type_name
+
+        with self._lock:
+            schema = self.get_schema(db, table)
+            if schema.col(name) is not None:
+                raise OpentickError(f"Column {name} already exists")
+            t = parse_type_name(type_name)
+            taken = {c.physical for c in schema.columns}
+            physical = name
+            n = 2
+            while physical in taken:
+                physical = f"{name}__v{n}"
+                n += 1
+            n_val = sum(1 for c in schema.columns if not c.is_key)
+            cols = list(schema.columns) + [
+                ColumnDef(
+                    name=name,
+                    type=t,
+                    is_key=False,
+                    key_pos=n_val,
+                    pos_col=len(schema.columns),
+                    physical=physical,
+                )
+            ]
+            schema = TableSchema(db=db, name=table, columns=cols)
+            self._write_schema(schema)
+            self._cache[(db, table)] = schema
+
     def _write_schema(self, schema: TableSchema) -> None:
         path = os.path.join(self.table_path(schema.db, schema.name), "_schema.json")
         tmp = path + ".tmp"

@@ -90,3 +90,10 @@ class RenameColumn:
     table: TableName
     old: str
     new: str
+
+
+@dataclass
+class AddColumn:
+    table: TableName
+    name: str
+    type: str

@@ -271,6 +271,16 @@ class _Parser:
     def alter(self):
         self.expect("KW", "TABLE")
         table = self.table_name()
+        if self.accept("KW", "ADD"):  # extension: schema evolution
+            self.expect("KW", "COLUMN")
+            name = self.ident()
+            t = self.peek()
+            if t.kind != "KW" or t.value not in _TYPES:
+                raise OpentickError(
+                    f"Syntax error: expected data type, got {t.value!r}"
+                )
+            self.next()
+            return ast.AddColumn(table=table, name=name, type=t.value.lower())
         self.expect("KW", "RENAME")
         if self.accept("KW", "COLUMN"):
             old = self.ident()

@@ -279,6 +279,13 @@ class Engine:
             require_perm(self.user, db, node.table.name, WRITE_PERM)
             self.catalog.rename_column(db, node.table.name, node.old, node.new)
             return None
+        if isinstance(node, ast.AddColumn):
+            db = self._db_of(node.table)
+            require_perm(self.user, db, node.table.name, WRITE_PERM)
+            self.catalog.add_column(db, node.table.name, node.name, node.type)
+            # cached stores carry the pre-evolution schema snapshot
+            self._stores.pop((db, node.table.name), None)
+            return None
         return self._run_resolved(self._resolve(node), args)
 
     def _require_admin(self) -> None:

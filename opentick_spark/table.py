@@ -366,18 +366,20 @@ class TableStore:
         ``merge_into`` builds on this)."""
         schema = self.schema
         seq = self._next_seq()
-        out = df
+        # logical → physical as one atomic select (see read()); strict:
+        # a caller missing a schema column fails loudly here
+        sel = [F.col(c.name).alias(c.physical) for c in schema.columns]
+        if delete_col is not None:
+            out = df.select(
+                *sel,
+                F.coalesce(F.col(delete_col), F.lit(False)).alias(DEL_COL),
+            )
+        else:
+            out = df.select(*sel)
         # full monotonically_increasing_id (partition_id<<33 | row-in-
         # partition): unique within the commit, keeps partition bits, so
         # duplicate PKs in one bulk commit resolve by DataFrame row
         # position — the sequential-write-order analog of tr.Set
-        if delete_col is not None:
-            out = out.withColumn(
-                DEL_COL, F.coalesce(F.col(delete_col), F.lit(False))
-            ).drop(delete_col)
-        for c in schema.columns:
-            if c.name != c.physical:
-                out = out.withColumnRenamed(c.name, c.physical)
         out = out.withColumn(SEQ_COL, F.lit(seq).cast("long")).withColumn(
             SUB_COL, F.monotonically_increasing_id()
         )
@@ -527,11 +529,16 @@ class TableStore:
                 )
             )
         df = df.drop(SEQ_COL, SUB_COL, DEL_COL)
-        for c in schema.columns:
-            if c.physical != c.name:
-                df = df.withColumnRenamed(c.physical, c.name)
-        # declaration order projection
-        return df.select(*[c.name for c in sorted(schema.columns, key=lambda x: x.pos_col)])
+        # physical → logical as ONE atomic select (r8: sequential
+        # withColumnRenamed collides when a rename chain + add_column
+        # makes some column's logical name equal ANOTHER column's
+        # physical name), in declaration order
+        return df.select(
+            *[
+                F.col(c.physical).alias(c.name)
+                for c in sorted(schema.columns, key=lambda x: x.pos_col)
+            ]
+        )
 
     # ------------------------------------------------------------------
     def delete_where(self, spark: SparkSession, predicate) -> None:
@@ -719,9 +726,11 @@ class TableStore:
         df = self.read(spark)
         pk = schema.pk_names
         n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
-        for c in schema.columns:
-            if c.name != c.physical:
-                df = df.withColumnRenamed(c.name, c.physical)
+        # logical → physical atomically (see read(): sequential renames
+        # collide under rename-chain + add_column schemas)
+        df = df.select(
+            *[F.col(c.name).alias(c.physical) for c in schema.columns]
+        )
         pk_phys = [c.physical for c in schema.key_columns]
         meta = self._meta()
         seq = meta["seq"] + 1

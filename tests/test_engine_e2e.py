@@ -997,3 +997,37 @@ def test_merge_into_clause_matrix_and_atomicity(spark, tmp_path):
         st.merge_into(spark, src, when_matched="upsert")
     with pytest.raises(ValueError, match="missing columns"):
         st.merge_into(spark, spark.createDataFrame([(1,)], "k int"))
+
+
+def test_add_column_schema_evolution(kv):
+    """r8 ALTER TABLE ADD COLUMN: old rows NULL-backfill (explicit-
+    schema reads), new writes carry the column, PK additions are
+    impossible grammar-wise and duplicates rejected; the rename-away +
+    re-add sequence cannot shadow the old physical column, and the
+    atomic select renames survive compaction of such a schema."""
+    kv.execute("create table ev(k int, v double, primary key(k))")
+    kv.execute("insert into ev(k, v) values(1, 1.5)")
+    kv.execute("alter table ev add column tag text")
+    assert kv.execute_rows("select k, v, tag from ev") == [(1, 1.5, None)]
+    kv.execute("insert into ev(k, v, tag) values(2, 2.5, 'x')")
+    assert sorted(kv.execute_rows("select k, tag from ev")) == [
+        (1, None), (2, "x"),
+    ]
+    with pytest.raises(OpentickError, match="already exists"):
+        kv.execute("alter table ev add column k int")
+    # rename v away, re-add v: distinct physical, no shadowing
+    kv.execute("alter table ev rename column v to w")
+    kv.execute("alter table ev add column v int")
+    kv.execute("insert into ev(k, w, v) values(3, 3.5, 7)")
+    rows = sorted(kv.execute_rows("select k, w, v from ev"))
+    assert rows == [(1, 1.5, None), (2, 2.5, None), (3, 3.5, 7)]
+    st = kv.store("d", "ev")
+    st.compact(kv.spark)
+    assert sorted(kv.execute_rows("select k, w, v, tag from ev")) == [
+        (1, 1.5, None, None), (2, 2.5, None, "x"), (3, 3.5, 7, None),
+    ]
+    # post-compact writes and upserts still line up column-wise
+    kv.execute("insert into ev(k, w, v, tag) values(1, 9.5, 9, 'up')")
+    assert kv.execute_rows("select w, v, tag from ev where k=1") == [
+        (9.5, 9, "up"),
+    ]
