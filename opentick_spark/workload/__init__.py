@@ -46,14 +46,14 @@ real bugs invisible at sf0.01 (r3: a keeper tie-break). Run
 ``SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.1 python
 tests/oracle_check.py`` to reproduce.
 
-Round-8 rotation (VERDICT r7 item 3): the window leads with the six
-entries deferred from r7 as then-stalest (sim_topk_pq,
-sim_topk_quantized, multimodal_frame_sample, text_token_count_total,
-text_repetition, corpus_split_stats — all last driver-checked r3),
-then the complete 33-entry round-4-stale cohort, then the
-alphabetical head of the round-5-stale cohort; mid-round r8 additions
-swap into that final block so brand-new operators get first-time
-driver evidence the same round they land (the r6/r7 precedent).
+Round-9 rotation (VERDICT r8 item 1): the window clears the ENTIRE
+round-5-stale backlog in one pass — it leads with the ten entries the
+r8 verdict named as the displaced r5 remainder (adj_forward …
+dedup_edit_distance), then the other 39 registry entries whose last
+driver row is r5 (alphabetical), then the alphabetical head of the
+round-6-stale cohort. Mid-round r9 additions swap into the tail so
+brand-new operators get first-time driver evidence the same round they
+land (the r6/r7/r8 precedent); displaced entries rejoin the r10 queue.
 Every rotated-out entry was driver-green in a prior round with an
 unchanged implementation and keeps oracle_check value coverage each
 round. The per-query rotation history (query →
@@ -81,80 +81,64 @@ ALL_ORACLES = {**_CORE_O, **_TICK_O, **_LLM_O}
 # asked for — query → rounds driver-checked → local verification),
 # replacing the docstring changelogs.
 _DRIVER_WINDOW = [
-    # ---- round 8 rotation (VERDICT r7 item 3): lead with the six
-    # entries deferred from the r7 window as then-stalest (all last
-    # driver-checked r3, all oracle-backed) ----
-    "sim_topk_pq",
-    "sim_topk_quantized",
-    "multimodal_frame_sample",
-    "text_token_count_total",
-    "text_repetition",
-    "corpus_split_stats",
-    # ---- the complete round-4-stale cohort (33 entries, last driver
-    # row r4: sampling/market/text-stats/streaming-enrich family) ----
-    "balanced_sample_per_lang",
-    "bar_downsample_daily",
-    "curated_corpus_stats",
-    "data_quality_report",
-    "decayed_event_stats",
-    "dedup_embedding_lsh",
-    "dedup_keeper_by_quality",
-    "dedup_ngram_jaccard",
-    "dsir_importance_scores",
-    "dup_span_stats",
-    "event_transitions",
-    "heavy_hitter_words",
-    "knn_label_vote",
-    "length_batch_stats",
-    "mad_outlier_stats",
-    "market_beta",
-    "max_drawdown",
-    "negative_sampling",
-    "realized_vol_hourly",
-    "return_correlation",
-    "rolling_zscore_outliers",
-    "seq_len_histogram",
-    "source_mixture_stats",
-    "source_token_entropy",
-    "streaming_enrich",
-    "streaming_hop_counts",
-    "temperature_sample",
-    "text_bigram_nll",
-    "tfidf_top_terms",
-    "token_shard_stats",
-    "twap_hourly",
-    "vocab_coverage_top100",
-    "weighted_sample_docs",
-    # ---- 1 of the round-5-stale cohort (alphabetical head; the other
-    # ten — adj_forward, approx_distinct_users,
-    # asof_join_purchase_signup, bloom_decontaminate,
-    # collocation_pmi_top100, continuous_ohlcv, dataset_card,
-    # dedup_clusters, dedup_containment, dedup_edit_distance — were
-    # displaced by the eleven mid-round r8 additions below and rejoin
-    # the r9 queue with the cohort) ----
-    "adj_factor_audit",
-    # ---- mid-round r8 additions (first-time driver evidence; the
-    # displaced r5-stale tail rejoins the r9 queue) ----
-    # value-exact planted-geometry ANN recall (VERDICT r7 item 5)
-    "ann_recall_planted",
-    # clip-containment scale path: global sequence collapse (item 4)
-    "video_clip_containment_grouped",
-    # embedding-level benchmark decontamination (new r8 operator)
-    "semantic_contamination",
-    # EXIF privacy audit + scrub verification (new r8 operator)
-    "image_exif_audit",
-    # leakage-free dedup-aware dataset split (new r8 operator)
-    "dedup_aware_split_stats",
-    # persisted partition-pruned IVF index, closed-form oracle (r8)
-    "sim_topk_ivf_indexed",
-    # incremental IVF append maintenance, same closed-form oracle (r8)
-    "sim_topk_ivf_append",
-    # Arrow IPC source roundtrip (new r8 source format)
-    "arrow_ipc_roundtrip_stats",
-    # zstd-compressed JSONL ingest with planted corrupt lines (r8)
-    "jsonl_zst_ingest_stats",
-    # atomic lakehouse MERGE INTO over the commit log (r8)
-    "merge_into_final_state",
+    # ---- round 9 rotation (VERDICT r8 item 1): lead with the ten
+    # entries the r8 verdict named as the displaced r5-stale remainder
+    # (all last driver-checked r5, all oracle-backed) ----
+    "adj_forward",
+    "approx_distinct_users",
+    "asof_join_purchase_signup",
+    "bloom_decontaminate",
+    "collocation_pmi_top100",
+    "continuous_ohlcv",
+    "dataset_card",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_edit_distance",
+    # ---- the rest of the round-5-stale backlog (39 entries, last
+    # driver row r5; clearing the whole cohort this round) ----
+    "dedup_minhash_lsh",
+    "dedup_ppjoin",
+    "dialect_upsert_delete",
+    "embedding_random_projection",
+    "event_type_lift",
+    "exact_quantiles_by_type",
+    "funnel_time_to_convert",
+    "group_kfold_stats",
+    "hard_negative_mining",
+    "hll_distinct_rollup",
+    "hourly_seasonality",
+    "hybrid_search",
+    "incremental_dedup",
+    "key_skew_report",
+    "label_cohesion_stats",
+    "lang_id_confusion",
+    "lead_lag_correlation",
+    "mahalanobis_outliers",
+    "meta_catalog",
+    "multimodal_audio_windows",
+    "pareto_nation_revenue",
+    "psi_value_drift",
+    "run_length_histogram",
+    "snapshot_diff",
+    "source_overlap_matrix",
+    "split_contamination_stats",
+    "split_range_scan",
+    "stratified_sample",
+    "streaming_dedup_ingest",
+    "streaming_dedup_watermark",
+    "streaming_ohlcv",
+    "streaming_topk_values",
+    "supplier_concentration_hhi",
+    "tokenizer_fertility_by_lang",
+    "user_activity_entropy",
+    "user_ts_features",
+    "users_high_value_no_error",
+    "value_decile_stats",
+    "vwap_slippage",
+    # ---- alphabetical head of the round-6-stale cohort (mid-round r9
+    # additions displace this tail; displaced entries rejoin the r10
+    # queue) ----
+    "adj_backward",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
