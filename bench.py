@@ -73,10 +73,39 @@ def timed_reps(spark, name: str, fn, reps: int = 3) -> float:
     return min(times)
 
 
+def interleaved_reps(
+    spark, shapes: dict, reps: int = 5
+) -> dict[str, float]:
+    """min-of-N with the reps INTERLEAVED round-robin across shapes
+    (r9, VERDICT item 2): the driver benches at round close on a box
+    that has been sweeping for hours, and consecutive reps of one shape
+    all land inside the same saturation spike — BENCH_r07/r08 kept
+    memorializing 1.8-2.0x transients on scan_async_fanout that rested
+    runs of identical code put at 0.96x Go. Cycling sync→tail→split→
+    fanout five times spreads each shape's reps ~10s apart, so a
+    transient costs one rep of each instead of every rep of one and
+    min-of-5 recovers the floor."""
+    times: dict[str, list[float]] = {n: [] for n in shapes}
+    gcs: dict[str, list[int]] = {n: [] for n in shapes}
+    for _ in range(reps):
+        for name, fn in shapes.items():
+            g0 = _gc_ms(spark)
+            t0 = time.time()
+            fn()
+            times[name].append(round(time.time() - t0, 3))
+            gcs[name].append(_gc_ms(spark) - g0)
+    out = {}
+    for name in shapes:
+        REP_SPREADS[name] = sorted(times[name])
+        REP_GC_MS[name] = gcs[name]
+        out[name] = min(times[name])
+    return out
+
+
 def bench_ingest_batch_100k(spark, timings):
     """Reference headline: '100k ohlcv bar inserted in 1 second' — 10
     atomic batches x 10k rows through the engine's prepared-insert path
-    (BASELINE.md rows 2/7: Go 1.139s, Python 0.960s). min-of-3: each rep
+    (BASELINE.md rows 2/7: Go 1.139s, Python 0.960s). min-of-5: each rep
     ingests into a FRESH table (setup untimed); rep 0's table `test`
     feeds the scan benches."""
     import tempfile
@@ -87,7 +116,7 @@ def bench_ingest_batch_100k(spark, timings):
     eng.execute("create database bench")
     eng.use("bench")
     times, gcs = [], []
-    for r in range(3):
+    for r in range(5):
         tbl = "test" if r == 0 else f"test_r{r}"
         eng.execute(
             f"create table {tbl}(sec int, interval int, tm timestamp, "
@@ -121,7 +150,7 @@ def bench_ingest_async_100k(spark):
     """Reference headline: 100k single-row ASYNC inserts, all futures
     resolved (BASELINE.md rows 1/6: Go 5.50s, Python 6.73s). Rides the
     client's group-commit buffer — durability per future, batched
-    commits. min-of-3 over fresh tables (setup + row-count check
+    commits. min-of-5 over fresh tables (setup + row-count check
     untimed)."""
     import tempfile
 
@@ -133,7 +162,7 @@ def bench_ingest_async_100k(spark):
     conn.execute("create database b")
     conn.use("b")
     times, gcs = [], []
-    for r in range(3):
+    for r in range(5):
         tbl = f"test_r{r}"
         conn.execute(
             f"create table {tbl}(sec int, interval int, tm timestamp, "
@@ -164,12 +193,13 @@ def bench_ingest_async_100k(spark):
     return min(times)
 
 
-def bench_scan_async_fanout(spark):
+def setup_scan_async_fanout(spark):
     """Reference harness row 4/9: 100k rows read via ASYNC FAN-OUT —
     one async select per `interval`, all futures resolved (BASELINE.md:
     Go 1.782 s, Python 1.618 s, C++ 1.495 s; bindings/go/test.go:84-99).
     Data spread over 10 intervals, 10 concurrent selects through the
-    client's future pool over one engine. min-of-3 (data loaded once)."""
+    client's future pool over one engine. Returns (one_rep, cleanup) so
+    main() can interleave its reps with the other scan shapes (r9)."""
     import tempfile
 
     from opentick_spark import client as otc
@@ -205,9 +235,7 @@ def bench_scan_async_fanout(spark):
         total = sum(len(f.get(180)) for f in futs)
         assert total == 100_000, total
 
-    dt = timed_reps(spark, "scan_async_fanout", one_rep)
-    conn.close()
-    return dt
+    return one_rep, conn.close
 
 
 def bench_wire_roundtrip(spark, protocol: str = "json"):
@@ -354,41 +382,39 @@ def main():
     timings: dict[str, float] = {}
 
     # --- reference harness shape: ingest + scan-back ---------------------
-    # all five published harness shapes are min-of-3 in-process reps with
-    # the full spread + per-rep GC pauses published (r6, VERDICT item 1):
-    # the reference's numbers are warm bests, and single-shot sub-5s
-    # timings under a 1g heap swing up to 4.5x on identical code
+    # all five published harness shapes are min-of-5 in-process reps with
+    # the full spread + per-rep GC pauses published (r6 VERDICT item 1;
+    # raised 3→5 and the scan reps INTERLEAVED in r9, VERDICT item 2):
+    # the reference's numbers are warm bests, single-shot sub-5s timings
+    # under a 1g heap swing up to 4.5x on identical code, and the
+    # driver's round-close box saturation hit consecutive reps together
     timings["ingest_async_100k"] = bench_ingest_async_100k(spark)
     eng = bench_ingest_batch_100k(spark, timings)
-    timings["scan_sync_100k"] = timed_reps(
-        spark,
-        "scan_sync_100k",
-        lambda: materialize(eng.execute("select * from test where sec=1")),
-    )
-    timings["scan_tail_1k"] = timed_reps(
-        spark,
-        "scan_tail_1k",
-        lambda: materialize(
+    # the four scan shapes cycle round-robin (sync → tail → split →
+    # fanout) x5 so one saturation transient can't own any shape's
+    # whole spread (BASELINE.md rows 3/8 split: Go 0.81s / Py 1.27s;
+    # rows 4/9 fanout: Go 1.78s / Py 1.62s)
+    fanout_rep, fanout_cleanup = setup_scan_async_fanout(spark)
+    scan_shapes = {
+        "scan_sync_100k": lambda: materialize(
+            eng.execute("select * from test where sec=1")
+        ),
+        "scan_tail_1k": lambda: materialize(
             eng.execute(
                 "select * from test where sec=1 and interval=1 limit -1000"
             )
         ),
-    )
-    # split-range parallel read of the same 100k rows over 10 sub-ranges
-    # (BASELINE.md rows 3/8: Go 0.81s / Python 1.27s via SplitRange)
-    timings["scan_split_10"] = timed_reps(
-        spark,
-        "scan_split_10",
-        lambda: materialize(
+        "scan_split_10": lambda: materialize(
             eng.execute_split(
                 "select * from test where sec=1 and interval=1 "
                 "and tm>=? and tm<=?",
                 [(b * 10_000, (b + 1) * 10_000 - 1) for b in range(10)],
             )
         ),
-    )
-    # per-interval async fan-out (BASELINE rows 4/9: Go 1.78s / Py 1.62s)
-    timings["scan_async_fanout"] = bench_scan_async_fanout(spark)
+        "scan_async_fanout": fanout_rep,
+    }
+    timings.update(interleaved_reps(spark, scan_shapes, reps=5))
+    fanout_cleanup()
     # full TCP client-server path (r4): comparable to the reference's
     # client-measured numbers (BASELINE rows 2/7 ingest, 3/8 scan).
     # BOTH codecs (r6): bson is the reference-compatible default.
