@@ -575,7 +575,14 @@ class TableStore:
         delta), via ``append_dataframe(delete_col=...)``'s per-row
         tombstone flag. Matched-ness costs one column-pruned pass over
         the resolved target PK set joined to the (delta-sized) source —
-        the same scan a lakehouse MERGE pays without partition pruning."""
+        the same scan a lakehouse MERGE pays without partition pruning.
+
+        A source may OMIT value columns (r9): omitted columns write as
+        NULL, exactly like a sparse ``insert into t(k, ...)`` that lists
+        a column subset (whole-row latest-wins, table.py append_rows) —
+        so MERGE composes with ``ALTER TABLE ADD COLUMN`` the same way
+        inserts prepared before the evolution do. PK columns are always
+        required."""
         if when_matched not in ("update", "delete", None):
             raise ValueError("when_matched must be 'update', 'delete' or None")
         if when_not_matched not in ("insert", None):
@@ -583,10 +590,21 @@ class TableStore:
         schema = self.schema
         pk = [c.name for c in schema.key_columns]
         val_cols = [c.name for c in schema.columns if c.name not in pk]
-        need_vals = when_matched == "update" or when_not_matched == "insert"
-        missing = [c for c in (pk + (val_cols if need_vals else [])) if c not in source.columns]
+        missing = [c for c in pk if c not in source.columns]
         if missing:
             raise ValueError(f"merge_into source is missing columns: {missing}")
+        need_vals = when_matched == "update" or when_not_matched == "insert"
+        if need_vals:
+            # sparse-source NULL pad (r9): a source omitting a value
+            # column behaves like a column-subset insert — NULL for the
+            # omitted column, whole-row latest-wins on resolution
+            sparse = [
+                F.lit(None).cast(spark_type(c.type)).alias(c.name)
+                for c in schema.columns
+                if c.name not in pk and c.name not in source.columns
+            ]
+            if sparse:
+                source = source.select("*", *sparse)
         tgt = (
             self.read(spark)
             .select(*pk)

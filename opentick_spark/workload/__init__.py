@@ -135,10 +135,10 @@ _DRIVER_WINDOW = [
     "users_high_value_no_error",
     "value_decile_stats",
     "vwap_slippage",
-    # ---- alphabetical head of the round-6-stale cohort (mid-round r9
-    # additions displace this tail; displaced entries rejoin the r10
-    # queue) ----
-    "adj_backward",
+    # ---- mid-round r9 additions (first-time driver evidence; the
+    # displaced r6-stale head — adj_backward — rejoins the r10 queue)
+    # MERGE INTO x ALTER TABLE schema evolution compose (VERDICT item 4)
+    "merge_evolution_state",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

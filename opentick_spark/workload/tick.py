@@ -369,6 +369,64 @@ def merge_into_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "merge_evolution_state",
+    """
+    SELECT * FROM (VALUES
+      (1, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(5 AS BIGINT)),
+      (2, 220.0, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)),
+      (3, 330.0, 'b3', CAST(NULL AS BIGINT)),
+      (4, 40.0, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)),
+      (6, 660.0, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)),
+      (7, 770.0, 'b7', CAST(NULL AS BIGINT)),
+      (8, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(8 AS BIGINT))
+    ) AS t(k, w, tag, v)
+    """,
+)
+def merge_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO composed with ALTER TABLE schema evolution (r9,
+    VERDICT item 4): the two r8 storage features in one lifecycle.
+    Base k=1..4 (v=10k); ADD COLUMN tag; a SPARSE merge that omits the
+    evolved column NULL-backfills it exactly like a column-subset
+    insert (update {2}, insert {6}); a full-width merge lands values
+    (update {3}, insert {7}); then RENAME v→w + ADD COLUMN v (bigint —
+    distinct physical column, the r8 latent-bug shape) and a sparse
+    merge addressing only the NEW v (update {1}, insert {8}); compact.
+    Every surviving cell is a closed-form VALUES literal — untouched
+    row 4 keeps its renamed w=40 with NULL in both evolved columns."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_mrgev_"))
+    eng.execute("create database me")
+    eng.use("me")
+    eng.execute("create table t(k int, v double, primary key(k))")
+    pid = eng.prepare("insert into t(k, v) values(?, ?)")
+    eng.batch_insert(pid, [(i, float(i) * 10) for i in range(1, 5)])
+    eng.execute("alter table t add column tag text")
+    st = eng.store("me", "t")
+    st.merge_into(
+        spark,
+        spark.createDataFrame([(2, 220.0), (6, 660.0)], "k int, v double"),
+    )
+    st.merge_into(
+        spark,
+        spark.createDataFrame(
+            [(3, 330.0, "b3"), (7, 770.0, "b7")],
+            "k int, v double, tag string",
+        ),
+    )
+    eng.execute("alter table t rename column v to w")
+    eng.execute("alter table t add column v bigint")
+    st.merge_into(
+        spark, spark.createDataFrame([(1, 5), (8, 8)], "k int, v bigint")
+    )
+    st.compact(spark)
+    return eng.execute("select k, w, tag, v from t").select(
+        F.col("k").cast("int").alias("k"),
+        F.col("w").cast("double").alias("w"),
+        "tag",
+        F.col("v").cast("long").alias("v"),
+    )
+
+
+@q(
     "incremental_agg_maintenance",
     """
     WITH final AS (

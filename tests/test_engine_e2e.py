@@ -995,8 +995,88 @@ def test_merge_into_clause_matrix_and_atomicity(spark, tmp_path):
 
     with pytest.raises(ValueError, match="when_matched"):
         st.merge_into(spark, src, when_matched="upsert")
+    # a source missing a PK column is always an error; missing VALUE
+    # columns are the sparse path (r9) — see the compose test below
     with pytest.raises(ValueError, match="missing columns"):
-        st.merge_into(spark, spark.createDataFrame([(1,)], "k int"))
+        st.merge_into(spark, spark.createDataFrame([(1.0,)], "v double"))
+    # sparse source: omitted value columns write NULL, like a
+    # column-subset insert (whole-row latest-wins)
+    st.merge_into(
+        spark, spark.createDataFrame([(1, "sp")], "k int, tag string")
+    )
+    assert eng.execute_rows("select v, tag from t where k=1") == [
+        (None, "sp"),
+    ]
+
+
+def test_merge_into_composes_with_add_column(kv):
+    """r9 (VERDICT item 4): the two r8 storage features compose —
+    MERGE INTO against a table that has been ALTER TABLE ADD COLUMN'd.
+    A source that OMITS the new column NULL-backfills it (exactly like
+    a sparse insert prepared before the evolution); a source that
+    includes it lands values; rename + re-add (distinct physical
+    columns) and compaction preserve both."""
+    kv.execute("create table mc(k int, v double, primary key(k))")
+    pid = kv.prepare("insert into mc(k, v) values(?, ?)")
+    kv.batch_insert(pid, [(i, float(i)) for i in range(4)])
+    kv.execute("alter table mc add column tag text")
+    st = kv.store("d", "mc")
+    spark = kv.spark
+
+    # source omits the evolved column -> NULL backfill on update+insert
+    seq0 = st.current_seq()
+    st.merge_into(
+        spark,
+        spark.createDataFrame([(1, 11.0), (9, 99.0)], "k int, v double"),
+    )
+    assert st.current_seq() == seq0 + 1  # still ONE atomic commit
+    assert sorted(kv.execute_rows("select k, v, tag from mc")) == [
+        (0, 0.0, None),
+        (1, 11.0, None),
+        (2, 2.0, None),
+        (3, 3.0, None),
+        (9, 99.0, None),
+    ]
+
+    # source includes the evolved column -> values land
+    st.merge_into(
+        spark,
+        spark.createDataFrame(
+            [(2, 22.0, "t2"), (10, 100.0, "t10")],
+            "k int, v double, tag string",
+        ),
+    )
+    got = {k: (v, t) for k, v, t in kv.execute_rows("select * from mc")}
+    assert got[2] == (22.0, "t2") and got[10] == (100.0, "t10")
+    assert got[1] == (11.0, None)
+
+    # rename the evolved column away and re-add it (distinct physical):
+    # a merge addressing the NEW `tag` must not resurrect old physicals
+    kv.execute("alter table mc rename column tag to old_tag")
+    kv.execute("alter table mc add column tag int")
+    st.merge_into(
+        spark,
+        spark.createDataFrame([(2, 7)], "k int, tag int"),
+    )
+    assert kv.execute_rows(
+        "select v, old_tag, tag from mc where k=2"
+    ) == [(None, None, 7)]
+
+    # merged state survives compaction of the evolved schema
+    st.compact(spark)
+    got = {
+        k: (v, o, t)
+        for k, v, o, t in kv.execute_rows(
+            "select k, v, old_tag, tag from mc"
+        )
+    }
+    assert got[2] == (None, None, 7)
+    assert got[10] == (100.0, "t10", None)
+    # and a post-compact sparse merge still NULL-pads
+    st.merge_into(spark, spark.createDataFrame([(0, 0.5)], "k int, v double"))
+    assert kv.execute_rows(
+        "select v, old_tag, tag from mc where k=0"
+    ) == [(0.5, None, None)]
 
 
 def test_add_column_schema_evolution(kv):
