@@ -385,6 +385,28 @@ def read_arrow_ipc(
         spark_schema = T.StructType.fromDDL(schema)
     else:
         spark_schema = schema
+    files = spark.read.format("binaryFile").load(path)
+    return decode_arrow_ipc_content(files, spark_schema, on_corrupt)
+
+
+def decode_arrow_ipc_content(
+    files: DataFrame,
+    schema: str | T.StructType,
+    on_corrupt: str = "error",
+) -> DataFrame:
+    """Decode a DataFrame bearing a binaryFile ``content`` column of
+    Arrow IPC files into rows — the executor-side half of
+    ``read_arrow_ipc``, split out (r9) so the SAME decode drives both
+    the batch reader and the Structured-Streaming shard tail
+    (``streaming.ingest.stream_corpus_ingest``): ``mapInPandas`` works
+    identically on batch and streaming DataFrames."""
+    import pyarrow as pa
+
+    if on_corrupt not in ("error", "skip"):
+        raise ValueError("on_corrupt must be 'error' or 'skip'")
+    spark_schema = (
+        T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    )
     names = [f.name for f in spark_schema.fields]
 
     def decode(it):
@@ -399,8 +421,7 @@ def read_arrow_ipc(
                 for i in range(reader.num_record_batches):
                     yield reader.get_batch(i).to_pandas()[names]
 
-    files = spark.read.format("binaryFile").load(path).select("content")
-    return files.mapInPandas(decode, spark_schema)
+    return files.select("content").mapInPandas(decode, spark_schema)
 
 
 def read_jsonl_compressed(
@@ -425,13 +446,30 @@ def read_jsonl_compressed(
     Schema is REQUIRED (no inference — decompressing 100 TB twice to
     guess types is never right). Memory granularity is the
     decompressed file, matching the format's own sharding convention."""
-    import pyarrow as pa
-
     if schema is None or schema == "infer":
         raise ValueError(
             "read_jsonl_compressed requires an explicit schema "
             "(inference would decompress the corpus twice)"
         )
+    files = spark.read.format("binaryFile").load(path)
+    return decode_jsonl_compressed_content(
+        files, schema, codec=codec, bad_record_col=bad_record_col
+    )
+
+
+def decode_jsonl_compressed_content(
+    files: DataFrame,
+    schema: str | T.StructType,
+    codec: str = "zstd",
+    bad_record_col: str | None = "_corrupt_record",
+) -> DataFrame:
+    """Decompress + parse a DataFrame bearing a binaryFile ``content``
+    column of ``.jsonl.<codec>`` shards — the executor-side half of
+    ``read_jsonl_compressed``, split out (r9) so the SAME decode drives
+    both the batch reader and the Structured-Streaming shard tail
+    (``streaming.ingest.stream_corpus_ingest``)."""
+    import pyarrow as pa
+
     struct = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
     pa.Codec(codec)  # validate the codec name driver-side, fail fast
 
@@ -450,12 +488,7 @@ def read_jsonl_compressed(
                 ]
                 yield pd.DataFrame({"__line": ls})
 
-    raw = (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select("content")
-        .mapInPandas(lines, "__line string")
-    )
+    raw = files.select("content").mapInPandas(lines, "__line string")
     if bad_record_col:
         parsed = struct.add(T.StructField(bad_record_col, T.StringType(), True))
         out = raw.select(

@@ -2531,6 +2531,67 @@ def dedup_aware_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _export_ipc_shards(docs: DataFrame, out_dir: str) -> None:
+    """Export (doc_id, lang, n_chars) as Feather-v2 shards, one IPC file
+    per partition, written executor-side inside mapInPandas (no driver
+    collect) — shared by the batch roundtrip entry and its streaming
+    twin (r9) so both ingest the byte-identical corpus."""
+    import pandas as pd
+
+    def write_shards(it):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tables = [pa.Table.from_pandas(pdf) for pdf in it if len(pdf)]
+        if tables:
+            tbl = pa.concat_tables(tables)
+            with pa.OSFile(f"{out_dir}/part-{pid:05d}.arrow", "wb") as f:
+                with pa.ipc.new_file(f, tbl.schema) as w:
+                    w.write_table(tbl)
+            yield pd.DataFrame({"n": [tbl.num_rows]})
+        else:
+            yield pd.DataFrame({"n": [0]})
+
+    shards = docs.repartition(8).mapInPandas(write_shards, "n long")
+    shards.write.mode("overwrite").format("noop").save()
+
+
+def _export_zst_shards(docs: DataFrame, out_dir: str) -> None:
+    """Export (doc_id, lang, n_chars) as ``.jsonl.zst`` shards with
+    every doc_id %% 50 == 13 line PLANTED corrupt (truncated JSON) —
+    shared by the batch ingest entry and its streaming twin (r9)."""
+    import pandas as pd
+
+    def write_shards(it):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        sink = pa.BufferOutputStream()
+        n = 0
+        with pa.output_stream(sink, compression="zstd") as s:
+            for pdf in it:
+                for d, lang, nc in zip(
+                    pdf["doc_id"], pdf["lang"], pdf["n_chars"]
+                ):
+                    if int(d) % 50 == 13:
+                        s.write(f'{{"doc_id": {int(d)}, "lang":\n'.encode())
+                    else:
+                        s.write(
+                            f'{{"doc_id": {int(d)}, "lang": "{lang}", '
+                            f'"n_chars": {int(nc)}}}\n'.encode()
+                        )
+                    n += 1
+        if n:
+            with open(f"{out_dir}/part-{pid:05d}.jsonl.zst", "wb") as f:
+                f.write(sink.getvalue().to_pybytes())
+        yield pd.DataFrame({"n": [n]})
+
+    shards = docs.repartition(8).mapInPandas(write_shards, "n long")
+    shards.write.mode("overwrite").format("noop").save()
+
+
 @q(
     "arrow_ipc_roundtrip_stats",
     """
