@@ -71,10 +71,15 @@ def read_csv(
 
 
 def split_corrupt(
-    df: DataFrame, bad_record_col: str = "_corrupt_record"
+    df: DataFrame,
+    bad_record_col: str = "_corrupt_record",
+    bad_keep_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """(good, bad) split of a PERMISSIVE read: good rows drop the
-    quarantine column, bad rows keep only it (for a reject-file sink)."""
+    quarantine column, bad rows keep only it (for a reject-file sink)
+    plus any ``bad_keep_cols`` present in ``df`` — provenance columns
+    (e.g. the source shard path) a quarantine sink needs to attribute
+    a corrupt line back to the file that produced it (r10)."""
     if bad_record_col not in df.columns:
         return df, df.limit(0).select()
     # caching contract of PERMISSIVE+corrupt-column reads: Spark refuses
@@ -83,7 +88,10 @@ def split_corrupt(
     # halves read the same parsed pass
     df = df.localCheckpoint(eager=False)
     good = df.filter(F.col(bad_record_col).isNull()).drop(bad_record_col)
-    bad = df.filter(F.col(bad_record_col).isNotNull()).select(bad_record_col)
+    keep = [c for c in bad_keep_cols if c in df.columns and c != bad_record_col]
+    bad = df.filter(F.col(bad_record_col).isNotNull()).select(
+        bad_record_col, *keep
+    )
     return good, bad
 
 
@@ -393,13 +401,17 @@ def decode_arrow_ipc_content(
     files: DataFrame,
     schema: str | T.StructType,
     on_corrupt: str = "error",
+    path_col: str | None = None,
 ) -> DataFrame:
     """Decode a DataFrame bearing a binaryFile ``content`` column of
     Arrow IPC files into rows — the executor-side half of
     ``read_arrow_ipc``, split out (r9) so the SAME decode drives both
     the batch reader and the Structured-Streaming shard tail
     (``streaming.ingest.stream_corpus_ingest``): ``mapInPandas`` works
-    identically on batch and streaming DataFrames."""
+    identically on batch and streaming DataFrames. ``path_col`` (r10)
+    appends the source shard's binaryFile path to every decoded row —
+    shard-level provenance for downstream quarantine/triage sinks; left
+    ``None``, the path is pruned before decode (the batch default)."""
     import pyarrow as pa
 
     if on_corrupt not in ("error", "skip"):
@@ -408,10 +420,16 @@ def decode_arrow_ipc_content(
         T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
     )
     names = [f.name for f in spark_schema.fields]
+    out_schema = (
+        spark_schema.add(T.StructField(path_col, T.StringType(), True))
+        if path_col
+        else spark_schema
+    )
 
     def decode(it):
         for pdf in it:
-            for content in pdf["content"]:
+            paths = pdf["path"] if path_col else [None] * len(pdf)
+            for content, src in zip(pdf["content"], paths):
                 try:
                     reader = pa.ipc.open_file(pa.BufferReader(content))
                 except Exception:
@@ -419,9 +437,13 @@ def decode_arrow_ipc_content(
                         continue
                     raise
                 for i in range(reader.num_record_batches):
-                    yield reader.get_batch(i).to_pandas()[names]
+                    out = reader.get_batch(i).to_pandas()[names]
+                    if path_col:
+                        out[path_col] = src
+                    yield out
 
-    return files.select("content").mapInPandas(decode, spark_schema)
+    cols = ["content", "path"] if path_col else ["content"]
+    return files.select(*cols).mapInPandas(decode, out_schema)
 
 
 def read_jsonl_compressed(
@@ -462,12 +484,17 @@ def decode_jsonl_compressed_content(
     schema: str | T.StructType,
     codec: str = "zstd",
     bad_record_col: str | None = "_corrupt_record",
+    path_col: str | None = None,
 ) -> DataFrame:
     """Decompress + parse a DataFrame bearing a binaryFile ``content``
     column of ``.jsonl.<codec>`` shards — the executor-side half of
     ``read_jsonl_compressed``, split out (r9) so the SAME decode drives
     both the batch reader and the Structured-Streaming shard tail
-    (``streaming.ingest.stream_corpus_ingest``)."""
+    (``streaming.ingest.stream_corpus_ingest``). ``path_col`` (r10)
+    appends the source shard's binaryFile path to every line — with the
+    PERMISSIVE quarantine it is what lets a corrupt line be attributed
+    to the shard that produced it; left ``None``, the path is pruned
+    before decompression (the batch default)."""
     import pyarrow as pa
 
     struct = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
@@ -477,7 +504,8 @@ def decode_jsonl_compressed_content(
         import pandas as pd
 
         for pdf in it:
-            for content in pdf["content"]:
+            paths = pdf["path"] if path_col else [None] * len(pdf)
+            for content, src in zip(pdf["content"], paths):
                 text = pa.input_stream(
                     pa.BufferReader(content), compression=codec
                 ).read()
@@ -486,9 +514,15 @@ def decode_jsonl_compressed_content(
                     for line in text.decode("utf-8").split("\n")
                     if line.strip()
                 ]
-                yield pd.DataFrame({"__line": ls})
+                out = pd.DataFrame({"__line": ls})
+                if path_col:
+                    out["__path"] = src
+                yield out
 
-    raw = files.select("content").mapInPandas(lines, "__line string")
+    in_cols = ["content", "path"] if path_col else ["content"]
+    line_schema = "__line string" + (", __path string" if path_col else "")
+    raw = files.select(*in_cols).mapInPandas(lines, line_schema)
+    prov = [F.col("__path").alias(path_col)] if path_col else []
     if bad_record_col:
         parsed = struct.add(T.StructField(bad_record_col, T.StringType(), True))
         out = raw.select(
@@ -496,12 +530,14 @@ def decode_jsonl_compressed_content(
                 "__line",
                 parsed,
                 {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": bad_record_col},
-            ).alias("__r")
-        ).select("__r.*")
+            ).alias("__r"),
+            *prov,
+        ).select("__r.*", *[path_col] if path_col else [])
         # from_json leaves the raw line only in the corrupt column; keep
         # the house contract: data columns NULL + raw line preserved
         return out
     parsed = raw.select(
         F.from_json("__line", struct, {"mode": "FAILFAST"}).alias("__r"),
-    ).select("__r.*")
+        *prov,
+    ).select("__r.*", *[path_col] if path_col else [])
     return parsed

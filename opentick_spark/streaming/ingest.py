@@ -124,6 +124,7 @@ def stream_corpus_ingest(
     checkpoint_dir: str,
     quarantine_dir: str | None = None,
     bad_record_col: str = "_corrupt_record",
+    source_path_col: str = "_source_path",
     max_files_per_trigger: int = 4,
     available_now: bool = True,
     transform=None,
@@ -138,18 +139,27 @@ def stream_corpus_ingest(
     ``decode_arrow_ipc_content``, partially applied — mapInPandas works
     identically on streaming frames), so batch and streamed ingests of
     one corpus are value-identical by construction (the oracle for the
-    registry entries). Each micro-batch lands as ONE atomic upsert
-    commit (foreachBatch → ``TableStore.append_dataframe``), keeping
-    the corrupt-quarantine contract: rows whose ``bad_record_col`` is
-    set are split out and written under ``quarantine_dir/batch=<id>``
-    with overwrite mode.
+    registry entries ``streaming_arrow_ingest`` /
+    ``streaming_zst_ingest``). Each micro-batch lands as ONE atomic
+    upsert commit (foreachBatch → ``TableStore.append_dataframe``),
+    keeping the corrupt-quarantine contract: rows whose
+    ``bad_record_col`` is set are split out and written under
+    ``quarantine_dir/batch=<id>`` with overwrite mode. If the decode
+    carries ``source_path_col`` (pass ``path_col=`` to the decoder),
+    quarantine records keep it as ``source_path`` — corrupt lines
+    attribute to the shard that produced them — and it is dropped from
+    the good rows before the table commit.
 
-    Exactly-once without a transactional sink: a batch REPLAYED after a
-    crash between sink and checkpoint overwrites its own quarantine
-    directory and re-upserts the same PK rows (latest-wins), so the
-    final table state and the quarantine contents are both idempotent
-    under replay — the same batch-id-keyed posture as the rest of the
-    streaming surface."""
+    Replay idempotency — SINGLE-WRITER tables only: a batch REPLAYED
+    after a crash between sink and checkpoint overwrites its own
+    quarantine directory and re-upserts the same PK rows, and with no
+    other writer the replay's latest-wins resolution reproduces the
+    original state exactly. With CONCURRENT writers the claim does not
+    hold: the replay re-appends under a NEW commit seq, so it can
+    regress a row another writer updated between the original commit
+    and the replay. Multi-writer deployments need the batch-id recorded
+    in table meta (skip already-applied ids) — out of scope here, the
+    same single-writer posture as the rest of the streaming surface."""
     files = (
         spark.readStream.format("binaryFile")
         .schema(_BINARYFILE_SCHEMA)
@@ -161,11 +171,21 @@ def stream_corpus_ingest(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from opentick_spark.sources import split_corrupt
 
-        good, bad = split_corrupt(batch_df, bad_record_col)
+        has_path = source_path_col in batch_df.columns
+        good, bad = split_corrupt(
+            batch_df,
+            bad_record_col,
+            bad_keep_cols=(source_path_col,) if has_path else (),
+        )
         if quarantine_dir is not None and bad_record_col in batch_df.columns:
-            bad.select(F.col(bad_record_col).alias("raw_line")).write.mode(
-                "overwrite"
-            ).parquet(f"{quarantine_dir}/batch={batch_id}")
+            sel = [F.col(bad_record_col).alias("raw_line")]
+            if has_path:
+                sel.append(F.col(source_path_col).alias("source_path"))
+            bad.select(*sel).write.mode("overwrite").parquet(
+                f"{quarantine_dir}/batch={batch_id}"
+            )
+        if has_path:
+            good = good.drop(source_path_col)
         if transform is not None:
             good = transform(good)
         if not good.isEmpty():

@@ -2614,8 +2614,6 @@ def arrow_ipc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    import pandas as pd
-
     from opentick_spark.sources import read_arrow_ipc
 
     docs = load(spark, sf_dir, "documents").select(
@@ -2623,24 +2621,7 @@ def arrow_ipc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = tempfile.gettempdir() + f"/otspark_ipc_{uuid.uuid4().hex}"
     os.makedirs(out_dir, exist_ok=True)
-
-    def write_shards(it):
-        import pyarrow as pa
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        tables = [pa.Table.from_pandas(pdf) for pdf in it if len(pdf)]
-        if tables:
-            tbl = pa.concat_tables(tables)
-            with pa.OSFile(f"{out_dir}/part-{pid:05d}.arrow", "wb") as f:
-                with pa.ipc.new_file(f, tbl.schema) as w:
-                    w.write_table(tbl)
-            yield pd.DataFrame({"n": [tbl.num_rows]})
-        else:
-            yield pd.DataFrame({"n": [0]})
-
-    shards = docs.repartition(8).mapInPandas(write_shards, "n long")
-    shards.write.mode("overwrite").format("noop").save()  # materialize writes
+    _export_ipc_shards(docs, out_dir)
     back = read_arrow_ipc(
         spark, out_dir, schema="doc_id long, lang string, n_chars long"
     )
@@ -2679,8 +2660,6 @@ def jsonl_zst_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    import pandas as pd
-
     from opentick_spark.sources import read_jsonl_compressed, split_corrupt
 
     docs = load(spark, sf_dir, "documents").select(
@@ -2688,34 +2667,7 @@ def jsonl_zst_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = tempfile.gettempdir() + f"/otspark_zst_{uuid.uuid4().hex}"
     os.makedirs(out_dir, exist_ok=True)
-
-    def write_shards(it):
-        import pyarrow as pa
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        sink = pa.BufferOutputStream()
-        n = 0
-        with pa.output_stream(sink, compression="zstd") as s:
-            for pdf in it:
-                for d, lang, nc in zip(
-                    pdf["doc_id"], pdf["lang"], pdf["n_chars"]
-                ):
-                    if int(d) % 50 == 13:
-                        s.write(f'{{"doc_id": {int(d)}, "lang":\n'.encode())
-                    else:
-                        s.write(
-                            f'{{"doc_id": {int(d)}, "lang": "{lang}", '
-                            f'"n_chars": {int(nc)}}}\n'.encode()
-                        )
-                    n += 1
-        if n:
-            with open(f"{out_dir}/part-{pid:05d}.jsonl.zst", "wb") as f:
-                f.write(sink.getvalue().to_pybytes())
-        yield pd.DataFrame({"n": [n]})
-
-    shards = docs.repartition(8).mapInPandas(write_shards, "n long")
-    shards.write.mode("overwrite").format("noop").save()
+    _export_zst_shards(docs, out_dir)
     back = read_jsonl_compressed(
         spark, out_dir, schema="doc_id long, lang string, n_chars long"
     )
@@ -2725,6 +2677,142 @@ def jsonl_zst_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         good.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(n_corrupt))
+    )
+
+
+@q(
+    "streaming_arrow_ingest",
+    """
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def streaming_arrow_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming Arrow-shard tail (r10, completing r9's
+    half-landed item): the corpus is exported executor-side as
+    Feather-v2 shards (``_export_ipc_shards`` — the SAME writer the
+    batch roundtrip entry uses), then ``stream_corpus_ingest`` tails
+    the landing directory through binaryFile readStream with the SAME
+    executor-side decode as the batch reader
+    (``decode_arrow_ipc_content``), landing each micro-batch as ONE
+    atomic upsert commit into a PK table. maxFilesPerTrigger=3 over 8
+    shards forces MULTIPLE micro-batches, so the aggregate crosses
+    commit boundaries. Per-lang aggregates over the final table must
+    equal the batch aggregates over the source documents — the
+    batch/stream value-equality oracle."""
+    from opentick_spark.engine import Engine
+    from opentick_spark.sources import decode_arrow_ipc_content
+    from opentick_spark.streaming.ingest import stream_corpus_ingest
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out_dir = tempfile.mkdtemp(prefix="otspark_sai_src_")
+    _export_ipc_shards(docs, out_dir)
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_sai_wh_"))
+    eng.execute("create database s")
+    eng.use("s")
+    eng.execute(
+        "create table docs(doc_id bigint, lang text, n_chars bigint, "
+        "primary key(doc_id))"
+    )
+    st = eng.store("s", "docs")
+    q_ = stream_corpus_ingest(
+        spark,
+        out_dir,
+        lambda files: decode_arrow_ipc_content(
+            files, "doc_id long, lang string, n_chars long"
+        ),
+        st,
+        tempfile.mkdtemp(prefix="otspark_sai_ck_"),
+        max_files_per_trigger=3,
+    )
+    q_.awaitTermination()
+    return (
+        st.read(spark)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@q(
+    "streaming_zst_ingest",
+    """
+    WITH g AS (
+      SELECT lang, COUNT(*)::BIGINT AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents WHERE doc_id % 50 != 13 GROUP BY 1
+    ),
+    c AS (
+      SELECT COUNT(*)::BIGINT AS n_corrupt
+      FROM documents WHERE doc_id % 50 = 13
+    )
+    SELECT g.lang, g.n_docs, g.total_chars, c.n_corrupt FROM g, c
+    """,
+)
+def streaming_zst_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming ``.jsonl.zst`` shard tail with quarantine
+    (r10): the corpus lands as zstd-JSONL shards with every doc_id %%
+    50 == 13 line PLANTED corrupt (``_export_zst_shards`` — the SAME
+    writer the batch ingest entry uses), ``stream_corpus_ingest`` tails
+    them through the SAME decode as the batch reader
+    (``decode_jsonl_compressed_content``, with ``path_col`` carrying
+    shard provenance), corrupt lines divert to a batch-id-keyed
+    quarantine and good rows upsert into a PK table across multiple
+    micro-batches. Per-lang aggregates over the final table plus the
+    quarantine's corpus-wide corrupt count must match the doc_id
+    arithmetic exactly — a quarantine leak, a lost line, or a replayed
+    duplicate all flip the driver hash."""
+    from opentick_spark.engine import Engine
+    from opentick_spark.sources import decode_jsonl_compressed_content
+    from opentick_spark.streaming.ingest import stream_corpus_ingest
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out_dir = tempfile.mkdtemp(prefix="otspark_szi_src_")
+    _export_zst_shards(docs, out_dir)
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_szi_wh_"))
+    eng.execute("create database s")
+    eng.use("s")
+    eng.execute(
+        "create table docs(doc_id bigint, lang text, n_chars bigint, "
+        "primary key(doc_id))"
+    )
+    st = eng.store("s", "docs")
+    quarantine = tempfile.mkdtemp(prefix="otspark_szi_q_")
+    q_ = stream_corpus_ingest(
+        spark,
+        out_dir,
+        lambda files: decode_jsonl_compressed_content(
+            files,
+            "doc_id long, lang string, n_chars long",
+            path_col="_source_path",
+        ),
+        st,
+        tempfile.mkdtemp(prefix="otspark_szi_ck_"),
+        quarantine_dir=quarantine,
+        max_files_per_trigger=3,
+    )
+    q_.awaitTermination()
+    n_corrupt = (
+        spark.read.parquet(f"{quarantine}/batch=*")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_corrupt"))
+    )
+    return (
+        st.read(spark)
+        .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("total_chars"),
