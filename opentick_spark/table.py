@@ -551,6 +551,31 @@ class TableStore:
         # while an isEmpty() probe would execute the full read plan twice
         self.append_dataframe(doomed, delete=True)
 
+    def _merge_scan(
+        self, spark: SparkSession, source: DataFrame, lead: str
+    ) -> DataFrame:
+        """The matched-ness scan ``merge_into`` joins against: current
+        table state FILTERED to the source's leading-PK [min, max]
+        range (r10). The predicate is whole-PK-group-safe (every log
+        row of a PK shares its lead value, so latest-wins resolution is
+        unaffected) and Catalyst pushes it below the latest-wins
+        aggregate into every parquet scan (PushedFilters — asserted in
+        tests), so a delta-sized source reads delta-range target state:
+        row-group/file skipping on a compacted PK-sorted base instead
+        of a full-table pass. An empty source collapses the scan to an
+        empty relation. Cost: one tiny min/max aggregate over the
+        (delta-sized) source."""
+        b = source.agg(
+            F.min(F.col(lead)).alias("__lo"), F.max(F.col(lead)).alias("__hi")
+        ).collect()[0]
+        scan = self.read(spark)
+        if b["__lo"] is None:  # empty source: nothing can match
+            return scan.filter(F.lit(False))
+        return scan.filter(
+            (F.col(lead) >= F.lit(b["__lo"]))
+            & (F.col(lead) <= F.lit(b["__hi"]))
+        )
+
     def merge_into(
         self,
         spark: SparkSession,
@@ -573,16 +598,32 @@ class TableStore:
         merge is ONE commit (one seq: updates, deletes, and inserts
         become visible together and ``log_diff``/``changes`` see one
         delta), via ``append_dataframe(delete_col=...)``'s per-row
-        tombstone flag. Matched-ness costs one column-pruned pass over
-        the resolved target PK set joined to the (delta-sized) source —
-        the same scan a lakehouse MERGE pays without partition pruning.
+        tombstone flag.
 
-        A source may OMIT value columns (r9): omitted columns write as
-        NULL, exactly like a sparse ``insert into t(k, ...)`` that lists
-        a column subset (whole-row latest-wins, table.py append_rows) —
-        so MERGE composes with ``ALTER TABLE ADD COLUMN`` the same way
-        inserts prepared before the evolution do. PK columns are always
-        required."""
+        Matched-ness is PRUNED by the source's key range (r10): one
+        tiny aggregate computes the source's leading-PK min/max, and
+        the target scan filters to that range before the PK join — a
+        whole-PK-group-safe predicate (every log row of a PK shares its
+        lead value) that Catalyst pushes below the latest-wins
+        aggregate into the parquet scans, so a delta-sized merge reads
+        delta-range target state (row-group/file skipping on a
+        compacted PK-sorted base) instead of the full table. The
+        reference never scans the table to upsert (query.go:294-343
+        compiles the key to an FDB range); this is the Spark analog.
+        An empty source short-circuits the scan entirely (the range is
+        vacuous). Cost: one extra pass over the delta-sized source for
+        the bounds aggregate.
+
+        A source may OMIT value columns (r9): PK columns are always
+        required, and omitted value columns follow SQL/Delta MERGE
+        semantics (r10) — on a matched UPDATE the target's existing
+        value is PRESERVED (only columns the source carries are set);
+        on a not-matched INSERT they are NULL. (Before r10 omitted
+        columns wrote NULL on update too — a typo'd sparse source could
+        silently erase data.) MERGE therefore composes with ``ALTER
+        TABLE ADD COLUMN``: a pre-evolution source leaves the new
+        column's existing values alone on updates and NULL-backfills
+        inserts."""
         if when_matched not in ("update", "delete", None):
             raise ValueError("when_matched must be 'update', 'delete' or None")
         if when_not_matched not in ("insert", None):
@@ -593,30 +634,40 @@ class TableStore:
         missing = [c for c in pk if c not in source.columns]
         if missing:
             raise ValueError(f"merge_into source is missing columns: {missing}")
-        need_vals = when_matched == "update" or when_not_matched == "insert"
-        if need_vals:
-            # sparse-source NULL pad (r9): a source omitting a value
-            # column behaves like a column-subset insert — NULL for the
-            # omitted column, whole-row latest-wins on resolution
-            sparse = [
-                F.lit(None).cast(spark_type(c.type)).alias(c.name)
-                for c in schema.columns
-                if c.name not in pk and c.name not in source.columns
-            ]
-            if sparse:
-                source = source.select("*", *sparse)
-        tgt = (
-            self.read(spark)
-            .select(*pk)
-            .withColumn("__matched", F.lit(True))
+        # matched-ness scan, pruned to the source's leading-PK range
+        scan = self._merge_scan(spark, source, pk[0])
+        # sparse update preserves target values: carry the omitted
+        # columns through the matched-ness join (only when needed — the
+        # scan stays PK-only for full-width / delete-only merges)
+        carry = (
+            [c for c in val_cols if c not in source.columns]
+            if when_matched == "update"
+            else []
         )
+        tgt = scan.select(
+            *pk, *[F.col(c).alias(f"__tgt_{c}") for c in carry]
+        ).withColumn("__matched", F.lit(True))
         j = source.join(tgt, pk, "left")
         matched = F.coalesce(F.col("__matched"), F.lit(False))
+
+        def _vals(for_insert: bool):
+            out = []
+            for c in schema.columns:
+                if c.name in pk:
+                    continue
+                if c.name in source.columns:
+                    out.append(F.col(c.name))
+                elif for_insert:
+                    out.append(F.lit(None).cast(spark_type(c.type)).alias(c.name))
+                else:
+                    out.append(F.col(f"__tgt_{c.name}").alias(c.name))
+            return out
+
         parts = []
         if when_matched == "update":
             parts.append(
                 j.filter(matched)
-                .select(*pk, *val_cols)
+                .select(*pk, *_vals(for_insert=False))
                 .withColumn("__do_del", F.lit(False))
             )
         elif when_matched == "delete":
@@ -635,7 +686,7 @@ class TableStore:
         if when_not_matched == "insert":
             parts.append(
                 j.filter(~matched)
-                .select(*pk, *val_cols)
+                .select(*pk, *_vals(for_insert=True))
                 .withColumn("__do_del", F.lit(False))
             )
         if not parts:

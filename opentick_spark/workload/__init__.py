@@ -46,14 +46,13 @@ real bugs invisible at sf0.01 (r3: a keeper tie-break). Run
 ``SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.1 python
 tests/oracle_check.py`` to reproduce.
 
-Round-9 rotation (VERDICT r8 item 1): the window clears the ENTIRE
-round-5-stale backlog in one pass — it leads with the ten entries the
-r8 verdict named as the displaced r5 remainder (adj_forward …
-dedup_edit_distance), then the other 39 registry entries whose last
-driver row is r5 (alphabetical), then the alphabetical head of the
-round-6-stale cohort. Mid-round r9 additions swap into the tail so
-brand-new operators get first-time driver evidence the same round they
-land (the r6/r7/r8 precedent); displaced entries rejoin the r10 queue.
+Round-10 rotation (VERDICT r9 item 2): never-driver-checked entries
+lead (the two r10 streaming corpus shard-tail twins), then the
+alphabetical head 48 of the round-6-stale cohort — the 50 entries
+whose last driver row is r6. The displaced tail (wav_decode_features,
+window_rank_topn) rejoins the r11 queue; mid-round r10 additions swap
+into the tail so brand-new operators get first-time driver evidence
+the same round they land (the r6-r9 precedent).
 Every rotated-out entry was driver-green in a prior round with an
 unchanged implementation and keeps oracle_check value coverage each
 round. The per-query rotation history (query →
@@ -81,64 +80,64 @@ ALL_ORACLES = {**_CORE_O, **_TICK_O, **_LLM_O}
 # asked for — query → rounds driver-checked → local verification),
 # replacing the docstring changelogs.
 _DRIVER_WINDOW = [
-    # ---- round 9 rotation (VERDICT r8 item 1): lead with the ten
-    # entries the r8 verdict named as the displaced r5-stale remainder
-    # (all last driver-checked r5, all oracle-backed) ----
-    "adj_forward",
-    "approx_distinct_users",
-    "asof_join_purchase_signup",
-    "bloom_decontaminate",
-    "collocation_pmi_top100",
-    "continuous_ohlcv",
-    "dataset_card",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_edit_distance",
-    # ---- the rest of the round-5-stale backlog (39 entries, last
-    # driver row r5; clearing the whole cohort this round) ----
-    "dedup_minhash_lsh",
-    "dedup_ppjoin",
-    "dialect_upsert_delete",
-    "embedding_random_projection",
-    "event_type_lift",
-    "exact_quantiles_by_type",
-    "funnel_time_to_convert",
-    "group_kfold_stats",
-    "hard_negative_mining",
-    "hll_distinct_rollup",
-    "hourly_seasonality",
-    "hybrid_search",
-    "incremental_dedup",
-    "key_skew_report",
-    "label_cohesion_stats",
-    "lang_id_confusion",
-    "lead_lag_correlation",
-    "mahalanobis_outliers",
-    "meta_catalog",
-    "multimodal_audio_windows",
-    "pareto_nation_revenue",
-    "psi_value_drift",
-    "run_length_histogram",
-    "snapshot_diff",
-    "source_overlap_matrix",
-    "split_contamination_stats",
-    "split_range_scan",
-    "stratified_sample",
-    "streaming_dedup_ingest",
-    "streaming_dedup_watermark",
-    "streaming_ohlcv",
-    "streaming_topk_values",
-    "supplier_concentration_hhi",
-    "tokenizer_fertility_by_lang",
-    "user_activity_entropy",
-    "user_ts_features",
-    "users_high_value_no_error",
-    "value_decile_stats",
-    "vwap_slippage",
-    # ---- mid-round r9 additions (first-time driver evidence; the
-    # displaced r6-stale head — adj_backward — rejoins the r10 queue)
-    # MERGE INTO x ALTER TABLE schema evolution compose (VERDICT item 4)
-    "merge_evolution_state",
+    # ---- round 10 rotation (VERDICT r9 item 2): never-driver-checked
+    # entries lead — the r10 streaming corpus shard-tail twins (batch
+    # equality oracles; VERDICT r9 item 1) ----
+    "streaming_arrow_ingest",
+    "streaming_zst_ingest",
+    # ---- the round-6-stale cohort (alphabetical head 48 of the 50
+    # entries whose last driver row is r6; the displaced tail —
+    # wav_decode_features, window_rank_topn, both value-exact in this
+    # round's local oracle_check and window_rank_topn re-verified
+    # independently by the r9 judge — rejoins the r11 queue) ----
+    "adj_backward",
+    "audio_dedup_fingerprint",
+    "bpe_encode_docs",
+    "brand_nation_revenue",
+    "char_entropy_stats",
+    "chunk_dedup_stats",
+    "cohort_retention",
+    "daily_growth_accounting",
+    "dedup_star_clusters",
+    "dialect_point_get",
+    "dialect_prefix_scan",
+    "dialect_range_tail",
+    "embedding_norm_stats",
+    "ewma_final_price",
+    "full_scan_agg",
+    "funnel_signup_purchase",
+    "gap_fill_locf",
+    "heaps_law_stats",
+    "hll_intersection_users",
+    "image_dedup_dhash",
+    "image_neardup_hamming",
+    "incremental_neardup_assign",
+    "json_props_stats",
+    "ohlcv_rollup",
+    "pivot_event_counts",
+    "pk_point_get",
+    "pk_prefix_scan",
+    "pk_range_scan",
+    "png_decode_features",
+    "pricing_summary",
+    "referential_integrity_audit",
+    "retention_cohorts",
+    "revenue_by_nation",
+    "roll_spread_estimate",
+    "rolling_beta_7d",
+    "scalar_subquery_filter",
+    "session_windows",
+    "sim_topk_ivf",
+    "stats_by_event_type",
+    "streaming_chunk_dedup",
+    "streaming_image_dedup",
+    "streaming_upsert_ingest",
+    "tail_limit",
+    "text_lang_id",
+    "top_orders_by_revenue",
+    "video_dedup_fingerprint",
+    "video_frame_stats",
+    "vwap_hourly",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

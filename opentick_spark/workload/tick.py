@@ -372,7 +372,7 @@ def merge_into_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge_evolution_state",
     """
     SELECT * FROM (VALUES
-      (1, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(5 AS BIGINT)),
+      (1, 10.0, CAST(NULL AS VARCHAR), CAST(5 AS BIGINT)),
       (2, 220.0, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)),
       (3, 330.0, 'b3', CAST(NULL AS BIGINT)),
       (4, 40.0, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)),
@@ -386,13 +386,15 @@ def merge_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO composed with ALTER TABLE schema evolution (r9,
     VERDICT item 4): the two r8 storage features in one lifecycle.
     Base k=1..4 (v=10k); ADD COLUMN tag; a SPARSE merge that omits the
-    evolved column NULL-backfills it exactly like a column-subset
-    insert (update {2}, insert {6}); a full-width merge lands values
-    (update {3}, insert {7}); then RENAME v→w + ADD COLUMN v (bigint —
-    distinct physical column, the r8 latent-bug shape) and a sparse
-    merge addressing only the NEW v (update {1}, insert {8}); compact.
-    Every surviving cell is a closed-form VALUES literal — untouched
-    row 4 keeps its renamed w=40 with NULL in both evolved columns."""
+    evolved column preserves it on the matched update and
+    NULL-backfills the insert (r10 SQL MERGE semantics: update {2},
+    insert {6}); a full-width merge lands values (update {3}, insert
+    {7}); then RENAME v→w + ADD COLUMN v (bigint — distinct physical
+    column, the r8 latent-bug shape) and a sparse merge addressing only
+    the NEW v (update {1} — its renamed w=10 SURVIVES the sparse
+    update, the r10 preserve contract — insert {8}); compact. Every
+    surviving cell is a closed-form VALUES literal — untouched row 4
+    keeps its renamed w=40 with NULL in both evolved columns."""
     eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_mrgev_"))
     eng.execute("create database me")
     eng.use("me")

@@ -999,23 +999,24 @@ def test_merge_into_clause_matrix_and_atomicity(spark, tmp_path):
     # columns are the sparse path (r9) — see the compose test below
     with pytest.raises(ValueError, match="missing columns"):
         st.merge_into(spark, spark.createDataFrame([(1.0,)], "v double"))
-    # sparse source: omitted value columns write NULL, like a
-    # column-subset insert (whole-row latest-wins)
+    # sparse source (r10, SQL MERGE semantics): omitted value columns
+    # PRESERVE the target's existing value on a matched update — a
+    # partial source cannot silently erase data
     st.merge_into(
         spark, spark.createDataFrame([(1, "sp")], "k int, tag string")
     )
     assert eng.execute_rows("select v, tag from t where k=1") == [
-        (None, "sp"),
+        (11.0, "sp"),
     ]
 
 
 def test_merge_into_composes_with_add_column(kv):
     """r9 (VERDICT item 4): the two r8 storage features compose —
     MERGE INTO against a table that has been ALTER TABLE ADD COLUMN'd.
-    A source that OMITS the new column NULL-backfills it (exactly like
-    a sparse insert prepared before the evolution); a source that
-    includes it lands values; rename + re-add (distinct physical
-    columns) and compaction preserve both."""
+    A source that OMITS the new column preserves it on matched updates
+    and NULL-backfills it on inserts (r10 SQL MERGE semantics); a
+    source that includes it lands values; rename + re-add (distinct
+    physical columns) and compaction preserve both."""
     kv.execute("create table mc(k int, v double, primary key(k))")
     pid = kv.prepare("insert into mc(k, v) values(?, ?)")
     kv.batch_insert(pid, [(i, float(i)) for i in range(4)])
@@ -1023,7 +1024,8 @@ def test_merge_into_composes_with_add_column(kv):
     st = kv.store("d", "mc")
     spark = kv.spark
 
-    # source omits the evolved column -> NULL backfill on update+insert
+    # source omits the evolved column -> preserved (NULL) on the
+    # matched update, NULL backfill on the insert
     seq0 = st.current_seq()
     st.merge_into(
         spark,
@@ -1051,7 +1053,8 @@ def test_merge_into_composes_with_add_column(kv):
     assert got[1] == (11.0, None)
 
     # rename the evolved column away and re-add it (distinct physical):
-    # a merge addressing the NEW `tag` must not resurrect old physicals
+    # a merge addressing the NEW `tag` must not resurrect old physicals,
+    # and the sparse update preserves k=2's existing v and old_tag (r10)
     kv.execute("alter table mc rename column tag to old_tag")
     kv.execute("alter table mc add column tag int")
     st.merge_into(
@@ -1060,7 +1063,7 @@ def test_merge_into_composes_with_add_column(kv):
     )
     assert kv.execute_rows(
         "select v, old_tag, tag from mc where k=2"
-    ) == [(None, None, 7)]
+    ) == [(22.0, "t2", 7)]
 
     # merged state survives compaction of the evolved schema
     st.compact(spark)
@@ -1070,13 +1073,65 @@ def test_merge_into_composes_with_add_column(kv):
             "select k, v, old_tag, tag from mc"
         )
     }
-    assert got[2] == (None, None, 7)
+    assert got[2] == (22.0, "t2", 7)
     assert got[10] == (100.0, "t10", None)
-    # and a post-compact sparse merge still NULL-pads
+    # and a post-compact sparse merge still preserves the evolved cols
     st.merge_into(spark, spark.createDataFrame([(0, 0.5)], "k int, v double"))
     assert kv.execute_rows(
         "select v, old_tag, tag from mc where k=0"
     ) == [(0.5, None, None)]
+
+
+def test_merge_into_prunes_target_by_source_range(spark, tmp_path):
+    """r10 (VERDICT item 3): merge_into's matched-ness scan reads
+    delta-RANGE target state, not the full table — the source's
+    leading-PK min/max is pushed into the parquet scans (PushedFilters
+    reach the scan below the latest-wins aggregate), an empty source
+    collapses to an empty relation, and pruning never changes results
+    (boundary keys included, outside keys untouched, tombstoned keys
+    still re-insertable)."""
+    from pyspark.sql import functions as F
+
+    from opentick_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.execute("create database p")
+    eng.use("p")
+    eng.execute("create table t(k int, v double, primary key(k))")
+    pid = eng.prepare("insert into t(k, v) values(?, ?)")
+    eng.batch_insert(pid, [(i, float(i)) for i in range(100)])
+    st = eng.store("p", "t")
+    st.compact(spark, target_partitions=4)  # PK-sorted multi-file base
+    eng.execute("insert into t(k, v) values(?, ?)", 11, 110.0)  # + log commit
+
+    src = spark.createDataFrame([(10, -1.0), (12, -2.0)], "k int, v double")
+    scan = st._merge_scan(spark, src, "k")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the range predicate reached the parquet scans (base AND log)
+    assert "PushedFilters" in plan
+    assert plan.count("GreaterThanOrEqual") >= 2  # one per scan
+    assert plan.count("LessThanOrEqual") >= 2
+    # the pruned scan still resolves latest-wins within the range
+    got = {r.k: r.v for r in scan.collect()}
+    assert got == {10: 10.0, 11: 110.0, 12: 12.0}
+
+    # empty source: the scan collapses, and the merge is still correct
+    empty = spark.createDataFrame([], "k int, v double")
+    assert st._merge_scan(spark, empty, "k").count() == 0
+
+    # pruned merge end-to-end: boundary keys update, outside untouched
+    st.merge_into(spark, src)
+    rows = dict(eng.execute_rows("select k, v from t where k>=9 and k<=13"))
+    assert rows == {9: 9.0, 10: -1.0, 11: 110.0, 12: -2.0, 13: 13.0}
+    # a key OUTSIDE the pruned range inserts (unmatched by construction)
+    st.merge_into(spark, spark.createDataFrame([(200, 2.0)], "k int, v double"))
+    assert eng.execute_rows("select v from t where k=200") == [(2.0,)]
+    # tombstoned key inside the range: unmatched -> re-insert
+    eng.execute("delete from t where k=10")
+    st.merge_into(spark, spark.createDataFrame([(10, 5.5)], "k int, v double"))
+    assert eng.execute_rows("select v from t where k=10") == [(5.5,)]
+    # total row count conserved (no row lost to over-pruning)
+    assert len(eng.execute_rows("select k from t")) == 101
 
 
 def test_add_column_schema_evolution(kv):
