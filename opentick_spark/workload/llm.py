@@ -4117,66 +4117,99 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.shingle_overlap_matrix(docs, group_col="source", n=8)
 
 
-# Per-method quality floors for ann_recall_report, measured at BOTH
-# sf0.01 and sf0.1 with ≥20% margin (r7 calibration: recall@10 =
-# int8 .984/.990, ivf .510/.490, lsh .326/.369, pq .936/.824; MRR@10 ≥
-# .96 everywhere). A bucketing/routing/quantizer regression lands far
-# below these; corpus-level jitter does not.
-_ANN_FLOORS = {
-    "int8": (0.90, 0.90),
-    "ivf_p4": (0.35, 0.90),
-    "lsh_h2": (0.25, 0.80),
-    "pq_rerank": (0.70, 0.90),
-}
-
 _ANN_RECALL_ORACLE = """
-    WITH nq AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
-      FROM embeddings WHERE vec_id % 10 = 0
+    WITH p AS (
+      SELECT vec_id % 8 AS st, COUNT(*) AS pop FROM embeddings GROUP BY 1
+    ),
+    ok AS (
+      SELECT (COUNT(*) = 8 AND MIN(pop) >= 10) AS full FROM p
     )
-    SELECT m.method, nq.n_queries, TRUE AS recall_ok, TRUE AS mrr_ok
-    FROM nq, (VALUES ('int8'), ('ivf_p4'), ('lsh_h2'), ('pq_rerank'))
-              AS m(method)
+    SELECT m.method, CAST(8 AS BIGINT) AS n_queries,
+           CASE WHEN ok.full THEN CAST(1.0 AS DOUBLE) END AS recall_at_10,
+           CASE WHEN ok.full THEN CAST(1.0 AS DOUBLE) END AS mrr_at_10
+    FROM ok, (VALUES ('int8'), ('ivf_p4'), ('lsh_h2'), ('pq_rerank'))
+             AS m(method)
 """
 
 
 @q("ann_recall_report", _ANN_RECALL_ORACLE)
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval-quality scorecard: recall@10 and MRR@10 of every
-    approximate ANN path (hyperplane-LSH, IVF, PQ+re-rank, int8) against
-    the exact cosine top-10, over the same held-out queries.
+    """VALUE-EXACT retrieval scorecard for ALL FOUR approximate ANN
+    paths — hyperplane-LSH, IVF, PQ+re-rank, int8 — on a duplicate-ray
+    plant whose recall@10/MRR@10 are closed-form 1.0 regardless of the
+    LSH hyperplane seed or the trained PQ codebook (r10, retiring the
+    r7 floor booleans; graded non-trivial recall arithmetic lives in
+    ``ann_recall_planted``, whose IVF@nprobe=1 is exactly m/n_rel).
 
-    r7: converted from rows-only to the sim_topk self-check contract
-    (the judge's meta_catalog precedent): the sketchy part — which
-    neighbors each method returns — is verified IN-SPARK against the
-    exact baseline, and the driver-hashed output carries the
-    SQL-derivable n_queries plus per-method recall/MRR floor booleans
-    (floors in _ANN_FLOORS, measured at both SFs with margin). A recall
-    regression — broken bucketing, bad centroid routing, quantizer
-    drift — flips a boolean and fails the hash gate; the exact numeric
-    report stays available by calling this function directly.
+    The plant (keyed by the embeddings vec_ids): every corpus row IS
+    ``e_{vec_id % 8}`` exactly; queries are e_0..e_7 (ids 10M+s, never
+    corpus members). Forced behavior, provable per method:
+
+    - exact: top-10 = the 10 lowest-id members of the query's stripe
+      (cos exactly 1.0; everything else cos 0), given every stripe
+      holds ≥ 10 members (asserted below; the oracle derives the same
+      precondition from stripe pops).
+    - lsh_h2: sign-sketch buckets are computed from IDENTICAL floats
+      for query and members, so members share the query's bucket for
+      ANY hyperplanes (the flip-0 probe); colliders re-rank below cos
+      1.0. Set-equal to exact.
+    - ivf_p4: seed_centroids stripes on id%16 → centroid c = e_{c%8};
+      a member ties centroids s and s+8 at cos 1 and the lower id
+      wins, so list s holds the whole stripe; the query's probe set
+      contains centroid s. Set-equal.
+    - pq_rerank (m=16 ⇒ scalar subspaces): every subspace sees only
+      the values {0, 1}, seeds are data values, and Lloyd's rounds are
+      fixed points on two-valued data — codewords stay exactly 0/1, so
+      members score ADC cos 1.0 and distractors 0; the ≥10 lowest-id
+      members always make the 50-shortlist and the exact re-rank
+      restores set equality for ANY surviving codebook.
+    - int8: quantize/dequantize of a basis vector is exact (scale 1,
+      q ∈ {0, 127}), so the scoring plan IS the exact plan.
+
+    A mechanics regression — a probe set dropping the query's own
+    bucket, a routing/assignment tie-break drift, a codeword lookup
+    off-by-one, a quantizer scale bug — sends a method's recall toward
+    0 and fails the driver hash.
 
     Scale shape: the exact baseline is one broadcast-queries pass; each
     method joins its (query, neighbor) pairs to the baseline pairs on
     the composite key — result sizes are (k × n_queries), so everything
     after the searches themselves is broadcast-sized."""
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 10 == 0)
-    exact = S.brute_force_topk(emb, queries, k=10).select(
-        "query_id", "neighbor_id"
+    ids = load(spark, sf_dir, "embeddings").select("vec_id")
+    corpus = ids.selectExpr(
+        "vec_id",
+        "transform(sequence(0, 15), a -> CAST(CASE WHEN a = vec_id % 8 "
+        "THEN 1.0 ELSE 0.0 END AS FLOAT)) AS embedding",
+    ).localCheckpoint(eager=True)
+    queries = _planted_ann_queries(spark)
+    # closed-form precondition: every stripe holds >= 10 members (else
+    # the exact top-10 pads with cos-0 rows and LSH's pad set becomes
+    # seed-dependent). The oracle checks the same pops; fail loudly.
+    pops = corpus.groupBy((F.col("vec_id") % 8).alias("st")).count().collect()
+    if len(pops) != 8 or min(r["count"] for r in pops) < 10:
+        raise ValueError(
+            f"ann_recall_report needs >=10 vectors per vec_id%8 stripe: "
+            f"{sorted((r['st'], r['count']) for r in pops)}"
+        )
+    exact = (
+        S.brute_force_topk(corpus, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     methods = {
-        "lsh_h2": lambda: S.lsh_topk(emb, queries, k=10, bits=8, probe_hamming=2),
-        "ivf_p4": lambda: S.ivf_topk(emb, queries, k=10, ncentroids=16, nprobe=4),
-        "pq_rerank": lambda: S.pq_topk_rerank(
-            emb, queries, k=10, shortlist=50, m=16, ncentroids=32
+        "lsh_h2": lambda: S.lsh_topk(
+            corpus, queries, k=10, bits=8, dim=16, probe_hamming=2
         ),
-        "int8": lambda: S.quantized_topk(emb, queries, k=10),
+        "ivf_p4": lambda: S.ivf_topk(
+            corpus, queries, k=10, ncentroids=16, nprobe=4
+        ),
+        "pq_rerank": lambda: S.pq_topk_rerank(
+            corpus, queries, k=10, shortlist=50, m=16, ncentroids=32
+        ),
+        "int8": lambda: S.quantized_topk(corpus, queries, k=10),
     }
-    nq = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
     reports = []
     for name, fn in sorted(methods.items()):
-        r_floor, m_floor = _ANN_FLOORS[name]
         got = fn().select("query_id", "neighbor_id", "rank")
         hits = got.join(
             F.broadcast(exact.withColumn("__rel", F.lit(1))),
@@ -4184,28 +4217,22 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         per_q = hits.groupBy("query_id").agg(
-            F.sum(F.coalesce("__rel", F.lit(0))).alias("n_hits"),
+            F.sum(F.coalesce("__rel", F.lit(0))).alias("__hits"),
             F.min(F.when(F.col("__rel") == 1, F.col("rank"))).alias(
-                "first_rel_rank"
+                "__first"
             ),
         )
-        agg = per_q.agg(
-            F.sum("n_hits").alias("__hits"),
-            F.sum(
-                F.coalesce(1.0 / F.col("first_rel_rank"), F.lit(0.0))
-            ).alias("__rr"),
-        )
         reports.append(
-            agg.crossJoin(nq).select(
+            per_q.agg(
                 F.lit(name).alias("method"),
-                "n_queries",
-                (
-                    F.col("__hits")
-                    >= F.lit(10.0 * r_floor) * F.col("n_queries")
-                ).alias("recall_ok"),
-                (
-                    F.col("__rr") >= F.lit(m_floor) * F.col("n_queries")
-                ).alias("mrr_ok"),
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.round(F.avg(F.col("__hits") / F.lit(10.0)), 6).alias(
+                    "recall_at_10"
+                ),
+                F.round(
+                    F.avg(F.coalesce(1.0 / F.col("__first"), F.lit(0.0))),
+                    6,
+                ).alias("mrr_at_10"),
             )
         )
     out = reports[0]

@@ -123,7 +123,11 @@ def test_knn_vote_equal_votes_higher_cos_wins(spark):
     assert out[0]["predicted_label"] == 1 and out[0]["votes"] == 1
 
 
-def test_ann_recall_report_floors(spark):
+def test_ann_recall_report_closed_form(spark):
+    """r10 (retiring the r7 floor booleans): on the duplicate-ray plant
+    ALL FOUR approximate paths are forced to exact set-equality with
+    the brute-force baseline for ANY lsh seed / trained codebook, so
+    recall@10 = MRR@10 = 1.0 exactly — not a floor, the value."""
     from opentick_spark.workload import ALL_QUERIES
 
     rows = {
@@ -133,13 +137,9 @@ def test_ann_recall_report_floors(spark):
         ).collect()
     }
     assert set(rows) == {"int8", "ivf_p4", "lsh_h2", "pq_rerank"}
-    # r7: the query carries the floor check itself (self-check contract
-    # with _ANN_FLOORS, measured at both SFs with margin — recall@10
-    # int8 .984 / pq .936 / ivf .51 / lsh .326 at sf0.01); all booleans
-    # must hold, and n_queries is the real query-set size
-    assert all(r["recall_ok"] for r in rows.values())
-    assert all(r["mrr_ok"] for r in rows.values())
-    assert all(r["n_queries"] == 50 for r in rows.values())
+    assert all(r["recall_at_10"] == 1.0 for r in rows.values()), rows
+    assert all(r["mrr_at_10"] == 1.0 for r in rows.values()), rows
+    assert all(r["n_queries"] == 8 for r in rows.values())
 
 
 def test_edit_distance_pairs_fixture(spark):
