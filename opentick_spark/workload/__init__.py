@@ -137,7 +137,10 @@ _DRIVER_WINDOW = [
     "top_orders_by_revenue",
     "video_dedup_fingerprint",
     "video_frame_stats",
-    "vwap_hourly",
+    # ---- mid-round r10 addition (first-time driver evidence; the
+    # displaced r6-stale tail — vwap_hourly — rejoins the r11 queue):
+    # sparse-source MERGE preserve semantics + range-pruned matched-ness
+    "merge_sparse_preserve",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

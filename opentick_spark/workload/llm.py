@@ -4268,17 +4268,34 @@ _ANN_PLANTED_ORACLE = """
 """
 
 
+#: per-(session, sf_dir) memo of the checkpointed planted corpus — three
+#: registry rows (ann_recall_planted + the two persisted-IVF rows)
+#: consume the identical tiny frame; rebuilding+re-checkpointing it per
+#: row was measurable in the bench (r10, VERDICT r9 item 6)
+_PLANTED_CORPUS_CACHE: dict = {}
+
+
 def _planted_ann_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The planted 16-dim ANN geometry (see ``ann_recall_planted`` for
     the full derivation), keyed by the embeddings table's vec_ids:
     stripe = vec_id % 16; main stripes s<8 are e_s + g·e_{s+8} (g =
     0.01(r+1) for the 7 lowest ids per stripe, 3.0 for the rest); twin
-    stripes are identically 0.92·e_{s-8} + 0.392·e_s."""
+    stripes are identically 0.92·e_{s-8} + 0.392·e_s.
+
+    Returns an eagerly checkpointed frame, memoized per (Spark
+    application, sf_dir): the plan is a window function over the
+    embeddings ids, the result is N×16 floats — consumers share one
+    materialization instead of each paying the build."""
     from pyspark.sql import Window
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _PLANTED_CORPUS_CACHE.get(key)
+    if got is not None:
+        return got
 
     ids = load(spark, sf_dir, "embeddings").select("vec_id")
     w = Window.partitionBy(F.col("vec_id") % 16).orderBy("vec_id")
-    return ids.withColumn("__r", F.row_number().over(w) - 1).select(
+    out = ids.withColumn("__r", F.row_number().over(w) - 1).select(
         "vec_id",
         F.expr(
             """
@@ -4293,7 +4310,9 @@ def _planted_ann_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
               END AS FLOAT))
             """
         ).alias("embedding"),
-    )
+    ).localCheckpoint(eager=True)
+    _PLANTED_CORPUS_CACHE[key] = out
+    return out
 
 
 def _planted_ann_queries(spark: SparkSession) -> DataFrame:
@@ -4341,7 +4360,7 @@ def ann_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the four method plans each consume corpus/queries/exact several
     # times; cut the shared window-function lineage once (tiny frames:
     # N×16 floats and 80 id pairs)
-    corpus = _planted_ann_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    corpus = _planted_ann_corpus(spark, sf_dir)  # memoized checkpoint
     queries = _planted_ann_queries(spark)
     exact = (
         S.brute_force_topk(corpus, queries, k=10)
@@ -4442,7 +4461,7 @@ def sim_topk_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     same vec_id window arithmetic as ``sim_topk_ivf_indexed``."""
     import tempfile
 
-    corpus = _planted_ann_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    corpus = _planted_ann_corpus(spark, sf_dir)  # memoized checkpoint
     path = tempfile.mkdtemp(prefix="otspark_ivfapp_")
     S.build_ivf_index(
         corpus.filter(F.col("vec_id") % 2 == 0), path, ncentroids=16
@@ -4502,7 +4521,7 @@ def sim_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank contract doesn't already pin)."""
     import tempfile
 
-    corpus = _planted_ann_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    corpus = _planted_ann_corpus(spark, sf_dir)  # memoized checkpoint
     path = tempfile.mkdtemp(prefix="otspark_ivfidx_")
     S.build_ivf_index(corpus, path, ncentroids=16)
     out = S.ivf_topk_indexed(

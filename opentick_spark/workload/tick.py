@@ -322,6 +322,54 @@ def log_diff_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "merge_sparse_preserve",
+    """
+    SELECT * FROM (VALUES
+      (1, 10.0, 't1'),
+      (2, 220.0, 't2'),
+      (3, 30.0, 'x'),
+      (4, 40.0, 't4'),
+      (5, 550.0, CAST(NULL AS VARCHAR)),
+      (6, CAST(NULL AS DOUBLE), 'y')
+    ) AS t(k, v, tag)
+    """,
+)
+def merge_sparse_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-source MERGE semantics (r10): a source omitting a value
+    column PRESERVES the target's existing value on matched updates
+    (SQL/Delta MERGE — only columns the source carries are set) and
+    NULL-backfills on inserts. Base k=1..4 (v=10k, tag 't<k>');
+    merge 1 carries only (k, v): update {2} → v=220 with tag 't2'
+    SURVIVING, insert {5} → tag NULL; merge 2 carries only (k, tag):
+    update {3} → tag 'x' with v=30 surviving, insert {6} → v NULL.
+    Rows 1 and 4 untouched. The matched-ness scans are range-pruned to
+    each source's k-span (``_merge_scan``) — the oracle failing would
+    catch over-pruning as loudly as a semantics break."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_mrgsp_"))
+    eng.execute("create database sp")
+    eng.use("sp")
+    eng.execute(
+        "create table docs(k int, v double, tag text, primary key(k))"
+    )
+    pid = eng.prepare("insert into docs(k, v, tag) values(?, ?, ?)")
+    eng.batch_insert(pid, [(i, float(i) * 10, f"t{i}") for i in range(1, 5)])
+    st = eng.store("sp", "docs")
+    st.merge_into(
+        spark,
+        spark.createDataFrame([(2, 220.0), (5, 550.0)], "k int, v double"),
+    )
+    st.merge_into(
+        spark,
+        spark.createDataFrame([(3, "x"), (6, "y")], "k int, tag string"),
+    )
+    return eng.execute("select k, v, tag from docs").select(
+        F.col("k").cast("int").alias("k"),
+        F.col("v").cast("double").alias("v"),
+        "tag",
+    )
+
+
+@q(
     "merge_into_final_state",
     """
     SELECT * FROM (VALUES
