@@ -218,6 +218,13 @@ class TableStore:
                 meta["compacted"] = True
                 meta["hash_buckets"] = intent["hash_buckets"]
                 meta["last_compact_seq"] = intent["seq"]
+                folded = intent.get("applied_markers", [])
+                if folded:
+                    # the consumed dirs may already be GC'd — the
+                    # intent carries their markers (r10)
+                    cache = meta.get("applied_markers", [])
+                    cache.extend(m for m in folded if m not in cache)
+                    meta["applied_markers"] = cache[-self._MARKER_CACHE_CAP:]
                 self._write_meta(meta)
                 os.remove(intent_p)
 
@@ -269,6 +276,50 @@ class TableStore:
             meta["compacted"] = False
             self._write_meta(meta)
             return meta["seq"]
+
+    # ------------------------------------------------------------------
+    # applied-marker idempotency (r10): exactly-once streaming sinks
+    #: FIFO cap on the meta marker cache — far above any realistic
+    #: replay horizon (a checkpoint only ever re-delivers the last
+    #: uncommitted batches); older markers age out of the cache but a
+    #: batch that old cannot be re-delivered by the same checkpoint
+    _MARKER_CACHE_CAP = 4096
+
+    def _log_markers(self) -> set:
+        """Markers present in live log commit dirs — the source of
+        truth for the crash window between a commit's publish and its
+        meta-cache update (the sidecar is atomic with the data)."""
+        out = set()
+        try:
+            entries = os.listdir(self.log_path)
+        except FileNotFoundError:
+            return out
+        for e in entries:
+            p = os.path.join(self.log_path, e, "_applied_marker.json")
+            try:
+                with open(p) as f:
+                    out.add(json.load(f)["marker"])
+            except (FileNotFoundError, NotADirectoryError):
+                continue
+        return out
+
+    def _cache_applied_marker(self, marker: str) -> None:
+        with self._lock, self._file_lock():
+            meta = self._meta()
+            cache = meta.get("applied_markers", [])
+            if marker not in cache:
+                cache.append(marker)
+                meta["applied_markers"] = cache[-self._MARKER_CACHE_CAP:]
+                self._write_meta(meta)
+
+    def has_applied_marker(self, marker: str) -> bool:
+        """True iff a commit bearing ``applied_marker=marker`` has been
+        published (meta cache first, then the log-dir sidecars — so the
+        answer is correct even if the process died between a commit's
+        publish and its meta-cache write)."""
+        if marker in self._meta().get("applied_markers", []):
+            return True
+        return marker in self._log_markers()
 
     @staticmethod
     def _publish(tmp: str, final: str) -> None:
@@ -357,13 +408,25 @@ class TableStore:
         df: DataFrame,
         delete: bool = False,
         delete_col: str | None = None,
+        applied_marker: str | None = None,
     ) -> None:
         """Append a (possibly large) DataFrame as one commit — the Spark
         write path for bulk loads / streaming foreachBatch. ``delete``
         writes every row as a tombstone; ``delete_col`` (r8) names a
         boolean column marking tombstones PER ROW, letting upserts and
         deletes land in ONE atomic commit (the MERGE INTO primitive —
-        ``merge_into`` builds on this)."""
+        ``merge_into`` builds on this).
+
+        ``applied_marker`` (r10): an idempotency token recorded
+        ATOMICALLY with the commit — a ``_applied_marker.json`` sidecar
+        is written into the staged commit directory before the publish
+        rename, so the marker exists iff the data does (no
+        mark-then-crash lost batch, no commit-then-crash double apply).
+        A streaming sink checks ``has_applied_marker`` before applying
+        a (possibly re-delivered) micro-batch; see
+        ``streaming.ingest.stream_corpus_ingest``. Markers survive
+        compaction (folded into table meta via the intent file) and are
+        cached in meta after the publish for O(1) lookups."""
         schema = self.schema
         seq = self._next_seq()
         # logical → physical as one atomic select (see read()); strict:
@@ -392,7 +455,13 @@ class TableStore:
             self.data_path, f"commit-{seq:012d}.{uuid.uuid4().hex}.tmp"
         )
         out.write.mode("overwrite").parquet(tmp_dir)
+        if applied_marker is not None:
+            # leading "_" keeps Spark's parquet listing from reading it
+            with open(os.path.join(tmp_dir, "_applied_marker.json"), "w") as f:
+                json.dump({"marker": applied_marker}, f)
         os.rename(tmp_dir, commit_dir)
+        if applied_marker is not None:
+            self._cache_applied_marker(applied_marker)
 
     # ------------------------------------------------------------------
     # read path (Spark)
@@ -792,6 +861,9 @@ class TableStore:
     ) -> None:
         schema = self.schema
         consumed_log = sorted(os.listdir(self.log_path))
+        # markers in the consumed commits must outlive the log GC: carry
+        # them through the intent into meta (r10 applied-marker contract)
+        consumed_markers = sorted(self._log_markers())
         df = self.read(spark)
         pk = schema.pk_names
         n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
@@ -854,6 +926,7 @@ class TableStore:
                     "tmp": os.path.basename(tmp_dir),
                     "hash_buckets": hash_buckets,
                     "consumed_log": consumed_log,
+                    "applied_markers": consumed_markers,
                 },
                 f,
             )
@@ -881,6 +954,10 @@ class TableStore:
         meta["compacted"] = True
         meta["hash_buckets"] = hash_buckets
         meta["last_compact_seq"] = seq
+        if consumed_markers:
+            cache = meta.get("applied_markers", [])
+            cache.extend(m for m in consumed_markers if m not in cache)
+            meta["applied_markers"] = cache[-self._MARKER_CACHE_CAP:]
         self._write_meta(meta)
         os.remove(intent_p)
 

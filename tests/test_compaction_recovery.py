@@ -243,6 +243,7 @@ def test_sigkill_between_renames_recovers(spark, table):
     assert os.path.exists(os.path.join(store_path, "compact-intent.json"))
     with open(os.path.join(store_path, "compact-intent.json")) as f:
         assert sorted(json.load(f)) == [
+            "applied_markers",
             "consumed_log",
             "hash_buckets",
             "seq",

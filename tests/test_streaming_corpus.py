@@ -275,3 +275,89 @@ def test_zst_tail_failfast_without_quarantine(spark, engine, tmp_path):
     )
     with pytest.raises(Exception, match="(?i)malformed|failfast|json"):
         q.awaitTermination()
+
+
+def test_applied_marker_exactly_once(spark, engine, tmp_path):
+    """TableStore applied-marker contract (r10): the marker is atomic
+    with its commit (sidecar in the commit dir), discoverable without
+    the meta cache, and survives compaction via the intent fold."""
+    import json
+
+    store = _make_store(
+        engine,
+        "create table docs(doc_id bigint, lang text, n_chars bigint, "
+        "primary key(doc_id))",
+    )
+    df = spark.createDataFrame(
+        [(1, "en", 5)], "doc_id long, lang string, n_chars long"
+    )
+    assert not store.has_applied_marker("s:0")
+    store.append_dataframe(df, applied_marker="s:0")
+    assert store.has_applied_marker("s:0")
+    assert not store.has_applied_marker("s:1")
+
+    # crash window: meta cache lost between publish and cache write ->
+    # the commit-dir sidecar still answers
+    meta = store._meta()
+    meta.pop("applied_markers", None)
+    store._write_meta(meta)
+    assert store.has_applied_marker("s:0")
+
+    # compaction GCs the log commit dirs; the intent folds the markers
+    # into meta so the answer survives
+    store.compact(spark)
+    assert store._log_markers() == set()
+    assert store.has_applied_marker("s:0")
+    assert not store.has_applied_marker("s:1")
+
+
+def test_stream_replay_skips_applied_batches(spark, engine, tmp_path):
+    """The r9 ADVICE hazard, closed: a batch re-delivered under the
+    SAME stream identity is skipped entirely (zero new commits), so a
+    concurrent writer's update between the original run and the replay
+    SURVIVES — previously the replay re-appended under a new seq and
+    latest-wins regressed the row."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_zst_shard(
+        str(src / "shard-0.jsonl.zst"),
+        ['{"doc_id": 1, "lang": "en", "n_chars": 10}'],
+    )
+    store = _make_store(
+        engine,
+        "create table docs(doc_id bigint, lang text, n_chars bigint, "
+        "primary key(doc_id))",
+    )
+
+    def run(ckpt: str) -> None:
+        q = stream_corpus_ingest(
+            spark,
+            str(src),
+            _zst_decode,
+            store,
+            ckpt,
+            stream_id="fixed-stream",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ckpt_a"))
+    seq1 = store.current_seq()
+    assert [
+        (r.doc_id, r.n_chars) for r in store.read(spark).collect()
+    ] == [(1, 10)]
+
+    # a CONCURRENT writer updates the row after the stream committed
+    store.append_dataframe(
+        spark.createDataFrame(
+            [(1, "en", 999)], "doc_id long, lang string, n_chars long"
+        )
+    )
+
+    # replay: fresh checkpoint re-delivers batch 0 under the same
+    # stream identity -> marker-skipped, NO new commit
+    run(str(tmp_path / "ckpt_b"))
+    assert store.current_seq() == seq1 + 1  # only the writer's commit
+    assert [
+        (r.doc_id, r.n_chars) for r in store.read(spark).collect()
+    ] == [(1, 999)]  # the concurrent update SURVIVED the replay
