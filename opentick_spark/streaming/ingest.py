@@ -287,6 +287,71 @@ def windowed_event_counts(
     )
 
 
+def stream_ivf_append(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int = 4,
+    available_now: bool = True,
+    stream_id: str | None = None,
+):
+    """Continuous ANN index maintenance (r10): tail a landing directory
+    of embedding shards (parquet) and fold each micro-batch into a
+    persisted IVF index (``operators.similarity.build_ivf_index``
+    layout) via ``ivf_index_append`` — routing is one broadcast pass
+    over just the delta, and the parquet append touches only the
+    affected centroid-list partitions. This is how a 100 TB vector
+    corpus stays queryable while it grows: the index never rebuilds on
+    ingest (periodic ``build_ivf_index`` handles centroid drift, like
+    segment-merge maintenance in a serving ANN stack), and unprobed
+    list directories remain planning-time-pruned for readers
+    throughout.
+
+    Replay guard: the IVF lists are plain parquet (no PK resolution),
+    so a re-delivered batch would DUPLICATE vectors. Each applied batch
+    drops a ``_markers/<stream_id>:<batch_id>`` file under the index;
+    re-deliveries are skipped. The marker is written AFTER the append
+    (the lists span many directories — there is no single atomic
+    publish), so a crash inside the append→marker window can duplicate
+    that one batch; readers needing stronger guarantees belong on a
+    TableStore-backed corpus with ``stream_upsert``'s atomic markers.
+    Returns the StreamingQuery."""
+    import os
+
+    from opentick_spark.operators.similarity import ivf_index_append
+
+    sid = stream_id or _default_stream_id(checkpoint_dir)
+    marker_dir = os.path.join(index_path, "_markers")
+    os.makedirs(marker_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"{sid}:{batch_id}")
+        if os.path.exists(marker):
+            return  # re-delivered batch: vectors already in the lists
+        if not batch_df.isEmpty():
+            ivf_index_append(
+                spark, batch_df, index_path, id_col=id_col, vec_col=vec_col
+            )
+        with open(marker, "w"):
+            pass
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dedup_stream(
     spark: SparkSession,
     events_dir: str,

@@ -136,11 +136,13 @@ _DRIVER_WINDOW = [
     "text_lang_id",
     "top_orders_by_revenue",
     "video_dedup_fingerprint",
-    "video_frame_stats",
-    # ---- mid-round r10 addition (first-time driver evidence; the
-    # displaced r6-stale tail — vwap_hourly — rejoins the r11 queue):
+    # ---- mid-round r10 additions (first-time driver evidence; the
+    # displaced r6-stale tail — video_frame_stats, vwap_hourly —
+    # rejoins the r11 queue) ----
     # sparse-source MERGE preserve semantics + range-pruned matched-ness
     "merge_sparse_preserve",
+    # streaming IVF index maintenance (marker-guarded shard tail)
+    "streaming_ivf_append",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -4479,6 +4479,49 @@ def sim_topk_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("streaming_ivf_append", _IVF_PLANTED_TOPK_ORACLE)
+def streaming_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ANN index maintenance as a STREAM (r10 — the
+    streaming twin of ``sim_topk_ivf_append``): the persisted IVF index
+    is built on the EVEN-vec_id half of the planted corpus, the ODD
+    half lands as parquet shards in a tail directory, and
+    ``stream_ivf_append`` folds them in across MULTIPLE micro-batches
+    (maxFilesPerTrigger=2 over 4 shards), each routed by one broadcast
+    pass and appended into only the affected centroid partitions —
+    marker-guarded against re-delivery (duplicate vectors would flip
+    this oracle's exact top-10). Querying the grown index at nprobe=2
+    must return EXACTLY the full-corpus closed form, the same vec_id
+    window arithmetic as the batch twins."""
+    corpus = _planted_ann_corpus(spark, sf_dir)  # memoized checkpoint
+    path = tempfile.mkdtemp(prefix="otspark_sivf_")
+    S.build_ivf_index(
+        corpus.filter(F.col("vec_id") % 2 == 0), path, ncentroids=16
+    )
+    land = tempfile.mkdtemp(prefix="otspark_sivf_land_")
+    corpus.filter(F.col("vec_id") % 2 == 1).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(land)
+    from opentick_spark.streaming.ingest import stream_ivf_append
+
+    q_ = stream_ivf_append(
+        spark,
+        land,
+        "vec_id long, embedding array<float>",
+        path,
+        tempfile.mkdtemp(prefix="otspark_sivf_ck_"),
+        max_files_per_trigger=2,
+    )
+    q_.awaitTermination()
+    out = S.ivf_topk_indexed(
+        spark, path, _planted_ann_queries(spark), k=10, nprobe=2
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @q(
     "sim_topk_ivf_indexed",
     """

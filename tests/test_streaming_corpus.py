@@ -361,3 +361,54 @@ def test_stream_replay_skips_applied_batches(spark, engine, tmp_path):
     assert [
         (r.doc_id, r.n_chars) for r in store.read(spark).collect()
     ] == [(1, 999)]  # the concurrent update SURVIVED the replay
+
+
+def test_stream_ivf_append_replay_guard(spark, tmp_path):
+    """stream_ivf_append: shard tail grows a persisted IVF index across
+    micro-batches; a re-delivered batch (same stream identity, fresh
+    checkpoint) is marker-skipped so the lists hold NO duplicate
+    vectors; incremental tail picks up only new shards."""
+    from pyspark.sql import functions as F
+
+    from opentick_spark.operators.similarity import build_ivf_index
+    from opentick_spark.streaming.ingest import stream_ivf_append
+
+    # 16-dim basis corpus: ids 0..31, vector e_{id % 16}
+    corpus = spark.range(32).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 15), a -> CAST(CASE WHEN a = id % 16 "
+        "THEN 1.0 ELSE 0.0 END AS FLOAT)) AS embedding",
+    )
+    index = str(tmp_path / "ivf")
+    build_ivf_index(corpus.filter(F.col("vec_id") < 16), index)
+    land = str(tmp_path / "land")
+    corpus.filter(F.col("vec_id") >= 16).repartition(2).write.parquet(land)
+
+    schema = "vec_id long, embedding array<float>"
+
+    def run(ckpt: str) -> None:
+        q = stream_ivf_append(
+            spark, land, schema, index, ckpt,
+            max_files_per_trigger=1, stream_id="ivf-stream",
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck_a"))
+    lists = spark.read.parquet(f"{index}/lists")
+    assert lists.count() == 32  # 16 seeded + 16 appended
+    assert lists.select("neighbor_id").distinct().count() == 32
+
+    # replay with fresh checkpoint, same stream identity: skipped
+    run(str(tmp_path / "ck_b"))
+    assert spark.read.parquet(f"{index}/lists").count() == 32
+
+    # incremental: a new shard lands; same checkpoint processes ONLY it
+    spark.range(32, 40).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 15), a -> CAST(CASE WHEN a = id % 16 "
+        "THEN 1.0 ELSE 0.0 END AS FLOAT)) AS embedding",
+    ).coalesce(1).write.mode("append").parquet(land)
+    run(str(tmp_path / "ck_b"))
+    got = spark.read.parquet(f"{index}/lists")
+    assert got.count() == 40
+    assert got.select("neighbor_id").distinct().count() == 40
