@@ -637,10 +637,16 @@ class TableStore:
         b = source.agg(
             F.min(F.col(lead)).alias("__lo"), F.max(F.col(lead)).alias("__hi")
         ).collect()[0]
-        scan = self.read(spark)
         if b["__lo"] is None:  # empty source: nothing can match
-            return scan.filter(F.lit(False))
-        return scan.filter(
+            return self.read(spark).filter(F.lit(False))
+        if b["__lo"] == b["__hi"]:
+            # single-lead-key source (the per-entity delta shape): the
+            # equality additionally prunes whole __bucket DIRECTORIES on
+            # a hash-bucketed base, where a range never can (hash order)
+            return self.read(spark, leading_eq=b["__lo"]).filter(
+                F.col(lead) == F.lit(b["__lo"])
+            )
+        return self.read(spark).filter(
             (F.col(lead) >= F.lit(b["__lo"]))
             & (F.col(lead) <= F.lit(b["__hi"]))
         )

@@ -1133,6 +1133,21 @@ def test_merge_into_prunes_target_by_source_range(spark, tmp_path):
     # total row count conserved (no row lost to over-pruning)
     assert len(eng.execute_rows("select k from t")) == 101
 
+    # single-lead-key source on a hash-bucketed base: the merge scan
+    # prunes whole __bucket directories (the per-entity delta shape)
+    st.compact(spark, target_partitions=4, hash_buckets=4)
+    one = spark.createDataFrame([(42, -42.0)], "k int, v double")
+    plan = (
+        st._merge_scan(spark, one, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__bucket" in plan  # directory-level pruning engaged
+    st.merge_into(spark, one)
+    assert eng.execute_rows("select v from t where k=42") == [(-42.0,)]
+    assert len(eng.execute_rows("select k from t")) == 101
+
 
 def test_add_column_schema_evolution(kv):
     """r8 ALTER TABLE ADD COLUMN: old rows NULL-backfill (explicit-

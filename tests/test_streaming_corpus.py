@@ -1,13 +1,14 @@
 """Structured-Streaming corpus shard tail (stream_corpus_ingest):
 the streaming twin of the batch shard readers. The contract under test
 is the one the registry entries streaming_arrow_ingest /
-streaming_zst_ingest rely on — batch and streamed ingests of one
-corpus are value-identical, corrupt lines quarantine with shard
-provenance instead of killing the ingest, and a replayed micro-batch
-(crash between sink and checkpoint) leaves table + quarantine in the
-same final state (single-writer, latest-wins). Reference anchor: the
-insert-firehose semantics of client.py:44-61 / server.go:356-383,
-extended to shard-directory tailing."""
+streaming_zst_ingest / streaming_ivf_append rely on — batch and
+streamed ingests of one corpus are value-identical, corrupt lines
+quarantine with shard provenance instead of killing the ingest, and a
+replayed micro-batch is EXACTLY-ONCE under the same stream identity
+(applied markers atomic with each commit; a fresh checkpoint falls
+back to latest-wins resolution). Reference anchor: the insert-firehose
+semantics of client.py:44-61 / server.go:356-383, extended to
+shard-directory tailing."""
 
 import glob
 import os
