@@ -191,3 +191,95 @@ def test_weighted_sample_matches_bruteforce(spark, seed):
         for r in weighted_sample(df, "n_chars", k=25).collect()
     ]
     assert got == [(i, r + 1) for r, (_, i) in enumerate(want)], seed
+
+
+def _py_merge(state, rows, cols, when_matched, when_not_matched):
+    """Straight-line SQL MERGE model over {k: (v, tag)} (r10 preserve
+    semantics: omitted source columns keep the target value on matched
+    updates, NULL on inserts)."""
+    for row in rows:
+        k = row["k"]
+        if k in state:
+            if when_matched == "update":
+                cur = dict(zip(("v", "tag"), state[k]))
+                state[k] = tuple(
+                    row[c] if c in cols else cur[c] for c in ("v", "tag")
+                )
+            elif when_matched == "delete":
+                del state[k]
+        elif when_not_matched == "insert":
+            state[k] = tuple(
+                row[c] if c in cols else None for c in ("v", "tag")
+            )
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_merge_into_matches_model(spark, tmp_path, seed):
+    """Model-based MERGE matrix (r10): a random sequence of sparse/full
+    merges with every clause combination, interleaved with direct
+    upserts and deletes, applied to the TableStore AND a Python dict —
+    final states must be identical. Exercises the range-pruned (and
+    single-key bucket-pruned) matched-ness scan under arbitrary
+    key-span overlap."""
+    from opentick_spark.engine import Engine
+
+    rng = random.Random(seed)
+    eng = Engine(spark, str(tmp_path / f"wh{seed}"))
+    eng.execute("create database rm")
+    eng.use("rm")
+    eng.execute(
+        "create table t(k int, v double, tag text, primary key(k))"
+    )
+    st = eng.store("rm", "t")
+    state: dict[int, tuple] = {}
+
+    def rand_rows(cols):
+        ks = rng.sample(range(13), rng.randint(1, 5))
+        return [
+            {
+                "k": k,
+                "v": round(rng.uniform(-5, 5), 3),
+                "tag": rng.choice(["a", "b", "c", None]),
+            }
+            for k in ks
+        ]
+
+    for step in range(8):
+        op = rng.choice(["merge", "merge", "merge", "upsert", "delete"])
+        if op == "merge":
+            cols = rng.choice([("v", "tag"), ("v",), ("tag",)])
+            wm = rng.choice(["update", "delete", None])
+            wnm = rng.choice(["insert", None])
+            rows = rand_rows(cols)
+            src = spark.createDataFrame(
+                [tuple([r["k"]] + [r[c] for c in cols]) for r in rows],
+                "k int"
+                + ("".join(
+                    f", {c} {'double' if c == 'v' else 'string'}"
+                    for c in cols
+                )),
+            )
+            st.merge_into(spark, src, when_matched=wm, when_not_matched=wnm)
+            _py_merge(state, rows, cols, wm, wnm)
+        elif op == "upsert":
+            rows = rand_rows(("v", "tag"))
+            st.append_dataframe(
+                spark.createDataFrame(
+                    [(r["k"], r["v"], r["tag"]) for r in rows],
+                    "k int, v double, tag string",
+                )
+            )
+            for r in rows:
+                state[r["k"]] = (r["v"], r["tag"])
+        else:
+            if state:
+                k = rng.choice(sorted(state))
+                eng.execute(f"delete from t where k={k}")
+                del state[k]
+        if step == 4:  # mid-sequence compaction: pruning over a base
+            st.compact(spark, target_partitions=2)
+
+    got = {
+        r["k"]: (r["v"], r["tag"]) for r in st.read(spark).collect()
+    }
+    assert got == state
