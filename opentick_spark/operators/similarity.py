@@ -997,6 +997,10 @@ def ivf_index_append(
         .filter(F.col("__rk") == 1)
         .select("neighbor_id", "cv", "centroid_id")
     )
+    # pin the routed delta: the count and the write must not each pay
+    # the broadcast-routing join (the streaming sink calls this per
+    # micro-batch — double evaluation doubled the hot path, r10 review)
+    delta = delta.localCheckpoint(eager=True)
     n = delta.count()
     delta.write.mode("append").partitionBy("centroid_id").parquet(
         f"{path}/lists"

@@ -27,13 +27,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _with_extra_field(
+    struct: "T.StructType", name: str, dtype: "T.DataType"
+) -> "T.StructType":
+    """A NEW StructType extending ``struct`` — StructType.add mutates
+    the receiver in place, so calling it on a CALLER-supplied schema
+    object would permanently corrupt it (r10 review fix)."""
+    return T.StructType(
+        list(struct.fields) + [T.StructField(name, dtype, True)]
+    )
+
+
 def _with_schema(reader, schema, bad_record_col):
     if schema == "infer":
         return reader
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     if bad_record_col:
-        schema = schema.add(T.StructField(bad_record_col, T.StringType(), True))
+        schema = _with_extra_field(schema, bad_record_col, T.StringType())
         reader = reader.option("mode", "PERMISSIVE").option(
             "columnNameOfCorruptRecord", bad_record_col
         )
@@ -421,7 +432,7 @@ def decode_arrow_ipc_content(
     )
     names = [f.name for f in spark_schema.fields]
     out_schema = (
-        spark_schema.add(T.StructField(path_col, T.StringType(), True))
+        _with_extra_field(spark_schema, path_col, T.StringType())
         if path_col
         else spark_schema
     )
@@ -524,7 +535,7 @@ def decode_jsonl_compressed_content(
     raw = files.select(*in_cols).mapInPandas(lines, line_schema)
     prov = [F.col("__path").alias(path_col)] if path_col else []
     if bad_record_col:
-        parsed = struct.add(T.StructField(bad_record_col, T.StringType(), True))
+        parsed = _with_extra_field(struct, bad_record_col, T.StringType())
         out = raw.select(
             F.from_json(
                 "__line",

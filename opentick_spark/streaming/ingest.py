@@ -11,8 +11,12 @@ regress rows a CONCURRENT writer updated in between (the r9 ADVICE
 hazard). ``stream_id`` defaults to a hash of the checkpoint path: the
 same checkpoint re-delivers byte-identical batches (Spark's replay
 contract), while a FRESH checkpoint gets a fresh stream identity — its
-re-deliveries carry no such guarantee, and they fall back to plain
-latest-wins upserts unless the caller pins ``stream_id`` explicitly.
+re-deliveries carry no such guarantee and fall back to plain
+latest-wins upserts. Markers key DELIVERY identity, not content:
+pinning ``stream_id`` across checkpoint re-creations extends the skip
+guarantee ONLY when the landing directory is append-only and listed
+deterministically — otherwise a marker hit could skip a batch whose
+files were never the ones originally applied. Default = safe.
 
 The reference's "streaming" is clients firing async inserts and atomic
 batches at a TCP server (test.py:44-61); semantically that is a firehose
@@ -313,13 +317,24 @@ def stream_ivf_append(
 
     Replay guard: the IVF lists are plain parquet (no PK resolution),
     so a re-delivered batch would DUPLICATE vectors. Each applied batch
-    drops a ``_markers/<stream_id>:<batch_id>`` file under the index;
-    re-deliveries are skipped. The marker is written AFTER the append
-    (the lists span many directories — there is no single atomic
-    publish), so a crash inside the append→marker window can duplicate
-    that one batch; readers needing stronger guarantees belong on a
-    TableStore-backed corpus with ``stream_upsert``'s atomic markers.
-    Returns the StreamingQuery."""
+    drops a marker file (md5 of ``<stream_id>:<batch_id>`` — filename-
+    safe everywhere) under ``<index>/_markers``; re-deliveries are
+    skipped. The marker is written AFTER the append (the lists span
+    many directories — there is no single atomic publish), so a crash
+    inside the append→marker window can duplicate that one batch;
+    readers needing stronger guarantees belong on a TableStore-backed
+    corpus with ``stream_upsert``'s atomic markers.
+
+    WARNING — markers key DELIVERY identity, not content: batch k means
+    "whatever the checkpoint assigned to trigger k". Within ONE
+    checkpoint that mapping is stable (Spark's replay contract). If you
+    PIN ``stream_id`` and later re-create the checkpoint, the new
+    incarnation may assign different files to the same batch ids, and a
+    marker hit would then SKIP data that was never ingested. Leave
+    ``stream_id`` defaulted (checkpoint-derived) unless your landing
+    directory is append-only and listed deterministically. Returns the
+    StreamingQuery."""
+    import hashlib
     import os
 
     from opentick_spark.operators.similarity import ivf_index_append
@@ -334,7 +349,10 @@ def stream_ivf_append(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(marker_dir, f"{sid}:{batch_id}")
+        marker = os.path.join(
+            marker_dir,
+            hashlib.md5(f"{sid}:{batch_id}".encode()).hexdigest(),
+        )
         if os.path.exists(marker):
             return  # re-delivered batch: vectors already in the lists
         if not batch_df.isEmpty():

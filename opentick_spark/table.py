@@ -85,6 +85,9 @@ class TableStore:
         self.log_path = os.path.join(self.data_path, "log")
         self.base_path = os.path.join(self.data_path, "base")
         self._lock = threading.RLock()
+        # per-commit-dir applied-marker memo (dirs are immutable once
+        # published; see _log_markers)
+        self._marker_dir_cache: dict = {}
         # recovery BEFORE the makedirs below: a compaction killed
         # mid-swap leaves base missing, and exist_ok=True would
         # otherwise silently "heal" it into an EMPTY base — presenting
@@ -288,19 +291,35 @@ class TableStore:
     def _log_markers(self) -> set:
         """Markers present in live log commit dirs — the source of
         truth for the crash window between a commit's publish and its
-        meta-cache update (the sidecar is atomic with the data)."""
+        meta-cache update (the sidecar is atomic with the data).
+
+        Published commit dirs are IMMUTABLE (seq reuse fails loudly at
+        publish), so each dir's sidecar answer is memoized in-process:
+        a streaming sink's per-batch miss-path probe costs only the
+        commits that appeared since the last call, not O(all commits)
+        — amortized O(1) per commit over a stream run (r10 review
+        fix). Stale entries for GC'd dirs are harmless: compaction
+        folds their markers into meta before removing them."""
         out = set()
         try:
             entries = os.listdir(self.log_path)
         except FileNotFoundError:
             return out
+        cache = self._marker_dir_cache
         for e in entries:
+            if e in cache:
+                if cache[e] is not None:
+                    out.add(cache[e])
+                continue
             p = os.path.join(self.log_path, e, "_applied_marker.json")
             try:
                 with open(p) as f:
-                    out.add(json.load(f)["marker"])
+                    marker = json.load(f)["marker"]
             except (FileNotFoundError, NotADirectoryError):
-                continue
+                marker = None
+            cache[e] = marker
+            if marker is not None:
+                out.add(marker)
         return out
 
     def _cache_applied_marker(self, marker: str) -> None:
@@ -709,6 +728,16 @@ class TableStore:
         missing = [c for c in pk if c not in source.columns]
         if missing:
             raise ValueError(f"merge_into source is missing columns: {missing}")
+        if when_matched is None and when_not_matched is None:
+            return  # no-op clause combo: don't even run the bounds job
+        # pin the (delta-sized) source: the bounds aggregate and the
+        # join must see the SAME rows — a non-deterministic source
+        # (sample/rand/unordered limit) re-evaluated per job could
+        # otherwise produce join rows outside the collected lead range
+        # and misroute matched rows to the insert branch (r10 review
+        # fix). Net cost is zero: the pin replaces what would be a
+        # second full source evaluation.
+        source = source.localCheckpoint(eager=True)
         # matched-ness scan, pruned to the source's leading-PK range
         scan = self._merge_scan(spark, source, pk[0])
         # sparse update preserves target values: carry the omitted

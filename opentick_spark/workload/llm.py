@@ -4268,10 +4268,14 @@ _ANN_PLANTED_ORACLE = """
 """
 
 
-#: per-(session, sf_dir) memo of the checkpointed planted corpus — three
-#: registry rows (ann_recall_planted + the two persisted-IVF rows)
-#: consume the identical tiny frame; rebuilding+re-checkpointing it per
-#: row was measurable in the bench (r10, VERDICT r9 item 6)
+#: per-(session, sf_dir) memo of the planted corpus as DRIVER-LOCAL
+#: Arrow data — four registry rows (ann_recall_planted + the IVF rows)
+#: consume the identical tiny frame (N×16 floats); rebuilding it per
+#: row was measurable in the bench (r10, VERDICT r9 item 6). The memo
+#: holds collected rows, NOT a localCheckpoint'd DataFrame: checkpoint
+#: blocks live on executors and a lost executor would poison every
+#: later consumer for the session (r10 review fix) — a local relation
+#: re-ships ~1 MB per job and can never go stale.
 _PLANTED_CORPUS_CACHE: dict = {}
 
 
@@ -4282,16 +4286,20 @@ def _planted_ann_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.01(r+1) for the 7 lowest ids per stripe, 3.0 for the rest); twin
     stripes are identically 0.92·e_{s-8} + 0.392·e_s.
 
-    Returns an eagerly checkpointed frame, memoized per (Spark
-    application, sf_dir): the plan is a window function over the
-    embeddings ids, the result is N×16 floats — consumers share one
-    materialization instead of each paying the build."""
-    from pyspark.sql import Window
-
+    Memoized per (Spark application, sf_dir) as collected rows; every
+    call returns a fresh local-relation DataFrame over them."""
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _PLANTED_CORPUS_CACHE.get(key)
-    if got is not None:
-        return got
+    if got is None:
+        got = _build_planted_ann_corpus(spark, sf_dir).collect()
+        _PLANTED_CORPUS_CACHE[key] = got
+    return spark.createDataFrame(
+        got, "vec_id long, embedding array<float>"
+    )
+
+
+def _build_planted_ann_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
 
     ids = load(spark, sf_dir, "embeddings").select("vec_id")
     w = Window.partitionBy(F.col("vec_id") % 16).orderBy("vec_id")
@@ -4310,8 +4318,7 @@ def _planted_ann_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
               END AS FLOAT))
             """
         ).alias("embedding"),
-    ).localCheckpoint(eager=True)
-    _PLANTED_CORPUS_CACHE[key] = out
+    )
     return out
 
 

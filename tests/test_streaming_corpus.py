@@ -317,7 +317,10 @@ def test_stream_replay_skips_applied_batches(spark, engine, tmp_path):
     SAME stream identity is skipped entirely (zero new commits), so a
     concurrent writer's update between the original run and the replay
     SURVIVES — previously the replay re-appended under a new seq and
-    latest-wins regressed the row."""
+    latest-wins regressed the row. (The pinned stream_id + fresh
+    checkpoint shape is valid here because the landing dir is
+    append-only and single-shard — the deterministic-re-listing
+    precondition the docstrings require.)"""
     src = tmp_path / "src"
     src.mkdir()
     _write_zst_shard(
@@ -368,7 +371,10 @@ def test_stream_ivf_append_replay_guard(spark, tmp_path):
     """stream_ivf_append: shard tail grows a persisted IVF index across
     micro-batches; a re-delivered batch (same stream identity, fresh
     checkpoint) is marker-skipped so the lists hold NO duplicate
-    vectors; incremental tail picks up only new shards."""
+    vectors; incremental tail picks up only new shards. (Pinning
+    stream_id across checkpoints is valid here only because the
+    landing dir is append-only with stable mtimes — the deterministic
+    re-listing precondition the docstring requires.)"""
     from pyspark.sql import functions as F
 
     from opentick_spark.operators.similarity import build_ivf_index
