@@ -312,6 +312,29 @@ def bench_wire_roundtrip(spark, protocol: str = "json"):
     return t_ingest, t_scan, t_scan_warm
 
 
+def _calibration(spark) -> dict:
+    """Fixed-work box-speed probes, printed with every artifact so
+    cross-round comparisons can separate code changes from host drift
+    (r10: three full reruns landed 20-50% above the r9 artifact with
+    UNTOUCHED rows elevated too — an interleaved r9-code A/B control
+    proved VM drift; this bakes that control into every run):
+    - calib_py_ms: fixed pure-Python loop (single core, no JVM/BLAS)
+    - calib_spark_ms: fixed 10M-row shuffle+agg (JVM, all cores)
+    Compare row_time/calib across rounds, not raw seconds."""
+    t0 = time.time()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i ^ (i >> 3)
+    py_ms = round((time.time() - t0) * 1000, 1)
+    t0 = time.time()
+    spark.range(10_000_000).selectExpr("id % 9973 AS k").groupBy(
+        "k"
+    ).count().write.mode("overwrite").format("noop").save()
+    spark_ms = round((time.time() - t0) * 1000, 1)
+    del acc
+    return {"calib_py_ms": py_ms, "calib_spark_ms": spark_ms}
+
+
 def main():
     from opentick_spark.session import get_spark
     from opentick_spark.workload import ALL_QUERIES as QUERIES
@@ -328,6 +351,7 @@ def main():
     materialize(warm.orderBy("k").limit(10))
     materialize(spark.read.parquet(f"{SF_DIR}/nation.parquet"))
     tick_engine(spark, SF_DIR)
+    calib_start = _calibration(spark)
     # compile the minhash plan shape once on a 64-doc sample: the 96-min
     # hash-agg + banding-join codegen is a per-session janino constant
     # (~2s), not a per-query cost — steady-state throughput is the
@@ -558,6 +582,12 @@ def main():
                 "metric": "rep_evidence",
                 "rep_spreads": REP_SPREADS,
                 "rep_gc_ms": REP_GC_MS,
+                # box-speed probes at suite start AND end: divide row
+                # times by these before comparing across rounds
+                "calibration": {
+                    "start": calib_start,
+                    "end": _calibration(spark),
+                },
             },
             separators=(",", ":"),
         )
