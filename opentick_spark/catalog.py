@@ -43,6 +43,11 @@ class TableSchema:
     db: str
     name: str
     columns: list[ColumnDef] = field(default_factory=list)
+    #: physical storage names of DROPPED columns (r10): old data files
+    #: still carry them, so add_column must never hand a new column a
+    #: retired physical — the explicit-schema read would resurrect the
+    #: dropped values instead of NULL-backfilling
+    retired_physicals: list[str] = field(default_factory=list)
 
     @property
     def key_columns(self) -> list[ColumnDef]:
@@ -81,6 +86,7 @@ class TableSchema:
                 }
                 for c in self.columns
             ],
+            "retired_physicals": list(self.retired_physicals),
         }
 
     @staticmethod
@@ -89,6 +95,7 @@ class TableSchema:
             db=d["db"],
             name=d["name"],
             columns=[ColumnDef(**c) for c in d["columns"]],
+            retired_physicals=list(d.get("retired_physicals", [])),
         )
 
 
@@ -256,7 +263,10 @@ class Catalog:
             raise OpentickError(f"Table {db}.{new} already exists")
         with self._lock:
             schema = self.get_schema(db, old)
-            schema = TableSchema(db=db, name=new, columns=schema.columns)
+            schema = TableSchema(
+                db=db, name=new, columns=schema.columns,
+                retired_physicals=schema.retired_physicals,
+            )
             os.rename(old_path, new_path)
             self._write_schema(schema)
             self._cache.pop((db, old), None)
@@ -283,7 +293,10 @@ class Catalog:
                 )
                 for c in schema.columns
             ]
-            schema = TableSchema(db=db, name=table, columns=cols)
+            schema = TableSchema(
+                db=db, name=table, columns=cols,
+                retired_physicals=schema.retired_physicals,
+            )
             self._write_schema(schema)
             self._cache[(db, table)] = schema
 
@@ -304,7 +317,9 @@ class Catalog:
             if schema.col(name) is not None:
                 raise OpentickError(f"Column {name} already exists")
             t = parse_type_name(type_name)
-            taken = {c.physical for c in schema.columns}
+            taken = {c.physical for c in schema.columns} | set(
+                schema.retired_physicals
+            )
             physical = name
             n = 2
             while physical in taken:
@@ -321,7 +336,59 @@ class Catalog:
                     physical=physical,
                 )
             ]
-            schema = TableSchema(db=db, name=table, columns=cols)
+            schema = TableSchema(
+                db=db, name=table, columns=cols,
+                retired_physicals=schema.retired_physicals,
+            )
+            self._write_schema(schema)
+            self._cache[(db, table)] = schema
+
+    def drop_column(self, db: str, table: str, name: str) -> None:
+        """Schema evolution (extension, r10): drop a VALUE column.
+        Schema-only — no data rewrite: reads stop selecting the
+        physical column, existing files keep carrying it until the
+        next compaction rewrites the base with the current schema. The
+        dropped column's PHYSICAL name is retired permanently
+        (``retired_physicals``): re-adding the same logical name mints
+        a fresh physical, so old values can never resurrect through
+        the explicit-schema read (the r8 rename+re-add latent-bug
+        class, closed the same way). PK columns cannot be dropped (row
+        identity is immutable). Remaining columns are renumbered
+        compactly, preserving relative declaration order."""
+        with self._lock:
+            schema = self.get_schema(db, table)
+            col = schema.col(name)
+            if col is None:
+                raise OpentickError(f"Undefined column name {name}")
+            if col.is_key:
+                raise OpentickError(
+                    f"Cannot drop primary key column {name}"
+                )
+            kept = sorted(
+                (c for c in schema.columns if c.name != name),
+                key=lambda c: c.pos_col,
+            )
+            cols = []
+            n_val = 0
+            for pos, c in enumerate(kept):
+                key_pos = c.key_pos if c.is_key else n_val
+                if not c.is_key:
+                    n_val += 1
+                cols.append(
+                    ColumnDef(
+                        name=c.name,
+                        type=c.type,
+                        is_key=c.is_key,
+                        key_pos=key_pos,
+                        pos_col=pos,
+                        physical=c.physical,
+                    )
+                )
+            schema = TableSchema(
+                db=db, name=table, columns=cols,
+                retired_physicals=list(schema.retired_physicals)
+                + [col.physical],
+            )
             self._write_schema(schema)
             self._cache[(db, table)] = schema
 

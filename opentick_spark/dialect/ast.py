@@ -97,3 +97,9 @@ class AddColumn:
     table: TableName
     name: str
     type: str
+
+
+@dataclass
+class DropColumn:
+    table: TableName
+    name: str

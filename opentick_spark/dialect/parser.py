@@ -281,6 +281,9 @@ class _Parser:
                 )
             self.next()
             return ast.AddColumn(table=table, name=name, type=t.value.lower())
+        if self.accept("KW", "DROP"):  # extension: schema evolution (r10)
+            self.expect("KW", "COLUMN")
+            return ast.DropColumn(table=table, name=self.ident())
         self.expect("KW", "RENAME")
         if self.accept("KW", "COLUMN"):
             old = self.ident()

@@ -286,6 +286,12 @@ class Engine:
             # cached stores carry the pre-evolution schema snapshot
             self._stores.pop((db, node.table.name), None)
             return None
+        if isinstance(node, ast.DropColumn):
+            db = self._db_of(node.table)
+            require_perm(self.user, db, node.table.name, WRITE_PERM)
+            self.catalog.drop_column(db, node.table.name, node.name)
+            self._stores.pop((db, node.table.name), None)
+            return None
         return self._run_resolved(self._resolve(node), args)
 
     def _require_admin(self) -> None:

@@ -1181,3 +1181,54 @@ def test_add_column_schema_evolution(kv):
     assert kv.execute_rows("select w, v, tag from ev where k=1") == [
         (9.5, 9, "up"),
     ]
+
+
+def test_drop_column_schema_evolution(kv):
+    """r10 ALTER TABLE DROP COLUMN (extension): schema-only drop, PK
+    columns protected, and — the load-bearing part — a re-added column
+    of the same name NEVER resurrects the dropped values (the physical
+    name is retired; old files keep carrying it but reads mint NULLs),
+    including through rename chains and compaction."""
+    spark = kv.spark
+    kv.execute("create table dc(k int, v double, tag text, primary key(k))")
+    pid = kv.prepare("insert into dc(k, v, tag) values(?, ?, ?)")
+    kv.batch_insert(pid, [(i, float(i) * 10, f"t{i}") for i in range(3)])
+
+    kv.execute("alter table dc drop column tag")
+    assert kv.execute_rows("select k, v from dc where k=1") == [(1, 10.0)]
+    with pytest.raises(OpentickError):
+        kv.execute("select tag from dc")
+    with pytest.raises(OpentickError):
+        kv.execute("insert into dc(k, v, tag) values(9, 9.0, 'x')")
+    with pytest.raises(OpentickError, match="primary key"):
+        kv.execute("alter table dc drop column k")
+    with pytest.raises(OpentickError, match="Undefined column"):
+        kv.execute("alter table dc drop column nope")
+
+    # re-add the same name: fresh physical, NO resurrection of t0..t2
+    kv.execute("alter table dc add column tag text")
+    assert sorted(kv.execute_rows("select k, tag from dc")) == [
+        (0, None), (1, None), (2, None),
+    ]
+    kv.execute("insert into dc(k, v, tag) values(3, 30.0, 'new')")
+    assert kv.execute_rows("select tag from dc where k=3") == [("new",)]
+
+    # rename-then-drop retires the CREATION physical: rename v->w, drop
+    # w, re-add v -- the new v must not read the old v-physical values
+    kv.execute("alter table dc rename column v to w")
+    kv.execute("alter table dc drop column w")
+    kv.execute("alter table dc add column v double")
+    assert sorted(kv.execute_rows("select k, v from dc")) == [
+        (0, None), (1, None), (2, None), (3, None),
+    ]
+
+    # the evolved schema survives compaction (dropped physicals shed)
+    st = kv.store("d", "dc")
+    st.compact(spark)
+    assert sorted(kv.execute_rows("select k, v, tag from dc")) == [
+        (0, None, None), (1, None, None), (2, None, None),
+        (3, None, "new"),
+    ]
+    # post-compact writes land normally
+    kv.execute("insert into dc(k, v, tag) values(0, 0.5, 'z')")
+    assert kv.execute_rows("select v, tag from dc where k=0") == [(0.5, "z")]
