@@ -322,6 +322,52 @@ def log_diff_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "drop_evolution_state",
+    """
+    SELECT * FROM (VALUES
+      (1, 10.0, CAST(NULL AS VARCHAR)),
+      (2, 220.0, CAST(NULL AS VARCHAR)),
+      (3, 30.0, 'n3'),
+      (4, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR))
+    ) AS t(k, v, tag)
+    """,
+)
+def drop_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE DROP COLUMN lifecycle (r10): base k=1..3 with
+    (v=10k, tag 't<k>'); DROP tag — then a merge updates {2} and
+    inserts {4} on the narrowed schema; RE-ADD tag (fresh physical —
+    the old 't1'..'t3' values must NOT resurrect) and a sparse merge
+    sets tag only for {3} (v=30 preserved); compact (sheds the retired
+    physical from the base) and verify the closed form end-to-end:
+    every tag except k=3's post-re-add write is NULL."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_dropev_"))
+    eng.execute("create database de")
+    eng.use("de")
+    eng.execute(
+        "create table t(k int, v double, tag text, primary key(k))"
+    )
+    pid = eng.prepare("insert into t(k, v, tag) values(?, ?, ?)")
+    eng.batch_insert(pid, [(i, float(i) * 10, f"t{i}") for i in range(1, 4)])
+    eng.execute("alter table t drop column tag")
+    st = eng.store("de", "t")
+    st.merge_into(
+        spark,
+        spark.createDataFrame([(2, 220.0), (4, None)], "k int, v double"),
+    )
+    eng.execute("alter table t add column tag text")
+    st = eng.store("de", "t")  # re-resolve the evolved schema
+    st.merge_into(
+        spark, spark.createDataFrame([(3, "n3")], "k int, tag string")
+    )
+    st.compact(spark)
+    return eng.execute("select k, v, tag from t").select(
+        F.col("k").cast("int").alias("k"),
+        F.col("v").cast("double").alias("v"),
+        "tag",
+    )
+
+
+@q(
     "merge_sparse_preserve",
     """
     SELECT * FROM (VALUES
