@@ -997,15 +997,18 @@ def ivf_index_append(
         .filter(F.col("__rk") == 1)
         .select("neighbor_id", "cv", "centroid_id")
     )
-    # pin the routed delta: the count and the write must not each pay
-    # the broadcast-routing join (the streaming sink calls this per
-    # micro-batch — double evaluation doubled the hot path, r10 review)
-    delta = delta.localCheckpoint(eager=True)
-    n = delta.count()
-    delta.write.mode("append").partitionBy("centroid_id").parquet(
-        f"{path}/lists"
-    )
-    return n
+    # observe() counts DURING the single write pass: the count and the
+    # write must not each pay the broadcast-routing join (the streaming
+    # sink calls this per micro-batch — double evaluation doubled the
+    # hot path), and unlike an eager localCheckpoint nothing is pinned
+    # to executor storage for the large-append case (r10 review)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    delta.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(f"{path}/lists")
+    return int(obs.get["n"])
 
 
 def _jl_sign_matrix(in_dim: int, out_dim: int) -> "np.ndarray":

@@ -8,15 +8,19 @@ sidecar inside the commit directory, atomic with the data) and checks
 crash between the sink and the checkpoint write is therefore SKIPPED
 instead of re-appended — no duplicate commit, so a replay can no longer
 regress rows a CONCURRENT writer updated in between (the r9 ADVICE
-hazard). ``stream_id`` defaults to a hash of the checkpoint path: the
-same checkpoint re-delivers byte-identical batches (Spark's replay
-contract), while a FRESH checkpoint gets a fresh stream identity — its
-re-deliveries carry no such guarantee and fall back to plain
+hazard). ``stream_id`` defaults to a per-INCARNATION identity stored
+inside the checkpoint directory (``_default_stream_id``): the same
+checkpoint re-delivers byte-identical batches (Spark's replay
+contract), while a fresh OR re-created checkpoint — even at the same
+path — gets a fresh identity, and its re-deliveries fall back to plain
 latest-wins upserts. Markers key DELIVERY identity, not content:
 pinning ``stream_id`` across checkpoint re-creations extends the skip
 guarantee ONLY when the landing directory is append-only and listed
 deterministically — otherwise a marker hit could skip a batch whose
-files were never the ones originally applied. Default = safe.
+files were never the ones originally applied — and only within the
+marker-cache horizon (the last ``TableStore._MARKER_CACHE_CAP`` = 4096
+marked commits survive compaction of their commit dirs). Default =
+safe.
 
 The reference's "streaming" is clients firing async inserts and atomic
 batches at a TCP server (test.py:44-61); semantically that is a firehose
@@ -135,16 +139,33 @@ def stream_upsert(
 
 
 def _default_stream_id(checkpoint_dir: str) -> str:
-    """Stable per-checkpoint stream identity for applied markers: the
-    same checkpoint re-delivers byte-identical batches (Spark's replay
-    contract), so marker-keyed skips are safe exactly within one
-    checkpoint's lifetime. A fresh checkpoint gets a fresh identity."""
-    import hashlib
+    """Stream identity for applied markers = the checkpoint
+    INCARNATION, not its path: a ``_otspark_stream_id`` file inside
+    the checkpoint directory is created on first use and read back on
+    resume. The same checkpoint re-delivers byte-identical batches
+    (Spark's replay contract), so marker-keyed skips are safe exactly
+    within one incarnation — and deleting/recreating the checkpoint at
+    the SAME path (a routine ops reset) mints a fresh identity, so
+    stale markers from the previous incarnation can never skip batches
+    that were never ingested (r10 review fix; a path-derived id had
+    exactly that hazard). Spark ignores foreign files at the
+    checkpoint root."""
     import os as _os
+    import uuid as _uuid
 
-    return hashlib.md5(
-        _os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:16]
+    _os.makedirs(checkpoint_dir, exist_ok=True)
+    p = _os.path.join(checkpoint_dir, "_otspark_stream_id")
+    try:
+        with open(p) as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        pass
+    sid = _uuid.uuid4().hex[:16]
+    tmp = f"{p}.{_uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        f.write(sid)
+    _os.replace(tmp, p)
+    return sid
 
 
 #: binaryFile's fixed schema — streaming sources demand an explicit
@@ -196,10 +217,12 @@ def stream_corpus_ingest(
     checkpoint can no longer produce a duplicate commit — concurrent
     writers' interleaved updates survive the replay (the r9 ADVICE
     hazard is closed). The quarantine stays batch-id-keyed overwrite
-    (idempotent by construction). ``stream_id`` defaults to a hash of
-    the checkpoint path; pin it explicitly to extend the skip guarantee
-    across checkpoint re-creations IF the source re-lists batches
-    deterministically."""
+    (idempotent by construction). ``stream_id`` defaults to the
+    checkpoint's incarnation identity (see ``_default_stream_id`` —
+    a re-created checkpoint gets a fresh one); pin it explicitly to
+    extend the skip guarantee across checkpoint re-creations ONLY if
+    the source re-lists batches deterministically (see the module
+    docstring for the horizon caveat)."""
     files = (
         spark.readStream.format("binaryFile")
         .schema(_BINARYFILE_SCHEMA)

@@ -208,14 +208,12 @@ class TableStore:
 
             def _roll_forward() -> None:
                 # new base fully installed, old base disposed (or moved
-                # to trash): finish the log GC + meta commit the
-                # compactor would have done
-                for entry in intent["consumed_log"]:
-                    p = os.path.join(self.log_path, entry)
-                    if os.path.isdir(p):
-                        shutil.rmtree(p)
-                    elif os.path.exists(p):
-                        os.remove(p)
+                # to trash): finish the meta commit + log GC the
+                # compactor would have done. Meta FIRST (same ordering
+                # as compact(), r10): the folded markers must be
+                # durable before the sidecar-bearing dirs vanish, or a
+                # lock-free has_applied_marker racing this window finds
+                # the marker nowhere and a replayed batch re-applies.
                 meta = self._meta()
                 meta["seq"] = intent["seq"]
                 meta["compacted"] = True
@@ -229,6 +227,12 @@ class TableStore:
                     cache.extend(m for m in folded if m not in cache)
                     meta["applied_markers"] = cache[-self._MARKER_CACHE_CAP:]
                 self._write_meta(meta)
+                for entry in intent["consumed_log"]:
+                    p = os.path.join(self.log_path, entry)
+                    if os.path.isdir(p):
+                        shutil.rmtree(p)
+                    elif os.path.exists(p):
+                        os.remove(p)
                 os.remove(intent_p)
 
             if os.path.isdir(stash):
@@ -285,7 +289,12 @@ class TableStore:
     #: FIFO cap on the meta marker cache — far above any realistic
     #: replay horizon (a checkpoint only ever re-delivers the last
     #: uncommitted batches); older markers age out of the cache but a
-    #: batch that old cannot be re-delivered by the same checkpoint
+    #: batch that old cannot be re-delivered by the same checkpoint.
+    #: NOTE: callers pinning a stream_id across checkpoint
+    #: re-creations (streaming/ingest module docstring) get the skip
+    #: guarantee only within this horizon once compaction has GC'd the
+    #: sidecar-bearing commit dirs — raise the cap for that deployment
+    #: shape if its source re-lists from batch 0
     _MARKER_CACHE_CAP = 4096
 
     def _log_markers(self) -> set:
@@ -979,12 +988,12 @@ class TableStore:
         trash = os.path.join(self.path, f"compact-trash-{uuid.uuid4().hex}")
         os.rename(stash, trash)
         shutil.rmtree(trash)
-        for entry in consumed_log:
-            p = os.path.join(self.log_path, entry)
-            if os.path.isdir(p):
-                shutil.rmtree(p)
-            elif os.path.exists(p):
-                os.remove(p)
+        # meta (incl. the folded applied markers) is written BEFORE the
+        # log GC: a lock-free has_applied_marker racing this window must
+        # find a marker in meta OR a live sidecar — GC-first left a gap
+        # where it was in neither and a replayed batch re-applied (r10
+        # review fix). Redundant listing (meta says compacted, log dirs
+        # still present) is consistent either way: latest-wins resolves.
         meta["seq"] = seq
         meta["compacted"] = True
         meta["hash_buckets"] = hash_buckets
@@ -994,6 +1003,12 @@ class TableStore:
             cache.extend(m for m in consumed_markers if m not in cache)
             meta["applied_markers"] = cache[-self._MARKER_CACHE_CAP:]
         self._write_meta(meta)
+        for entry in consumed_log:
+            p = os.path.join(self.log_path, entry)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            elif os.path.exists(p):
+                os.remove(p)
         os.remove(intent_p)
 
     def current_seq(self) -> int:

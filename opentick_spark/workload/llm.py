@@ -4367,7 +4367,7 @@ def ann_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the four method plans each consume corpus/queries/exact several
     # times; cut the shared window-function lineage once (tiny frames:
     # N×16 floats and 80 id pairs)
-    corpus = _planted_ann_corpus(spark, sf_dir)  # memoized checkpoint
+    corpus = _planted_ann_corpus(spark, sf_dir)  # memoized local relation
     queries = _planted_ann_queries(spark)
     exact = (
         S.brute_force_topk(corpus, queries, k=10)
@@ -4468,7 +4468,7 @@ def sim_topk_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     same vec_id window arithmetic as ``sim_topk_ivf_indexed``."""
     import tempfile
 
-    corpus = _planted_ann_corpus(spark, sf_dir)  # memoized checkpoint
+    corpus = _planted_ann_corpus(spark, sf_dir)  # memoized local relation
     path = tempfile.mkdtemp(prefix="otspark_ivfapp_")
     S.build_ivf_index(
         corpus.filter(F.col("vec_id") % 2 == 0), path, ncentroids=16
@@ -4499,7 +4499,7 @@ def streaming_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     this oracle's exact top-10). Querying the grown index at nprobe=2
     must return EXACTLY the full-corpus closed form, the same vec_id
     window arithmetic as the batch twins."""
-    corpus = _planted_ann_corpus(spark, sf_dir)  # memoized checkpoint
+    corpus = _planted_ann_corpus(spark, sf_dir)  # memoized local relation
     path = tempfile.mkdtemp(prefix="otspark_sivf_")
     S.build_ivf_index(
         corpus.filter(F.col("vec_id") % 2 == 0), path, ncentroids=16
@@ -4571,7 +4571,7 @@ def sim_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank contract doesn't already pin)."""
     import tempfile
 
-    corpus = _planted_ann_corpus(spark, sf_dir)  # memoized checkpoint
+    corpus = _planted_ann_corpus(spark, sf_dir)  # memoized local relation
     path = tempfile.mkdtemp(prefix="otspark_ivfidx_")
     S.build_ivf_index(corpus, path, ncentroids=16)
     out = S.ivf_topk_indexed(

@@ -2,7 +2,7 @@
 throughput at 5k docs (sf0.1 parity) vs 50k docs, with SHARD SIZE HELD
 CONSTANT (~625 docs/shard — real corpora grow by adding shards, not by
 fattening them), so the 10x run executes 10x the micro-batches
-(maxFilesPerTrigger=8 → 1 vs 7 triggers). What scales linearly is the
+(maxFilesPerTrigger=8 over 8 vs 80 shards → 1 vs 10 triggers). What scales linearly is the
 decode+commit work; what must NOT blow up is the per-batch fixed cost
 (marker check + atomic commit + quarantine write) and the final
 latest-wins read over 10x the commits.
