@@ -547,8 +547,6 @@ def main():
     # synthesized in-plan from doc_id (40 base patterns + a few flipped
     # bits — the image_neardup corpus shape without the codec cost, so
     # this row isolates the blocking join, not PNG encode/decode).
-    from pyspark.sql import functions as F
-
     from opentick_spark.operators.dedup import hamming_blocked_star_edges
 
     star_sigs = (

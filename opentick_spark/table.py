@@ -320,12 +320,25 @@ class TableStore:
                 if cache[e] is not None:
                     out.add(cache[e])
                 continue
-            p = os.path.join(self.log_path, e, "_applied_marker.json")
-            try:
-                with open(p) as f:
-                    marker = json.load(f)["marker"]
-            except (FileNotFoundError, NotADirectoryError):
-                marker = None
+            marker = None
+            full = os.path.join(self.log_path, e)
+            if e.endswith(".parquet"):
+                # file commit (append_rows): marker lives in the
+                # parquet footer metadata — one footer read, memoized
+                try:
+                    md = pq.read_schema(full).metadata or {}
+                    raw = md.get(b"otspark_applied_marker")
+                    marker = raw.decode() if raw is not None else None
+                except (FileNotFoundError, OSError):
+                    marker = None
+            else:
+                try:
+                    with open(
+                        os.path.join(full, "_applied_marker.json")
+                    ) as f:
+                        marker = json.load(f)["marker"]
+                except (FileNotFoundError, NotADirectoryError):
+                    marker = None
             cache[e] = marker
             if marker is not None:
                 out.add(marker)
@@ -386,7 +399,10 @@ class TableStore:
     # ------------------------------------------------------------------
     # write path (Arrow — storage-level, not query compute)
     def append_rows(
-        self, rows: Iterable[dict[str, Any]], delete: bool = False
+        self,
+        rows: Iterable[dict[str, Any]],
+        delete: bool = False,
+        applied_marker: str | None = None,
     ) -> int:
         """Atomically append one commit containing ``rows``.
 
@@ -395,6 +411,14 @@ class TableStore:
         columns are stored as NULL (sparse rows, query.go:150-152). Within a
         commit, later rows win on PK collision (sequential tr.Set order) —
         guaranteed by a per-row sub-sequence.
+
+        ``applied_marker`` (r10): idempotency token recorded in the
+        commit file's parquet FOOTER metadata — atomic with the data
+        like ``append_dataframe``'s sidecar (file commits have no
+        directory to put a sidecar in; readers ignore custom key-value
+        metadata). Lets a wire client or dialect batch retry be
+        deduplicated with ``has_applied_marker`` exactly like a
+        streaming micro-batch.
         """
         rows = list(rows)
         if not rows:
@@ -419,6 +443,10 @@ class TableStore:
         arrays.append(pa.array(list(range(n)), type=pa.int64()))
         arrays.append(pa.array([delete] * n, type=pa.bool_()))
         tbl = pa.Table.from_arrays(arrays, schema=arrow)
+        if applied_marker is not None:
+            meta = dict(tbl.schema.metadata or {})
+            meta[b"otspark_applied_marker"] = applied_marker.encode()
+            tbl = tbl.replace_schema_metadata(meta)
         fname = os.path.join(self.log_path, f"commit-{seq:012d}.parquet")
         # stage OUTSIDE log/ (like append_dataframe): a tmp inside log/
         # can be LISTED by a concurrent reader and renamed away before
@@ -429,6 +457,8 @@ class TableStore:
         )
         pq.write_table(tbl, tmp)
         self._publish(tmp, fname)  # atomic + loud on seq collision
+        if applied_marker is not None:
+            self._cache_applied_marker(applied_marker)
         return n
 
     def append_dataframe(

@@ -532,3 +532,81 @@ def test_missing_file_reads_fail_loudly_not_silently(spark):
     os.remove(_glob.glob(d + "/t/*.parquet")[0])
     with pytest.raises(Exception, match="FILE_NOT_EXIST|does not exist"):
         df.count()  # stale plan -> loud failure, not fewer rows
+
+
+@pytest.mark.skipif(fcntl is None, reason="no fcntl on this platform")
+def test_marker_visibility_across_processes_and_compactions(spark, tmp_path):
+    """r10 applied-marker drill, three REAL processes: two writers
+    append marker-stamped file commits (footer-metadata markers, pure
+    Arrow), a lock-free poller loops has_applied_marker over every
+    confirmed marker, and THIS process compacts in a loop the whole
+    time. The contract: once a marked commit has published, the marker
+    is visible FOREVER — through the meta cache, the live sidecar/
+    footer scan, and compaction's intent-carried fold (meta written
+    BEFORE the log GC; the reversed order left a window where a marker
+    was in neither place and a replayed batch re-applied)."""
+    import time as _t
+
+    from opentick_spark.engine import Engine
+
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, wh)
+    eng.execute("create database mk")
+    eng.use("mk")
+    eng.execute("create table t(a int, v int, primary key(a))")
+    store = eng.store("mk", "t")
+
+    confirmed = str(tmp_path / "confirmed.txt")
+    stop = str(tmp_path / "stop")
+    errs = [str(tmp_path / f"p{i}.err") for i in range(3)]
+    n_per_writer = 40
+    with contextlib.ExitStack() as stack:
+        writers = [
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(REPO, "tests", "_mp_marker_writer.py"),
+                    wh, "mk", "t", str(w), str(n_per_writer), confirmed,
+                ],
+                stdout=subprocess.PIPE,
+                stderr=stack.enter_context(open(errs[w], "w")),
+                text=True,
+            )
+            for w in range(2)
+        ]
+        poller = subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(REPO, "tests", "_mp_marker_poller.py"),
+                wh, "mk", "t", confirmed, stop,
+            ],
+            stdout=subprocess.PIPE,
+            stderr=stack.enter_context(open(errs[2], "w")),
+            text=True,
+        )
+        n_compacts = 0
+        while any(p.poll() is None for p in writers):
+            store.compact(spark, target_partitions=2)
+            n_compacts += 1
+            _t.sleep(0.2)
+        store.compact(spark, target_partitions=2)  # final fold + GC
+        n_compacts += 1
+        # let the poller observe the post-compaction state, then stop it
+        _t.sleep(0.5)
+        open(stop, "w").close()
+        for w, p in enumerate(writers):
+            out, _ = p.communicate(timeout=120)
+            assert p.returncode == 0, pathlib.Path(errs[w]).read_text()[-2000:]
+            assert f"WRITER_DONE {w}" in out
+        pout, _ = poller.communicate(timeout=120)
+        assert poller.returncode == 0, pathlib.Path(errs[2]).read_text()[-2000:]
+
+    assert "VIOLATION" not in pout, pout[-2000:]
+    assert "POLLER_DONE" in pout and "violations=0" in pout, pout[-500:]
+    assert n_compacts >= 3, n_compacts  # compaction actually churned
+    # every marker visible at the end (log fully GC'd -> meta fold)
+    markers = [ln.strip() for ln in open(confirmed) if ln.strip()]
+    assert len(markers) == 2 * n_per_writer
+    assert all(store.has_applied_marker(m) for m in markers)
+    # and the data itself survived every compaction
+    assert len(eng.execute_rows("select a from t")) == 2 * n_per_writer

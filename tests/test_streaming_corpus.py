@@ -10,7 +10,6 @@ back to latest-wins resolution). Reference anchor: the insert-firehose
 semantics of client.py:44-61 / server.go:356-383, extended to
 shard-directory tailing."""
 
-import glob
 import os
 
 import pyarrow as pa
@@ -304,11 +303,22 @@ def test_applied_marker_exactly_once(spark, engine, tmp_path):
     store._write_meta(meta)
     assert store.has_applied_marker("s:0")
 
+    # file commits (append_rows) carry markers in the parquet footer —
+    # same contract, discoverable without the meta cache
+    store.append_rows([{"doc_id": 2, "lang": "de", "n_chars": 6}],
+                      applied_marker="s:f1")
+    meta = store._meta()
+    meta.pop("applied_markers", None)
+    store._write_meta(meta)
+    store._marker_dir_cache.clear()
+    assert store.has_applied_marker("s:f1")
+
     # compaction GCs the log commit dirs; the intent folds the markers
     # into meta so the answer survives
     store.compact(spark)
     assert store._log_markers() == set()
     assert store.has_applied_marker("s:0")
+    assert store.has_applied_marker("s:f1")
     assert not store.has_applied_marker("s:1")
 
 
