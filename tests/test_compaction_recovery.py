@@ -280,3 +280,38 @@ def test_engine_open_triggers_recovery(spark, table):
     got = sorted(tuple(r) for r in fresh.execute_rows("select * from t"))
     assert got == ROWS
     _assert_clean(wh)
+
+
+def test_roll_forward_folds_intent_markers(spark, table):
+    """r10: a compactor killed AFTER the base swap + log GC of the
+    marker-bearing commits but BEFORE the meta commit leaves those
+    applied markers in NEITHER meta nor any live commit — the intent
+    file carries them, and recovery's roll-forward must fold them into
+    meta so has_applied_marker keeps answering True for commits that
+    published before the crash. (A MID-SWAP crash instead ROLLS BACK,
+    and there the markers still live in the untouched log sidecars —
+    rollback correctly ignores the intent's copy.)"""
+    eng, wh = table
+    store_path = Catalog(wh).table_path("cr", "t")
+    # hand-build the roll-forward state: new base fully installed (the
+    # real base stands in), stash disposed, tmp gone, consumed log
+    # already GC'd (empty list keeps _contents() intact) — only the
+    # intent (with the marker copies) remains
+    with open(os.path.join(store_path, "compact-intent.json"), "w") as f:
+        json.dump(
+            {
+                "seq": 99,
+                "tmp": "compact-gone",
+                "hash_buckets": None,
+                "consumed_log": [],
+                "applied_markers": ["stream-x:0", "stream-x:1"],
+            },
+            f,
+        )
+    fresh = TableStore(Catalog(wh), "cr", "t")  # open -> recovery
+    assert fresh.has_applied_marker("stream-x:0")
+    assert fresh.has_applied_marker("stream-x:1")
+    assert not fresh.has_applied_marker("stream-x:2")
+    assert fresh._meta()["seq"] == 99  # roll-forward finished the meta
+    assert _contents(spark, wh) == ROWS
+    _assert_clean(wh)
