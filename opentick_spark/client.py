@@ -227,11 +227,19 @@ class Connection:
         sql: str,
         args_array: list[tuple],
         batch_size: int | None = None,
+        idempotency_key: str | None = None,
     ) -> None:
+        """``idempotency_key`` (extension, r10): retry-safe batches —
+        resending the same batch with the same key is a no-op once the
+        original commit published. Chunked sends derive a per-chunk key
+        ``<key>#<chunk>`` so every chunk dedups independently."""
         pid = self._engine.prepare(sql)
         batch = batch_size or len(args_array) or 1
-        for i in range(0, len(args_array), batch):
-            self._engine.batch_insert(pid, args_array[i : i + batch])
+        for n, i in enumerate(range(0, len(args_array), batch)):
+            key = f"{idempotency_key}#{n}" if idempotency_key else None
+            self._engine.batch_insert(
+                pid, args_array[i : i + batch], idempotency_key=key
+            )
 
     def batch_insert_async(
         self,
@@ -561,7 +569,17 @@ class TCPConnection:
         fut.add_done_callback(chain)
         return Future(wrapped)
 
-    def batch_insert(self, sql: str, args_array: list[tuple]) -> None:
+    def batch_insert(
+        self,
+        sql: str,
+        args_array: list[tuple],
+        idempotency_key: str | None = None,
+    ) -> None:
+        """``idempotency_key`` (extension, r10, wire key "6"): a retry
+        after a timeout/auto-reconnect resends the same batch with the
+        same key and the server dedups it against the durable
+        applied-marker log — exactly-once ingest over an at-least-once
+        transport. Omitted = reference at-least-once semantics."""
         pid = self.prepare(sql)
         if self._protocol == "bson" and args_array:
             # write-side packed columns (key "3p", wire_packed.py): one
@@ -581,15 +599,15 @@ class TCPConnection:
                         f"expected {width}"
                     )
             cols = [list(c) for c in zip(*args_array)]
-            self._result(
-                self._request(
-                    {"1": "batch", "2": pid, "3p": pack_columns(cols)}
-                )
-            )
+            req = {"1": "batch", "2": pid, "3p": pack_columns(cols)}
+            if idempotency_key is not None:
+                req["6"] = idempotency_key
+            self._result(self._request(req))
             return
-        self._result(
-            self._request({"1": "batch", "2": pid, "3": [list(a) for a in args_array]})
-        )
+        req = {"1": "batch", "2": pid, "3": [list(a) for a in args_array]}
+        if idempotency_key is not None:
+            req["6"] = idempotency_key
+        self._result(self._request(req))
 
     def list_databases(self) -> list[str]:
         return self._result(self._request({"1": "meta", "2": "list_databases"}))

@@ -637,9 +637,16 @@ class Engine:
         return None
 
     # ------------------------------------------------------------------
-    def _insert_rows(self, stmt: ResolvedInsert, rows_args: list[tuple]) -> None:
+    def _insert_rows(
+        self,
+        stmt: ResolvedInsert,
+        rows_args: list[tuple],
+        applied_marker: str | None = None,
+    ) -> None:
         """Bind each arg tuple, validate/coerce, and append all rows as ONE
-        atomic commit (BatchInsert, query.go:294-307)."""
+        atomic commit (BatchInsert, query.go:294-307). ``applied_marker``
+        makes the commit idempotent: an already-applied marker skips the
+        append entirely (see ``TableStore.has_applied_marker``)."""
         out = []
         for args in rows_args:
             if stmt.n_placeholders != len(args):
@@ -660,7 +667,9 @@ class Engine:
                 row[col.name] = v
             out.append(row)
         st = self.store(stmt.schema.db, stmt.schema.name)
-        st.append_rows(out)
+        if applied_marker is not None and st.has_applied_marker(applied_marker):
+            return  # retried batch: the original commit already published
+        st.append_rows(out, applied_marker=applied_marker)
         if (
             self.auto_compact_every
             and st.commits_since_compact() >= self.auto_compact_every
@@ -669,13 +678,25 @@ class Engine:
                 self.spark, hash_buckets=st._meta().get("hash_buckets")
             )
 
-    def batch_insert(self, sql_or_id: str | int, rows_args: list[tuple]) -> None:
+    def batch_insert(
+        self,
+        sql_or_id: str | int,
+        rows_args: list[tuple],
+        idempotency_key: str | None = None,
+    ) -> None:
+        """Atomic batch insert (reference BatchInsert). ``idempotency_key``
+        (extension, r10): a client retrying after a timeout/reconnect can
+        resend the SAME batch with the same key — if the original commit
+        published, the retry is a no-op instead of a duplicate commit
+        (dedup via the applied-marker machinery, durable across
+        compaction). Keys share the marker namespace with streaming
+        sinks; use a UUID per logical batch."""
         if isinstance(sql_or_id, str):
             sql_or_id = self.prepare(sql_or_id)
         _, resolved = self._prepared[sql_or_id]
         if not isinstance(resolved, ResolvedInsert):
             raise OpentickError("Batch requires a prepared insert")
-        self._insert_rows(resolved, rows_args)
+        self._insert_rows(resolved, rows_args, applied_marker=idempotency_key)
 
     # ------------------------------------------------------------------
     # meta surface (server.go:440-499)

@@ -284,7 +284,14 @@ class _Session:
                     rows = [tuple(r) for r in zip(*cols)] if cols else []
                 else:
                     rows = [tuple(r) for r in msg.get("3") or []]
-                self.engine.batch_insert(pid, rows)
+                # optional key "6" (extension, r10): idempotency token —
+                # a client retry after timeout/reconnect resends the
+                # same batch with the same token and the server dedups
+                # it against the applied-marker log. Reference clients
+                # never send "6"; their batches keep at-least-once.
+                self.engine.batch_insert(
+                    pid, rows, idempotency_key=msg.get("6")
+                )
                 self.reply(ticket, None)
                 return
             if cmd == "use":

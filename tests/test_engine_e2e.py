@@ -1232,3 +1232,23 @@ def test_drop_column_schema_evolution(kv):
     # post-compact writes land normally
     kv.execute("insert into dc(k, v, tag) values(0, 0.5, 'z')")
     assert kv.execute_rows("select v, tag from dc where k=0") == [(0.5, "z")]
+
+
+def test_batch_insert_idempotency_key(kv):
+    """Engine-level retry-safe batches (r10): the same key dedups even
+    across compaction; distinct keys and keyless batches apply."""
+    kv.execute("create table ib(a int, v double, primary key(a))")
+    sql = "insert into ib(a, v) values(?, ?)"
+    pid = kv.prepare(sql)
+    st = kv.store("d", "ib")
+    seq0 = st.current_seq()
+    kv.batch_insert(pid, [(1, 1.0)], idempotency_key="k1")
+    kv.batch_insert(pid, [(1, 111.0)], idempotency_key="k1")  # retry: no-op
+    assert st.current_seq() == seq0 + 1
+    assert kv.execute_rows("select v from ib where a=1") == [(1.0,)]
+    st.compact(kv.spark)
+    kv.batch_insert(pid, [(1, 222.0)], idempotency_key="k1")  # still deduped
+    assert kv.execute_rows("select v from ib where a=1") == [(1.0,)]
+    kv.batch_insert(pid, [(2, 2.0)], idempotency_key="k2")
+    kv.batch_insert(pid, [(3, 3.0)])
+    assert len(kv.execute_rows("select a from ib")) == 3

@@ -458,3 +458,23 @@ def test_concurrent_clients_isolated_sessions(server):
         assert all(r[0] % 2 == 1 for r in b)
     finally:
         check.close()
+
+
+def test_wire_idempotent_batch_retry(conn):
+    """Extension wire key "6" (r10): resending a batch with the same
+    idempotency key is a no-op once the original commit published —
+    exactly-once ingest over an at-least-once transport. A different
+    key (or no key) keeps reference at-least-once semantics."""
+    _mkdb(conn, "w_idem")
+    conn.execute("create table t(a int, v double, primary key(a))")
+    sql = "insert into t(a, v) values(?, ?)"
+    conn.batch_insert(sql, [(1, 1.0), (2, 2.0)], idempotency_key="job-7")
+    # the retry: same rows, same key -> deduped server-side
+    conn.batch_insert(sql, [(1, 1.0), (2, 2.0)], idempotency_key="job-7")
+    # same key would even suppress DIFFERENT rows (delivery identity)
+    conn.batch_insert(sql, [(9, 9.0)], idempotency_key="job-7")
+    assert conn.execute("select * from t") == [(1, 1.0), (2, 2.0)]
+    # a new key applies normally; keyless stays at-least-once
+    conn.batch_insert(sql, [(3, 3.0)], idempotency_key="job-8")
+    conn.batch_insert(sql, [(4, 4.0)])
+    assert len(conn.execute("select * from t")) == 4
