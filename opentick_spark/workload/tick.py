@@ -368,6 +368,46 @@ def drop_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "idempotent_batch_state",
+    """
+    SELECT * FROM (VALUES
+      (1, 1.0), (2, 2.0), (3, 33.0), (4, 4.0)
+    ) AS t(k, v)
+    """,
+)
+def idempotent_batch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once batch ingest (r10): batch {1,2} lands under key A;
+    the SAME batch retries under key A (no-op — a duplicate commit
+    would be visible as a seq advance and could regress interleaved
+    writers); an interleaved keyless update {3→33} lands between the
+    original and the retry and must SURVIVE it; a post-compaction retry
+    of key A is still deduped (markers fold through the intent); key B
+    and a keyless batch apply normally. Final state is the VALUES
+    closed form; the seq arithmetic is asserted in-function (4 commits
+    exactly: A, the {3} update, B, keyless)."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_idem_"))
+    eng.execute("create database ib")
+    eng.use("ib")
+    eng.execute("create table t(k int, v double, primary key(k))")
+    pid = eng.prepare("insert into t(k, v) values(?, ?)")
+    st = eng.store("ib", "t")
+    eng.batch_insert(pid, [(1, 1.0), (2, 2.0), (3, 3.0)], idempotency_key="A")
+    eng.batch_insert(pid, [(3, 33.0)])  # interleaved writer
+    eng.batch_insert(pid, [(1, 9.0), (2, 9.0)], idempotency_key="A")  # retry
+    st.compact(spark)
+    eng.batch_insert(pid, [(1, 9.0)], idempotency_key="A")  # post-compact
+    eng.batch_insert(pid, [(4, 4.0)], idempotency_key="B")
+    n_commits = st.current_seq()
+    # A, {3} update, compact seq, B: retries added nothing
+    if n_commits != 4:
+        raise AssertionError(f"expected 4 seqs (retries deduped): {n_commits}")
+    return eng.execute("select k, v from t").select(
+        F.col("k").cast("int").alias("k"),
+        F.col("v").cast("double").alias("v"),
+    )
+
+
+@q(
     "merge_sparse_preserve",
     """
     SELECT * FROM (VALUES
