@@ -232,11 +232,18 @@ class Connection:
         """``idempotency_key`` (extension, r10): retry-safe batches —
         resending the same batch with the same key is a no-op once the
         original commit published. Chunked sends derive a per-chunk key
-        ``<key>#<chunk>`` so every chunk dedups independently."""
+        ``<key>#<chunk_size>#<n>`` — the chunk GEOMETRY is part of the
+        key, so a retry with a DIFFERENT batch_size re-applies (safe:
+        whole-batch latest-wins upserts) instead of a stale chunk-index
+        hit silently skipping rows the first attempt never committed.
+        Retries dedup exactly when they reuse the same key AND the same
+        batch_size over the same rows."""
         pid = self._engine.prepare(sql)
         batch = batch_size or len(args_array) or 1
         for n, i in enumerate(range(0, len(args_array), batch)):
-            key = f"{idempotency_key}#{n}" if idempotency_key else None
+            key = (
+                f"{idempotency_key}#{batch}#{n}" if idempotency_key else None
+            )
             self._engine.batch_insert(
                 pid, args_array[i : i + batch], idempotency_key=key
             )

@@ -321,6 +321,10 @@ class TableStore:
                     out.add(cache[e])
                 continue
             marker = None
+            definitive = True  # only cache CERTAIN answers: a transient
+            # I/O error (EMFILE, EIO) memoized as "no marker" would make
+            # has_applied_marker lie for the process lifetime and let a
+            # replayed batch re-apply (r10 high-review fix)
             full = os.path.join(self.log_path, e)
             if e.endswith(".parquet"):
                 # file commit (append_rows): marker lives in the
@@ -329,8 +333,10 @@ class TableStore:
                     md = pq.read_schema(full).metadata or {}
                     raw = md.get(b"otspark_applied_marker")
                     marker = raw.decode() if raw is not None else None
-                except (FileNotFoundError, OSError):
-                    marker = None
+                except FileNotFoundError:
+                    marker = None  # entry raced a GC: definitively gone
+                except OSError:
+                    definitive = False
             else:
                 try:
                     with open(
@@ -339,28 +345,47 @@ class TableStore:
                         marker = json.load(f)["marker"]
                 except (FileNotFoundError, NotADirectoryError):
                     marker = None
-            cache[e] = marker
+                except OSError:
+                    definitive = False
+            if definitive:
+                cache[e] = marker
             if marker is not None:
                 out.add(marker)
         return out
 
+    def _cache_applied_marker_locked(self, marker: str) -> None:
+        """Record ``marker`` in the meta cache. Caller MUST hold
+        ``self._lock`` + ``self._file_lock()`` (flock is not re-entrant
+        across fds — nesting ``_cache_applied_marker`` inside a locked
+        publish would deadlock)."""
+        meta = self._meta()
+        cache = meta.get("applied_markers", [])
+        if marker not in cache:
+            cache.append(marker)
+            meta["applied_markers"] = cache[-self._MARKER_CACHE_CAP:]
+            self._write_meta(meta)
+
     def _cache_applied_marker(self, marker: str) -> None:
         with self._lock, self._file_lock():
-            meta = self._meta()
-            cache = meta.get("applied_markers", [])
-            if marker not in cache:
-                cache.append(marker)
-                meta["applied_markers"] = cache[-self._MARKER_CACHE_CAP:]
-                self._write_meta(meta)
+            self._cache_applied_marker_locked(marker)
 
     def has_applied_marker(self, marker: str) -> bool:
         """True iff a commit bearing ``applied_marker=marker`` has been
-        published (meta cache first, then the log-dir sidecars — so the
-        answer is correct even if the process died between a commit's
-        publish and its meta-cache write)."""
+        published (correct even if the publisher died between its
+        commit and its meta-cache write — the sidecar/footer is atomic
+        with the data).
+
+        Read order is meta → log → META AGAIN (r10 high-review fix):
+        compaction writes the folded markers to meta BEFORE GC'ing the
+        sidecar-bearing commits, so a reader that missed the first meta
+        read AND found the commit already GC'd is guaranteed to see the
+        fold on the second meta read — no interleaving leaves an
+        applied marker invisible. Lock-free."""
         if marker in self._meta().get("applied_markers", []):
             return True
-        return marker in self._log_markers()
+        if marker in self._log_markers():
+            return True
+        return marker in self._meta().get("applied_markers", [])
 
     @staticmethod
     def _publish(tmp: str, final: str) -> None:
@@ -456,9 +481,22 @@ class TableStore:
             self.data_path, f"commit-{seq:012d}.parquet.{uuid.uuid4().hex}.tmp"
         )
         pq.write_table(tbl, tmp)
-        self._publish(tmp, fname)  # atomic + loud on seq collision
-        if applied_marker is not None:
-            self._cache_applied_marker(applied_marker)
+        if applied_marker is None:
+            self._publish(tmp, fname)  # atomic + loud on seq collision
+            return n
+        # marked commit: the duplicate check and the publish must be ONE
+        # critical section (r10 high-review fix) — two concurrent
+        # deliveries of the same marker both passing a lock-free
+        # check-then-act would both commit. The parquet write stays
+        # OUTSIDE the lock (only the rename + meta write are held); the
+        # loser abandons its staged file, and its allocated seq becomes
+        # a harmless gap (readers list dirs, nothing requires density).
+        with self._lock, self._file_lock():
+            if self.has_applied_marker(applied_marker):
+                os.remove(tmp)
+                return 0
+            self._publish(tmp, fname)
+            self._cache_applied_marker_locked(applied_marker)
         return n
 
     def append_dataframe(
@@ -513,13 +551,23 @@ class TableStore:
             self.data_path, f"commit-{seq:012d}.{uuid.uuid4().hex}.tmp"
         )
         out.write.mode("overwrite").parquet(tmp_dir)
-        if applied_marker is not None:
-            # leading "_" keeps Spark's parquet listing from reading it
-            with open(os.path.join(tmp_dir, "_applied_marker.json"), "w") as f:
-                json.dump({"marker": applied_marker}, f)
-        os.rename(tmp_dir, commit_dir)
-        if applied_marker is not None:
-            self._cache_applied_marker(applied_marker)
+        if applied_marker is None:
+            os.rename(tmp_dir, commit_dir)
+            return
+        # leading "_" keeps Spark's parquet listing from reading it
+        with open(os.path.join(tmp_dir, "_applied_marker.json"), "w") as f:
+            json.dump({"marker": applied_marker}, f)
+        # duplicate check + publish as ONE critical section (see
+        # append_rows): the Spark write stays outside the lock; a loser
+        # abandons its staged dir and its seq becomes a harmless gap
+        with self._lock, self._file_lock():
+            if self.has_applied_marker(applied_marker):
+                import shutil
+
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                return
+            os.rename(tmp_dir, commit_dir)
+            self._cache_applied_marker_locked(applied_marker)
 
     # ------------------------------------------------------------------
     # read path (Spark)

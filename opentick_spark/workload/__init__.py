@@ -48,11 +48,14 @@ tests/oracle_check.py`` to reproduce.
 
 Round-10 rotation (VERDICT r9 item 2): never-driver-checked entries
 lead (the two r10 streaming corpus shard-tail twins), then the
-alphabetical head 48 of the round-6-stale cohort — the 50 entries
-whose last driver row is r6. The displaced tail (wav_decode_features,
-window_rank_topn) rejoins the r11 queue; mid-round r10 additions swap
-into the tail so brand-new operators get first-time driver evidence
-the same round they land (the r6-r9 precedent).
+alphabetical head 46 of the round-6-stale cohort (the 50 entries whose
+last driver row is r6), then the two mid-round r10 additions
+(merge_sparse_preserve, streaming_ivf_append) swapped into the tail so
+brand-new operators get first-time driver evidence the same round they
+land (the r6-r9 precedent). The displaced cohort tail —
+wav_decode_features, window_rank_topn, vwap_hourly, video_frame_stats
+— rejoins the r11 queue together with the never-driver-checked r10
+extras (drop_evolution_state, idempotent_batch_state).
 Every rotated-out entry was driver-green in a prior round with an
 unchanged implementation and keeps oracle_check value coverage each
 round. The per-query rotation history (query →
@@ -85,11 +88,11 @@ _DRIVER_WINDOW = [
     # equality oracles; VERDICT r9 item 1) ----
     "streaming_arrow_ingest",
     "streaming_zst_ingest",
-    # ---- the round-6-stale cohort (alphabetical head 48 of the 50
+    # ---- the round-6-stale cohort (alphabetical head 46 of the 50
     # entries whose last driver row is r6; the displaced tail —
-    # wav_decode_features, window_rank_topn, both value-exact in this
-    # round's local oracle_check and window_rank_topn re-verified
-    # independently by the r9 judge — rejoins the r11 queue) ----
+    # wav_decode_features, window_rank_topn, vwap_hourly,
+    # video_frame_stats, all value-exact in this round's local
+    # oracle_check — rejoins the r11 queue) ----
     "adj_backward",
     "audio_dedup_fingerprint",
     "bpe_encode_docs",

@@ -382,9 +382,10 @@ def idempotent_batch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     writers); an interleaved keyless update {3→33} lands between the
     original and the retry and must SURVIVE it; a post-compaction retry
     of key A is still deduped (markers fold through the intent); key B
-    and a keyless batch apply normally. Final state is the VALUES
-    closed form; the seq arithmetic is asserted in-function (4 commits
-    exactly: A, the {3} update, B, keyless)."""
+    applies normally. Final state is the VALUES closed form; the seq
+    arithmetic is asserted in-function — exactly 4 seqs: batch A, the
+    keyless {3} update, the compaction, batch B; the two retries of A
+    allocate nothing."""
     eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_idem_"))
     eng.execute("create database ib")
     eng.use("ib")

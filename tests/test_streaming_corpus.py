@@ -429,3 +429,42 @@ def test_stream_ivf_append_replay_guard(spark, tmp_path):
     got = spark.read.parquet(f"{index}/lists")
     assert got.count() == 40
     assert got.select("neighbor_id").distinct().count() == 40
+
+
+def test_concurrent_same_marker_single_commit(spark, engine):
+    """The duplicate check and the publish are one critical section
+    (r10 high-review fix): two deliveries of the SAME marker racing
+    through append_rows produce exactly ONE published commit — the
+    loser abandons its staged file (its allocated seq is a harmless
+    gap) and the winner's rows are the table state."""
+    import threading
+
+    store = _make_store(
+        engine,
+        "create table docs(doc_id bigint, lang text, n_chars bigint, "
+        "primary key(doc_id))",
+    )
+    barrier = threading.Barrier(2)
+    applied = []
+
+    def deliver(v: int) -> None:
+        barrier.wait()
+        n = store.append_rows(
+            [{"doc_id": 1, "lang": "en", "n_chars": v}],
+            applied_marker="race:0",
+        )
+        applied.append((v, n))
+
+    ts = [threading.Thread(target=deliver, args=(v,)) for v in (10, 20)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    # exactly one delivery applied (n=1), the other was deduped (n=0)
+    assert sorted(n for _, n in applied) == [0, 1], applied
+    commits = [e for e in os.listdir(store.log_path) if e.startswith("commit-")]
+    assert len(commits) == 1, commits
+    rows = store.read(spark).collect()
+    winner = next(v for v, n in applied if n == 1)
+    assert [(r.doc_id, r.n_chars) for r in rows] == [(1, winner)]
+    assert store.has_applied_marker("race:0")
