@@ -453,6 +453,40 @@ def main():
         timings["wire_scan_100k_bson_warm"],
     ) = bench_wire_roundtrip(spark, protocol="bson")
 
+    # --- delta MERGE INTO the 100k-row table (r10): longitudinal row
+    # for the range-pruned matched-ness path (the r9 scale watchpoint).
+    # Compact once untimed so the target is the PK-sorted base the
+    # pruning is designed for; each rep merges a fresh 1k-row delta
+    # (500 updates on existing PKs + 500 inserts) — the timed region is
+    # source pin + bounds + pruned scan + join + one atomic commit.
+    # Runs AFTER every scan shape so the extra commits never pollute
+    # the scan rows' latest-wins path.
+    merge_store = eng.store("bench", "test")
+    merge_store.compact(spark, target_partitions=8)
+    _merge_rep = [0]
+
+    def one_merge():
+        i = _merge_rep[0]
+        _merge_rep[0] += 1
+        delta = spark.range(1000).selectExpr(
+            "CAST(1 AS int) AS sec",
+            "CAST(1 AS int) AS interval",
+            # first 500 ids hit existing PKs (tm = seconds 0..499 as
+            # nanos); the rest are fresh PKs far past the table's range
+            "CAST((CASE WHEN id < 500 THEN id "
+            f"      ELSE 200000 + {i} * 1000 + id END) "
+            "      * 1000000000 AS long) AS tm",
+            "CAST(9.9 AS double) AS open",
+            "CAST(9.9 AS double) AS high",
+            "CAST(9.9 AS double) AS low",
+            "CAST(9.9 AS double) AS close",
+            "CAST(1.0 AS double) AS v",
+            "CAST(9.9 AS double) AS vwap",
+        )
+        merge_store.merge_into(spark, delta)
+
+    timings["merge_delta_1k"] = timed_reps(spark, "merge_delta_1k", one_merge)
+
     # --- headline analytical / extension queries -------------------------
     headline = [
         "pk_range_scan",
