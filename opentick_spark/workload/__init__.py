@@ -46,16 +46,16 @@ real bugs invisible at sf0.01 (r3: a keeper tie-break). Run
 ``SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.1 python
 tests/oracle_check.py`` to reproduce.
 
-Round-10 rotation (VERDICT r9 item 2): never-driver-checked entries
-lead (the two r10 streaming corpus shard-tail twins), then the
-alphabetical head 46 of the round-6-stale cohort (the 50 entries whose
-last driver row is r6), then the two mid-round r10 additions
-(merge_sparse_preserve, streaming_ivf_append) swapped into the tail so
-brand-new operators get first-time driver evidence the same round they
-land (the r6-r9 precedent). The displaced cohort tail —
-wav_decode_features, window_rank_topn, vwap_hourly, video_frame_stats
-— rejoins the r11 queue together with the never-driver-checked r10
-extras (drop_evolution_state, idempotent_batch_state).
+Round-11 rotation (VERDICT r10 item 1): never-driver-checked entries
+lead (drop_evolution_state, idempotent_batch_state — the two r10
+schema-evolution/idempotency additions), then the four entries
+displaced from the r10 window whose last driver row is still r6
+(video_frame_stats, vwap_hourly, wav_decode_features,
+window_rank_topn), then the alphabetical head 44 of the
+round-7-stale cohort (the 50 entries whose last driver row is r7).
+The displaced r7 tail — video_clip_containment, window_count_distinct,
+window_lead_lag, window_range_frame, window_rank_stats,
+window_running_sum — rejoins the r12 queue.
 Every rotated-out entry was driver-green in a prior round with an
 unchanged implementation and keeps oracle_check value coverage each
 round. The per-query rotation history (query →
@@ -83,69 +83,68 @@ ALL_ORACLES = {**_CORE_O, **_TICK_O, **_LLM_O}
 # asked for — query → rounds driver-checked → local verification),
 # replacing the docstring changelogs.
 _DRIVER_WINDOW = [
-    # ---- round 10 rotation (VERDICT r9 item 2): never-driver-checked
-    # entries lead — the r10 streaming corpus shard-tail twins (batch
-    # equality oracles; VERDICT r9 item 1) ----
-    "streaming_arrow_ingest",
-    "streaming_zst_ingest",
-    # ---- the round-6-stale cohort (alphabetical head 46 of the 50
-    # entries whose last driver row is r6; the displaced tail —
-    # wav_decode_features, window_rank_topn, vwap_hourly,
-    # video_frame_stats, all value-exact in this round's local
-    # oracle_check — rejoins the r11 queue) ----
-    "adj_backward",
-    "audio_dedup_fingerprint",
-    "bpe_encode_docs",
-    "brand_nation_revenue",
-    "char_entropy_stats",
-    "chunk_dedup_stats",
-    "cohort_retention",
-    "daily_growth_accounting",
-    "dedup_star_clusters",
-    "dialect_point_get",
-    "dialect_prefix_scan",
-    "dialect_range_tail",
-    "embedding_norm_stats",
-    "ewma_final_price",
-    "full_scan_agg",
-    "funnel_signup_purchase",
-    "gap_fill_locf",
-    "heaps_law_stats",
-    "hll_intersection_users",
-    "image_dedup_dhash",
-    "image_neardup_hamming",
-    "incremental_neardup_assign",
-    "json_props_stats",
-    "ohlcv_rollup",
-    "pivot_event_counts",
-    "pk_point_get",
-    "pk_prefix_scan",
-    "pk_range_scan",
-    "png_decode_features",
-    "pricing_summary",
-    "referential_integrity_audit",
-    "retention_cohorts",
-    "revenue_by_nation",
-    "roll_spread_estimate",
-    "rolling_beta_7d",
-    "scalar_subquery_filter",
-    "session_windows",
-    "sim_topk_ivf",
-    "stats_by_event_type",
-    "streaming_chunk_dedup",
-    "streaming_image_dedup",
-    "streaming_upsert_ingest",
-    "tail_limit",
-    "text_lang_id",
-    "top_orders_by_revenue",
-    "video_dedup_fingerprint",
-    # ---- mid-round r10 additions (first-time driver evidence; the
-    # displaced r6-stale tail — video_frame_stats, vwap_hourly —
-    # rejoins the r11 queue) ----
-    # sparse-source MERGE preserve semantics + range-pruned matched-ness
-    "merge_sparse_preserve",
-    # streaming IVF index maintenance (marker-guarded shard tail)
-    "streaming_ivf_append",
+    # ---- round 11 rotation (VERDICT r10 item 1): the only two
+    # never-driver-checked registry entries lead — r10's schema-evolution
+    # and idempotent-batch state queries (local oracle green r10, judge
+    # value-checked them independently) ----
+    "drop_evolution_state",
+    "idempotent_batch_state",
+    # ---- the four entries displaced from the r10 window whose last
+    # driver row is still r6 ----
+    "video_frame_stats",
+    "vwap_hourly",
+    "wav_decode_features",
+    "window_rank_topn",
+    # ---- the round-7-stale cohort (alphabetical head 44 of the 50
+    # entries whose last driver row is r7; the displaced tail —
+    # video_clip_containment, window_count_distinct, window_lead_lag,
+    # window_range_frame, window_rank_stats, window_running_sum, all
+    # value-exact in this round's local oracle_check — rejoins the r12
+    # queue) ----
+    "ann_recall_report",
+    "approx_quantiles",
+    "conditional_agg_filter",
+    "contamination_8gram",
+    "corpus_pipeline",
+    "cube_status_priority",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_simhash",
+    "distinct_suppliers_per_flag",
+    "embedding_label_stats",
+    "except_all_high_value",
+    "grouping_sets_mixed",
+    "hop_window_counts",
+    "incremental_agg_maintenance",
+    "intersect_users",
+    "interval_join_windows",
+    "log_diff_incremental",
+    "lsh_banding_efficiency",
+    "mixture_sample",
+    "mjpg_frame_stats",
+    "multimodal_features",
+    "pack_sequences_by_lang",
+    "profile_orders",
+    "rollup_nation_region",
+    "salted_join_revenue",
+    "semantic_dedup",
+    "semi_anti_join",
+    "set_ops_except",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "source_pagerank",
+    "streaming_join_purchases",
+    "streaming_session_windows",
+    "streaming_stateful_totals",
+    "streaming_window_counts",
+    "text_bm25_search",
+    "text_chunking",
+    "text_compression_ratio",
+    "text_dup_ngram_coverage",
+    "text_fingerprint",
+    "text_pii_redaction",
+    "text_quality",
+    "text_unigram_nll",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
