@@ -56,6 +56,26 @@ REP_SPREADS: dict[str, list[float]] = {}
 REP_GC_MS: dict[str, list[int]] = {}
 
 
+def _family_break(spark) -> None:
+    """Heap hygiene between bench families (r11, VERDICT item 3): the
+    r10 round-close artifact recorded 0.6-1.1 s of GC PER REP on rows
+    late in the suite (semantic_contamination 2.456 s artifact vs
+    1.098 s judge-rested — code unchanged) because driver/executor heap
+    accumulation from earlier families masqueraded as regression. Drop
+    every cached relation and force one full JVM + CPython collection
+    OUTSIDE any timed region so each family starts from a quiet heap.
+    localCheckpoint blocks and the on-disk tick warehouse are
+    unaffected (clearCache only empties the CacheManager)."""
+    import gc as _gc
+
+    try:
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+    except Exception:
+        pass
+    _gc.collect()
+
+
 def timed_reps(spark, name: str, fn, reps: int = 3) -> float:
     """min-of-N in-process reps, the reference's own posture (its
     published harness numbers are warm best-case too). Records the full
@@ -487,6 +507,60 @@ def main():
 
     timings["merge_delta_1k"] = timed_reps(spark, "merge_delta_1k", one_merge)
 
+    # --- r11 (VERDICT item 2): IVF lifecycle split ------------------------
+    # sim_topk_ivf_indexed/_append time the full train→write→append→probe
+    # lifecycle, so an elevation there can't be attributed without a
+    # build-vs-query split. Three dedicated rows time each phase in
+    # isolation (min-of-3; the composites stay below for longitudinal
+    # continuity): build trains 16 centroids on the even half of the
+    # planted corpus and writes the partitioned lists; append routes the
+    # odd half into the three just-built indexes (one fresh index per
+    # rep — append mutates); query probes the final grown index at
+    # nprobe=2 (read-only, repeat-safe).
+    import tempfile as _ivf_tf
+
+    from pyspark.sql import functions as F
+
+    from opentick_spark.operators import similarity as _S
+    from opentick_spark.workload.llm import (
+        _planted_ann_corpus,
+        _planted_ann_queries,
+    )
+
+    _family_break(spark)
+    _ivf_corpus = _planted_ann_corpus(spark, SF_DIR)
+    _ivf_even = _ivf_corpus.filter(F.col("vec_id") % 2 == 0)
+    _ivf_odd = _ivf_corpus.filter(F.col("vec_id") % 2 == 1)
+    _ivf_paths = [
+        _ivf_tf.mkdtemp(prefix=f"otspark_ivfsplit{i}_") for i in range(3)
+    ]
+    _ivf_i = [0]
+
+    def _ivf_build():
+        _S.build_ivf_index(_ivf_even, _ivf_paths[_ivf_i[0]], ncentroids=16)
+        _ivf_i[0] += 1
+
+    timings["ivf_build"] = timed_reps(spark, "ivf_build", _ivf_build)
+    _ivf_i[0] = 0
+
+    def _ivf_append():
+        _S.ivf_index_append(spark, _ivf_odd, _ivf_paths[_ivf_i[0]])
+        _ivf_i[0] += 1
+
+    timings["ivf_append"] = timed_reps(spark, "ivf_append", _ivf_append)
+    _ivf_q = _planted_ann_queries(spark)
+    timings["ivf_query"] = timed_reps(
+        spark,
+        "ivf_query",
+        lambda: materialize(
+            _S.ivf_topk_indexed(spark, _ivf_paths[2], _ivf_q, k=10, nprobe=2)
+        ),
+    )
+    import shutil as _sh
+
+    for p in _ivf_paths:
+        _sh.rmtree(p, ignore_errors=True)
+
     # --- headline analytical / extension queries -------------------------
     headline = [
         "pk_range_scan",
@@ -565,8 +639,21 @@ def main():
         "sim_topk_ivf_indexed",
         "sim_topk_ivf_append",
     }
+    # family heads: a quiet-heap break runs BEFORE each of these rows
+    # (untimed) so late-suite heap accumulation can't masquerade as
+    # regression on the heavy media/ANN/eval rows (r11, VERDICT item 3)
+    family_heads = {
+        "corpus_pipeline",
+        "mjpg_frame_stats",
+        "video_clip_containment_grouped",
+        "image_exif_audit",
+        "semantic_contamination",
+        "sim_topk_ivf_indexed",
+    }
     for name in headline:
         fn = QUERIES[name]
+        if name in family_heads:
+            _family_break(spark)
         if name in rep_queries:
             timings[name] = timed_reps(
                 spark, name, lambda f=fn: materialize(f(spark, SF_DIR))
@@ -583,6 +670,7 @@ def main():
     # this row isolates the blocking join, not PNG encode/decode).
     from opentick_spark.operators.dedup import hamming_blocked_star_edges
 
+    _family_break(spark)
     star_sigs = (
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
         .selectExpr(

@@ -237,7 +237,9 @@ class Connection:
         whole-batch latest-wins upserts) instead of a stale chunk-index
         hit silently skipping rows the first attempt never committed.
         Retries dedup exactly when they reuse the same key AND the same
-        batch_size over the same rows."""
+        batch_size over the same rows, within the table's marker-cache
+        horizon (``TableStore._MARKER_CACHE_CAP``, default 4096 most
+        recent markers — see ``Engine.batch_insert``)."""
         pid = self._engine.prepare(sql)
         batch = batch_size or len(args_array) or 1
         for n, i in enumerate(range(0, len(args_array), batch)):

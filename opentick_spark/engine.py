@@ -646,7 +646,14 @@ class Engine:
         """Bind each arg tuple, validate/coerce, and append all rows as ONE
         atomic commit (BatchInsert, query.go:294-307). ``applied_marker``
         makes the commit idempotent: an already-applied marker skips the
-        append entirely (see ``TableStore.has_applied_marker``)."""
+        append entirely (see ``TableStore.has_applied_marker``). The
+        marker check runs BEFORE binding/validation so a retry of an
+        already-published batch is an unconditional no-op even if the
+        schema evolved between attempts (e.g. ALTER TABLE DROP COLUMN
+        removed a bound column, which would otherwise raise)."""
+        st = self.store(stmt.schema.db, stmt.schema.name)
+        if applied_marker is not None and st.has_applied_marker(applied_marker):
+            return  # retried batch: the original commit already published
         out = []
         for args in rows_args:
             if stmt.n_placeholders != len(args):
@@ -666,9 +673,6 @@ class Engine:
                         ) from None
                 row[col.name] = v
             out.append(row)
-        st = self.store(stmt.schema.db, stmt.schema.name)
-        if applied_marker is not None and st.has_applied_marker(applied_marker):
-            return  # retried batch: the original commit already published
         st.append_rows(out, applied_marker=applied_marker)
         if (
             self.auto_compact_every
@@ -690,7 +694,15 @@ class Engine:
         published, the retry is a no-op instead of a duplicate commit
         (dedup via the applied-marker machinery, durable across
         compaction). Keys share the marker namespace with streaming
-        sinks; use a UUID per logical batch."""
+        sinks; use a UUID per logical batch.
+
+        Dedup horizon: the per-table marker cache keeps the most recent
+        ``TableStore._MARKER_CACHE_CAP`` markers (default 4096,
+        overridable per store instance). A key older than that horizon
+        whose commit has also been compacted away will re-apply on
+        retry — size the cap above the worst-case number of batches a
+        client might ever replay (retries happen within seconds; the
+        horizon exists so meta stays O(1))."""
         if isinstance(sql_or_id, str):
             sql_or_id = self.prepare(sql_or_id)
         _, resolved = self._prepared[sql_or_id]

@@ -23,6 +23,7 @@ fold is kept for composition/testing.
 from __future__ import annotations
 
 import math
+import os
 import random
 
 import numpy as np
@@ -958,6 +959,7 @@ def ivf_index_append(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    marker_file: str | None = None,
 ) -> int:
     """Incremental IVF maintenance: route NEW vectors to the existing
     centroids and append them to the partitioned lists — no retraining,
@@ -973,7 +975,36 @@ def ivf_index_append(
     Centroid drift from accumulated appends is repaired by a periodic
     full ``build_ivf_index`` rebuild, exactly like segment-merge
     maintenance in a serving ANN index. Returns the number of vectors
-    appended."""
+    appended.
+
+    ``marker_file`` (r11, closes the stream_ivf_append at-least-once
+    hole): an EXACTLY-ONCE publish for replayed deliveries. The routed
+    delta is first written to ``<path>/_staged/<marker-name>/data``
+    (Spark overwrite — a crash mid-staging just re-stages), a
+    ``_STAGED`` sentinel freezes the staged file set, each staged file
+    is then hard-linked into its centroid list partition under a
+    DETERMINISTIC name (``<marker-name>-NNNN.parquet`` — a replayed
+    link hits FileExistsError and is skipped, never duplicated), and
+    ``marker_file`` is published LAST (atomic rename); staging is only
+    GC'd after that. Any crash point therefore replays to the same
+    final file set. A call whose ``marker_file`` already exists returns
+    0 without running a job. Linked files are complete when they appear
+    (fully written in staging), so concurrent readers keep the same
+    prefix-visibility guarantee as the plain append path. The link step
+    assumes index and staging share a filesystem (always true here — on
+    a cluster filesystem swap ``os.link`` for the FS rename API)."""
+    import glob as _glob
+    import shutil
+
+    if marker_file is not None and os.path.exists(marker_file):
+        # already applied: GC any staging a crash left behind
+        shutil.rmtree(
+            os.path.join(
+                path, "_staged", os.path.basename(marker_file)
+            ),
+            ignore_errors=True,
+        )
+        return 0
     cents = spark.read.parquet(f"{path}/centroids")
     delta = (
         new_vectors.select(
@@ -997,18 +1028,59 @@ def ivf_index_append(
         .filter(F.col("__rk") == 1)
         .select("neighbor_id", "cv", "centroid_id")
     )
-    # observe() counts DURING the single write pass: the count and the
-    # write must not each pay the broadcast-routing join (the streaming
-    # sink calls this per micro-batch — double evaluation doubled the
-    # hot path), and unlike an eager localCheckpoint nothing is pinned
-    # to executor storage for the large-append case (r10 review)
-    from pyspark.sql import Observation
+    if marker_file is None:
+        # observe() counts DURING the single write pass: the count and
+        # the write must not each pay the broadcast-routing join (the
+        # streaming sink calls this per micro-batch — double evaluation
+        # doubled the hot path), and unlike an eager localCheckpoint
+        # nothing is pinned to executor storage for the large-append
+        # case (r10 review)
+        from pyspark.sql import Observation
 
-    obs = Observation()
-    delta.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-        "append"
-    ).partitionBy("centroid_id").parquet(f"{path}/lists")
-    return int(obs.get["n"])
+        obs = Observation()
+        delta.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "append"
+        ).partitionBy("centroid_id").parquet(f"{path}/lists")
+        return int(obs.get["n"])
+
+    # exactly-once publish (docstring above): stage → freeze → link →
+    # marker → GC, every step idempotent under replay
+    import pyarrow.parquet as _pq
+
+    staged = os.path.join(path, "_staged", os.path.basename(marker_file))
+    sentinel = os.path.join(staged, "_STAGED")
+    if not os.path.exists(sentinel):
+        # (re)stage: before the sentinel exists no file has been linked
+        # into the lists, so a full overwrite is safe
+        delta.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            os.path.join(staged, "data")
+        )
+        with open(sentinel, "w"):
+            pass  # freezes the staged file set for the link step
+    n = 0
+    prefix = os.path.basename(marker_file)
+    for part_dir in sorted(
+        _glob.glob(os.path.join(staged, "data", "centroid_id=*"))
+    ):
+        target_dir = os.path.join(
+            path, "lists", os.path.basename(part_dir)
+        )
+        os.makedirs(target_dir, exist_ok=True)
+        for i, src in enumerate(
+            sorted(_glob.glob(os.path.join(part_dir, "*.parquet")))
+        ):
+            n += _pq.read_metadata(src).num_rows
+            try:
+                os.link(src, os.path.join(target_dir, f"{prefix}-{i:04d}.parquet"))
+            except FileExistsError:
+                pass  # replayed link: already published
+    os.makedirs(os.path.dirname(marker_file) or ".", exist_ok=True)
+    tmp = marker_file + ".tmp"
+    with open(tmp, "w"):
+        pass
+    os.replace(tmp, marker_file)  # publish LAST — the commit point
+    shutil.rmtree(staged, ignore_errors=True)
+    return n
 
 
 def _jl_sign_matrix(in_dim: int, out_dim: int) -> "np.ndarray":

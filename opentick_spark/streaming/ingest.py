@@ -338,15 +338,17 @@ def stream_ivf_append(
     list directories remain planning-time-pruned for readers
     throughout.
 
-    Replay guard: the IVF lists are plain parquet (no PK resolution),
-    so a re-delivered batch would DUPLICATE vectors. Each applied batch
-    drops a marker file (md5 of ``<stream_id>:<batch_id>`` — filename-
-    safe everywhere) under ``<index>/_markers``; re-deliveries are
-    skipped. The marker is written AFTER the append (the lists span
-    many directories — there is no single atomic publish), so a crash
-    inside the append→marker window can duplicate that one batch;
-    readers needing stronger guarantees belong on a TableStore-backed
-    corpus with ``stream_upsert``'s atomic markers.
+    Replay guard (EXACTLY-ONCE since r11): the IVF lists are plain
+    parquet (no PK resolution), so a re-delivered batch would DUPLICATE
+    vectors. Each batch is keyed by a marker file (md5 of
+    ``<stream_id>:<batch_id>`` — filename-safe everywhere) under
+    ``<index>/_markers`` and published through
+    ``ivf_index_append(marker_file=...)``'s staged protocol: the routed
+    delta is staged under ``<index>/_staged/<marker>``, hard-linked
+    into the list partitions under deterministic replay-stable names,
+    and the marker lands LAST via atomic rename — a crash at ANY point
+    in the stage→link→marker sequence replays to the same final file
+    set, never a duplicate (the former append→marker window is closed).
 
     WARNING — markers key DELIVERY identity, not content: batch k means
     "whatever the checkpoint assigned to trigger k". Within ONE
@@ -378,12 +380,23 @@ def stream_ivf_append(
         )
         if os.path.exists(marker):
             return  # re-delivered batch: vectors already in the lists
-        if not batch_df.isEmpty():
-            ivf_index_append(
-                spark, batch_df, index_path, id_col=id_col, vec_col=vec_col
-            )
-        with open(marker, "w"):
-            pass
+        if batch_df.isEmpty():
+            # nothing to stage: the marker alone records the delivery
+            tmp = marker + ".tmp"
+            with open(tmp, "w"):
+                pass
+            os.replace(tmp, marker)
+            return
+        # staged exactly-once publish; the marker is written LAST by
+        # the append itself (see ivf_index_append marker_file protocol)
+        ivf_index_append(
+            spark,
+            batch_df,
+            index_path,
+            id_col=id_col,
+            vec_col=vec_col,
+            marker_file=marker,
+        )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -297,7 +297,7 @@ class TableStore:
     #: shape if its source re-lists from batch 0
     _MARKER_CACHE_CAP = 4096
 
-    def _log_markers(self) -> set:
+    def _log_markers(self, strict: bool = False) -> set:
         """Markers present in live log commit dirs — the source of
         truth for the crash window between a commit's publish and its
         meta-cache update (the sidecar is atomic with the data).
@@ -308,7 +308,20 @@ class TableStore:
         commits that appeared since the last call, not O(all commits)
         — amortized O(1) per commit over a stream run (r10 review
         fix). Stale entries for GC'd dirs are harmless: compaction
-        folds their markers into meta before removing them."""
+        folds their markers into meta before removing them; keys whose
+        dir is gone from the current listing are evicted on the way
+        out, so a long-lived auto-compacting server's memo stays
+        bounded by the LIVE commit count (r10 advice).
+
+        ``strict=True`` (compaction's marker fold) propagates transient
+        read errors (EMFILE/EIO) instead of treating them as "no
+        marker": the lenient answer is fine for a lock-free
+        ``has_applied_marker`` probe (retried on the next call), but
+        compaction GC's the sidecar-bearing commits right after the
+        fold — a silently-omitted marker there would be erased FOREVER
+        and a later replay of that batch would re-apply. Strict readers
+        abort (the caller retries the whole compaction, which has not
+        mutated anything yet) rather than lose the marker."""
         out = set()
         try:
             entries = os.listdir(self.log_path)
@@ -336,6 +349,8 @@ class TableStore:
                 except FileNotFoundError:
                     marker = None  # entry raced a GC: definitively gone
                 except OSError:
+                    if strict:
+                        raise
                     definitive = False
             else:
                 try:
@@ -346,11 +361,18 @@ class TableStore:
                 except (FileNotFoundError, NotADirectoryError):
                     marker = None
                 except OSError:
+                    if strict:
+                        raise
                     definitive = False
             if definitive:
                 cache[e] = marker
             if marker is not None:
                 out.add(marker)
+        # evict memo entries for commit dirs compaction GC'd (the
+        # listing is already in hand); .pop(default) keeps this safe
+        # against a concurrent lock-free caller inserting fresh keys
+        for gone in set(cache) - set(entries):
+            cache.pop(gone, None)
         return out
 
     def _cache_applied_marker_locked(self, marker: str) -> None:
@@ -984,8 +1006,12 @@ class TableStore:
         schema = self.schema
         consumed_log = sorted(os.listdir(self.log_path))
         # markers in the consumed commits must outlive the log GC: carry
-        # them through the intent into meta (r10 applied-marker contract)
-        consumed_markers = sorted(self._log_markers())
+        # them through the intent into meta (r10 applied-marker
+        # contract). STRICT read — a transient sidecar-read error here
+        # must abort the (retryable, nothing-mutated-yet) compaction
+        # rather than silently omit a marker from the fold and then GC
+        # the only copy (r11 advice fix)
+        consumed_markers = sorted(self._log_markers(strict=True))
         df = self.read(spark)
         pk = schema.pk_names
         n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)

@@ -1252,3 +1252,83 @@ def test_batch_insert_idempotency_key(kv):
     kv.batch_insert(pid, [(2, 2.0)], idempotency_key="k2")
     kv.batch_insert(pid, [(3, 3.0)])
     assert len(kv.execute_rows("select a from ib")) == 3
+
+
+def test_batch_retry_noop_after_schema_evolution(kv):
+    """A retry of an already-applied batch is an UNCONDITIONAL no-op
+    (r11 advice fix): the marker check runs before binding/validation,
+    so the retry succeeds even after ALTER TABLE DROP COLUMN removed a
+    bound column — before the fix it raised on re-validation."""
+    kv.execute("create table ev(k int, v double, tag text, primary key(k))")
+    pid = kv.prepare("insert into ev(k, v, tag) values(?, ?, ?)")
+    kv.batch_insert(pid, [(1, 1.5, "a")], idempotency_key="ev1")
+    kv.execute("alter table ev drop column tag")
+    # same batch, same key, schema evolved between attempts: no-op
+    kv.batch_insert(pid, [(1, 1.5, "a")], idempotency_key="ev1")
+    assert kv.execute_rows("select k, v from ev") == [(1, 1.5)]
+
+
+def test_compaction_marker_fold_strict_on_read_error(kv, monkeypatch):
+    """Compaction's marker fold reads sidecars/footers STRICTLY (r11
+    advice fix): a transient OSError during the fold aborts the (not
+    yet mutating) compaction instead of silently GC'ing the only copy
+    of a marker; the retry folds it into meta and dedup survives."""
+    import pyarrow.parquet as pq
+
+    kv.execute("create table sm(a int, v double, primary key(a))")
+    pid = kv.prepare("insert into sm(a, v) values(?, ?)")
+    kv.batch_insert(pid, [(1, 1.0)], idempotency_key="sk1")
+    st = kv.store("d", "sm")
+    # make the marker live ONLY in the commit footer (drop the meta
+    # cache) so the compaction fold is what preserves it
+    meta = st._meta()
+    meta["applied_markers"] = []
+    st._write_meta(meta)
+    st._marker_dir_cache.clear()
+    assert st.has_applied_marker("sk1")  # via the footer scan
+
+    real = pq.read_schema
+    boom = {"on": True}
+
+    def flaky(path, *a, **k):
+        if boom["on"]:
+            raise OSError("simulated EMFILE during marker fold")
+        return real(path, *a, **k)
+
+    st._marker_dir_cache.clear()
+    monkeypatch.setattr(
+        "opentick_spark.table.pq.read_schema", flaky
+    )
+    with pytest.raises(OSError):
+        st.compact(kv.spark)
+    # nothing was mutated: log commits intact, marker still visible
+    st._marker_dir_cache.clear()
+    boom["on"] = False
+    assert st.has_applied_marker("sk1")
+    # retry succeeds and folds the marker into meta before log GC
+    st.compact(kv.spark)
+    assert "sk1" in st._meta().get("applied_markers", [])
+    kv.batch_insert(pid, [(1, 999.0)], idempotency_key="sk1")  # deduped
+    assert kv.execute_rows("select v from sm where a=1") == [(1.0,)]
+
+
+def test_marker_dir_cache_evicts_gcd_commits(kv):
+    """_marker_dir_cache stays bounded by the LIVE commit count (r11
+    advice fix): keys for commit dirs that compaction GC'd are evicted
+    on the next _log_markers pass instead of accumulating forever."""
+    kv.execute("create table mc(a int, v double, primary key(a))")
+    pid = kv.prepare("insert into mc(a, v) values(?, ?)")
+    for i in range(5):
+        kv.batch_insert(pid, [(i, float(i))], idempotency_key=f"m{i}")
+    st = kv.store("d", "mc")
+    st._log_markers()
+    assert len(st._marker_dir_cache) == 5
+    st.compact(kv.spark)
+    kv.batch_insert(pid, [(9, 9.0)], idempotency_key="m9")
+    st._log_markers()
+    # only the one live post-compaction commit remains memoized
+    import os
+
+    live = set(os.listdir(st.log_path))
+    assert set(st._marker_dir_cache) <= live
+    assert len(st._marker_dir_cache) == len(live) == 1

@@ -302,6 +302,76 @@ def test_ivf_index_append_finds_new_vectors(spark, tmp_path):
     assert any(n in new_ids for ns in by_q.values() for n in ns)
 
 
+def test_ivf_index_append_marker_exactly_once(spark, tmp_path, monkeypatch):
+    """ivf_index_append(marker_file=...) crash matrix (r11 advice fix —
+    the stream_ivf_append append→marker window): (a) a completed publish
+    is replay-proof, (b) a crash AFTER the staged links but BEFORE the
+    marker rename replays to the exact same file set — zero duplicate
+    vectors — and (c) staging is GC'd once the marker lands."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from opentick_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    n_new = new.count()
+    path = str(tmp_path / "ivf")
+    build_ivf_index(old, path, ncentroids=8)
+    marker = str(tmp_path / "markers" / "batch0")
+
+    def list_rows():
+        return spark.read.parquet(f"{path}/lists").count()
+
+    base_rows = list_rows()
+
+    # ---- (b) crash between link step and marker publish: fail the
+    # os.replace that targets the marker file, leaving staged+linked
+    # files with no marker ----
+    real_replace = os.replace
+
+    def crashing_replace(src, dst, *a, **k):
+        if str(dst) == marker:
+            raise OSError("simulated crash before marker publish")
+        return real_replace(src, dst, *a, **k)
+
+    monkeypatch.setattr(os, "replace", crashing_replace)
+    try:
+        ivf_index_append(spark, new, path, marker_file=marker)
+        raise AssertionError("crash injection did not fire")
+    except OSError:
+        pass
+    monkeypatch.setattr(os, "replace", real_replace)
+    assert not os.path.exists(marker)
+    # links landed (the crash was after the link step) but replaying the
+    # SAME delivery must not duplicate them
+    assert list_rows() == base_rows + n_new
+    got = ivf_index_append(spark, new, path, marker_file=marker)
+    assert got == n_new  # idempotent re-publish reports the batch size
+    assert os.path.exists(marker)
+    assert list_rows() == base_rows + n_new  # no duplicates
+    # every vector id appears exactly once across the lists
+    dup = (
+        spark.read.parquet(f"{path}/lists")
+        .groupBy("neighbor_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    # ---- (c) staging GC'd after the marker landed ----
+    assert glob.glob(os.path.join(path, "_staged", "*")) == []
+    # ---- (a) full replay with the published marker: no job, no rows ----
+    assert ivf_index_append(spark, new, path, marker_file=marker) == 0
+    assert list_rows() == base_rows + n_new
+
+
 def test_streaming_ivf_ingest_appends_batches(spark, tmp_path):
     """Continuous ANN-index maintenance: an embedding stream lands in
     the persisted IVF index per micro-batch (foreachBatch →
