@@ -200,3 +200,73 @@ def weighted_sample(
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("long"))
     )
+
+
+def deterministic_shards(
+    df: DataFrame,
+    n_shards: int,
+    salt: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reproducible training-shard assignment: shard(id) =
+    md5(id || ':' || salt)[:15 hex] mod n_shards — a PURE NARROW MAP
+    (zero shuffle at any corpus scale), stable across runs/engines
+    (md5 is the repo's cross-engine hash idiom), and re-dealt per epoch
+    by changing ``salt``. This is how a 100 TB corpus is dealt into
+    training shards without a global sort or any coordination: every
+    writer computes the same assignment independently, and a re-run
+    after partial failure re-derives identical shards (the property a
+    `rand()`-based deal does not have). 15 hex digits = 60 bits, so the
+    modulo bias is < n_shards / 2^60 — unobservable.
+
+    Returns the input plus a ``shard`` column (long in [0, n_shards))."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return df.withColumn("shard", h % F.lit(int(n_shards)))
+
+
+def cdf_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    count_col: str = "n_docs",
+) -> DataFrame:
+    """Exact quantile buckets WITHOUT a global sort — the curriculum-
+    ordering primitive (order training data easy→hard by a difficulty
+    proxy such as length). NTILE over the full corpus would funnel
+    100 TB through one sorted partition; instead the exact CDF is
+    computed on the VALUE HISTOGRAM (one hash agg — the only shuffle;
+    its size is the value domain, not the corpus) and the running-sum
+    window runs on that small relation. Every row with the same value
+    lands in the same bucket (ceil(cum·n/total) on the value's
+    cumulative count) — deterministic, no row-order tie-break needed.
+
+    Returns one row per bucket: ``bucket`` (1..n, long), row count,
+    min/max value, and the value total — the shape a curriculum
+    scheduler consumes (cut points + per-stage sizes)."""
+    hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.orderBy(value_col)  # histogram-sized, not corpus-sized
+    cdf = hist.select(
+        F.col(value_col),
+        F.col("__cnt"),
+        F.sum("__cnt").over(w).alias("__cum"),
+        F.sum("__cnt").over(
+            Window.partitionBy()  # single small relation: fine
+        ).alias("__total"),
+    )
+    # integer-exact ceil division (both engines: DIV / //), no doubles
+    buck = cdf.withColumn(
+        "bucket",
+        F.expr(
+            f"CAST((__cum * {int(n_buckets)} + __total - 1) DIV __total "
+            "AS LONG)"
+        ),
+    )
+    return buck.groupBy("bucket").agg(
+        F.sum("__cnt").cast("long").alias(count_col),
+        F.min(value_col).alias(f"min_{value_col}"),
+        F.max(value_col).alias(f"max_{value_col}"),
+        F.sum(F.col(value_col) * F.col("__cnt")).cast("long").alias(
+            f"total_{value_col}"
+        ),
+    )

@@ -4042,6 +4042,74 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "deterministic_shard_assign",
+    """
+    WITH assign AS (
+      SELECT doc_id, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch0'),
+                                 1, 15) AS UBIGINT) % 64 AS shard
+      FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM assign GROUP BY shard
+    """,
+)
+def deterministic_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-shard deal (r11): md5-keyed shard
+    assignment is a pure narrow map — zero shuffle at 100 TB, identical
+    across runs/engines/retries (operators/selection.py
+    deterministic_shards). The verification agg (per-shard counts/char
+    mass/min id) is the only shuffle here and is what a shard-balance
+    monitor reads."""
+    from opentick_spark.operators import selection as SEL
+
+    docs = load(spark, sf_dir, "documents")
+    out = SEL.deterministic_shards(docs, n_shards=64, salt="epoch0")
+    return out.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+@q(
+    "curriculum_length_buckets",
+    """
+    WITH hist AS (
+      SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars
+    ),
+    cdf AS (
+      SELECT n_chars, cnt,
+             SUM(cnt) OVER (ORDER BY n_chars) AS cum,
+             SUM(cnt) OVER () AS total
+      FROM hist
+    )
+    SELECT CAST((cum * 10 + total - 1) // total AS BIGINT) AS bucket,
+           SUM(cnt) AS n_docs,
+           MIN(n_chars) AS min_n_chars,
+           MAX(n_chars) AS max_n_chars,
+           CAST(SUM(n_chars * cnt) AS BIGINT) AS total_n_chars
+    FROM cdf GROUP BY bucket
+    """,
+)
+def curriculum_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordering primitive (r11): exact length deciles via
+    the value-histogram CDF — NTILE without the global sort that would
+    funnel a 100 TB corpus through one partition (the running-sum
+    window runs on the histogram, whose size is the length domain, not
+    the corpus; operators/selection.py cdf_buckets). Same-length docs
+    share a bucket by construction, so the result is deterministic with
+    no row-order tie-break."""
+    from opentick_spark.operators import selection as SEL
+
+    docs = load(spark, sf_dir, "documents")
+    return SEL.cdf_buckets(docs, "n_chars", n_buckets=10)
+
+
+@q(
     "knn_label_vote",
     """
     WITH q AS (

@@ -175,17 +175,17 @@ def bench_harness_rows(spark, n_rows: int) -> dict:
         rows = [
             (1, 1, i, 2.2, 2.4, 2.1, 2.3, 1e6, 2.25) for i in range(n_rows)
         ]
-        t0 = time.time()
-        conn.batch_insert(
+        ins = (
             "insert into test(sec, interval, tm, open, high, low, close, v, "
-            "vwap) values(?, ?, ?, ?, ?, ?, ?, ?, ?)",
-            rows,
-            batch_size=10_000,
+            "vwap) values(?, ?, ?, ?, ?, ?, ?, ?, ?)"
         )
-        out["wire_ingest_batch"] = round(time.time() - t0, 3)
-        got = conn.execute_rows("select * from test where sec=1")  # warm
         t0 = time.time()
-        got = conn.execute_rows("select * from test where sec=1")
+        for off in range(0, n_rows, 10_000):
+            conn.batch_insert(ins, rows[off : off + 10_000])
+        out["wire_ingest_batch"] = round(time.time() - t0, 3)
+        conn.execute("select * from test where sec=1", timeout=600)  # warm
+        t0 = time.time()
+        got = conn.execute("select * from test where sec=1", timeout=600)
         out["wire_scan_warm"] = round(time.time() - t0, 3)
         assert len(got) == n_rows, len(got)
         conn.close()

@@ -630,3 +630,57 @@ def test_dedup_aware_split_no_leakage(spark):
     assert by_id[2]["split"] == expect[2]
     assert by_id[3]["split"] == expect[3]
     assert by_id[2]["group_rep"] == 2 and by_id[3]["group_rep"] == 3
+
+
+def test_deterministic_shards_stable_and_balanced(spark):
+    """Shard deal is identical across evaluations (reproducibility is
+    the operator's whole contract), re-dealt by salt, and statistically
+    balanced (md5 uniformity: no shard further than 4x from fair share
+    on 2000 ids x 16 shards)."""
+    from pyspark.sql import functions as F
+
+    from opentick_spark.operators.selection import deterministic_shards
+
+    ids = spark.range(2000).selectExpr("id AS doc_id")
+    a = {r["doc_id"]: r["shard"] for r in deterministic_shards(ids, 16).collect()}
+    b = {r["doc_id"]: r["shard"] for r in deterministic_shards(ids, 16).collect()}
+    assert a == b
+    assert all(0 <= s < 16 for s in a.values())
+    c = {
+        r["doc_id"]: r["shard"]
+        for r in deterministic_shards(ids, 16, salt="epoch1").collect()
+    }
+    assert c != a  # a new epoch re-deals
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert len(counts) == 16
+    assert max(counts.values()) < 4 * (2000 / 16)
+
+
+def test_cdf_buckets_exact_deciles_no_global_sort(spark):
+    """cdf_buckets == NTILE semantics for all-distinct values, keeps
+    same-value rows in one bucket, and the corpus-sized side of the
+    plan has no global Sort/Exchange (the window runs on the
+    histogram)."""
+    from pyspark.sql import functions as F
+
+    from opentick_spark.operators.selection import cdf_buckets
+
+    # all-distinct values 1..100, 10 buckets => exactly 10 per bucket
+    df = spark.range(1, 101).selectExpr("id AS v")
+    out = {r["bucket"]: r for r in cdf_buckets(df, "v", 10).collect()}
+    assert sorted(out) == list(range(1, 11))
+    for b, r in out.items():
+        assert r["n_docs"] == 10
+        assert r["min_v"] == (b - 1) * 10 + 1 and r["max_v"] == b * 10
+    # heavy tie mass: one value holding >10% of rows stays in ONE bucket
+    tied = spark.range(1000).selectExpr(
+        "CASE WHEN id < 500 THEN 7 ELSE id END AS v"
+    )
+    res = cdf_buckets(tied, "v", 10).collect()
+    n_per_bucket = {r["bucket"]: r["n_docs"] for r in res}
+    assert sum(n_per_bucket.values()) == 1000
+    # the 500-row tie of value 7 is entirely inside its single bucket
+    seven = [r for r in res if r["min_v"] <= 7 <= r["max_v"]]
+    assert len(seven) == 1 and seven[0]["n_docs"] >= 500
