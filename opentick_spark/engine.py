@@ -678,9 +678,17 @@ class Engine:
             self.auto_compact_every
             and st.commits_since_compact() >= self.auto_compact_every
         ):
-            st.compact(
-                self.spark, hash_buckets=st._meta().get("hash_buckets")
-            )
+            try:
+                st.compact(
+                    self.spark, hash_buckets=st._meta().get("hash_buckets")
+                )
+            except OSError:
+                # opportunistic maintenance must not fail a COMMITTED
+                # insert: the strict marker fold (r11) aborts compaction
+                # on a transient sidecar-read error, and the commit
+                # count stays above the threshold, so the very next
+                # insert retries the compaction — self-healing
+                pass
 
     def batch_insert(
         self,

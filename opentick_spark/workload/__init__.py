@@ -38,8 +38,8 @@ The driver's correctness gate checks the FIRST 50 entries of
   rotate into the driver window next round in place of long-stable
   ones.
 
-Every round the ENTIRE registry (window + extras; 199 queries, ALL 199
-with oracles as of round 8 — authoritative counts in COVERAGE.md's
+Every round the ENTIRE registry (window + extras; 208 queries, ALL 208
+with oracles as of round 11 — authoritative counts in COVERAGE.md's
 generated rotation table) is value-verified against DuckDB at BOTH
 sf0.01 (the driver's scale) and sf0.1 (10×) — the 10× run has caught
 real bugs invisible at sf0.01 (r3: a keeper tie-break). Run

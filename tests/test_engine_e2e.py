@@ -1312,6 +1312,38 @@ def test_compaction_marker_fold_strict_on_read_error(kv, monkeypatch):
     assert kv.execute_rows("select v from sm where a=1") == [(1.0,)]
 
 
+def test_auto_compact_transient_error_does_not_fail_commit(spark, tmp_path, monkeypatch):
+    """Opportunistic auto-compaction is best-effort (r11): a transient
+    OSError from the strict marker fold must not fail an insert whose
+    commit already published; the next insert retries the compaction."""
+    from opentick_spark.table import TableStore
+
+    eng = Engine(spark, str(tmp_path / "ac"), auto_compact_every=2)
+    eng.execute("create database d")
+    eng.use("d")
+    eng.execute("create table t(a int, v double, primary key(a))")
+
+    real = TableStore.compact
+    boom = {"n": 0}
+
+    def flaky(self, *a, **k):
+        boom["n"] += 1
+        if boom["n"] == 1:
+            raise OSError("simulated EMFILE in compaction fold")
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(TableStore, "compact", flaky)
+    eng.execute("insert into t(a, v) values(1, 1.0)")
+    eng.execute("insert into t(a, v) values(2, 2.0)")  # triggers; swallowed
+    assert boom["n"] == 1
+    assert len(eng.execute_rows("select a from t")) == 2
+    eng.execute("insert into t(a, v) values(3, 3.0)")  # retries; succeeds
+    assert boom["n"] == 2
+    st = eng.store("d", "t")
+    assert st.commits_since_compact() == 0  # the retry compacted
+    assert len(eng.execute_rows("select a from t")) == 3
+
+
 def test_marker_dir_cache_evicts_gcd_commits(kv):
     """_marker_dir_cache stays bounded by the LIVE commit count (r11
     advice fix): keys for commit dirs that compaction GC'd are evicted
