@@ -678,16 +678,20 @@ class Engine:
             self.auto_compact_every
             and st.commits_since_compact() >= self.auto_compact_every
         ):
+            from opentick_spark.table import CompactionFoldError
+
             try:
                 st.compact(
                     self.spark, hash_buckets=st._meta().get("hash_buckets")
                 )
-            except OSError:
+            except CompactionFoldError:
                 # opportunistic maintenance must not fail a COMMITTED
                 # insert: the strict marker fold (r11) aborts compaction
-                # on a transient sidecar-read error, and the commit
-                # count stays above the threshold, so the very next
-                # insert retries the compaction — self-healing
+                # BEFORE any mutation on a transient sidecar-read error,
+                # and the commit count stays above the threshold, so the
+                # very next insert retries — self-healing. Errors from
+                # post-mutation compaction phases are NOT caught: the
+                # store may be mid-swap and must fail loudly.
                 pass
 
     def batch_insert(

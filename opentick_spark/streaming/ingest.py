@@ -367,6 +367,20 @@ def stream_ivf_append(
     sid = stream_id or _default_stream_id(checkpoint_dir)
     marker_dir = os.path.join(index_path, "_markers")
     os.makedirs(marker_dir, exist_ok=True)
+    # startup sweep (r11 review): GC staging left by a crash in the
+    # marker-publish→cleanup window. A published batch is never
+    # re-delivered (the checkpoint advanced), so nothing downstream
+    # would ever reclaim these otherwise; the staged dir name IS the
+    # marker name, making the check one listdir + exists each.
+    import shutil
+
+    staged_root = os.path.join(index_path, "_staged")
+    if os.path.isdir(staged_root):
+        for entry in os.listdir(staged_root):
+            if os.path.exists(os.path.join(marker_dir, entry)):
+                shutil.rmtree(
+                    os.path.join(staged_root, entry), ignore_errors=True
+                )
     stream = (
         spark.readStream.schema(source_schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -379,7 +393,19 @@ def stream_ivf_append(
             hashlib.md5(f"{sid}:{batch_id}".encode()).hexdigest(),
         )
         if os.path.exists(marker):
-            return  # re-delivered batch: vectors already in the lists
+            # re-delivered batch: vectors already in the lists. GC any
+            # staging a crash left in the publish→cleanup window (the
+            # pre-check would otherwise shadow ivf_index_append's own
+            # marker-exists cleanup forever — r11 review)
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(
+                    index_path, "_staged", os.path.basename(marker)
+                ),
+                ignore_errors=True,
+            )
+            return
         if batch_df.isEmpty():
             # nothing to stage: the marker alone records the delivery
             tmp = marker + ".tmp"

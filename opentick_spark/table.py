@@ -66,6 +66,15 @@ DEL_COL = "__del"
 BUCKET_COL = "__bucket"
 
 
+class CompactionFoldError(OSError):
+    """A compaction aborted during its PRE-MUTATION marker fold because
+    a sidecar/footer read hit a transient error (r11). Nothing was
+    mutated — the compaction is safely retryable, and opportunistic
+    callers (engine auto-compact) may swallow exactly this type. An
+    OSError of any other provenance from compaction means a phase AFTER
+    mutation began failed and must propagate."""
+
+
 class TableStore:
     """Read/write access to one PK-ordered table.
 
@@ -1010,8 +1019,16 @@ class TableStore:
         # contract). STRICT read — a transient sidecar-read error here
         # must abort the (retryable, nothing-mutated-yet) compaction
         # rather than silently omit a marker from the fold and then GC
-        # the only copy (r11 advice fix)
-        consumed_markers = sorted(self._log_markers(strict=True))
+        # the only copy (r11 advice fix). Wrapped in a DEDICATED type so
+        # opportunistic callers (engine auto-compact) can swallow
+        # exactly this pre-mutation abort — an OSError from any LATER
+        # phase (after the base swap started) must still propagate.
+        try:
+            consumed_markers = sorted(self._log_markers(strict=True))
+        except OSError as e:
+            raise CompactionFoldError(
+                f"marker fold aborted (transient read error): {e}"
+            ) from e
         df = self.read(spark)
         pk = schema.pk_names
         n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)

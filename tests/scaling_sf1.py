@@ -116,7 +116,8 @@ def bench_harness_rows(spark, n_rows: int) -> dict:
     from opentick_spark.engine import Engine
 
     out = {}
-    eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_scale_"))
+    eng_wh = tempfile.mkdtemp(prefix="otspark_scale_")
+    eng = Engine(spark, eng_wh)
     eng.execute("create database b")
     eng.use("b")
     eng.execute(
@@ -162,8 +163,17 @@ def bench_harness_rows(spark, n_rows: int) -> dict:
         text=True,
     )
     try:
-        line = proc.stdout.readline().split()
-        host, port = line[1], int(line[2])
+        # loop until the ready line (the test_server_cli idiom): stray
+        # stdout before it must not crash the drill after the expensive
+        # engine-axis run
+        while True:
+            raw = proc.stdout.readline()
+            if not raw:
+                raise RuntimeError("server exited before ready line")
+            if raw.startswith("OPENTICK_SPARK_LISTENING"):
+                parts = raw.split()
+                host, port = parts[1], int(parts[2])
+                break
         conn = otc.connect_tcp(host, port, protocol="bson")
         conn.execute("create database w")
         conn.use("w")
@@ -193,15 +203,25 @@ def bench_harness_rows(spark, n_rows: int) -> dict:
         proc.terminate()
         proc.wait(timeout=30)
         shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(eng_wh, ignore_errors=True)
     return out
 
 
 def main():
     from opentick_spark.session import get_spark
-    from opentick_spark.workload import ALL_QUERIES
 
     spark = get_spark(app_name="scaling_sf1", shuffle_partitions=64)
     sf1 = tempfile.mkdtemp(prefix="otspark_sf1_")
+    try:
+        _main_inner(spark, sf1)
+    finally:
+        # the synth dir is ~GB-scale: never leak it, even on a failed run
+        shutil.rmtree(sf1, ignore_errors=True)
+
+
+def _main_inner(spark, sf1: str) -> None:
+    from opentick_spark.workload import ALL_QUERIES
+
     synth_sf1(sf1)
 
     results = {}
@@ -258,7 +278,6 @@ def main():
             separators=(",", ":"),
         )
     )
-    shutil.rmtree(sf1, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -74,14 +74,28 @@ def build_base(spark, root: str, n_rows: int, hash_buckets: int | None):
 
 
 def delta_1k(spark, per: int, single_key: bool):
-    """500 updates on existing PKs + 500 inserts past the tm range,
-    confined to lead range [500, 504] (range layout) or lead==500
-    (bucketed layout — the per-entity delta shape leading_eq prunes)."""
-    lead = "500" if single_key else "500 + id % 5"
+    """1000-row delta with DISTINCT PKs at both base scales (r11 review:
+    a tm of id%per collapsed updates into duplicate PKs at per=100,
+    making the 100k and 1M comparisons different workloads).
+
+    Range layout: 500 updates across leads 500..504 (tm = id DIV 5 —
+    0..99 within each lead, existing at any per >= 100) + 500 inserts
+    past the tm range. Bucketed layout: ONE lead key, whose existing
+    tms are only 0..per-1 — the update count is pinned at 100 so the
+    delta shape is IDENTICAL at both scales (100 updates + 900
+    inserts)."""
+    if single_key:
+        return spark.range(1000).selectExpr(
+            "CAST(500 AS int) AS sec",
+            f"CAST((CASE WHEN id < 100 THEN id ELSE {per} + id END) "
+            "* 1000000000 AS long) AS tm",
+            "CAST(9.9 AS double) AS px",
+            "CAST(1.0 AS double) AS vol",
+        )
     return spark.range(1000).selectExpr(
-        f"CAST({lead} AS int) AS sec",
-        f"CAST((CASE WHEN id < 500 THEN id % {per} "
-        f"      ELSE {per} + id END) * 1000000000 AS long) AS tm",
+        "CAST(500 + id % 5 AS int) AS sec",
+        f"CAST((CASE WHEN id < 500 THEN id DIV 5 ELSE {per} + id END) "
+        "* 1000000000 AS long) AS tm",
         "CAST(9.9 AS double) AS px",
         "CAST(1.0 AS double) AS vol",
     )
@@ -154,9 +168,10 @@ def drill(spark, n_rows: int, hash_buckets: int | None) -> dict:
         st.merge_into(spark, src)
         wall = round(time.time() - t0, 3)
         # post-merge sanity: updates landed, inserts landed
+        n_inserts = 900 if single else 500
         got = st.read(spark)
         n_now = got.count()
-        assert n_now == n_rows + 500, (n_now, n_rows)
+        assert n_now == n_rows + n_inserts, (n_now, n_rows)
         return {
             "metric": "merge_drill",
             "layout": "bucketed" if hash_buckets else "pk_range",

@@ -1313,10 +1313,12 @@ def test_compaction_marker_fold_strict_on_read_error(kv, monkeypatch):
 
 
 def test_auto_compact_transient_error_does_not_fail_commit(spark, tmp_path, monkeypatch):
-    """Opportunistic auto-compaction is best-effort (r11): a transient
-    OSError from the strict marker fold must not fail an insert whose
-    commit already published; the next insert retries the compaction."""
-    from opentick_spark.table import TableStore
+    """Opportunistic auto-compaction is best-effort (r11): a PRE-MUTATION
+    fold abort (CompactionFoldError) must not fail an insert whose
+    commit already published; the next insert retries the compaction.
+    Any other OSError from compaction (post-mutation phase) still
+    propagates — only the dedicated abort type is swallowed."""
+    from opentick_spark.table import CompactionFoldError, TableStore
 
     eng = Engine(spark, str(tmp_path / "ac"), auto_compact_every=2)
     eng.execute("create database d")
@@ -1329,7 +1331,7 @@ def test_auto_compact_transient_error_does_not_fail_commit(spark, tmp_path, monk
     def flaky(self, *a, **k):
         boom["n"] += 1
         if boom["n"] == 1:
-            raise OSError("simulated EMFILE in compaction fold")
+            raise CompactionFoldError("simulated EMFILE in compaction fold")
         return real(self, *a, **k)
 
     monkeypatch.setattr(TableStore, "compact", flaky)
@@ -1342,6 +1344,17 @@ def test_auto_compact_transient_error_does_not_fail_commit(spark, tmp_path, monk
     st = eng.store("d", "t")
     assert st.commits_since_compact() == 0  # the retry compacted
     assert len(eng.execute_rows("select a from t")) == 3
+
+    # plain OSError (post-mutation phase) is NOT swallowed
+    def hard_fail(self, *a, **k):
+        raise OSError("simulated post-mutation failure")
+
+    monkeypatch.setattr(TableStore, "compact", hard_fail)
+    eng.execute("insert into t(a, v) values(4, 4.0)")  # below threshold
+    with pytest.raises(OSError, match="post-mutation"):
+        eng.execute("insert into t(a, v) values(5, 5.0)")  # triggers
+    # the row itself committed before the compaction attempt
+    assert len(eng.execute_rows("select a from t")) == 5
 
 
 def test_marker_dir_cache_evicts_gcd_commits(kv):

@@ -669,7 +669,16 @@ def test_cdf_buckets_exact_deciles_no_global_sort(spark):
 
     # all-distinct values 1..100, 10 buckets => exactly 10 per bucket
     df = spark.range(1, 101).selectExpr("id AS v")
-    out = {r["bucket"]: r for r in cdf_buckets(df, "v", 10).collect()}
+    res = cdf_buckets(df, "v", 10)
+    # plan shape IS the contract: both windows (running sum + total) sit
+    # ABOVE the histogram aggregate — never on the corpus-sized input.
+    # An NTILE-over-raw regression would put a Window below the (then
+    # missing) histogram agg and fail here while staying value-correct.
+    opt = res._jdf.queryExecution().optimizedPlan().toString()
+    hist_pos = opt.index("count(1) AS __cnt")  # the histogram aggregate
+    assert "Window [" in opt
+    assert opt.rindex("Window [") < hist_pos  # all windows above the agg
+    out = {r["bucket"]: r for r in res.collect()}
     assert sorted(out) == list(range(1, 11))
     for b, r in out.items():
         assert r["n_docs"] == 10
