@@ -589,6 +589,48 @@ class TCPConnection:
         same key and the server dedups it against the durable
         applied-marker log — exactly-once ingest over an at-least-once
         transport. Omitted = reference at-least-once semantics."""
+        self._result(self._batch_request(sql, args_array, idempotency_key))
+
+    def batch_insert_async(
+        self,
+        sql: str,
+        args_array: list[tuple],
+        idempotency_key: str | None = None,
+    ) -> Future:
+        """Pipelined batch insert (r11): returns a Future so the caller
+        can keep SERIALIZING the next chunk while the server applies
+        this one — the transport is ticketed, so any number of batches
+        may be in flight and the single per-connection reader applies
+        them strictly in send order (same ordering guarantee as the
+        sync path). This is the wire-ingest scaling lever the sf1.0
+        drill flagged: sync chunked ingest pays
+        serialize→send→apply→reply per chunk end-to-end, pipelined
+        ingest overlaps the client CPU with the server apply. Resolve
+        every future (``.result()``) before relying on durability —
+        mirrors ``Connection.batch_insert_async``."""
+        fut = self._batch_request(sql, args_array, idempotency_key)
+        wrapped: CFuture = CFuture()
+
+        def chain(f):
+            try:
+                res = f.result()
+            except Exception as e:
+                wrapped.set_exception(e)
+                return
+            if isinstance(res, str):
+                wrapped.set_exception(Error(res))
+            else:
+                wrapped.set_result(None)
+
+        fut.add_done_callback(chain)
+        return Future(wrapped)
+
+    def _batch_request(
+        self,
+        sql: str,
+        args_array: list[tuple],
+        idempotency_key: str | None,
+    ) -> CFuture:
         pid = self.prepare(sql)
         if self._protocol == "bson" and args_array:
             # write-side packed columns (key "3p", wire_packed.py): one
@@ -611,12 +653,11 @@ class TCPConnection:
             req = {"1": "batch", "2": pid, "3p": pack_columns(cols)}
             if idempotency_key is not None:
                 req["6"] = idempotency_key
-            self._result(self._request(req))
-            return
+            return self._request(req)
         req = {"1": "batch", "2": pid, "3": [list(a) for a in args_array]}
         if idempotency_key is not None:
             req["6"] = idempotency_key
-        self._result(self._request(req))
+        return self._request(req)
 
     def list_databases(self) -> list[str]:
         return self._result(self._request({"1": "meta", "2": "list_databases"}))

@@ -460,6 +460,35 @@ def test_concurrent_clients_isolated_sessions(server):
         check.close()
 
 
+def test_wire_pipelined_batch_insert(conn):
+    """batch_insert_async (r11): multiple batches in flight on one
+    connection apply strictly in SEND order (single per-connection
+    reader), so pipelined ingest keeps the sync path's latest-wins
+    semantics — the overlap only removes the per-chunk round-trip
+    stall the sf1.0 scaling drill flagged."""
+    _mkdb(conn, "w_pipe")
+    conn.execute("create table t(a int, v double, primary key(a))")
+    sql = "insert into t(a, v) values(?, ?)"
+    futs = [
+        conn.batch_insert_async(
+            sql, [(b * 100 + i, float(b)) for i in range(100)]
+        )
+        for b in range(8)
+    ]
+    # ordering probe: two pipelined batches upsert the SAME PK — the
+    # later send must win
+    futs.append(conn.batch_insert_async(sql, [(0, 111.0)]))
+    futs.append(conn.batch_insert_async(sql, [(0, 222.0)]))
+    for f in futs:
+        f.get(60)
+    assert len(conn.execute("select a from t")) == 800
+    assert conn.execute("select v from t where a=0") == [(222.0,)]
+    # errors surface on the future, not the connection
+    bad = conn.batch_insert_async(sql, [(1,)])  # wrong arity
+    with pytest.raises(OpentickError):
+        bad.get(60)
+
+
 def test_wire_idempotent_batch_retry(conn):
     """Extension wire key "6" (r10): resending a batch with the same
     idempotency key is a no-op once the original commit published —
