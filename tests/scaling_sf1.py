@@ -193,6 +193,22 @@ def bench_harness_rows(spark, n_rows: int) -> dict:
         for off in range(0, n_rows, 10_000):
             conn.batch_insert(ins, rows[off : off + 10_000])
         out["wire_ingest_batch"] = round(time.time() - t0, 3)
+        # pipelined twin (r11): same chunks, all in flight, applied in
+        # send order — tracks whether overlap holds its exponent edge
+        conn.execute(
+            "create table test_p(sec int, interval int, tm timestamp, "
+            "open double, high double, low double, close double, v double, "
+            "vwap double, primary key(sec, interval, tm))"
+        )
+        ins_p = ins.replace("insert into test(", "insert into test_p(")
+        t0 = time.time()
+        futs = [
+            conn.batch_insert_async(ins_p, rows[off : off + 10_000])
+            for off in range(0, n_rows, 10_000)
+        ]
+        for f in futs:
+            f.get(600)
+        out["wire_ingest_pipelined"] = round(time.time() - t0, 3)
         conn.execute("select * from test where sec=1", timeout=600)  # warm
         t0 = time.time()
         got = conn.execute("select * from test where sec=1", timeout=600)
