@@ -44,7 +44,65 @@ from opentick_spark.dialect.resolver import (
 from opentick_spark.errors import OpentickError
 from opentick_spark.operators.adj import apply_adj
 from opentick_spark.table import TableStore
-from opentick_spark.typesys import from_epoch_nanos, validate_value
+from opentick_spark.typesys import (
+    _INT_CLAMP,
+    NS_PER_SEC,
+    from_epoch_nanos,
+    validate_value,
+)
+
+
+def _bulk_bind_columns(stmt, rows_args: list[tuple]) -> dict | None:
+    """Columnar bulk bind for the batch-ingest hot path (r11): returns
+    ``{logical_name: [engine-native values]}`` when every column passes
+    a strict type screen that makes the bulk transform provably
+    identical to per-row ``validate_value``, else None (caller falls
+    back to the per-row loop, which owns the exact reference error
+    strings and first-bad-row ordering). Screens use ``type(x) is T``
+    — the ``is`` comparison rejects bool (a subclass of int) exactly
+    like validate_value's explicit isinstance(value, bool) guards."""
+    n = stmt.n_placeholders
+    if any(len(a) != n for a in rows_args):
+        return None
+    out: dict[str, list] = {}
+    for col, v in zip(stmt.cols, stmt.values):
+        if not isinstance(v, Placeholder):
+            return None  # literal in VALUES: keep the per-row path
+        i = v.index
+        vals = [a[i] for a in rows_args]
+        t = col.type
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            if not all(type(x) is int for x in vals):
+                return None
+            lo_hi = _INT_CLAMP.get(t)
+            if lo_hi and (min(vals) < lo_hi[0] or max(vals) > lo_hi[1]):
+                lo, hi = lo_hi
+                vals = [lo if x < lo else hi if x > hi else x for x in vals]
+            out[col.name] = vals
+        elif t in ("double", "float"):
+            if all(type(x) is float for x in vals):
+                out[col.name] = vals
+            elif all(type(x) in (int, float) for x in vals):
+                out[col.name] = [float(x) for x in vals]
+            else:
+                return None
+        elif t == "timestamp":
+            # int = epoch SECONDS (query.go:754-778); other accepted
+            # forms ([sec,nsec], RFC3339, datetime, float) stay per-row
+            if not all(type(x) is int for x in vals):
+                return None
+            out[col.name] = [x * NS_PER_SEC for x in vals]
+        elif t == "boolean":
+            if not all(type(x) is bool for x in vals):
+                return None
+            out[col.name] = vals
+        elif t == "text":
+            if not all(type(x) is str for x in vals):
+                return None
+            out[col.name] = vals
+        else:
+            return None  # unknown type: per-row path raises its error
+    return out
 from opentick_spark.users import (
     READ_PERM,
     WRITE_PERM,
@@ -650,30 +708,50 @@ class Engine:
         marker check runs BEFORE binding/validation so a retry of an
         already-published batch is an unconditional no-op even if the
         schema evolved between attempts (e.g. ALTER TABLE DROP COLUMN
-        removed a bound column, which would otherwise raise)."""
+        removed a bound column, which would otherwise raise).
+
+        Large all-placeholder batches take a COLUMNAR bulk-bind fast
+        path (r11): per-column C-speed type screens + bulk coercion
+        replace rows×cols ``validate_value`` calls, feeding
+        ``append_columns`` directly (no per-row dict round trip). The
+        fast path is ONLY taken when it is provably value-identical to
+        the per-row path (strict type()-matched columns, range-checked
+        clamps, int-seconds timestamps); ANY deviation — mixed forms,
+        a literal in the VALUES list, a ragged or invalid row — falls
+        back to the legacy loop so validation errors keep their exact
+        reference strings and ordering."""
         st = self.store(stmt.schema.db, stmt.schema.name)
         if applied_marker is not None and st.has_applied_marker(applied_marker):
             return  # retried batch: the original commit already published
-        out = []
-        for args in rows_args:
-            if stmt.n_placeholders != len(args):
-                raise OpentickError(
-                    f"Expected {stmt.n_placeholders} arguments, got {len(args)}"
-                )
-            row = {}
-            for col, v in zip(stmt.cols, stmt.values):
-                if isinstance(v, Placeholder):
-                    try:
-                        v = validate_value(args[v.index], col.type, col.name)
-                    except OpentickError:
-                        a = args[v.index]
-                        raise OpentickError(
-                            f'Invalid {type(a).__name__} value ({a}) for '
-                            f'"{col.name}" of {col.type}'
-                        ) from None
-                row[col.name] = v
-            out.append(row)
-        st.append_rows(out, applied_marker=applied_marker)
+        cols = (
+            _bulk_bind_columns(stmt, rows_args)
+            if len(rows_args) >= 64
+            else None
+        )
+        if cols is not None:
+            st.append_columns(cols, applied_marker=applied_marker)
+        else:
+            out = []
+            for args in rows_args:
+                if stmt.n_placeholders != len(args):
+                    raise OpentickError(
+                        f"Expected {stmt.n_placeholders} arguments, "
+                        f"got {len(args)}"
+                    )
+                row = {}
+                for col, v in zip(stmt.cols, stmt.values):
+                    if isinstance(v, Placeholder):
+                        try:
+                            v = validate_value(args[v.index], col.type, col.name)
+                        except OpentickError:
+                            a = args[v.index]
+                            raise OpentickError(
+                                f'Invalid {type(a).__name__} value ({a}) for '
+                                f'"{col.name}" of {col.type}'
+                            ) from None
+                    row[col.name] = v
+                out.append(row)
+            st.append_rows(out, applied_marker=applied_marker)
         if (
             self.auto_compact_every
             and st.commits_since_compact() >= self.auto_compact_every

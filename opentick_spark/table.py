@@ -480,13 +480,47 @@ class TableStore:
         if not rows:
             return 0
         schema = self.schema
-        seq = self._next_seq()
         logical_to_physical = {c.name: c.physical for c in schema.columns}
         cols: dict[str, list] = {c.physical: [] for c in schema.columns}
         for r in rows:
             for lname, phys in logical_to_physical.items():
                 cols[phys].append(r.get(lname))
-        n = len(rows)
+        return self._append_column_data(cols, len(rows), delete, applied_marker)
+
+    def append_columns(
+        self,
+        cols: dict[str, list],
+        delete: bool = False,
+        applied_marker: str | None = None,
+    ) -> int:
+        """Columnar twin of ``append_rows`` (r11): one list per LOGICAL
+        column of engine-native, ALREADY-VALIDATED values (the engine's
+        bulk bind produces exactly this). Missing value columns store
+        NULL like sparse rows. Same commit/marker semantics — this just
+        skips the per-row dict round trip that costs O(rows×cols)
+        Python on the wire-ingest hot path."""
+        if not cols:
+            return 0
+        n = len(next(iter(cols.values())))
+        if n == 0:
+            return 0
+        if any(len(v) != n for v in cols.values()):
+            raise ValueError("append_columns: ragged column lists")
+        schema = self.schema
+        phys = {
+            c.physical: cols.get(c.name, [None] * n) for c in schema.columns
+        }
+        return self._append_column_data(phys, n, delete, applied_marker)
+
+    def _append_column_data(
+        self,
+        cols: dict[str, list],
+        n: int,
+        delete: bool,
+        applied_marker: str | None,
+    ) -> int:
+        schema = self.schema
+        seq = self._next_seq()
         # per-row sub-sequence so intra-batch PK collisions resolve
         # last-wins (tr.Set is sequential, query.go:294-307); __sub is a
         # full 64-bit column, so no batch size can overflow into the next

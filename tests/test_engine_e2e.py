@@ -1312,6 +1312,76 @@ def test_compaction_marker_fold_strict_on_read_error(kv, monkeypatch):
     assert kv.execute_rows("select v from sm where a=1") == [(1.0,)]
 
 
+def test_bulk_bind_value_identical_to_per_row(kv):
+    """The columnar bulk-bind fast path (r11) must be provably
+    value-identical to the per-row validate_value path: clamps, int
+    timestamps (seconds -> nanos), int->float coercion, sparse column
+    lists. Twin tables, one loaded via a >=64-row batch (fast path),
+    one via single-row inserts (per-row path), must read back equal."""
+    for t in ("bb_fast", "bb_slow"):
+        kv.execute(
+            f"create table {t}(k int, tiny tinyint, ts timestamp, "
+            "x double, flag boolean, tag text, primary key(k))"
+        )
+    rows = []
+    for i in range(80):
+        rows.append(
+            (
+                i,
+                i * 100 - 4000,  # clamps outside [-128, 127]
+                i * 7,  # int seconds -> nanos
+                i if i % 2 == 0 else i + 0.5,  # mixed int/float doubles
+                i % 3 == 0,
+                f"t{i}",
+            )
+        )
+    sql = "insert into {t}(k, tiny, ts, x, flag, tag) values(?, ?, ?, ?, ?, ?)"
+    kv.batch_insert(kv.prepare(sql.format(t="bb_fast")), rows)
+    pid = kv.prepare(sql.format(t="bb_slow"))
+    for r in rows:
+        kv.batch_insert(pid, [r])  # below the fast-path threshold
+    fast = kv.execute_rows("select * from bb_fast")
+    slow = kv.execute_rows("select * from bb_slow")
+    assert fast == slow
+    assert len(fast) == 80
+    # clamp actually engaged
+    tinies = {r[1] for r in fast}
+    assert -128 in tinies and 127 in tinies
+    # sparse column list still NULL-fills (fast path too)
+    kv.execute("create table bb_sp(k int, a double, b text, primary key(k))")
+    kv.batch_insert(
+        kv.prepare("insert into bb_sp(k, a) values(?, ?)"),
+        [(i, float(i)) for i in range(70)],
+    )
+    got = kv.execute_rows("select k, a, b from bb_sp where k=3")
+    assert got == [(3, 3.0, None)]
+
+
+def test_bulk_bind_falls_back_with_exact_errors(kv):
+    """A single bad row in a large batch must still raise the exact
+    reference error string (the screen rejects the column and the
+    legacy loop reports it), and mixed timestamp forms fall back
+    silently with correct values."""
+    kv.execute("create table bf(k int, v double, primary key(k))")
+    pid = kv.prepare("insert into bf(k, v) values(?, ?)")
+    bad = [(i, float(i)) for i in range(99)] + [("oops", 1.0)]
+    with pytest.raises(
+        OpentickError, match=r'Invalid str value \(oops\) for "k" of int'
+    ):
+        kv.batch_insert(pid, bad)
+    # ragged row: exact arity error
+    with pytest.raises(OpentickError, match="Expected 2 arguments, got 3"):
+        kv.batch_insert(pid, [(i, 1.0) for i in range(64)] + [(1, 2.0, 3)])
+    # mixed timestamp forms ([sec, nsec] pair among ints) fall back and
+    # both forms land as the same nanos
+    kv.execute("create table bt(k int, ts timestamp, primary key(k))")
+    pid2 = kv.prepare("insert into bt(k, ts) values(?, ?)")
+    rows = [(i, i) for i in range(70)] + [(100, [5, 250]), (101, 5)]
+    kv.batch_insert(pid2, rows)
+    got = dict(kv.execute_rows("select k, ts from bt where k>=100"))
+    assert got[101] == (5, 0) and got[100] == (5, 250)
+
+
 def test_auto_compact_transient_error_does_not_fail_commit(spark, tmp_path, monkeypatch):
     """Opportunistic auto-compaction is best-effort (r11): a PRE-MUTATION
     fold abort (CompactionFoldError) must not fail an insert whose
