@@ -69,40 +69,46 @@ def _bulk_bind_columns(stmt, rows_args: list[tuple]) -> dict | None:
         if not isinstance(v, Placeholder):
             return None  # literal in VALUES: keep the per-row path
         i = v.index
-        vals = [a[i] for a in rows_args]
-        t = col.type
-        if t in ("tinyint", "smallint", "int", "bigint"):
-            if not all(type(x) is int for x in vals):
-                return None
-            lo_hi = _INT_CLAMP.get(t)
-            if lo_hi and (min(vals) < lo_hi[0] or max(vals) > lo_hi[1]):
-                lo, hi = lo_hi
-                vals = [lo if x < lo else hi if x > hi else x for x in vals]
-            out[col.name] = vals
-        elif t in ("double", "float"):
-            if all(type(x) is float for x in vals):
-                out[col.name] = vals
-            elif all(type(x) in (int, float) for x in vals):
-                out[col.name] = [float(x) for x in vals]
-            else:
-                return None
-        elif t == "timestamp":
-            # int = epoch SECONDS (query.go:754-778); other accepted
-            # forms ([sec,nsec], RFC3339, datetime, float) stay per-row
-            if not all(type(x) is int for x in vals):
-                return None
-            out[col.name] = [x * NS_PER_SEC for x in vals]
-        elif t == "boolean":
-            if not all(type(x) is bool for x in vals):
-                return None
-            out[col.name] = vals
-        elif t == "text":
-            if not all(type(x) is str for x in vals):
-                return None
-            out[col.name] = vals
-        else:
-            return None  # unknown type: per-row path raises its error
+        vals = _screen_coerce(col.type, [a[i] for a in rows_args])
+        if vals is None:
+            return None
+        out[col.name] = vals
     return out
+
+
+def _screen_coerce(t: str, vals: list) -> list | None:
+    """One column's strict type screen + bulk coercion (see
+    ``_bulk_bind_columns``). Returns the engine-native list, or None
+    when any element needs the per-row path."""
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        if not all(type(x) is int for x in vals):
+            return None
+        lo_hi = _INT_CLAMP.get(t)
+        if lo_hi and vals and (min(vals) < lo_hi[0] or max(vals) > lo_hi[1]):
+            lo, hi = lo_hi
+            vals = [lo if x < lo else hi if x > hi else x for x in vals]
+        return vals
+    if t in ("double", "float"):
+        if all(type(x) is float for x in vals):
+            return vals
+        if all(type(x) in (int, float) for x in vals):
+            return [float(x) for x in vals]
+        return None
+    if t == "timestamp":
+        # int = epoch SECONDS (query.go:754-778); other accepted forms
+        # ([sec,nsec], RFC3339, datetime, float) stay per-row
+        if not all(type(x) is int for x in vals):
+            return None
+        return [x * NS_PER_SEC for x in vals]
+    if t == "boolean":
+        if not all(type(x) is bool for x in vals):
+            return None
+        return vals
+    if t == "text":
+        if not all(type(x) is str for x in vals):
+            return None
+        return vals
+    return None  # unknown type: per-row path raises its error
 from opentick_spark.users import (
     READ_PERM,
     WRITE_PERM,
@@ -752,25 +758,29 @@ class Engine:
                     row[col.name] = v
                 out.append(row)
             st.append_rows(out, applied_marker=applied_marker)
-        if (
+        self._maybe_auto_compact(st)
+
+    def _maybe_auto_compact(self, st) -> None:
+        if not (
             self.auto_compact_every
             and st.commits_since_compact() >= self.auto_compact_every
         ):
-            from opentick_spark.table import CompactionFoldError
+            return
+        from opentick_spark.table import CompactionFoldError
 
-            try:
-                st.compact(
-                    self.spark, hash_buckets=st._meta().get("hash_buckets")
-                )
-            except CompactionFoldError:
-                # opportunistic maintenance must not fail a COMMITTED
-                # insert: the strict marker fold (r11) aborts compaction
-                # BEFORE any mutation on a transient sidecar-read error,
-                # and the commit count stays above the threshold, so the
-                # very next insert retries — self-healing. Errors from
-                # post-mutation compaction phases are NOT caught: the
-                # store may be mid-swap and must fail loudly.
-                pass
+        try:
+            st.compact(
+                self.spark, hash_buckets=st._meta().get("hash_buckets")
+            )
+        except CompactionFoldError:
+            # opportunistic maintenance must not fail a COMMITTED
+            # insert: the strict marker fold (r11) aborts compaction
+            # BEFORE any mutation on a transient sidecar-read error,
+            # and the commit count stays above the threshold, so the
+            # very next insert retries — self-healing. Errors from
+            # post-mutation compaction phases are NOT caught: the
+            # store may be mid-swap and must fail loudly.
+            pass
 
     def batch_insert(
         self,
@@ -799,6 +809,58 @@ class Engine:
         if not isinstance(resolved, ResolvedInsert):
             raise OpentickError("Batch requires a prepared insert")
         self._insert_rows(resolved, rows_args, applied_marker=idempotency_key)
+
+    def batch_insert_columns(
+        self,
+        sql_or_id: str | int,
+        arg_cols: list[list],
+        idempotency_key: str | None = None,
+    ) -> None:
+        """Columnar batch insert (r11): ``arg_cols`` holds one list per
+        PLACEHOLDER (in placeholder order) — the shape the wire's
+        packed "3p" payload already decodes to, so the server can feed
+        it straight through the bulk bind without a cols→rows→cols
+        double transpose. Semantics are identical to ``batch_insert``
+        of the transposed rows; any column the screen rejects falls
+        back to exactly that (transpose + per-row loop, exact reference
+        errors)."""
+        if isinstance(sql_or_id, str):
+            sql_or_id = self.prepare(sql_or_id)
+        _, resolved = self._prepared[sql_or_id]
+        if not isinstance(resolved, ResolvedInsert):
+            raise OpentickError("Batch requires a prepared insert")
+        stmt = resolved
+        if not arg_cols or not arg_cols[0]:
+            return  # empty batch: nothing to commit (matches rows path)
+        st = self.store(stmt.schema.db, stmt.schema.name)
+        if idempotency_key is not None and st.has_applied_marker(
+            idempotency_key
+        ):
+            return
+        n = len(arg_cols[0])
+        if any(len(c) != n for c in arg_cols):
+            # ragged columns must fail loudly — a zip-transpose would
+            # silently DROP rows past the shortest column
+            raise OpentickError("batch_insert_columns: ragged arg columns")
+        out: dict[str, list] | None = {}
+        if stmt.n_placeholders != len(arg_cols):
+            out = None  # arity mismatch: per-row path owns the error
+        else:
+            for col, v in zip(stmt.cols, stmt.values):
+                if not isinstance(v, Placeholder):
+                    out = None
+                    break
+                vals = _screen_coerce(col.type, arg_cols[v.index])
+                if vals is None:
+                    out = None
+                    break
+                out[col.name] = vals
+        if out is not None:
+            st.append_columns(out, applied_marker=idempotency_key)
+            self._maybe_auto_compact(st)
+            return
+        rows = [tuple(r) for r in zip(*arg_cols)]
+        self._insert_rows(stmt, rows, applied_marker=idempotency_key)
 
     # ------------------------------------------------------------------
     # meta surface (server.go:440-499)

@@ -276,22 +276,27 @@ class _Session:
                 return
             if cmd == "batch":
                 pid = self._engine_pid(msg["2"])
-                if msg.get("3p") is not None:
-                    # packed-columnar argsArray from our client
-                    # (wire_packed.py key "3p"); reference clients send
-                    # plain row arrays in "3"
-                    cols = unpack_columns(msg["3p"])
-                    rows = [tuple(r) for r in zip(*cols)] if cols else []
-                else:
-                    rows = [tuple(r) for r in msg.get("3") or []]
                 # optional key "6" (extension, r10): idempotency token —
                 # a client retry after timeout/reconnect resends the
                 # same batch with the same token and the server dedups
                 # it against the applied-marker log. Reference clients
                 # never send "6"; their batches keep at-least-once.
-                self.engine.batch_insert(
-                    pid, rows, idempotency_key=msg.get("6")
-                )
+                if msg.get("3p") is not None:
+                    # packed-columnar argsArray from our client
+                    # (wire_packed.py key "3p"); reference clients send
+                    # plain row arrays in "3". Stays COLUMNAR end-to-end
+                    # (r11): the payload feeds the engine's bulk bind
+                    # directly — no cols→rows→cols double transpose.
+                    self.engine.batch_insert_columns(
+                        pid,
+                        unpack_columns(msg["3p"]),
+                        idempotency_key=msg.get("6"),
+                    )
+                else:
+                    rows = [tuple(r) for r in msg.get("3") or []]
+                    self.engine.batch_insert(
+                        pid, rows, idempotency_key=msg.get("6")
+                    )
                 self.reply(ticket, None)
                 return
             if cmd == "use":

@@ -1357,6 +1357,62 @@ def test_bulk_bind_value_identical_to_per_row(kv):
     assert got == [(3, 3.0, None)]
 
 
+def test_batch_insert_columns_matches_rows(kv):
+    """batch_insert_columns (r11, the wire '3p' path) is semantically
+    identical to batch_insert of the transposed rows — fast path,
+    fallback (timestamp tuples), exact arity error, ragged rejection,
+    and idempotency keys."""
+    for t in ("bc_a", "bc_b"):
+        kv.execute(
+            f"create table {t}(k int, ts timestamp, x double, "
+            "primary key(k))"
+        )
+    ks = list(range(100))
+    tss = [k * 3 for k in ks]
+    xs = [float(k) for k in ks]
+    kv.batch_insert_columns(
+        "insert into bc_a(k, ts, x) values(?, ?, ?)", [ks, tss, xs]
+    )
+    rows = list(zip(ks, tss, xs))
+    kv.batch_insert(kv.prepare("insert into bc_b(k, ts, x) values(?, ?, ?)"), rows)
+    assert kv.execute_rows("select * from bc_a") == kv.execute_rows(
+        "select * from bc_b"
+    )
+    # fallback leg: (sec, nsec) tuples reject the screen, per-row path
+    # lands them with identical values
+    kv.batch_insert_columns(
+        "insert into bc_a(k, ts, x) values(?, ?, ?)",
+        [[500, 501], [(7, 250), 7], [1.0, 2.0]],
+    )
+    got = dict(
+        (r[0], r[1]) for r in kv.execute_rows("select k, ts from bc_a where k>=500")
+    )
+    assert got[500] == (7, 250) and got[501] == (7, 0)
+    # arity error matches the rows path exactly
+    with pytest.raises(OpentickError, match="Expected 3 arguments, got 2"):
+        kv.batch_insert_columns(
+            "insert into bc_a(k, ts, x) values(?, ?, ?)", [[1], [2]]
+        )
+    # ragged columns fail loudly (a transpose would silently drop rows)
+    with pytest.raises(OpentickError, match="ragged"):
+        kv.batch_insert_columns(
+            "insert into bc_a(k, ts, x) values(?, ?, ?)",
+            [[1, 2], [3], [1.0, 2.0]],
+        )
+    # idempotency key dedups like the rows path
+    kv.batch_insert_columns(
+        "insert into bc_a(k, ts, x) values(?, ?, ?)",
+        [[900], [1], [1.0]],
+        idempotency_key="bc-1",
+    )
+    kv.batch_insert_columns(
+        "insert into bc_a(k, ts, x) values(?, ?, ?)",
+        [[900], [1], [999.0]],
+        idempotency_key="bc-1",
+    )
+    assert kv.execute_rows("select x from bc_a where k=900") == [(1.0,)]
+
+
 def test_bulk_bind_falls_back_with_exact_errors(kv):
     """A single bad row in a large batch must still raise the exact
     reference error string (the screen rejects the column and the
