@@ -562,6 +562,12 @@ class TCPConnection:
         fut = self._request(
             {"1": "run", "2": sql, "3": args, "4": 1 if cache else 0, "5": 1}
         )
+        return self._wrap_reply(fut, self._rows_in)
+
+    def _wrap_reply(self, fut: CFuture, on_ok) -> Future:
+        """Chain a raw reply future into the user-facing Future: string
+        replies are server errors; anything else maps through
+        ``on_ok`` (shared by execute_async / batch_insert_async)."""
         wrapped: CFuture = CFuture()
 
         def chain(f):
@@ -573,7 +579,7 @@ class TCPConnection:
             if isinstance(res, str):
                 wrapped.set_exception(Error(res))
             else:
-                wrapped.set_result(self._rows_in(res))
+                wrapped.set_result(on_ok(res))
 
         fut.add_done_callback(chain)
         return Future(wrapped)
@@ -600,30 +606,20 @@ class TCPConnection:
         """Pipelined batch insert (r11): returns a Future so the caller
         can keep SERIALIZING the next chunk while the server applies
         this one — the transport is ticketed, so any number of batches
-        may be in flight and the single per-connection reader applies
-        them strictly in send order (same ordering guarantee as the
-        sync path). This is the wire-ingest scaling lever the sf1.0
-        drill flagged: sync chunked ingest pays
+        may be in flight, and the SERVER chains each connection's batch
+        commands on the predecessor's completion (server._dispatch), so
+        they commit strictly in send order — same latest-wins outcome
+        as the sync path (the dispatch pool alone is unordered; reads
+        stay fully concurrent). This is the wire-ingest scaling lever
+        the sf1.0 drill flagged: sync chunked ingest pays
         serialize→send→apply→reply per chunk end-to-end, pipelined
         ingest overlaps the client CPU with the server apply. Resolve
-        every future (``.result()``) before relying on durability —
+        every future (``.get()``) before relying on durability —
         mirrors ``Connection.batch_insert_async``."""
-        fut = self._batch_request(sql, args_array, idempotency_key)
-        wrapped: CFuture = CFuture()
-
-        def chain(f):
-            try:
-                res = f.result()
-            except Exception as e:
-                wrapped.set_exception(e)
-                return
-            if isinstance(res, str):
-                wrapped.set_exception(Error(res))
-            else:
-                wrapped.set_result(None)
-
-        fut.add_done_callback(chain)
-        return Future(wrapped)
+        return self._wrap_reply(
+            self._batch_request(sql, args_array, idempotency_key),
+            lambda res: None,
+        )
 
     def _batch_request(
         self,

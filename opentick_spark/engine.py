@@ -51,6 +51,17 @@ from opentick_spark.typesys import (
     validate_value,
 )
 
+from opentick_spark.users import (
+    READ_PERM,
+    WRITE_PERM,
+    User,
+    UserRegistry,
+    get_perm,
+    parse_perm,
+    require_perm,
+    sha1_string,
+)
+
 
 def _bulk_bind_columns(stmt, rows_args: list[tuple]) -> dict | None:
     """Columnar bulk bind for the batch-ingest hot path (r11): returns
@@ -64,12 +75,19 @@ def _bulk_bind_columns(stmt, rows_args: list[tuple]) -> dict | None:
     n = stmt.n_placeholders
     if any(len(a) != n for a in rows_args):
         return None
+    return _screen_columns(stmt, lambda i: [a[i] for a in rows_args])
+
+
+def _screen_columns(stmt, col_of) -> dict | None:
+    """Shared per-placeholder screen loop (r11): ``col_of(i)`` yields
+    placeholder ``i``'s value column. One implementation serves both the
+    row-gathering path and the wire's already-columnar '3p' path so the
+    screen contract can never diverge between them."""
     out: dict[str, list] = {}
     for col, v in zip(stmt.cols, stmt.values):
         if not isinstance(v, Placeholder):
             return None  # literal in VALUES: keep the per-row path
-        i = v.index
-        vals = _screen_coerce(col.type, [a[i] for a in rows_args])
+        vals = _screen_coerce(col.type, col_of(v.index))
         if vals is None:
             return None
         out[col.name] = vals
@@ -109,16 +127,7 @@ def _screen_coerce(t: str, vals: list) -> list | None:
             return None
         return vals
     return None  # unknown type: per-row path raises its error
-from opentick_spark.users import (
-    READ_PERM,
-    WRITE_PERM,
-    User,
-    UserRegistry,
-    get_perm,
-    parse_perm,
-    require_perm,
-    sha1_string,
-)
+
 
 
 def split_range(start, end, num_parts: int) -> list[tuple]:
@@ -830,31 +839,26 @@ class Engine:
         if not isinstance(resolved, ResolvedInsert):
             raise OpentickError("Batch requires a prepared insert")
         stmt = resolved
-        if not arg_cols or not arg_cols[0]:
+        if not arg_cols:
             return  # empty batch: nothing to commit (matches rows path)
+        # ragged check BEFORE the empty-batch return: an empty FIRST
+        # column with non-empty later columns must fail loudly, not
+        # silently drop the other columns' rows (r11 review)
+        n = len(arg_cols[0])
+        if any(len(c) != n for c in arg_cols):
+            raise OpentickError("batch_insert_columns: ragged arg columns")
+        if n == 0:
+            return  # rectangular empty batch
         st = self.store(stmt.schema.db, stmt.schema.name)
         if idempotency_key is not None and st.has_applied_marker(
             idempotency_key
         ):
             return
-        n = len(arg_cols[0])
-        if any(len(c) != n for c in arg_cols):
-            # ragged columns must fail loudly — a zip-transpose would
-            # silently DROP rows past the shortest column
-            raise OpentickError("batch_insert_columns: ragged arg columns")
-        out: dict[str, list] | None = {}
-        if stmt.n_placeholders != len(arg_cols):
-            out = None  # arity mismatch: per-row path owns the error
-        else:
-            for col, v in zip(stmt.cols, stmt.values):
-                if not isinstance(v, Placeholder):
-                    out = None
-                    break
-                vals = _screen_coerce(col.type, arg_cols[v.index])
-                if vals is None:
-                    out = None
-                    break
-                out[col.name] = vals
+        out = (
+            _screen_columns(stmt, lambda i: arg_cols[i])
+            if stmt.n_placeholders == len(arg_cols)
+            else None  # arity mismatch: per-row path owns the error
+        )
         if out is not None:
             st.append_columns(out, applied_marker=idempotency_key)
             self._maybe_auto_compact(st)

@@ -118,6 +118,12 @@ class _Session:
         self.prepared_sql: dict[int, str] = {}  # wire id -> sql text
         self._next_id = 0
         self._wlock = threading.Lock()
+        # per-connection FIFO chain for BATCH commands (r11): the shared
+        # dispatch pool is unordered, but pipelined batches promise
+        # send-order latest-wins — each batch is scheduled only when its
+        # predecessor's completion future resolves (see _dispatch)
+        self._batch_tail = None
+        self._chain_lock = threading.Lock()
         self.alive = True
         # per-CONNECTION codec, initialized from the server default: the
         # reference serves both protocols on one port — bson unless the
@@ -489,6 +495,37 @@ class OpentickServer:
 
     def _dispatch(self, sess: _Session, msg: dict) -> None:
         self._gate.acquire()
+
+        if msg.get("1") == "batch":
+            # per-connection SEND-ORDER serialization for batches (r11):
+            # the pool itself is unordered, so each batch is submitted
+            # only when its predecessor's completion future resolves —
+            # FIFO without parking a worker. Reads ("run"/meta) keep the
+            # fully concurrent path (the async-fanout scan shape depends
+            # on it); the reference server likewise races everything and
+            # lets FDB arbitrate, but OUR latest-wins log makes commit
+            # order user-visible, so pipelined batch upserts need this.
+            from concurrent.futures import Future as _CF
+
+            done: _CF = _CF()
+
+            def run_batch():
+                try:
+                    sess.handle(msg)
+                finally:
+                    self._gate.release()
+                    done.set_result(None)
+
+            with sess._chain_lock:
+                prev = sess._batch_tail
+                sess._batch_tail = done
+                if prev is None:
+                    self._pool.submit(run_batch)
+                else:
+                    prev.add_done_callback(
+                        lambda _f: self._pool.submit(run_batch)
+                    )
+            return
 
         def work():
             try:

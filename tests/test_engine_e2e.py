@@ -1399,6 +1399,13 @@ def test_batch_insert_columns_matches_rows(kv):
             "insert into bc_a(k, ts, x) values(?, ?, ?)",
             [[1, 2], [3], [1.0, 2.0]],
         )
+    # ...including when the FIRST column is the empty one (r11 review:
+    # the empty-batch early return must not shadow the ragged check)
+    with pytest.raises(OpentickError, match="ragged"):
+        kv.batch_insert_columns(
+            "insert into bc_a(k, ts, x) values(?, ?, ?)",
+            [[], [1], [1.0]],
+        )
     # idempotency key dedups like the rows path
     kv.batch_insert_columns(
         "insert into bc_a(k, ts, x) values(?, ?, ?)",

@@ -462,10 +462,12 @@ def test_concurrent_clients_isolated_sessions(server):
 
 def test_wire_pipelined_batch_insert(conn):
     """batch_insert_async (r11): multiple batches in flight on one
-    connection apply strictly in SEND order (single per-connection
-    reader), so pipelined ingest keeps the sync path's latest-wins
-    semantics — the overlap only removes the per-chunk round-trip
-    stall the sf1.0 scaling drill flagged."""
+    connection commit strictly in SEND order — the server chains each
+    connection's batch commands on the predecessor's completion future
+    (the dispatch pool alone is unordered; r11 review finding) — so
+    pipelined ingest keeps the sync path's latest-wins semantics. The
+    overlap only removes the per-chunk round-trip stall the sf1.0
+    scaling drill flagged."""
     _mkdb(conn, "w_pipe")
     conn.execute("create table t(a int, v double, primary key(a))")
     sql = "insert into t(a, v) values(?, ?)"
@@ -475,14 +477,15 @@ def test_wire_pipelined_batch_insert(conn):
         )
         for b in range(8)
     ]
-    # ordering probe: two pipelined batches upsert the SAME PK — the
-    # later send must win
-    futs.append(conn.batch_insert_async(sql, [(0, 111.0)]))
-    futs.append(conn.batch_insert_async(sql, [(0, 222.0)]))
+    # ordering probe: FIFTY pipelined batches upsert the SAME PK — the
+    # last send must win every time (the chained dispatch makes this
+    # deterministic; on the unordered pool it was a coin flip)
+    for i in range(50):
+        futs.append(conn.batch_insert_async(sql, [(0, float(i))]))
     for f in futs:
         f.get(60)
     assert len(conn.execute("select a from t")) == 800
-    assert conn.execute("select v from t where a=0") == [(222.0,)]
+    assert conn.execute("select v from t where a=0") == [(49.0,)]
     # errors surface on the future, not the connection
     bad = conn.batch_insert_async(sql, [(1,)])  # wrong arity
     with pytest.raises(OpentickError):
