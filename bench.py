@@ -327,9 +327,42 @@ def bench_wire_roundtrip(spark, protocol: str = "json"):
         assert len(rows) == 100_000, len(rows)
 
     t_scan_warm = timed_reps(spark, f"wire_scan_100k{suffix}_warm", one_scan)
+
+    # pipelined ingest twin (r11): same 10 chunks, all in flight —
+    # send-order commits via the server's per-connection batch chain;
+    # tracks the overlap's edge over the sync row round-over-round
+    pin_times, pin_gcs = [], []
+    for r in range(2):
+        tbl = f"testp{r}"
+        c.execute(
+            f"create table {tbl}(sec int, interval int, tm timestamp, "
+            "open double, high double, low double, close double, v double, "
+            "vwap double, primary key(sec, interval, tm))"
+        )
+        sql = (
+            f"insert into {tbl}(sec, interval, tm, open, high, low, close, "
+            "v, vwap) values(?, ?, ?, ?, ?, ?, ?, ?, ?)"
+        )
+        batches = [
+            [
+                (1, 1, b * 10_000 + i, 2.2, 2.4, 2.1, 2.3, 1e6, 2.25)
+                for i in range(10_000)
+            ]
+            for b in range(10)
+        ]
+        g0 = _gc_ms(spark)
+        t0 = time.time()
+        futs = [c.batch_insert_async(sql, rows) for rows in batches]
+        for f in futs:
+            f.get(180)
+        pin_times.append(round(time.time() - t0, 3))
+        pin_gcs.append(_gc_ms(spark) - g0)
+    REP_SPREADS[f"wire_ingest_pipelined_100k{suffix}"] = sorted(pin_times)
+    REP_GC_MS[f"wire_ingest_pipelined_100k{suffix}"] = pin_gcs
+    t_pipelined = min(pin_times)
     c.close()
     srv.stop()
-    return t_ingest, t_scan, t_scan_warm
+    return t_ingest, t_scan, t_scan_warm, t_pipelined
 
 
 def _calibration(spark) -> dict:
@@ -466,11 +499,13 @@ def main():
         timings["wire_ingest_batch_100k"],
         timings["wire_scan_100k"],
         timings["wire_scan_100k_warm"],
+        timings["wire_ingest_pipelined_100k"],
     ) = bench_wire_roundtrip(spark, protocol="json")
     (
         timings["wire_ingest_batch_100k_bson"],
         timings["wire_scan_100k_bson"],
         timings["wire_scan_100k_bson_warm"],
+        timings["wire_ingest_pipelined_100k_bson"],
     ) = bench_wire_roundtrip(spark, protocol="bson")
 
     # --- delta MERGE INTO the 100k-row table (r10): longitudinal row

@@ -492,6 +492,41 @@ def test_wire_pipelined_batch_insert(conn):
         bad.get(60)
 
 
+def test_wire_pipelined_retry_with_keys_is_exactly_once(conn):
+    """The pipelining × reconnect × idempotency contract (r11): when
+    the socket dies with keyed batches IN FLIGHT, their futures fail
+    ("Connection closed" — the recv loop can't know which applied);
+    the caller retries every failed batch WITH THE SAME KEYS after the
+    auto-reconnect, and the marker dedup makes the outcome exactly-once
+    regardless of how many had already committed."""
+    _mkdb(conn, "w_prt")
+    conn.execute("create table t(a int, v double, primary key(a))")
+    sql = "insert into t(a, v) values(?, ?)"
+    batches = [
+        ([(b * 10 + i, float(b)) for i in range(10)], f"prt-{b}")
+        for b in range(12)
+    ]
+    futs = []
+    for i, (rows, key) in enumerate(batches):
+        futs.append(conn.batch_insert_async(sql, rows, idempotency_key=key))
+        if i == 5:
+            conn._sock.close()  # kill the transport mid-pipeline
+    failed = []
+    for f, (rows, key) in zip(futs, batches):
+        try:
+            f.get(60)
+        except OpentickError:
+            failed.append((rows, key))
+    # at least the post-kill sends must have failed; retry them all
+    # with their original keys (sync is fine for the retry pass)
+    assert failed
+    for rows, key in failed:
+        conn.batch_insert(sql, rows, idempotency_key=key)
+    got = conn.execute("select a, v from t")
+    assert len(got) == 120  # every batch exactly once, no duplicates
+    assert {r[1] for r in got} == {float(b) for b in range(12)}
+
+
 def test_wire_idempotent_batch_retry(conn):
     """Extension wire key "6" (r10): resending a batch with the same
     idempotency key is a no-op once the original commit published —
