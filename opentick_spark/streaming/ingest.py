@@ -99,6 +99,7 @@ def stream_upsert(
     max_files_per_trigger: int = 8,
     fmt: str = "parquet",
     stream_id: str | None = None,
+    delete_col: str | None = None,
 ):
     """File-stream → atomic per-batch upsert into a PK table.
 
@@ -109,6 +110,14 @@ def stream_upsert(
     stamped with ``<stream_id>:<batch_id>`` and re-deliveries are
     skipped (exactly-once; see the module docstring). Returns the
     StreamingQuery (await/stop is the caller's job).
+
+    ``delete_col`` (r11) turns the sink into a CDC APPLY: the named
+    boolean column marks per-row tombstones, so one micro-batch can
+    carry upserts AND deletes and still land as ONE atomic commit
+    (``append_dataframe(delete_col=...)`` — the same primitive MERGE
+    INTO builds on). A delete for a PK the table never held is a
+    harmless tombstone (the key stays absent), matching SQL MERGE's
+    WHEN MATCHED DELETE on no match.
     """
     if fmt not in ("parquet", "json", "csv"):
         raise ValueError(f"unsupported stream source format: {fmt}")
@@ -127,7 +136,9 @@ def stream_upsert(
         if transform is not None:
             batch_df = transform(batch_df)
         if not batch_df.isEmpty():
-            store.append_dataframe(batch_df, applied_marker=marker)
+            store.append_dataframe(
+                batch_df, delete_col=delete_col, applied_marker=marker
+            )
 
     writer = (
         stream.writeStream.foreachBatch(sink)

@@ -52,10 +52,11 @@ schema-evolution/idempotency additions), then the four entries
 displaced from the r10 window whose last driver row is still r6
 (video_frame_stats, vwap_hourly, wav_decode_features,
 window_rank_topn), then the round-7-stale cohort (alphabetical head,
-trimmed by the two mid-round r11 additions swapped into the tail —
-deterministic_shard_assign and curriculum_length_buckets get
-first-time driver evidence the round they land, the r6-r10 precedent).
-The displaced r7 tail — text_quality, text_unigram_nll,
+trimmed by the three mid-round r11 additions swapped into the tail —
+deterministic_shard_assign, curriculum_length_buckets, and
+streaming_cdc_apply get first-time driver evidence the round they
+land, the r6-r10 precedent). The displaced r7 tail —
+text_pii_redaction, text_quality, text_unigram_nll,
 video_clip_containment, window_count_distinct, window_lead_lag,
 window_range_frame, window_rank_stats, window_running_sum — rejoins
 the r12 queue.
@@ -145,14 +146,15 @@ _DRIVER_WINDOW = [
     "text_compression_ratio",
     "text_dup_ngram_coverage",
     "text_fingerprint",
-    "text_pii_redaction",
     # ---- mid-round r11 additions (first-time driver evidence, the
-    # r6-r10 precedent; the displaced r7-stale tail — text_quality,
-    # text_unigram_nll — rejoins the r12 queue) ----
+    # r6-r10 precedent; the displaced r7-stale tail — text_pii_redaction,
+    # text_quality, text_unigram_nll — rejoins the r12 queue) ----
     # reproducible md5 shard deal (zero-shuffle narrow map)
     "deterministic_shard_assign",
     # exact length deciles via value-histogram CDF (NTILE w/o global sort)
     "curriculum_length_buckets",
+    # streaming CDC apply: per-row upsert/delete ops, atomic per batch
+    "streaming_cdc_apply",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

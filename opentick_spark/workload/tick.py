@@ -731,6 +731,75 @@ def streaming_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "streaming_cdc_apply",
+    """
+    WITH first_purchase AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS r
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(user_id AS INTEGER) AS sec, value AS px
+    FROM first_purchase WHERE r = 1 AND value >= 50.0
+    """,
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY as a stream (r11): a change feed whose rows carry a
+    per-row op (upsert vs delete) lands through ``stream_upsert
+    (delete_col=...)`` — each micro-batch's mixed upserts AND deletes
+    commit as ONE atomic unit (``append_dataframe(delete_col=...)``,
+    the MERGE INTO primitive, now reachable from Structured Streaming
+    with the same ``<stream_id>:<batch_id>`` exactly-once markers).
+    The change set is each user's FIRST purchase: value >= 50 upserts
+    (sec, px), value < 50 is a DELETE of that key — a tombstone for a
+    never-inserted PK, which must leave the key absent (SQL MERGE's
+    no-match delete). One change per key makes the final state
+    independent of micro-batch boundaries, so the oracle is closed
+    form. 4 shards → multiple batches."""
+    import os
+
+    from opentick_spark.streaming.ingest import stream_upsert
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    from pyspark.sql import Window as W
+
+    first = (
+        ev.withColumn(
+            "__r",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy("ts")
+            ),
+        )
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("user_id").cast("int").alias("sec"),
+            F.col("value").alias("px"),
+            (F.col("value") < 50.0).alias("is_del"),
+        )
+    )
+    src_dir = tempfile.mkdtemp(prefix="otspark_cdc_in_")
+    first.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_cdc_wh_"))
+    eng.execute("create database c")
+    eng.use("c")
+    eng.execute("create table kv(sec int, px double, primary key(sec))")
+    store = eng.store("c", "kv")
+    q_ = stream_upsert(
+        spark,
+        src_dir,
+        "sec int, px double, is_del boolean",
+        store,
+        tempfile.mkdtemp(prefix="otspark_cdc_ck_"),
+        max_files_per_trigger=1,
+        delete_col="is_del",
+    )
+    q_.awaitTermination()
+    return eng.execute("select sec, px from kv")
+
+
+@q(
     "continuous_ohlcv",
     """
     SELECT CAST(user_id AS INTEGER) AS sec,

@@ -361,3 +361,63 @@ def test_stream_quality_rejects_non_incremental_rule(spark, tmp_path):
             str(tmp_path / "c"),
             [Q.unique("id")],
         )
+
+
+def test_stream_upsert_delete_col_cdc_apply(spark, engine, tmp_path):
+    """stream_upsert(delete_col=...) (r11): a change feed with per-row
+    upsert/delete ops applies atomically per micro-batch; a replay with
+    a fresh checkpoint under the same stream identity is a no-op
+    (exactly-once markers), and a delete for a never-inserted key
+    leaves the key absent."""
+    from pyspark.sql import functions as F
+
+    from opentick_spark.streaming.ingest import stream_upsert
+
+    engine.execute("create database cdc")
+    engine.use("cdc")
+    engine.execute("create table kv(k int, v double, primary key(k))")
+    store = engine.store("cdc", "kv")
+    store.append_dataframe(
+        spark.range(5).selectExpr(
+            "CAST(id AS int) AS k", "CAST(0.0 AS double) AS v"
+        )
+    )
+
+    # change feed: upsert k=0..2 to 9.9; delete k=3; delete k=100
+    # (never inserted); upsert k=200 (new)
+    changes = spark.createDataFrame(
+        [
+            (0, 9.9, False),
+            (1, 9.9, False),
+            (2, 9.9, False),
+            (3, None, True),
+            (100, None, True),
+            (200, 5.5, False),
+        ],
+        "k int, v double, is_del boolean",
+    )
+    src = str(tmp_path / "cdc_src")
+    changes.repartition(3).write.parquet(src)
+
+    def run(ck):
+        q = stream_upsert(
+            spark,
+            src,
+            "k int, v double, is_del boolean",
+            store,
+            ck,
+            max_files_per_trigger=1,
+            delete_col="is_del",
+            stream_id="cdc-stream",
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck_a"))
+    expect = [(0, 9.9), (1, 9.9), (2, 9.9), (4, 0.0), (200, 5.5)]
+    assert engine.execute_rows("select k, v from kv") == expect
+    seq_after = store.current_seq()
+    # replay, fresh checkpoint, same identity: marker-skipped, no
+    # new commits, state unchanged
+    run(str(tmp_path / "ck_b"))
+    assert store.current_seq() == seq_after
+    assert engine.execute_rows("select k, v from kv") == expect
