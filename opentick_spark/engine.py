@@ -391,8 +391,6 @@ class Engine:
             raise OpentickError("execute_split requires at least one range")
         import dataclasses
 
-        from opentick_spark.dialect.resolver import bind_conds
-
         pid = self.prepare(sql) if isinstance(sql, str) else sql
         resolved = self._prepared[pid][1]
         if not isinstance(resolved, ResolvedSelect):
@@ -401,30 +399,21 @@ class Engine:
         want = [c.name for c in resolved.cols]
         if not resolved.limit and not resolved.adjs:
             # fast path: ONE scan filtered by the OR of the sub-range
-            # predicates. Set-identical to union+dedup (a boundary row
-            # satisfies two disjuncts but is still one row of one scan),
-            # with none of the n-subplan union, the dropDuplicates
-            # shuffle, or n passes over the upsert-resolution window —
-            # this is the "native Spark parallelism" form of SplitRange.
+            # predicates — coalesced first, so the reference-style
+            # contiguous split collapses to a single range predicate
+            # (see _split_disjuncts). Set-identical to union+dedup (a
+            # boundary row satisfies two disjuncts but is still one row
+            # of one scan), with none of the n-subplan union, the
+            # dropDuplicates shuffle, or n passes over the
+            # upsert-resolution window — this is the "native Spark
+            # parallelism" form of SplitRange.
             # (LIMIT/adj are per-sub-range semantics in the reference →
             # those fall back to the branch-union path below.)
+            disjuncts, leading_eq = self._split_disjuncts(
+                resolved, ranges, args
+            )
             pred = None
-            leading_eq = None
-            lead = resolved.schema.key_columns[0].name
-            for i, (lo, hi) in enumerate(ranges):
-                conds = bind_conds(resolved.conds, (*args, lo, hi))
-                if i == 0:
-                    # shared leading-PK equality (same for every range —
-                    # only the last two placeholders vary) → keep the
-                    # hash-bucket partition pruning of the single-range path
-                    leading_eq = next(
-                        (
-                            c.equal
-                            for c in conds
-                            if c.col.name == lead and c.equal is not None
-                        ),
-                        None,
-                    )
+            for conds in disjuncts:
                 p = self._predicate(conds)
                 pred = p if pred is None else (pred | p)
             st = self.store(resolved.schema.db, resolved.schema.name)
@@ -437,6 +426,97 @@ class Engine:
             df = self._run_resolved(widened, (*args, lo, hi))
             out = df if out is None else out.unionAll(df)
         return out.dropDuplicates(pk).orderBy(*pk).select(*want)
+
+    def _split_disjuncts(self, resolved, ranges, args):
+        """Bind each (lo, hi) sub-range and coalesce adjacent/overlapping
+        intervals into maximal ones before predicate construction (r11).
+
+        The reference's SplitRange is a CLIENT-parallelism device: callers
+        carve one big range into n contiguous inclusive sub-ranges so n
+        connections can scan concurrently (client/opentick.go:63-127).
+        Spark parallelizes the scan itself, so n contiguous disjuncts are
+        pure overhead — a 10-arm Or evaluates 10 predicates per row and
+        defeats tight row-group min/max bounding, while the coalesced
+        single range pushes two leaf comparisons. Returns
+        ``(disjuncts, leading_eq)``: a list of bound-cond lists (length 1
+        when the split collapses) plus the shared leading-PK equality for
+        hash-bucket partition pruning.
+
+        Coalescing applies only where provably exact: exactly one cond
+        varies across branches, it is a two-sided range (no equality),
+        and its bound values are uniformly int (engine-native form of
+        int/timestamp columns — exclusive bounds normalize to closed
+        integer intervals, so [a,b] ∪ [c,d] with c <= b+1 is
+        [a, max(b,d)]) or uniformly float with inclusive bounds (merge
+        on touch/overlap only: c <= b). Anything else — strings, open
+        bounds, multi-cond variation — keeps the literal per-range
+        disjuncts, which remain set-identical to the reference's
+        union-of-sub-scans."""
+        from opentick_spark.dialect.resolver import Bound
+
+        bound = [bind_conds(resolved.conds, (*args, lo, hi)) for lo, hi in ranges]
+        lead = resolved.schema.key_columns[0].name
+        # shared leading-PK equality (same for every range — only the
+        # last two placeholders vary)
+        leading_eq = next(
+            (
+                c.equal
+                for c in bound[0]
+                if c.col.name == lead and c.equal is not None
+            ),
+            None,
+        )
+        first = bound[0]
+        varying = [
+            j
+            for j in range(len(first))
+            if any(b[j] != first[j] for b in bound[1:])
+        ]
+        if not varying:
+            return [first], leading_eq  # identical branches: one disjunct
+        if len(varying) > 1:
+            return bound, leading_eq
+        j = varying[0]
+        c0 = first[j]
+        if c0.equal is not None or c0.start is None or c0.end is None:
+            return bound, leading_eq
+        kind = type(c0.start.value)
+        if kind not in (int, float):
+            return bound, leading_eq
+        ivals: list[list] = []
+        for b in bound:
+            c = b[j]
+            if c.equal is not None or c.start is None or c.end is None:
+                return bound, leading_eq
+            lo, hi = c.start.value, c.end.value
+            if type(lo) is not kind or type(hi) is not kind:
+                return bound, leading_eq
+            if kind is int:
+                lo += 0 if c.start.inclusive else 1
+                hi -= 0 if c.end.inclusive else 1
+            elif not (c.start.inclusive and c.end.inclusive):
+                return bound, leading_eq
+            if lo <= hi:
+                ivals.append([lo, hi])
+        if not ivals:
+            # every sub-range is empty: keep one (vacuously false) branch
+            return [first], leading_eq
+        ivals.sort()
+        merged = [ivals[0]]
+        touch = 1 if kind is int else 0
+        for lo, hi in ivals[1:]:
+            if lo <= merged[-1][1] + touch:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        out = []
+        for lo, hi in merged:
+            conds = list(first)
+            conds[j] = ResolvedCond(
+                col=c0.col, start=Bound(lo, True), end=Bound(hi, True)
+            )
+            out.append(conds)
+        return out, leading_eq
 
     def execute_split_rows(
         self, sql: str | int, ranges: list[tuple], *args: Any
@@ -460,22 +540,11 @@ class Engine:
         want = [c.name for c in resolved.cols]
         pk = resolved.schema.pk_names
         proj = list(dict.fromkeys(want + pk))
-        # same OR-predicate single scan as execute_split's fast path,
-        # minus the orderBy
+        # same coalesced OR-predicate single scan as execute_split's
+        # fast path, minus the orderBy
+        disjuncts, leading_eq = self._split_disjuncts(resolved, ranges, args)
         pred = None
-        leading_eq = None
-        lead = resolved.schema.key_columns[0].name
-        for i, (lo, hi) in enumerate(ranges):
-            conds = bind_conds(resolved.conds, (*args, lo, hi))
-            if i == 0:
-                leading_eq = next(
-                    (
-                        c.equal
-                        for c in conds
-                        if c.col.name == lead and c.equal is not None
-                    ),
-                    None,
-                )
+        for conds in disjuncts:
             p = self._predicate(conds)
             pred = p if pred is None else (pred | p)
         st = self.store(resolved.schema.db, resolved.schema.name)

@@ -245,6 +245,66 @@ def test_execute_split_dedups_boundary(kv):
     assert rows == [i * 1_000_000_000 for i in range(100)]
 
 
+def test_execute_split_coalesces_contiguous_ranges(kv):
+    """A contiguous n-way split is a client-parallelism artifact
+    (client/opentick.go:63-127); the engine coalesces it back to ONE
+    range predicate, so the physical plan carries no Or disjunction —
+    identical rows, tighter pushdown (r11)."""
+    from opentick_spark.engine import split_range
+
+    eng = kv
+    eng.execute(
+        "create table if not exists kvc(k int, t timestamp, x double, primary key(k, t))"
+    )
+    pid = eng.prepare("insert into kvc(k, t, x) values(?, ?, ?)")
+    eng.batch_insert(pid, [(3, i, float(i)) for i in range(200)])
+    sql = "select k, t, x from kvc where k=3 and t>=? and t<=?"
+    df = eng.execute_split(sql, split_range(10, 189, 10))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert " OR " not in plan and "Or(" not in plan
+    got = [r.t for r in df.collect()]
+    assert got == [i * 1_000_000_000 for i in range(10, 190)]
+    # rows path takes the same coalesced scan
+    rows = eng.execute_split_rows(sql, split_range(10, 189, 10))
+    assert len(rows) == 180 and rows[0][1] == (10, 0) and rows[-1][1] == (189, 0)
+
+
+def test_execute_split_gap_keeps_disjuncts(kv):
+    """Non-contiguous sub-ranges must stay a union: the gap rows are
+    excluded, and exclusive bounds never merge across a shared endpoint
+    (t>10,t<20 ∪ t>20,t<30 excludes 20 itself)."""
+    eng = kv
+    eng.execute(
+        "create table if not exists kvg(k int, t timestamp, x double, primary key(k, t))"
+    )
+    pid = eng.prepare("insert into kvg(k, t, x) values(?, ?, ?)")
+    eng.batch_insert(pid, [(5, i, float(i)) for i in range(60)])
+    # true gap: [0,9] ∪ [30,39] — 20 rows, nothing from the gap
+    df = eng.execute_split(
+        "select k, t, x from kvg where k=5 and t>=? and t<=?",
+        [(30, 39), (0, 9)],
+    )
+    got = [r.t // 1_000_000_000 for r in df.collect()]
+    assert got == list(range(0, 10)) + list(range(30, 40))
+    # exclusive bounds sharing an endpoint: 20 is in NEITHER sub-range
+    df2 = eng.execute_split(
+        "select k, t, x from kvg where k=5 and t>? and t<?",
+        [(10, 20), (20, 30)],
+    )
+    got2 = [r.t // 1_000_000_000 for r in df2.collect()]
+    assert got2 == list(range(11, 20)) + list(range(21, 30))
+    # ...but adjacent-by-one exclusive ints DO coalesce exactly:
+    # (10,21)∪(20,31) covers 11..20 ∪ 21..30 = [11,30]
+    df3 = eng.execute_split(
+        "select k, t, x from kvg where k=5 and t>? and t<?",
+        [(10, 21), (20, 31)],
+    )
+    plan3 = df3._jdf.queryExecution().executedPlan().toString()
+    assert " OR " not in plan3 and "Or(" not in plan3
+    got3 = [r.t // 1_000_000_000 for r in df3.collect()]
+    assert got3 == list(range(11, 31))
+
+
 def test_response_cache_ttl(spark, tmp_path):
     """Stale reads within TTL (server_test.go:161-183): deleted rows keep
     appearing until the cache entry expires."""
