@@ -343,6 +343,62 @@ class Catalog:
             self._write_schema(schema)
             self._cache[(db, table)] = schema
 
+    #: provably-lossless type promotions. The read path relies on Spark 4's
+    #: parquet widening conversions (int32→int64, float→double, …), so old
+    #: files keep their narrow physical type until the next compaction
+    #: rewrites the base — schema-only evolution, no data rewrite, exactly
+    #: like add/drop. int→double is excluded (loses exactness past 2^53).
+    _WIDEN = {
+        "tinyint": {"smallint", "int", "bigint"},
+        "smallint": {"int", "bigint"},
+        "int": {"bigint"},
+        "float": {"double"},
+    }
+
+    def modify_column(self, db: str, table: str, name: str, type_name: str) -> None:
+        """Schema evolution (extension, r11): widen a column's type in
+        place. Only the promotions in ``_WIDEN`` are allowed — every
+        stored value is exactly representable in the new type, so reads
+        before and after the next compaction agree bit-for-bit. Applies
+        to VALUE and PK columns alike (row identity is preserved by a
+        lossless promotion); the ENGINE additionally drops a
+        hash-bucketed layout's pruning metadata when the leading PK
+        widens across xxhash64 width classes (int-family→bigint,
+        float→double), because stored ``__bucket`` values were computed
+        from the narrow hash."""
+        from opentick_spark.typesys import parse_type_name
+
+        with self._lock:
+            schema = self.get_schema(db, table)
+            col = schema.col(name)
+            if col is None:
+                raise OpentickError(f"Undefined column name {name}")
+            t = parse_type_name(type_name)
+            if t == col.type:
+                return  # idempotent no-op
+            if t not in self._WIDEN.get(col.type, ()):
+                raise OpentickError(
+                    f"Cannot modify column {name} from {col.type} to {t}: "
+                    "only widening conversions are supported"
+                )
+            cols = [
+                c if c.name != name else ColumnDef(
+                    name=c.name,
+                    type=t,
+                    is_key=c.is_key,
+                    key_pos=c.key_pos,
+                    pos_col=c.pos_col,
+                    physical=c.physical,
+                )
+                for c in schema.columns
+            ]
+            schema = TableSchema(
+                db=db, name=table, columns=cols,
+                retired_physicals=schema.retired_physicals,
+            )
+            self._write_schema(schema)
+            self._cache[(db, table)] = schema
+
     def drop_column(self, db: str, table: str, name: str) -> None:
         """Schema evolution (extension, r10): drop a VALUE column.
         Schema-only — no data rewrite: reads stop selecting the

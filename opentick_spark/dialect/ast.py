@@ -103,3 +103,10 @@ class AddColumn:
 class DropColumn:
     table: TableName
     name: str
+
+
+@dataclass
+class ModifyColumn:
+    table: TableName
+    name: str
+    type: str

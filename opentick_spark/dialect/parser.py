@@ -19,7 +19,7 @@ _KEYWORDS = {
     "BIGINT", "DOUBLE", "SELECT", "INSERT", "VALUES", "COLUMN", "CREATE",
     "DELETE", "RENAME", "FLOAT", "WHERE", "LIMIT", "TABLE", "ALTER",
     "FALSE", "TEXT", "FROM", "TYPE", "DROP", "TRUE", "TO", "INTO", "ADD",
-    "AND", "KEY", "INT", "IF", "NOT", "EXISTS",
+    "AND", "KEY", "INT", "IF", "NOT", "EXISTS", "MODIFY",
 }
 _FUNCS = {"ADJ_PX", "ADJ_VOL", "ADJ"}
 _TYPES = {
@@ -284,6 +284,16 @@ class _Parser:
         if self.accept("KW", "DROP"):  # extension: schema evolution (r10)
             self.expect("KW", "COLUMN")
             return ast.DropColumn(table=table, name=self.ident())
+        if self.accept("KW", "MODIFY"):  # extension: type widening (r11)
+            self.expect("KW", "COLUMN")
+            name = self.ident()
+            t = self.peek()
+            if t.kind != "KW" or t.value not in _TYPES:
+                raise OpentickError(
+                    f"Syntax error: expected data type, got {t.value!r}"
+                )
+            self.next()
+            return ast.ModifyColumn(table=table, name=name, type=t.value.lower())
         self.expect("KW", "RENAME")
         if self.accept("KW", "COLUMN"):
             old = self.ident()

@@ -365,6 +365,26 @@ class Engine:
             self.catalog.drop_column(db, node.table.name, node.name)
             self._stores.pop((db, node.table.name), None)
             return None
+        if isinstance(node, ast.ModifyColumn):
+            db = self._db_of(node.table)
+            require_perm(self.user, db, node.table.name, WRITE_PERM)
+            schema = self.catalog.get_schema(db, node.table.name)
+            lead = schema.key_columns[0]
+            # a widened leading PK changes its xxhash64 width class when
+            # it crosses into bigint/double — stored __bucket values are
+            # then stale, so drop the pruning metadata BEFORE the schema
+            # write (readers must never see widened schema + old buckets).
+            # Gated on the widen being legal so a rejected/no-op MODIFY
+            # never costs the layout its pruning.
+            if (
+                lead.name == node.name
+                and node.type in ("bigint", "double")
+                and node.type in Catalog._WIDEN.get(lead.type, ())
+            ):
+                self.store(db, node.table.name).invalidate_hash_buckets()
+            self.catalog.modify_column(db, node.table.name, node.name, node.type)
+            self._stores.pop((db, node.table.name), None)
+            return None
         return self._run_resolved(self._resolve(node), args)
 
     def _require_admin(self) -> None:

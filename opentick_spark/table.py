@@ -686,6 +686,14 @@ class TableStore:
             base = spark.read.schema(base_schema).parquet(self.base_path)
             if nb:
                 base = base.withColumn(BUCKET_COL, F.col(BUCKET_COL).cast("int"))
+            else:
+                # a base laid out under hash_buckets whose metadata was
+                # since invalidated (leading-PK widen, r11) still has
+                # __bucket partition DIRECTORIES — Spark surfaces a
+                # discovered partition column even under an explicit
+                # schema, and the union with bucket-less log commits
+                # would fail. Drop it; .drop is a no-op when absent.
+                base = base.drop(BUCKET_COL)
             parts.append(base)
         if log is not None:
             parts.append(log)
@@ -1165,6 +1173,22 @@ class TableStore:
             elif os.path.exists(p):
                 os.remove(p)
         os.remove(intent_p)
+
+    def invalidate_hash_buckets(self) -> None:
+        """Drop the hash-bucketed layout's PRUNING metadata (r11): used
+        when the leading PK column widens across xxhash64 width classes
+        (int-family→bigint, float→double), because every stored
+        ``__bucket`` value was computed from the narrow-type hash and a
+        new-type probe would prune to the wrong bucket. Reads fall back
+        to unpruned (still correct — the physical ``__bucket`` column in
+        the base is simply no longer selected); the next
+        ``compact(hash_buckets=N)`` re-buckets under the widened type.
+        Called BEFORE the schema write so no reader can ever observe the
+        widened schema with stale bucket metadata."""
+        with self._lock, self._file_lock():
+            meta = self._meta()
+            if meta.pop("hash_buckets", None) is not None:
+                self._write_meta(meta)
 
     def current_seq(self) -> int:
         """Latest commit sequence — the token to pass to

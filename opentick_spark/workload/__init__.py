@@ -145,16 +145,18 @@ _DRIVER_WINDOW = [
     "text_chunking",
     "text_compression_ratio",
     "text_dup_ngram_coverage",
-    "text_fingerprint",
     # ---- mid-round r11 additions (first-time driver evidence, the
-    # r6-r10 precedent; the displaced r7-stale tail — text_pii_redaction,
-    # text_quality, text_unigram_nll — rejoins the r12 queue) ----
+    # r6-r10 precedent; the displaced r7-stale tail — text_fingerprint,
+    # text_pii_redaction, text_quality, text_unigram_nll — rejoins the
+    # r12 queue) ----
     # reproducible md5 shard deal (zero-shuffle narrow map)
     "deterministic_shard_assign",
     # exact length deciles via value-histogram CDF (NTILE w/o global sort)
     "curriculum_length_buckets",
     # streaming CDC apply: per-row upsert/delete ops, atomic per batch
     "streaming_cdc_apply",
+    # ALTER TABLE MODIFY COLUMN type-widening lifecycle (closed form)
+    "widen_evolution_state",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -368,6 +368,48 @@ def drop_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "widen_evolution_state",
+    """
+    SELECT CAST(k AS BIGINT) AS k, CAST(v AS DOUBLE) AS v FROM (VALUES
+      (1, 1.5), (2, 2.25), (3, 4.5), (5000000000, 0.5)
+    ) AS t(k, v) ORDER BY k
+    """,
+)
+def widen_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE MODIFY COLUMN lifecycle (r11, extension — the
+    reference's schemas are frozen at CREATE, schema.go:444-470):
+    base k=1..3 with v float (1.5/2.0/4.5, all float32-exact); widen v
+    to double and upsert {2 → 2.25} (a value unrepresentable pre-widen
+    landing through the S7 insert-as-upsert path); widen the PK k to
+    bigint (saturating int32 clamps lift) and insert k=5e9 > 2^31;
+    compact (rewrites the mixed narrow/wide files under the wide
+    schema) and verify the closed form end-to-end. Old narrow-file rows
+    must read bit-exact through Spark 4's parquet widening reads both
+    before and after the compaction rewrite."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="otspark_widenev_"))
+    eng.execute("create database we")
+    eng.use("we")
+    eng.execute("create table t(k int, v float, primary key(k))")
+    pid = eng.prepare("insert into t(k, v) values(?, ?)")
+    eng.batch_insert(pid, [(1, 1.5), (2, 2.0), (3, 4.5)])
+    eng.execute("alter table t modify column v double")
+    eng.execute("insert into t(k, v) values(2, 2.25)")  # upsert, wide value
+    eng.execute("alter table t modify column k bigint")
+    eng.execute("insert into t(k, v) values(5000000000, 0.5)")
+    st = eng.store("we", "t")
+    # materialize the pre-compact (mixed narrow/wide files) state NOW:
+    # compaction GCs the log files this lazy plan would reference
+    mid = sorted(map(tuple, eng.execute("select k, v from t").collect()))
+    st.compact(spark)
+    post = eng.execute("select k, v from t")
+    # pre/post-compaction agreement is part of the contract under test
+    assert mid == sorted(map(tuple, post.collect()))
+    return post.select(
+        F.col("k").cast("bigint").alias("k"), F.col("v").cast("double").alias("v")
+    )
+
+
+@q(
     "idempotent_batch_state",
     """
     SELECT * FROM (VALUES

@@ -1294,6 +1294,83 @@ def test_drop_column_schema_evolution(kv):
     assert kv.execute_rows("select v, tag from dc where k=0") == [(0.5, "z")]
 
 
+def test_modify_column_widens_types(kv):
+    """r11 ALTER TABLE MODIFY COLUMN (extension): lossless type widening
+    is schema-only — old files keep the narrow physical type (Spark 4's
+    parquet reader widens on read), new writes use the wide type, and
+    the two agree bit-for-bit before and after compaction. Narrowing and
+    non-numeric changes are rejected; same-type MODIFY is a no-op."""
+    spark = kv.spark
+    kv.execute("create table mc(k int, t timestamp, v float, primary key(k, t))")
+    kv.execute("insert into mc(k, t, v) values(1, 1, 1.5)")
+    # pre-widen int clamps at the narrow bound (saturating semantics)
+    kv.execute("insert into mc(k, t, v) values(5000000000, 1, 0.5)")
+    assert kv.execute_rows("select k from mc where k=2147483647") == [
+        (2147483647,)
+    ]
+
+    kv.execute("alter table mc modify column v double")
+    kv.execute("alter table mc modify column k bigint")
+    # post-widen: the full bigint range lands; old float rows read exact
+    kv.execute("insert into mc(k, t, v) values(5000000000, 2, 2.25)")
+    assert kv.execute_rows("select k, v from mc where k=5000000000") == [
+        ((5000000000), 2.25)
+    ]
+    assert kv.execute_rows("select v from mc where k=1") == [(1.5,)]
+
+    with pytest.raises(OpentickError, match="only widening"):
+        kv.execute("alter table mc modify column v float")
+    with pytest.raises(OpentickError, match="only widening"):
+        kv.execute("alter table mc modify column t bigint")
+    with pytest.raises(OpentickError, match="Undefined column"):
+        kv.execute("alter table mc modify column nope bigint")
+    kv.execute("alter table mc modify column v double")  # no-op
+
+    # compaction rewrites the base under the widened schema
+    st = kv.store("d", "mc")
+    st.compact(spark)
+    assert sorted(kv.execute_rows("select k, v from mc")) == [
+        (1, 1.5), (2147483647, 0.5), (5000000000, 2.25),
+    ]
+
+
+def test_modify_column_lead_pk_widen_vs_hash_buckets(kv):
+    """Widening the LEADING PK across xxhash64 width classes invalidates
+    a hash-bucketed layout's pruning metadata (stored __bucket values
+    were computed from the narrow hash) — reads stay correct unpruned,
+    and the next compact(hash_buckets=N) re-buckets under the wide
+    type. Widening within the int family (same hash class) keeps the
+    bucketed layout intact."""
+    spark = kv.spark
+    kv.execute("create table bw(k smallint, t timestamp, v double, primary key(k, t))")
+    pid = kv.prepare("insert into bw(k, t, v) values(?, ?, ?)")
+    kv.batch_insert(pid, [(i, 1, float(i)) for i in range(20)])
+    st = kv.store("d", "bw")
+    st.compact(spark, hash_buckets=4)
+
+    # same hash class: smallint -> int keeps buckets AND point gets work
+    kv.execute("alter table bw modify column k int")
+    st = kv.store("d", "bw")
+    assert st._meta().get("hash_buckets") == 4
+    assert kv.execute_rows("select v from bw where k=7") == [(7.0,)]
+
+    # class change: int -> bigint clears buckets; everything still reads
+    kv.execute("alter table bw modify column k bigint")
+    st = kv.store("d", "bw")
+    assert st._meta().get("hash_buckets") is None
+    assert kv.execute_rows("select v from bw where k=7") == [(7.0,)]
+    kv.execute("insert into bw(k, t, v) values(7000000000, 1, 70.0)")
+    assert len(kv.execute_rows("select k from bw")) == 21
+
+    # re-bucket under the widened type: pruned point gets are correct
+    # for narrow-era and wide-era keys alike
+    st.compact(spark, hash_buckets=4)
+    st = kv.store("d", "bw")
+    assert st._meta().get("hash_buckets") == 4
+    assert kv.execute_rows("select v from bw where k=7") == [(7.0,)]
+    assert kv.execute_rows("select v from bw where k=7000000000") == [(70.0,)]
+
+
 def test_batch_insert_idempotency_key(kv):
     """Engine-level retry-safe batches (r10): the same key dedups even
     across compaction; distinct keys and keyless batches apply."""
