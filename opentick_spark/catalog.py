@@ -361,11 +361,15 @@ class Catalog:
         stored value is exactly representable in the new type, so reads
         before and after the next compaction agree bit-for-bit. Applies
         to VALUE and PK columns alike (row identity is preserved by a
-        lossless promotion); the ENGINE additionally drops a
-        hash-bucketed layout's pruning metadata when the leading PK
-        widens across xxhash64 width classes (int-family→bigint,
-        float→double), because stored ``__bucket`` values were computed
-        from the narrow hash."""
+        lossless promotion). Hash-bucketed layouts: stored ``__bucket``
+        values go stale when the LEADING PK widens across xxhash64
+        width classes (int-family→bigint, float→double). The read path
+        self-heals — ``compact`` records ``bucket_hash_class`` and
+        ``TableStore._effective_buckets`` ignores a layout whose class
+        no longer matches, so even a direct caller of this method gets
+        correct (unpruned) reads; the ENGINE's MODIFY dispatch
+        additionally drops the stale metadata eagerly
+        (``invalidate_hash_buckets``)."""
         from opentick_spark.typesys import parse_type_name
 
         with self._lock:

@@ -21,6 +21,7 @@ _KEYWORDS = {
     "FALSE", "TEXT", "FROM", "TYPE", "DROP", "TRUE", "TO", "INTO", "ADD",
     "AND", "KEY", "INT", "IF", "NOT", "EXISTS", "MODIFY",
 }
+_NON_RESERVED = {"MODIFY"}  # usable as identifiers (see _Parser.ident)
 _FUNCS = {"ADJ_PX", "ADJ_VOL", "ADJ"}
 _TYPES = {
     "BIGINT", "TINYINT", "SMALLINT", "INT", "DOUBLE", "FLOAT",
@@ -106,6 +107,16 @@ class _Parser:
 
     # -- terminals -------------------------------------------------------
     def ident(self) -> str:
+        # extension keywords added AFTER tables could legally use the
+        # word as an identifier stay NON-RESERVED: a pre-r11 column
+        # named "modify" must remain selectable/alterable (the r11
+        # MODIFY keyword would otherwise strand it behind the grammar).
+        # Unambiguous: every use of MODIFY as a keyword is gated by an
+        # explicit accept() BEFORE ident() is tried.
+        t = self.peek()
+        if t.kind == "KW" and t.value in _NON_RESERVED:
+            self.next()
+            return t.value.lower()
         return self.expect("IDENT").value
 
     def table_name(self) -> ast.TableName:

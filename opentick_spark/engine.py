@@ -31,6 +31,7 @@ from opentick_spark.catalog import ADJ_TABLE, Catalog
 from opentick_spark.dialect import ast
 from opentick_spark.dialect.parser import parse
 from opentick_spark.dialect.resolver import (
+    Bound,
     Placeholder,
     ResolvedCond,
     ResolvedDelete,
@@ -429,13 +430,7 @@ class Engine:
             # parallelism" form of SplitRange.
             # (LIMIT/adj are per-sub-range semantics in the reference →
             # those fall back to the branch-union path below.)
-            disjuncts, leading_eq = self._split_disjuncts(
-                resolved, ranges, args
-            )
-            pred = None
-            for conds in disjuncts:
-                p = self._predicate(conds)
-                pred = p if pred is None else (pred | p)
+            pred, leading_eq = self._split_predicate(resolved, ranges, args)
             st = self.store(resolved.schema.db, resolved.schema.name)
             df = st.read(self.spark, leading_eq=leading_eq).filter(pred)
             return df.orderBy(*pk).select(*want)
@@ -447,9 +442,14 @@ class Engine:
             out = df if out is None else out.unionAll(df)
         return out.dropDuplicates(pk).orderBy(*pk).select(*want)
 
-    def _split_disjuncts(self, resolved, ranges, args):
-        """Bind each (lo, hi) sub-range and coalesce adjacent/overlapping
-        intervals into maximal ones before predicate construction (r11).
+    def _split_predicate(self, resolved, ranges, args):
+        """Bind each (lo, hi) sub-range, coalesce adjacent/overlapping
+        intervals into maximal ones, and fold the result into ONE Spark
+        predicate (r11). Returns ``(pred, leading_eq)`` where
+        ``leading_eq`` is the leading-PK equality for hash-bucket
+        partition pruning — only when it is IDENTICAL across every
+        bound branch (a lead equality the ranges themselves bind would
+        prune other branches' buckets away).
 
         The reference's SplitRange is a CLIENT-parallelism device: callers
         carve one big range into n contiguous inclusive sub-ranges so n
@@ -457,70 +457,78 @@ class Engine:
         Spark parallelizes the scan itself, so n contiguous disjuncts are
         pure overhead — a 10-arm Or evaluates 10 predicates per row and
         defeats tight row-group min/max bounding, while the coalesced
-        single range pushes two leaf comparisons. Returns
-        ``(disjuncts, leading_eq)``: a list of bound-cond lists (length 1
-        when the split collapses) plus the shared leading-PK equality for
-        hash-bucket partition pruning.
+        single range pushes two leaf comparisons.
 
         Coalescing applies only where provably exact: exactly one cond
         varies across branches, it is a two-sided range (no equality),
         and its bound values are uniformly int (engine-native form of
         int/timestamp columns — exclusive bounds normalize to closed
         integer intervals, so [a,b] ∪ [c,d] with c <= b+1 is
-        [a, max(b,d)]) or uniformly float with inclusive bounds (merge
-        on touch/overlap only: c <= b). Anything else — strings, open
-        bounds, multi-cond variation — keeps the literal per-range
-        disjuncts, which remain set-identical to the reference's
-        union-of-sub-scans."""
-        from opentick_spark.dialect.resolver import Bound
-
+        [a, max(b,d)]) or uniformly inclusive NaN-free float (merge on
+        touch/overlap only: c <= b; NaN bounds fall back because Spark
+        orders NaN greatest while Python comparisons make it
+        incomparable). Anything else — strings, open bounds, multi-cond
+        variation — keeps the literal per-range disjuncts, which remain
+        set-identical to the reference's union-of-sub-scans."""
         bound = [bind_conds(resolved.conds, (*args, lo, hi)) for lo, hi in ranges]
-        lead = resolved.schema.key_columns[0].name
-        # shared leading-PK equality (same for every range — only the
-        # last two placeholders vary)
-        leading_eq = next(
-            (
-                c.equal
-                for c in bound[0]
-                if c.col.name == lead and c.equal is not None
-            ),
-            None,
-        )
         first = bound[0]
-        varying = [
+        varying = {
             j
             for j in range(len(first))
             if any(b[j] != first[j] for b in bound[1:])
-        ]
+        }
+        lead = resolved.schema.key_columns[0].name
+        leading_eq = next(
+            (
+                c.equal
+                for j, c in enumerate(first)
+                if j not in varying
+                and c.col.name == lead
+                and c.equal is not None
+            ),
+            None,
+        )
+
+        def fold(disjuncts):
+            pred = None
+            for conds in disjuncts:
+                p = self._predicate(conds)
+                pred = p if pred is None else (pred | p)
+            return pred, leading_eq
+
         if not varying:
-            return [first], leading_eq  # identical branches: one disjunct
+            return fold([first])  # identical branches: one disjunct
         if len(varying) > 1:
-            return bound, leading_eq
-        j = varying[0]
+            return fold(bound)
+        j = next(iter(varying))
         c0 = first[j]
         if c0.equal is not None or c0.start is None or c0.end is None:
-            return bound, leading_eq
+            return fold(bound)
         kind = type(c0.start.value)
         if kind not in (int, float):
-            return bound, leading_eq
+            return fold(bound)
         ivals: list[list] = []
         for b in bound:
             c = b[j]
             if c.equal is not None or c.start is None or c.end is None:
-                return bound, leading_eq
+                return fold(bound)
             lo, hi = c.start.value, c.end.value
             if type(lo) is not kind or type(hi) is not kind:
-                return bound, leading_eq
+                return fold(bound)
             if kind is int:
                 lo += 0 if c.start.inclusive else 1
                 hi -= 0 if c.end.inclusive else 1
-            elif not (c.start.inclusive and c.end.inclusive):
-                return bound, leading_eq
+            elif (
+                not (c.start.inclusive and c.end.inclusive)
+                or lo != lo  # NaN bound: Spark sorts NaN greatest,
+                or hi != hi  # Python can't compare — don't coalesce
+            ):
+                return fold(bound)
             if lo <= hi:
                 ivals.append([lo, hi])
         if not ivals:
             # every sub-range is empty: keep one (vacuously false) branch
-            return [first], leading_eq
+            return fold([first])
         ivals.sort()
         merged = [ivals[0]]
         touch = 1 if kind is int else 0
@@ -536,7 +544,7 @@ class Engine:
                 col=c0.col, start=Bound(lo, True), end=Bound(hi, True)
             )
             out.append(conds)
-        return out, leading_eq
+        return fold(out)
 
     def execute_split_rows(
         self, sql: str | int, ranges: list[tuple], *args: Any
@@ -562,11 +570,7 @@ class Engine:
         proj = list(dict.fromkeys(want + pk))
         # same coalesced OR-predicate single scan as execute_split's
         # fast path, minus the orderBy
-        disjuncts, leading_eq = self._split_disjuncts(resolved, ranges, args)
-        pred = None
-        for conds in disjuncts:
-            p = self._predicate(conds)
-            pred = p if pred is None else (pred | p)
+        pred, leading_eq = self._split_predicate(resolved, ranges, args)
         st = self.store(resolved.schema.db, resolved.schema.name)
         df = st.read(self.spark, leading_eq=leading_eq).filter(pred).select(*proj)
         try:

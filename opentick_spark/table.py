@@ -109,6 +109,39 @@ class TableStore:
         lead = self.schema.key_columns[0].physical
         return F.pmod(F.xxhash64(F.col(lead)), F.lit(nb)).cast("int")
 
+    #: xxhash64 width classes (verified empirically: tinyint/smallint/int
+    #: hash identically; bigint and double are each their own class) —
+    #: the unit of validity for stored ``__bucket`` values under type
+    #: widening (r11).
+    _HASH_CLASS = {
+        "tinyint": "int32", "smallint": "int32", "int": "int32",
+        "bigint": "int64", "timestamp": "int64",
+        "float": "float32", "double": "float64",
+        "boolean": "bool", "text": "utf8",
+    }
+
+    def _lead_hash_class(self) -> str:
+        return self._HASH_CLASS[self.schema.key_columns[0].type]
+
+    def _effective_buckets(self, meta: dict) -> int | None:
+        """The hash-bucket count reads may PRUNE with — None when the
+        stored layout's hash class no longer matches the current leading
+        PK type (the column widened across xxhash64 width classes after
+        the compact that laid the buckets down, r11). Self-healing twin
+        of the engine's eager ``invalidate_hash_buckets``: a direct
+        ``Catalog.modify_column`` caller that bypasses the engine still
+        gets correct (unpruned) reads on any layout compacted by r11+
+        code, because ``compact`` records ``bucket_hash_class``. Legacy
+        metas without the record are trusted (they predate MODIFY, so
+        the type cannot have changed)."""
+        nb = meta.get("hash_buckets")
+        if not nb:
+            return None
+        stored = meta.get("bucket_hash_class")
+        if stored is not None and stored != self._lead_hash_class():
+            return None
+        return nb
+
     # ------------------------------------------------------------------
     @property
     def schema(self) -> TableSchema:
@@ -227,6 +260,10 @@ class TableStore:
                 meta["seq"] = intent["seq"]
                 meta["compacted"] = True
                 meta["hash_buckets"] = intent["hash_buckets"]
+                if intent.get("bucket_hash_class"):
+                    meta["bucket_hash_class"] = intent["bucket_hash_class"]
+                else:
+                    meta.pop("bucket_hash_class", None)
                 meta["last_compact_seq"] = intent["seq"]
                 folded = intent.get("applied_markers", [])
                 if folded:
@@ -664,7 +701,7 @@ class TableStore:
         window: list the pre-first-compaction EMPTY base, then the log
         after its GC — both empty, read "succeeds" with no rows."""
         meta = self._meta()
-        nb = meta.get("hash_buckets")
+        nb = self._effective_buckets(meta)
         has_log = False
         log = None
         if os.listdir(self.log_path):
@@ -731,7 +768,7 @@ class TableStore:
         schema = self.schema
         df, has_log = self._raw(spark, with_log_flag=True)
         meta = self._meta()
-        nb = meta.get("hash_buckets")
+        nb = self._effective_buckets(meta)
         if nb and leading_eq is not None:
             lead_type = spark_type(schema.key_columns[0].type)
             target = F.pmod(
@@ -1132,6 +1169,9 @@ class TableStore:
                     "seq": seq,
                     "tmp": os.path.basename(tmp_dir),
                     "hash_buckets": hash_buckets,
+                    "bucket_hash_class": (
+                        self._lead_hash_class() if hash_buckets else None
+                    ),
                     "consumed_log": consumed_log,
                     "applied_markers": consumed_markers,
                 },
@@ -1160,6 +1200,10 @@ class TableStore:
         meta["seq"] = seq
         meta["compacted"] = True
         meta["hash_buckets"] = hash_buckets
+        if hash_buckets:
+            meta["bucket_hash_class"] = self._lead_hash_class()
+        else:
+            meta.pop("bucket_hash_class", None)
         meta["last_compact_seq"] = seq
         if consumed_markers:
             cache = meta.get("applied_markers", [])
@@ -1187,7 +1231,9 @@ class TableStore:
         widened schema with stale bucket metadata."""
         with self._lock, self._file_lock():
             meta = self._meta()
-            if meta.pop("hash_buckets", None) is not None:
+            stale = meta.pop("hash_buckets", None) is not None
+            stale |= meta.pop("bucket_hash_class", None) is not None
+            if stale:
                 self._write_meta(meta)
 
     def current_seq(self) -> int:

@@ -244,6 +244,7 @@ def test_sigkill_between_renames_recovers(spark, table):
     with open(os.path.join(store_path, "compact-intent.json")) as f:
         assert sorted(json.load(f)) == [
             "applied_markers",
+            "bucket_hash_class",
             "consumed_log",
             "hash_buckets",
             "seq",

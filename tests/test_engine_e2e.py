@@ -1371,6 +1371,67 @@ def test_modify_column_lead_pk_widen_vs_hash_buckets(kv):
     assert kv.execute_rows("select v from bw where k=7000000000") == [(70.0,)]
 
 
+def test_modify_column_direct_catalog_self_heals_buckets(kv):
+    """Review fix (r11): a DIRECT Catalog.modify_column call (bypassing
+    the engine's eager invalidation) must still read correctly on a
+    hash-bucketed layout — compact records bucket_hash_class and the
+    read path ignores a layout whose class no longer matches the
+    (widened) leading PK type."""
+    spark = kv.spark
+    kv.execute("create table sh(k int, t timestamp, v double, primary key(k, t))")
+    pid = kv.prepare("insert into sh(k, t, v) values(?, ?, ?)")
+    kv.batch_insert(pid, [(i, 1, float(i)) for i in range(16)])
+    st = kv.store("d", "sh")
+    st.compact(spark, hash_buckets=4)
+    assert st._meta().get("bucket_hash_class") == "int32"
+
+    kv.catalog.modify_column("d", "sh", "k", "bigint")  # no engine hook
+    st = kv.store("d", "sh")
+    # metadata still present (nobody invalidated) but classed stale
+    assert st._meta().get("hash_buckets") == 4
+    assert st._effective_buckets(st._meta()) is None
+    # pruned point get would have probed the wrong bucket; self-heal
+    # reads unpruned and stays correct
+    assert kv.execute_rows("select v from sh where k=7") == [(7.0,)]
+
+
+def test_modify_keyword_is_not_reserved(kv):
+    """Review fix (r11): a pre-existing column named "modify" must stay
+    usable after MODIFY joined the grammar — select/insert/alter all
+    accept it as an identifier."""
+    kv.execute("create table nr(k int, modify double, primary key(k))")
+    kv.execute("insert into nr(k, modify) values(1, 2.5)")
+    assert kv.execute_rows("select modify from nr where k=1") == [(2.5,)]
+    kv.execute("alter table nr modify column modify double")  # no-op widen
+    kv.execute("alter table nr rename column modify to modified")
+    assert kv.execute_rows("select modified from nr where k=1") == [(2.5,)]
+
+
+def test_execute_split_varying_lead_equality_no_bucket_misprune(kv):
+    """Review fix (r11): when the split ranges themselves bind the
+    LEADING PK equality (legal — ranges bind the last two placeholders,
+    whatever they are), the scan must NOT bucket-prune to branch 0's
+    key: every branch's rows survive on a hash-bucketed layout."""
+    spark = kv.spark
+    kv.execute("create table vs(k int, t timestamp, v double, primary key(k, t))")
+    pid = kv.prepare("insert into vs(k, t, v) values(?, ?, ?)")
+    kv.batch_insert(pid, [(k, 1, float(k)) for k in range(12)])
+    st = kv.store("d", "vs")
+    st.compact(spark, hash_buckets=6)
+    # last two placeholders bind (k, t): one point per branch, three
+    # branches with three different lead keys
+    rows = kv.execute_split_rows(
+        "select k, v from vs where k=? and t=?",
+        [(2, 1), (5, 1), (9, 1)],
+    )
+    assert sorted(rows) == [(2, 2.0), (5, 5.0), (9, 9.0)]
+    df = kv.execute_split(
+        "select k, v from vs where k=? and t=?",
+        [(2, 1), (5, 1), (9, 1)],
+    )
+    assert sorted(map(tuple, df.collect())) == [(2, 2.0), (5, 5.0), (9, 9.0)]
+
+
 def test_batch_insert_idempotency_key(kv):
     """Engine-level retry-safe batches (r10): the same key dedups even
     across compaction; distinct keys and keyless batches apply."""
