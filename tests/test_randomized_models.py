@@ -283,3 +283,47 @@ def test_merge_into_matches_model(spark, tmp_path, seed):
         r["k"]: (r["v"], r["tag"]) for r in st.read(spark).collect()
     }
     assert got == state
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13, 14, 15])
+def test_execute_split_matches_branch_union(spark, tmp_path, seed):
+    """Model-based SplitRange (r11): random sub-range lists — reversed,
+    empty, overlapping, adjacent, disjoint — under every inclusivity
+    combination must return exactly the union of per-branch scans
+    (reference semantics: n sub-scans merged + boundary-deduped,
+    client/opentick.go:302-317), regardless of how the coalescer
+    collapses them. Catches any inexact interval merge the
+    plan-asserted contiguous/gap tests wouldn't."""
+    from opentick_spark.engine import Engine
+
+    rng = random.Random(seed)
+    eng = Engine(spark, str(tmp_path / f"whsp{seed}"))
+    eng.execute("create database sp")
+    eng.use("sp")
+    eng.execute(
+        "create table s(k int, t timestamp, v double, primary key(k, t))"
+    )
+    pid = eng.prepare("insert into s(k, t, v) values(?, ?, ?)")
+    ts = list(range(80))
+    eng.batch_insert(pid, [(9, t, float(t)) for t in ts])
+
+    ops = {
+        (">=", "<="): lambda t, lo, hi: lo <= t <= hi,
+        (">", "<="): lambda t, lo, hi: lo < t <= hi,
+        (">=", "<"): lambda t, lo, hi: lo <= t < hi,
+        (">", "<"): lambda t, lo, hi: lo < t < hi,
+    }
+    for (op1, op2), member in ops.items():
+        ranges = [
+            (rng.randint(-5, 85), rng.randint(-5, 85))
+            for _ in range(rng.randint(1, 5))
+        ]
+        rows = eng.execute_split_rows(
+            f"select k, t, v from s where k=9 and t{op1}? and t{op2}?",
+            ranges,
+        )
+        got = [r[1][0] for r in rows]  # (sec, nsec) pairs, nsec 0
+        want = sorted(
+            {t for t in ts if any(member(t, lo, hi) for lo, hi in ranges)}
+        )
+        assert got == want, (seed, op1, op2, ranges)
