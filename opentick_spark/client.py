@@ -222,6 +222,21 @@ class Connection:
     def prepare(self, sql: str) -> int:
         return self._engine.prepare(sql)
 
+    def execute_split(
+        self, sql: str | int, ranges: list[tuple], args: Iterable[Any] = ()
+    ):
+        """SplitRange (C11) with the reference client's result contract —
+        merged, PK-ordered, boundary-deduped rows (client/opentick.go:
+        63-127, 302-317) — executed as ONE coalesced Spark scan
+        (engine._split_predicate) rather than n connection-parallel
+        sub-queries. ``ranges`` bind the statement's LAST two
+        placeholders, one (lo, hi) pair per sub-range."""
+        return self._rows_out(
+            self._engine.execute_split_rows(
+                sql, [tuple(r) for r in ranges], *tuple(args)
+            )
+        )
+
     def batch_insert(
         self,
         sql: str,
@@ -396,7 +411,7 @@ class TCPConnection:
 
     def _request(self, msg: dict, retried: bool = False) -> CFuture:
         with self._lock:
-            if msg.get("1") in ("run", "batch") and isinstance(
+            if msg.get("1") in ("run", "batch", "split") and isinstance(
                 msg.get("2"), int
             ):
                 msg["2"] = self._pid_remap.get(msg["2"], msg["2"])
@@ -561,6 +576,41 @@ class TCPConnection:
         # a bson server answers with key "1p", json servers ignore it
         fut = self._request(
             {"1": "run", "2": sql, "3": args, "4": 1 if cache else 0, "5": 1}
+        )
+        return self._wrap_reply(fut, self._rows_in)
+
+    def execute_split(
+        self,
+        sql: str | int,
+        ranges: list[tuple],
+        args: Iterable[Any] = (),
+        timeout=60.0,
+    ):
+        return self._result(
+            self.execute_split_async(sql, ranges, args)._fut, timeout
+        )
+
+    def execute_split_async(
+        self, sql: str | int, ranges: list[tuple], args: Iterable[Any] = ()
+    ) -> Future:
+        """SplitRange over the wire (extension cmd "split", r11): the
+        reference client opens n connections and merges n sub-scans
+        client-side (client/opentick.go:63-127, 302-317); here ONE
+        round trip ships the (lo, hi) pairs (key "7") and the server
+        executes them as a single coalesced Spark scan
+        (engine.execute_split_rows), returning the merged, PK-ordered,
+        boundary-deduped rows. ``ranges`` bind the statement's LAST two
+        placeholders; bounds accept the same value forms as query args."""
+        args = list(args)
+        if isinstance(sql, str):
+            sql = self.prepare(sql)  # pid survives reconnect remapping
+        fut = self._request(
+            {
+                "1": "split",
+                "2": sql,
+                "3": args,
+                "7": [list(r) for r in ranges],
+            }
         )
         return self._wrap_reply(fut, self._rows_in)
 

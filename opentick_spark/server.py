@@ -280,6 +280,26 @@ class _Session:
                     self.server._cache_put(cache_key, payload)
                 self.reply_raw(payload, ticket)
                 return
+            if cmd == "split":
+                # extension (r11): SplitRange over the wire. The
+                # reference client fans n range sub-queries across n
+                # connections and merges client-side
+                # (client/opentick.go:63-127, 302-317); here ONE round
+                # trip hands the sub-ranges ("7") to the engine, which
+                # executes them as a single coalesced scan
+                # (execute_split_rows) and returns the merged,
+                # PK-ordered, boundary-deduped rows in the reference
+                # row shape (key "1", both protocols).
+                self.server._bump("n_run")
+                what = msg["2"]
+                if isinstance(what, int):
+                    what = self._engine_pid(what)
+                ranges = [tuple(r) for r in (msg.get("7") or [])]
+                rows = self.engine.execute_split_rows(
+                    what, ranges, *tuple(msg.get("3") or ())
+                )
+                self.reply(ticket, _jsonable_rows(rows))
+                return
             if cmd == "batch":
                 pid = self._engine_pid(msg["2"])
                 # optional key "6" (extension, r10): idempotency token —

@@ -78,6 +78,20 @@ def test_client_async_select_and_ranges(conn):
     assert len(futs[0].get()) == 100
     parts = otc.split_range(0, 99, 4)
     assert len(parts) == 4
+    # execute_split (r11): reference-client result contract — merged,
+    # PK-ordered, boundary-deduped; timestamps as datetimes like the
+    # rest of the in-process Connection surface
+    base = int(tm.replace(tzinfo=dt.timezone.utc).timestamp())
+    rows = conn.execute_split(
+        "select tm, open from test where sec=5 and interval=1 "
+        "and tm>=? and tm<=?",
+        otc.split_range(base, base + 99, 4),
+    )
+    assert len(rows) == 100
+    assert rows[0] == (tm, 0.0) and rows[-1] == (
+        tm + dt.timedelta(seconds=99),
+        99.0,
+    )
 
 
 def test_async_insert_group_commit(conn, spark):

@@ -545,3 +545,44 @@ def test_wire_idempotent_batch_retry(conn):
     conn.batch_insert(sql, [(3, 3.0)], idempotency_key="job-8")
     conn.batch_insert(sql, [(4, 4.0)])
     assert len(conn.execute("select * from t")) == 4
+
+
+def test_wire_execute_split(conn):
+    """SplitRange over the wire (extension cmd "split", r11): one round
+    trip, server-side coalesced scan, merged PK-ordered rows with the
+    reference's boundary dedup — plus per-branch args and the gap case
+    that must NOT coalesce."""
+    from opentick_spark.client import split_range
+
+    _mkdb(conn, "wsp")
+    conn.execute(
+        "create table t(sec int, tm timestamp, px double, primary key(sec, tm))"
+    )
+    conn.batch_insert(
+        "insert into t(sec, tm, px) values(?, ?, ?)",
+        [(1, k, float(k)) for k in range(100)],
+    )
+    # contiguous reference-style split: shared boundaries dedup, full range
+    rows = conn.execute_split(
+        "select sec, tm, px from t where sec=? and tm>=? and tm<=?",
+        split_range(0, 99, 4),
+        args=(1,),
+    )
+    assert len(rows) == 100
+    assert rows[0] == (1, (0, 0), 0.0) and rows[-1] == (1, (99, 0), 99.0)
+    # non-contiguous: union only, gap rows absent
+    rows = conn.execute_split(
+        "select tm from t where sec=? and tm>=? and tm<=?",
+        [(60, 69), (10, 19)],
+        args=(1,),
+    )
+    assert [r[0][0] for r in rows] == list(range(10, 20)) + list(range(60, 70))
+    # prepared id works and survives the pid path
+    pid = conn.prepare("select px from t where sec=? and tm>=? and tm<=?")
+    rows = conn.execute_split(pid, [(5, 7)], args=(1,))
+    assert rows == [(5.0,), (6.0,), (7.0,)]
+    # errors surface as wire errors: split requires a select
+    with pytest.raises(OpentickError):
+        conn.execute_split(
+            "insert into t(sec, tm, px) values(?, ?, ?)", [(1, 2)], args=(1,)
+        )
