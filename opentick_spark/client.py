@@ -111,6 +111,40 @@ class _GroupCommitBuffer:
         self._flush()
 
 
+def _merge_perm(existing: str, perm) -> str:
+    """Reference update_user perm semantics (bindings/python/opentick/
+    client.py:144-166): a str replaces the perm string outright; a dict
+    merges into the existing mapping — None deletes a key, 'read'/'write'
+    sets it, anything else raises. Example:
+    ``{'db1': 'write', 'db2': None}``."""
+    if isinstance(perm, str):
+        return perm
+    cur: dict[str, str] = {}
+    for part in (existing or "").split(";"):
+        kv = part.split("=")
+        if len(kv) == 2:
+            cur[kv[0]] = kv[1]
+    for k, v in perm.items():
+        if v is None:
+            cur.pop(k, None)
+        elif v in ("read", "write"):
+            cur[k] = v
+        else:
+            raise Error(f"Invalid perm type: {v}")
+    return ";".join(f"{k}={v}" for k, v in cur.items())
+
+
+def _update_user_rows(select_rows, username, perm, is_admin):
+    """Shared update_user core: mutate the selected _meta_.user row per
+    the reference semantics, returning the upsert args."""
+    if not select_rows:
+        raise Error("User not exist")
+    name, password, cur_admin, cur_perm = select_rows[0]
+    new_perm = _merge_perm(cur_perm, perm) if perm is not None else cur_perm
+    new_admin = cur_admin if is_admin is None else bool(is_admin)
+    return (name, password, new_admin, new_perm)
+
+
 class Connection:
     def __init__(
         self,
@@ -166,6 +200,30 @@ class Connection:
     def reload_users(self) -> None:
         self._engine.reload_users()
 
+    def delete_user(self, username: str) -> None:
+        """Reference client parity (client.py:122-124): user rows live
+        in the ordinary ``_meta_.user`` PK table, so deletion is plain
+        SQL + a reload of the in-process user map."""
+        self._engine.execute("delete from _meta_.user where name=?", username)
+        self._engine.reload_users()
+
+    def update_user(self, username: str, perm=None, is_admin=None) -> None:
+        """Reference client parity (client.py:144-166): read the user's
+        row, merge ``perm`` (str replaces; dict merges — None deletes a
+        key, 'read'/'write' sets), optionally flip ``is_admin``, and
+        upsert the row back (S7 insert-as-upsert)."""
+        row = _update_user_rows(
+            self._engine.execute_rows(
+                "select * from _meta_.user where name=?", username
+            ),
+            username, perm, is_admin,
+        )
+        self._engine.execute("insert into _meta_.user values(?, ?, ?, ?)", *row)
+        self._engine.reload_users()
+
+    def set_auto_reconnect(self, interval) -> None:
+        return  # parity no-op: in-process transport cannot disconnect
+
     def list_users(self) -> list[str]:
         if not self._engine.users.users:
             self._engine.users.load()
@@ -198,14 +256,38 @@ class Connection:
             for row in rows
         ]
 
+    @staticmethod
+    def _inband_ranges(args: list):
+        """Reference calling convention (client.py:204-218): when the
+        LAST arg is a sequence of sequences, it is the SplitRange list
+        — e.g. ``execute(sql, [1, split_range(a, b, 10)])``. Timestamp
+        pair args ([sec, nsec]) never match: their first element is an
+        int."""
+        if (
+            args
+            and isinstance(args[-1], (list, tuple))
+            and len(args[-1])
+            and isinstance(args[-1][0], (list, tuple))
+        ):
+            return list(args[-1]), list(args[:-1])
+        return None
+
     def execute(self, sql: str, args: Iterable[Any] = (), cache: bool = True):
         # ``cache`` accepted for signature parity (client.py:204); the
         # engine-side TTL cache is configured on the Engine, not per call
+        split = self._inband_ranges(list(args))
+        if split is not None:
+            return self.execute_split(sql, split[0], split[1])
         return self._rows_out(self._engine.execute_rows(sql, *tuple(args)))
 
     def execute_async(
         self, sql: str, args: Iterable[Any] = (), cache: bool = True
     ) -> Future:
+        split = self._inband_ranges(list(args))
+        if split is not None:
+            return Future(
+                self._pool.submit(self.execute_split, sql, split[0], split[1])
+            )
         args = tuple(args)
         # single-row inserts ride the group-commit buffer (the async
         # firehose path); everything else runs on the pool
@@ -330,6 +412,9 @@ class TCPConnection:
         self._pid_remap: dict[int, int] = {}
         self._ticket = 0
         self._sock = None
+        # reference client.py:87,109-111,377-379: seconds between
+        # reconnect attempts; < 1 disables auto-reconnect entirely
+        self._auto_reconnect = 1
         self._connect()
         if db_name:
             self.use(db_name)
@@ -423,7 +508,7 @@ class TCPConnection:
                 self._send_frame(self._sock, self._enc(msg))
             except OSError:
                 self._futures.pop(msg["0"], None)
-                if retried:
+                if retried or self._auto_reconnect < 1:
                     raise Error("Connection closed") from None
                 # auto-reconnect (reference client.py:364-387): fresh
                 # socket, prepared ids are connection-scoped → re-prepare
@@ -492,6 +577,12 @@ class TCPConnection:
             self._sock.close()
         except OSError:
             pass
+
+    def set_auto_reconnect(self, interval) -> None:
+        """Reference client parity (client.py:109-111): seconds between
+        reconnect attempts; < 1 disables auto-reconnect (a dropped
+        connection then fails requests instead of re-preparing)."""
+        self._auto_reconnect = interval
 
     def use(self, db_name: str) -> None:
         self._db = db_name
@@ -563,6 +654,11 @@ class TCPConnection:
     def execute_async(
         self, sql: str | int, args: Iterable[Any] = (), cache: bool = True
     ) -> Future:
+        # reference in-band SplitRange convention (client.py:204-218):
+        # last arg = list of (lo, hi) pairs → the split path
+        split = Connection._inband_ranges(list(args))
+        if split is not None:
+            return self.execute_split_async(sql, split[0], split[1])
         # "4" is the use-cache flag (Go client always sends 1,
         # client/opentick.go:351); only meaningful for prepared selects
         # on a --cache server
@@ -639,12 +735,41 @@ class TCPConnection:
         sql: str,
         args_array: list[tuple],
         idempotency_key: str | None = None,
+        batch_size: int | None = None,
+        batch_one_by_one: bool = True,
     ) -> None:
         """``idempotency_key`` (extension, r10, wire key "6"): a retry
         after a timeout/auto-reconnect resends the same batch with the
         same key and the server dedups it against the durable
         applied-marker log — exactly-once ingest over an at-least-once
-        transport. Omitted = reference at-least-once semantics."""
+        transport. Omitted = reference at-least-once semantics.
+
+        ``batch_size`` (reference client.py:229-243): split the rows
+        into ``batch_size``-row atomic commits — sequential round trips
+        when ``batch_one_by_one`` (the reference default), else
+        pipelined in-flight chunks resolved together. A given
+        ``idempotency_key`` derives per-chunk keys (``key#i``) so each
+        chunk stays individually exactly-once across retries."""
+        if batch_size:
+            if batch_one_by_one:
+                for i in range(0, len(args_array), batch_size):
+                    key = (
+                        f"{idempotency_key}#{i // batch_size}"
+                        if idempotency_key
+                        else None
+                    )
+                    self._result(
+                        self._batch_request(
+                            sql, args_array[i : i + batch_size], key
+                        )
+                    )
+                return
+            futs = self.batch_insert_async(
+                sql, args_array, idempotency_key, batch_size
+            )
+            for f in futs:
+                f.get()
+            return
         self._result(self._batch_request(sql, args_array, idempotency_key))
 
     def batch_insert_async(
@@ -652,7 +777,8 @@ class TCPConnection:
         sql: str,
         args_array: list[tuple],
         idempotency_key: str | None = None,
-    ) -> Future:
+        batch_size: int | None = None,
+    ) -> Future | list[Future]:
         """Pipelined batch insert (r11): returns a Future so the caller
         can keep SERIALIZING the next chunk while the server applies
         this one — the transport is ticketed, so any number of batches
@@ -665,7 +791,23 @@ class TCPConnection:
         serialize→send→apply→reply per chunk end-to-end, pipelined
         ingest overlaps the client CPU with the server apply. Resolve
         every future (``.get()``) before relying on durability —
-        mirrors ``Connection.batch_insert_async``."""
+        mirrors ``Connection.batch_insert_async``.
+
+        ``batch_size`` (reference client.py:245-250): chunk the rows
+        and return a LIST of futures, all chunks in flight at once —
+        the reference's fan-out shape riding this pipelined transport;
+        per-chunk idempotency keys derive as in ``batch_insert``."""
+        if batch_size:
+            return [
+                self.batch_insert_async(
+                    sql,
+                    args_array[i : i + batch_size],
+                    f"{idempotency_key}#{i // batch_size}"
+                    if idempotency_key
+                    else None,
+                )
+                for i in range(0, len(args_array), batch_size)
+            ]
         return self._wrap_reply(
             self._batch_request(sql, args_array, idempotency_key),
             lambda res: None,
@@ -730,6 +872,60 @@ class TCPConnection:
         replies."""
         rows = self._result(self._request({"1": "meta", "2": "server_stats"}))
         return {k: v for k, v in rows}
+
+    # -- user management over the wire (reference client parity: users
+    # are rows of the ordinary _meta_.user PK table, client.py:122-168;
+    # reload/chgpasswd are meta commands, server.go:440-441) -----------
+    def reload_users(self) -> None:
+        self._result(self._request({"1": "meta", "2": "reload_users"}))
+
+    def chgpasswd(self, password: str) -> None:
+        self._result(
+            self._request({"1": "meta", "2": "chgpasswd", "3": password})
+        )
+
+    def create_user(
+        self, username: str, password: str, is_admin: bool = False,
+        perm: str = "",
+    ) -> None:
+        from opentick_spark.users import sha1_string
+
+        # reload first: server-side LoadUsers ensures _meta_.user exists
+        # (the reference runs it at boot, user.go:28-62)
+        self.reload_users()
+        if self.execute(
+            "select name from _meta_.user where name=?", (username,)
+        ):
+            raise Error("User already exist")
+        self.execute(
+            "insert into _meta_.user values(?, ?, ?, ?)",
+            (username, sha1_string(password), is_admin, perm),
+        )
+        self.reload_users()
+
+    def delete_user(self, username: str) -> None:
+        self.reload_users()  # ensures _meta_.user exists server-side
+        self.execute("delete from _meta_.user where name=?", (username,))
+        self.reload_users()
+
+    def update_user(self, username: str, perm=None, is_admin=None) -> None:
+        """str ``perm`` replaces; dict merges (None deletes a key,
+        'read'/'write' sets) — reference client.py:144-166."""
+        self.reload_users()  # ensures _meta_.user exists server-side
+        row = _update_user_rows(
+            self.execute(
+                "select * from _meta_.user where name=?", (username,)
+            ),
+            username, perm, is_admin,
+        )
+        self.execute("insert into _meta_.user values(?, ?, ?, ?)", row)
+        self.reload_users()
+
+    def list_users(self) -> list[str]:
+        self.reload_users()  # ensures _meta_.user exists server-side
+        return sorted(
+            r[0] for r in self.execute("select name from _meta_.user")
+        )
 
 
 def connect_tcp(

@@ -586,3 +586,92 @@ def test_wire_execute_split(conn):
         conn.execute_split(
             "insert into t(sec, tm, px) values(?, ?, ?)", [(1, 2)], args=(1,)
         )
+
+
+def test_wire_user_management(server):
+    """Reference-client user management parity over the wire
+    (bindings/python/opentick/client.py:122-168): users are rows of the
+    ordinary _meta_.user PK table — create/list/update/delete ride
+    plain SQL + the reload_users/chgpasswd meta commands."""
+    c = connect_tcp("127.0.0.1", server.port)
+    try:
+        c.create_user("wu1", "pw1")
+        c.create_user("wu2", "pw2", is_admin=False, perm="dbx=read")
+        assert {"wu1", "wu2"} <= set(c.list_users())
+        with pytest.raises(OpentickError, match="already exist"):
+            c.create_user("wu1", "other")
+        # dict merge: add a write grant, delete the read one
+        c.update_user("wu2", perm={"dby": "write", "dbx": None})
+        row = c.execute("select perm from _meta_.user where name=?", ("wu2",))
+        assert row == [("dby=write",)]
+        # str replaces outright; is_admin flips independently
+        c.update_user("wu2", perm="dbz=read", is_admin=True)
+        row = c.execute(
+            "select is_admin, perm from _meta_.user where name=?", ("wu2",)
+        )
+        assert row == [(True, "dbz=read")]
+        with pytest.raises(OpentickError, match="not exist"):
+            c.update_user("nobody", perm="a=read")
+        with pytest.raises(OpentickError, match="Invalid perm type"):
+            c.update_user("wu2", perm={"a": "rw"})
+        c.delete_user("wu1")
+        c.delete_user("wu2")
+        assert not ({"wu1", "wu2"} & set(c.list_users()))
+    finally:
+        c.close()
+
+
+def test_wire_inband_ranges_and_batch_size(conn):
+    """Reference calling conventions: execute() with the ranges list as
+    the LAST arg routes through SplitRange (client.py:204-218), and
+    batch_insert(batch_size=) chunks rows into separate atomic commits
+    (client.py:229-250), sequential or pipelined."""
+    from opentick_spark.client import split_range
+
+    _mkdb(conn, "wib")
+    conn.execute(
+        "create table t(sec int, tm timestamp, px double, primary key(sec, tm))"
+    )
+    conn.batch_insert(
+        "insert into t(sec, tm, px) values(?, ?, ?)",
+        [(1, k, float(k)) for k in range(50)],
+        batch_size=20,  # 3 chunks: 20/20/10
+    )
+    rows = conn.execute(
+        "select tm, px from t where sec=? and tm>=? and tm<=?",
+        (1, split_range(0, 49, 5)),  # in-band ranges, reference style
+    )
+    assert len(rows) == 50 and rows[0][1] == 0.0 and rows[-1][1] == 49.0
+    # pipelined chunked form: list of futures, all resolve
+    futs = conn.batch_insert_async(
+        "insert into t(sec, tm, px) values(?, ?, ?)",
+        [(2, k, float(k)) for k in range(30)],
+        batch_size=10,
+    )
+    assert isinstance(futs, list) and len(futs) == 3
+    for f in futs:
+        f.get(30)
+    assert len(conn.execute("select tm from t where sec=2")) == 30
+    # async in-band ranges too
+    fut = conn.execute_async(
+        "select px from t where sec=? and tm>=? and tm<=?",
+        (2, [(0, 9), (20, 29)]),
+    )
+    assert len(fut.get(30)) == 20
+
+
+def test_wire_auto_reconnect_disabled(server):
+    """set_auto_reconnect(<1) (reference client.py:109-111,377): a
+    dropped socket then surfaces as a connection error instead of a
+    transparent reconnect."""
+    c = connect_tcp("127.0.0.1", server.port)
+    try:
+        c.set_auto_reconnect(0)
+        c._sock.close()
+        with pytest.raises(OpentickError, match="Connection closed"):
+            c.execute("select 1 from _meta_.user")
+        # re-enabling restores the transparent reconnect
+        c.set_auto_reconnect(1)
+        assert isinstance(c.list_databases(), list)
+    finally:
+        c.close()
