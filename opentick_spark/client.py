@@ -748,13 +748,16 @@ class TCPConnection:
         into ``batch_size``-row atomic commits — sequential round trips
         when ``batch_one_by_one`` (the reference default), else
         pipelined in-flight chunks resolved together. A given
-        ``idempotency_key`` derives per-chunk keys (``key#i``) so each
-        chunk stays individually exactly-once across retries."""
+        ``idempotency_key`` derives per-chunk keys with the chunk
+        GEOMETRY baked in (``key#batch_size#n``, like
+        ``Connection.batch_insert``) so a retry with a different
+        batch_size re-applies instead of a stale chunk-index hit
+        silently skipping rows."""
         if batch_size:
             if batch_one_by_one:
-                for i in range(0, len(args_array), batch_size):
+                for n, i in enumerate(range(0, len(args_array), batch_size)):
                     key = (
-                        f"{idempotency_key}#{i // batch_size}"
+                        f"{idempotency_key}#{batch_size}#{n}"
                         if idempotency_key
                         else None
                     )
@@ -802,11 +805,13 @@ class TCPConnection:
                 self.batch_insert_async(
                     sql,
                     args_array[i : i + batch_size],
-                    f"{idempotency_key}#{i // batch_size}"
+                    f"{idempotency_key}#{batch_size}#{n}"
                     if idempotency_key
                     else None,
                 )
-                for i in range(0, len(args_array), batch_size)
+                for n, i in enumerate(
+                    range(0, len(args_array), batch_size)
+                )
             ]
         return self._wrap_reply(
             self._batch_request(sql, args_array, idempotency_key),

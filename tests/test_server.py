@@ -675,3 +675,26 @@ def test_wire_auto_reconnect_disabled(server):
         assert isinstance(c.list_databases(), list)
     finally:
         c.close()
+
+
+def test_wire_chunked_idempotency_keys(conn):
+    """Chunked batch_insert derives geometry-keyed per-chunk idempotency
+    keys (key#batch_size#n): a same-geometry retry is a no-op per chunk,
+    a different-geometry retry re-applies (safe: latest-wins upserts)."""
+    _mkdb(conn, "wik")
+    conn.execute("create table t(a int, v double, primary key(a))")
+    rows = [(k, float(k)) for k in range(30)]
+    sql = "insert into t(a, v) values(?, ?)"
+    conn.batch_insert(sql, rows, idempotency_key="load1", batch_size=10)
+    st = conn.execute("select a from t")
+    assert len(st) == 30
+    stats0 = conn.storage_stats("t")
+    # same key + same geometry: every chunk dedups, zero new commits
+    conn.batch_insert(sql, rows, idempotency_key="load1", batch_size=10)
+    assert (
+        conn.storage_stats("t")["pending_commits"]
+        == stats0["pending_commits"]
+    )
+    # different geometry: chunks re-apply (3 new commits), state unchanged
+    conn.batch_insert(sql, rows, idempotency_key="load1", batch_size=15)
+    assert len(conn.execute("select a from t")) == 30
