@@ -134,7 +134,7 @@ def _merge_perm(existing: str, perm) -> str:
     return ";".join(f"{k}={v}" for k, v in cur.items())
 
 
-def _update_user_rows(select_rows, username, perm, is_admin):
+def _update_user_rows(select_rows, perm, is_admin):
     """Shared update_user core: mutate the selected _meta_.user row per
     the reference semantics, returning the upsert args."""
     if not select_rows:
@@ -143,6 +143,19 @@ def _update_user_rows(select_rows, username, perm, is_admin):
     new_perm = _merge_perm(cur_perm, perm) if perm is not None else cur_perm
     new_admin = cur_admin if is_admin is None else bool(is_admin)
     return (name, password, new_admin, new_perm)
+
+
+def _chunked(args_array: list, batch_size: int, idempotency_key: str | None):
+    """Yield ``(chunk, chunk_key)`` pairs for chunked batch sends. The
+    chunk GEOMETRY is part of the derived key (``key#batch_size#n``): a
+    retry with a different batch_size re-applies (safe: latest-wins
+    upserts) instead of a stale chunk-index hit silently skipping rows
+    the first attempt never committed."""
+    for n, i in enumerate(range(0, len(args_array), batch_size)):
+        key = (
+            f"{idempotency_key}#{batch_size}#{n}" if idempotency_key else None
+        )
+        yield args_array[i : i + batch_size], key
 
 
 class Connection:
@@ -216,7 +229,7 @@ class Connection:
             self._engine.execute_rows(
                 "select * from _meta_.user where name=?", username
             ),
-            username, perm, is_admin,
+            perm, is_admin,
         )
         self._engine.execute("insert into _meta_.user values(?, ?, ?, ?)", *row)
         self._engine.reload_users()
@@ -275,15 +288,17 @@ class Connection:
     def execute(self, sql: str, args: Iterable[Any] = (), cache: bool = True):
         # ``cache`` accepted for signature parity (client.py:204); the
         # engine-side TTL cache is configured on the Engine, not per call
-        split = self._inband_ranges(list(args))
+        args = list(args)  # materialize ONCE: args may be a one-shot iterator
+        split = self._inband_ranges(args)
         if split is not None:
             return self.execute_split(sql, split[0], split[1])
-        return self._rows_out(self._engine.execute_rows(sql, *tuple(args)))
+        return self._rows_out(self._engine.execute_rows(sql, *args))
 
     def execute_async(
         self, sql: str, args: Iterable[Any] = (), cache: bool = True
     ) -> Future:
-        split = self._inband_ranges(list(args))
+        args = list(args)  # materialize ONCE: args may be a one-shot iterator
+        split = self._inband_ranges(args)
         if split is not None:
             return Future(
                 self._pool.submit(self.execute_split, sql, split[0], split[1])
@@ -339,13 +354,8 @@ class Connection:
         recent markers — see ``Engine.batch_insert``)."""
         pid = self._engine.prepare(sql)
         batch = batch_size or len(args_array) or 1
-        for n, i in enumerate(range(0, len(args_array), batch)):
-            key = (
-                f"{idempotency_key}#{batch}#{n}" if idempotency_key else None
-            )
-            self._engine.batch_insert(
-                pid, args_array[i : i + batch], idempotency_key=key
-            )
+        for chunk, key in _chunked(args_array, batch, idempotency_key):
+            self._engine.batch_insert(pid, chunk, idempotency_key=key)
 
     def batch_insert_async(
         self,
@@ -415,6 +425,7 @@ class TCPConnection:
         # reference client.py:87,109-111,377-379: seconds between
         # reconnect attempts; < 1 disables auto-reconnect entirely
         self._auto_reconnect = 1
+        self._users_ready = False  # _meta_.user bootstrap done once
         self._connect()
         if db_name:
             self.use(db_name)
@@ -656,13 +667,13 @@ class TCPConnection:
     ) -> Future:
         # reference in-band SplitRange convention (client.py:204-218):
         # last arg = list of (lo, hi) pairs → the split path
-        split = Connection._inband_ranges(list(args))
+        args = list(args)  # materialize ONCE: args may be a one-shot iterator
+        split = Connection._inband_ranges(args)
         if split is not None:
             return self.execute_split_async(sql, split[0], split[1])
         # "4" is the use-cache flag (Go client always sends 1,
         # client/opentick.go:351); only meaningful for prepared selects
         # on a --cache server
-        args = list(args)
         if isinstance(sql, str) and args:
             # parameterized sql auto-prepares like the reference client
             # (client/opentick.go:340-347) — this is what routes repeat
@@ -705,6 +716,7 @@ class TCPConnection:
                 "1": "split",
                 "2": sql,
                 "3": args,
+                "5": 1,  # packed-columnar reply support (bson servers)
                 "7": [list(r) for r in ranges],
             }
         )
@@ -755,17 +767,10 @@ class TCPConnection:
         silently skipping rows."""
         if batch_size:
             if batch_one_by_one:
-                for n, i in enumerate(range(0, len(args_array), batch_size)):
-                    key = (
-                        f"{idempotency_key}#{batch_size}#{n}"
-                        if idempotency_key
-                        else None
-                    )
-                    self._result(
-                        self._batch_request(
-                            sql, args_array[i : i + batch_size], key
-                        )
-                    )
+                for chunk, key in _chunked(
+                    args_array, batch_size, idempotency_key
+                ):
+                    self._result(self._batch_request(sql, chunk, key))
                 return
             futs = self.batch_insert_async(
                 sql, args_array, idempotency_key, batch_size
@@ -802,15 +807,9 @@ class TCPConnection:
         per-chunk idempotency keys derive as in ``batch_insert``."""
         if batch_size:
             return [
-                self.batch_insert_async(
-                    sql,
-                    args_array[i : i + batch_size],
-                    f"{idempotency_key}#{batch_size}#{n}"
-                    if idempotency_key
-                    else None,
-                )
-                for n, i in enumerate(
-                    range(0, len(args_array), batch_size)
+                self.batch_insert_async(sql, chunk, key)
+                for chunk, key in _chunked(
+                    args_array, batch_size, idempotency_key
                 )
             ]
         return self._wrap_reply(
@@ -883,6 +882,14 @@ class TCPConnection:
     # reload/chgpasswd are meta commands, server.go:440-441) -----------
     def reload_users(self) -> None:
         self._result(self._request({"1": "meta", "2": "reload_users"}))
+        self._users_ready = True
+
+    def _ensure_users(self) -> None:
+        """One-time bootstrap: server-side LoadUsers creates _meta_.user
+        if absent (the reference runs it at boot, user.go:28-62); later
+        calls skip the extra round trip."""
+        if not getattr(self, "_users_ready", False):
+            self.reload_users()
 
     def chgpasswd(self, password: str) -> None:
         self._result(
@@ -895,11 +902,12 @@ class TCPConnection:
     ) -> None:
         from opentick_spark.users import sha1_string
 
-        # reload first: server-side LoadUsers ensures _meta_.user exists
-        # (the reference runs it at boot, user.go:28-62)
-        self.reload_users()
+        self._ensure_users()
+        # cache=False: a read-modify-write must never see a TTL-stale
+        # reply-cache row (a recreate after delete would be refused)
         if self.execute(
-            "select name from _meta_.user where name=?", (username,)
+            "select name from _meta_.user where name=?", (username,),
+            cache=False,
         ):
             raise Error("User already exist")
         self.execute(
@@ -909,27 +917,33 @@ class TCPConnection:
         self.reload_users()
 
     def delete_user(self, username: str) -> None:
-        self.reload_users()  # ensures _meta_.user exists server-side
+        self._ensure_users()
         self.execute("delete from _meta_.user where name=?", (username,))
         self.reload_users()
 
     def update_user(self, username: str, perm=None, is_admin=None) -> None:
         """str ``perm`` replaces; dict merges (None deletes a key,
         'read'/'write' sets) — reference client.py:144-166."""
-        self.reload_users()  # ensures _meta_.user exists server-side
+        self._ensure_users()
+        # cache=False: merging into a TTL-stale cached row would
+        # silently revert grants applied since the cache fill
         row = _update_user_rows(
             self.execute(
-                "select * from _meta_.user where name=?", (username,)
+                "select * from _meta_.user where name=?", (username,),
+                cache=False,
             ),
-            username, perm, is_admin,
+            perm, is_admin,
         )
         self.execute("insert into _meta_.user values(?, ?, ?, ?)", row)
         self.reload_users()
 
     def list_users(self) -> list[str]:
-        self.reload_users()  # ensures _meta_.user exists server-side
+        self._ensure_users()
         return sorted(
-            r[0] for r in self.execute("select name from _meta_.user")
+            r[0]
+            for r in self.execute(
+                "select name from _meta_.user", cache=False
+            )
         )
 
 

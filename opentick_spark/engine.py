@@ -558,13 +558,23 @@ class Engine:
         fast-path OR-of-sub-ranges scan collects unsorted (PK carried)
         and pyarrow sorts; LIMIT/adj split semantics fall back to the
         sorted-plan path."""
+        return list(zip(*self.execute_split_columns(sql, ranges, *args)))
+
+    def execute_split_columns(
+        self, sql: str | int, ranges: list[tuple], *args: Any
+    ) -> list[list]:
+        """Column-shaped twin of ``execute_split_rows`` (same cells as
+        ``execute_columns``) — serves the wire's columnar/packed reply
+        fast paths without a server-side transpose."""
+        if not ranges:
+            raise OpentickError("execute_split requires at least one range")
         pid = self.prepare(sql) if isinstance(sql, str) else sql
         resolved = self._prepared[pid][1]
         if not isinstance(resolved, ResolvedSelect):
             raise OpentickError("execute_split requires a select")
         if resolved.limit or resolved.adjs:
             df = self.execute_split(pid, ranges, *args)
-            return list(zip(*self._materialize_columns(df, resolved)))
+            return self._materialize_columns(df, resolved)
         want = [c.name for c in resolved.cols]
         pk = resolved.schema.pk_names
         proj = list(dict.fromkeys(want + pk))
@@ -577,7 +587,7 @@ class Engine:
             tbl = df.toArrow()
         except Exception:
             d2 = self.execute_split(pid, ranges, *args)
-            return list(zip(*self._materialize_columns(d2, resolved)))
+            return self._materialize_columns(d2, resolved)
         tbl = tbl.sort_by([(k, "ascending") for k in pk])
         cols = [tbl.column(c.name).to_pylist() for c in resolved.cols]
         for i, c in enumerate(resolved.cols):
@@ -586,7 +596,7 @@ class Engine:
                     from_epoch_nanos(v) if v is not None else None
                     for v in cols[i]
                 ]
-        return list(zip(*cols))
+        return cols
 
     def execute_rows(self, sql: str | int, *args: Any) -> list[tuple] | None:
         """Reference-client result shape: list of row tuples with timestamp

@@ -295,10 +295,28 @@ class _Session:
                 if isinstance(what, int):
                     what = self._engine_pid(what)
                 ranges = [tuple(r) for r in (msg.get("7") or [])]
-                rows = self.engine.execute_split_rows(
-                    what, ranges, *tuple(msg.get("3") or ())
-                )
-                self.reply(ticket, _jsonable_rows(rows))
+                args = tuple(msg.get("3") or ())
+                # split exists for LARGE scans — reply through the same
+                # fast shapes as "run": columnar "1c" (json), packed
+                # "1p" (bson + negotiated "5"), reference rows "1"
+                if self.protocol == "json":
+                    cols = self.engine.execute_split_columns(
+                        what, ranges, *args
+                    )
+                    payload = self._enc({"0": ticket, "1c": cols})
+                elif msg.get("5"):
+                    cols = self.engine.execute_split_columns(
+                        what, ranges, *args
+                    )
+                    payload = self._enc(
+                        {"0": ticket, "1p": pack_columns(cols)}
+                    )
+                else:
+                    rows = self.engine.execute_split_rows(what, ranges, *args)
+                    payload = self._enc(
+                        {"0": ticket, "1": _jsonable_rows(rows)}
+                    )
+                self.reply_raw(payload, ticket)
                 return
             if cmd == "batch":
                 pid = self._engine_pid(msg["2"])

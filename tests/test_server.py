@@ -698,3 +698,54 @@ def test_wire_chunked_idempotency_keys(conn):
     # different geometry: chunks re-apply (3 new commits), state unchanged
     conn.batch_insert(sql, rows, idempotency_key="load1", batch_size=15)
     assert len(conn.execute("select a from t")) == 30
+
+
+def test_wire_split_edge_cases(conn):
+    """Review fixes (r11): empty ranges surface the clean OpentickError
+    (not an IndexError) on both surfaces; generator args bind correctly
+    (the in-band-ranges probe must not exhaust one-shot iterators); and
+    the json split reply rides the columnar fast path."""
+    _mkdb(conn, "wse")
+    conn.execute("create table t(a int, tm timestamp, v double, primary key(a, tm))")
+    conn.batch_insert(
+        "insert into t(a, tm, v) values(?, ?, ?)",
+        [(1, k, float(k)) for k in range(10)],
+    )
+    with pytest.raises(OpentickError, match="at least one range"):
+        conn.execute_split("select v from t where a=? and tm>=? and tm<=?", [], args=(1,))
+    # generator args: probe + bind must both see the value
+    rows = conn.execute("select v from t where a=?", (x for x in [1]))
+    assert len(rows) == 10
+    # split through the json columnar reply path returns exact cells
+    rows = conn.execute_split(
+        "select a, tm, v from t where a=? and tm>=? and tm<=?",
+        [(0, 4), (5, 9)],
+        args=(1,),
+    )
+    assert rows == [(1, (k, 0), float(k)) for k in range(10)]
+
+
+def test_bson_wire_split_packed(bson_server):
+    """The split command over bson answers in the negotiated packed
+    columnar shape ("1p") — same cells as the row shape, 4x cheaper
+    encoding for the large scans SplitRange exists for."""
+    from opentick_spark.client import split_range
+
+    c = connect_tcp("127.0.0.1", bson_server.port, protocol="bson")
+    try:
+        _mkdb(c, "bsp")
+        c.execute(
+            "create table t(sec int, tm timestamp, px double, primary key(sec, tm))"
+        )
+        c.batch_insert(
+            "insert into t(sec, tm, px) values(?, ?, ?)",
+            [(1, k, float(k)) for k in range(40)],
+        )
+        rows = c.execute_split(
+            "select sec, tm, px from t where sec=? and tm>=? and tm<=?",
+            split_range(0, 39, 4),
+            args=(1,),
+        )
+        assert rows == [(1, (k, 0), float(k)) for k in range(40)]
+    finally:
+        c.close()
