@@ -328,6 +328,22 @@ def bench_wire_roundtrip(spark, protocol: str = "json"):
 
     t_scan_warm = timed_reps(spark, f"wire_scan_100k{suffix}_warm", one_scan)
 
+    # wire SplitRange (r11): the reference's published range-parallel
+    # numbers (Go 0.806s / Py 1.267s) are CLIENT-measured through its
+    # wire; this row is the directly comparable shape — one split
+    # request, 10 contiguous sub-ranges, server-side coalesced scan,
+    # columnar/packed reply, 100k rows landing at the client
+    def one_split():
+        rows = c.execute_split(
+            "select * from test0 where sec=1 and interval=1 "
+            "and tm>=? and tm<=?",
+            [(b * 10_000, (b + 1) * 10_000 - 1) for b in range(10)],
+            timeout=180,
+        )
+        assert len(rows) == 100_000, len(rows)
+
+    t_split = timed_reps(spark, f"wire_scan_split_10{suffix}", one_split)
+
     # pipelined ingest twin (r11): same 10 chunks, all in flight —
     # send-order commits via the server's per-connection batch chain;
     # tracks the overlap's edge over the sync row round-over-round
@@ -362,7 +378,7 @@ def bench_wire_roundtrip(spark, protocol: str = "json"):
     t_pipelined = min(pin_times)
     c.close()
     srv.stop()
-    return t_ingest, t_scan, t_scan_warm, t_pipelined
+    return t_ingest, t_scan, t_scan_warm, t_pipelined, t_split
 
 
 def _calibration(spark) -> dict:
@@ -500,12 +516,14 @@ def main():
         timings["wire_scan_100k"],
         timings["wire_scan_100k_warm"],
         timings["wire_ingest_pipelined_100k"],
+        timings["wire_scan_split_10"],
     ) = bench_wire_roundtrip(spark, protocol="json")
     (
         timings["wire_ingest_batch_100k_bson"],
         timings["wire_scan_100k_bson"],
         timings["wire_scan_100k_bson_warm"],
         timings["wire_ingest_pipelined_100k_bson"],
+        timings["wire_scan_split_10_bson"],
     ) = bench_wire_roundtrip(spark, protocol="bson")
 
     # --- delta MERGE INTO the 100k-row table (r10): longitudinal row
