@@ -416,6 +416,9 @@ class Engine:
         resolved = self._prepared[pid][1]
         if not isinstance(resolved, ResolvedSelect):
             raise OpentickError("execute_split requires a select")
+        # each branch binds (*args, lo, hi) — same arity contract as a
+        # plain execute of the statement
+        self._check_args(resolved.n_placeholders, (*args, None, None))
         pk = resolved.schema.pk_names
         want = [c.name for c in resolved.cols]
         if not resolved.limit and not resolved.adjs:
@@ -572,6 +575,7 @@ class Engine:
         resolved = self._prepared[pid][1]
         if not isinstance(resolved, ResolvedSelect):
             raise OpentickError("execute_split requires a select")
+        self._check_args(resolved.n_placeholders, (*args, None, None))
         if resolved.limit or resolved.adjs:
             df = self.execute_split(pid, ranges, *args)
             return self._materialize_columns(df, resolved)
