@@ -569,6 +569,23 @@ class Engine:
         """Column-shaped twin of ``execute_split_rows`` (same cells as
         ``execute_columns``) — serves the wire's columnar/packed reply
         fast paths without a server-side transpose."""
+        tbl, resolved = self._split_arrow_table(sql, ranges, args)
+        if tbl is None:
+            df = self.execute_split(sql, ranges, *args)
+            return self._materialize_columns(df, resolved)
+        cols = [tbl.column(c.name).to_pylist() for c in resolved.cols]
+        for i, c in enumerate(resolved.cols):
+            if c.type == "timestamp":
+                cols[i] = [
+                    from_epoch_nanos(v) if v is not None else None
+                    for v in cols[i]
+                ]
+        return cols
+
+    def _split_arrow_table(self, sql: str | int, ranges: list[tuple], args: tuple):
+        """Sorted Arrow collect of the coalesced split scan, or
+        ``(None, resolved)`` when the per-sub-range semantics (LIMIT/
+        adj) or a non-Arrow result need the DataFrame path."""
         if not ranges:
             raise OpentickError("execute_split requires at least one range")
         pid = self.prepare(sql) if isinstance(sql, str) else sql
@@ -577,8 +594,7 @@ class Engine:
             raise OpentickError("execute_split requires a select")
         self._check_args(resolved.n_placeholders, (*args, None, None))
         if resolved.limit or resolved.adjs:
-            df = self.execute_split(pid, ranges, *args)
-            return self._materialize_columns(df, resolved)
+            return None, resolved
         want = [c.name for c in resolved.cols]
         pk = resolved.schema.pk_names
         proj = list(dict.fromkeys(want + pk))
@@ -590,17 +606,8 @@ class Engine:
         try:
             tbl = df.toArrow()
         except Exception:
-            d2 = self.execute_split(pid, ranges, *args)
-            return self._materialize_columns(d2, resolved)
-        tbl = tbl.sort_by([(k, "ascending") for k in pk])
-        cols = [tbl.column(c.name).to_pylist() for c in resolved.cols]
-        for i, c in enumerate(resolved.cols):
-            if c.type == "timestamp":
-                cols[i] = [
-                    from_epoch_nanos(v) if v is not None else None
-                    for v in cols[i]
-                ]
-        return cols
+            return None, resolved
+        return tbl.sort_by([(k, "ascending") for k in pk]), resolved
 
     def execute_rows(self, sql: str | int, *args: Any) -> list[tuple] | None:
         """Reference-client result shape: list of row tuples with timestamp
@@ -676,16 +683,9 @@ class Engine:
         the plan's ``orderBy`` order; LIMIT queries keep the plan sort
         — Spark's TakeOrderedAndProject is already exchange-free and
         prunes to n rows executor-side."""
-        if stmt.limit:
+        tbl = self._select_arrow_table(stmt, args)
+        if tbl is None:
             return self._materialize_columns(self._run_select(stmt, args), stmt)
-        df = self._run_select(stmt, args, defer_sort=True)
-        try:
-            tbl = df.toArrow()
-        except Exception:
-            # arrow-incompatible result type → the regular sorted path
-            return self._materialize_columns(self._run_select(stmt, args), stmt)
-        order = "descending" if stmt.reverse else "ascending"
-        tbl = tbl.sort_by([(k, order) for k in stmt.schema.pk_names])
         cols = [tbl.column(c.name).to_pylist() for c in stmt.cols]
         for i, c in enumerate(stmt.cols):
             if c.type == "timestamp":
@@ -694,6 +694,63 @@ class Engine:
                     for v in cols[i]
                 ]
         return cols
+
+    def _select_arrow_table(self, stmt: ResolvedSelect, args: tuple):
+        """Sorted Arrow collect behind the fast materialization paths,
+        or None when the plan shape needs the DataFrame path (LIMIT —
+        TakeOrderedAndProject already prunes executor-side) or the
+        result isn't Arrow-collectible."""
+        if stmt.limit:
+            return None
+        df = self._run_select(stmt, args, defer_sort=True)
+        try:
+            tbl = df.toArrow()
+        except Exception:
+            return None
+        order = "descending" if stmt.reverse else "ascending"
+        return tbl.sort_by([(k, order) for k in stmt.schema.pk_names])
+
+    def execute_packed_payload(self, sql: str | int, *args: Any):
+        """The wire's packed-columnar reply ("1p") built straight from
+        the Arrow collect where the statement allows — numeric/bool/
+        string/ns-timestamp columns become C-speed casts + buffer
+        slices, skipping ``to_pylist`` and every per-cell Python loop
+        (engine-side AND pack-side). Falls back cell-exactly to
+        ``pack_columns(execute_columns(...))`` for LIMIT/adj/DDL/
+        non-Arrow shapes. Returns the payload dict, or None for
+        row-less statements."""
+        from opentick_spark.wire_packed import pack_arrow_table, pack_columns
+
+        resolved = None
+        if isinstance(sql, int):
+            resolved = self._prepared.get(sql, (None, None))[1]
+        elif not sql.lstrip().lower().startswith("explain "):
+            node = parse(sql)
+            if isinstance(node, ast.Select):
+                resolved = self._resolve(node)
+        if isinstance(resolved, ResolvedSelect):
+            self._check_args(resolved.n_placeholders, args)
+            tbl = self._select_arrow_table(resolved, args)
+            if tbl is not None:
+                return pack_arrow_table(
+                    tbl, [(c.name, c.type) for c in resolved.cols]
+                )
+        return pack_columns(self.execute_columns(sql, *args))
+
+    def execute_split_packed_payload(
+        self, sql: str | int, ranges: list[tuple], *args: Any
+    ):
+        """Packed-payload twin of ``execute_split_columns`` — the wire
+        split's bson reply without a single per-cell Python loop on the
+        coalesced fast path."""
+        from opentick_spark.wire_packed import pack_arrow_table, pack_columns
+
+        tbl, resolved = self._split_arrow_table(sql, ranges, args)
+        if tbl is None:
+            return pack_columns(self.execute_split_columns(sql, ranges, *args))
+        return pack_arrow_table(
+            tbl, [(c.name, c.type) for c in resolved.cols]
+        )
 
     def _materialize_columns(self, result, resolved) -> list[list]:
         """Collect a result DataFrame as column lists with timestamp

@@ -264,10 +264,16 @@ class _Session:
                     # packed-columnar bson fast path (key "1p"),
                     # NEGOTIATED: only our client sends "5" — one
                     # struct-packed binary blob per column instead of
-                    # ~4x-slower per-cell BSON (see wire_packed.py)
-                    cols = self.engine.execute_columns(what, *args)
+                    # ~4x-slower per-cell BSON; built straight from
+                    # Arrow buffers where the statement allows (r11 —
+                    # zero per-cell Python, see wire_packed.py)
                     payload = self._enc(
-                        {"0": ticket, "1p": pack_columns(cols)}
+                        {
+                            "0": ticket,
+                            "1p": self.engine.execute_packed_payload(
+                                what, *args
+                            ),
+                        }
                     )
                 else:
                     # bson keeps the reference's row shape in key "1"
@@ -305,11 +311,13 @@ class _Session:
                     )
                     payload = self._enc({"0": ticket, "1c": cols})
                 elif msg.get("5"):
-                    cols = self.engine.execute_split_columns(
-                        what, ranges, *args
-                    )
                     payload = self._enc(
-                        {"0": ticket, "1p": pack_columns(cols)}
+                        {
+                            "0": ticket,
+                            "1p": self.engine.execute_split_packed_payload(
+                                what, ranges, *args
+                            ),
+                        }
                     )
                 else:
                     rows = self.engine.execute_split_rows(what, ranges, *args)

@@ -128,6 +128,101 @@ def pack_columns(cols: list[list] | None) -> dict | None:
     return {"n": len(cols[0]) if cols else 0, "c": [_pack_col(c) for c in cols]}
 
 
+def _fixed_buf(arr, itemsize: int) -> bytes:
+    """The data buffer of a fixed-width Arrow array as bytes, honoring
+    a non-zero slice offset."""
+    buf = arr.buffers()[1]
+    return buf.slice(arr.offset * itemsize, len(arr) * itemsize).to_pybytes()
+
+
+def _arrow_null_mask(arr):
+    """Payload null mask (LSB bitmap, set ⇒ NULL) from an Arrow array —
+    ``is_null`` yields a bit-packed boolean array in EXACTLY that
+    layout, so the mask is one C call + a buffer copy. Returns None for
+    no nulls, or raises to signal the caller's per-column fallback when
+    the bitmap is offset (can't be realigned without bit-shifting)."""
+    if not arr.null_count:
+        return None
+    import pyarrow.compute as pc
+
+    nulls = pc.is_null(arr)
+    if nulls.offset:
+        raise ValueError("offset null bitmap")
+    buf = nulls.buffers()[1]
+    return buf.slice(0, (len(arr) + 7) // 8).to_pybytes()
+
+
+def _pack_arrow_col(arr, ot_type: str) -> dict:
+    """One column straight from Arrow buffers — C-speed casts + buffer
+    slices instead of ``to_pylist`` + per-cell Python. Cell-exact with
+    ``_pack_col`` over the engine's materialized cells (the client's
+    ``unpack_columns`` is shared and unchanged)."""
+    import pyarrow as pa
+
+    t = arr.type
+    mask = _arrow_null_mask(arr)
+    if arr.null_count:
+        # deterministic bytes under the masked slots (masked cells never
+        # surface — unpack substitutes None — but garbage bytes would
+        # make payloads non-reproducible)
+        zero = {"s": "", "f": 0.0, "b": False}.get(
+            "s" if pa.types.is_string(t)
+            else "f" if pa.types.is_floating(t)
+            else "b" if pa.types.is_boolean(t)
+            else "q", 0,
+        )
+        arr = arr.fill_null(zero)
+    if ot_type == "timestamp" and pa.types.is_integer(t):
+        a = arr.cast(pa.int64())
+        spec = {"k": "t", "d": _fixed_buf(a, 8)}
+    elif pa.types.is_integer(t):
+        a = arr.cast(pa.int64())
+        spec = {"k": "q", "d": _fixed_buf(a, 8)}
+    elif pa.types.is_floating(t):
+        a = arr.cast(pa.float64())
+        spec = {"k": "f", "d": _fixed_buf(a, 8)}
+    elif pa.types.is_boolean(t):
+        a = arr.cast(pa.uint8())
+        spec = {"k": "b", "d": _fixed_buf(a, 1)}
+    elif pa.types.is_string(t) and arr.offset == 0:
+        bufs = arr.buffers()  # [validity, int32 offsets, utf-8 data]
+        offsets = bufs[1].slice(0, (len(arr) + 1) * 4).to_pybytes()
+        end = struct.unpack_from("<i", offsets, len(arr) * 4)[0]
+        data = bufs[2].slice(0, end).to_pybytes() if bufs[2] else b""
+        spec = {"k": "s", "d": data, "o": offsets}
+    else:
+        raise ValueError(f"no buffer path for {t}")
+    if mask is not None:
+        spec["m"] = mask
+    return spec
+
+
+def pack_arrow_table(tbl, cols: list[tuple]) -> dict:
+    """A sorted Arrow result table → the ``1p`` payload, column-wise
+    zero-Python where the type allows (int/float/bool/string/ns-long
+    timestamps); anything else falls back per column to the
+    ``to_pylist`` + ``_pack_col`` cell path (timestamps converted to
+    the engine's (sec, nsec) tuples first, so the fallback stays
+    cell-exact). ``cols`` = [(name, opentick_type), ...] in reply
+    order."""
+    out = []
+    for name, ot_type in cols:
+        arr = tbl.column(name).combine_chunks()
+        try:
+            out.append(_pack_arrow_col(arr, ot_type))
+        except Exception:
+            cells = arr.to_pylist()
+            if ot_type == "timestamp":
+                # engine ts cells are ns int64; anything else (never
+                # produced by engine tables) rides _pack_col's "o" leg
+                cells = [
+                    divmod(v, NS) if isinstance(v, int) else v
+                    for v in cells
+                ]
+            out.append(_pack_col(cells))
+    return {"n": tbl.num_rows, "c": out}
+
+
 def _unpack_col(spec: dict, n: int) -> list:
     kind = spec["k"]
     if kind == "o":

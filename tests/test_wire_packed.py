@@ -191,3 +191,86 @@ def test_packed_roundtrip_property(cols):
     payload = pack_columns(cols)
     decoded = wire_bson.loads(wire_bson.dumps({"1p": payload}))["1p"]
     assert unpack_columns(decoded) == cols
+
+
+class TestArrowBufferPath:
+    """pack_arrow_table (r11): the buffer-sliced producer must be
+    cell-exact with the to_pylist + pack_columns path for every type
+    the engine stores, including nulls, empties, and slice offsets."""
+
+    def _equiv(self, arrays, types, names=None):
+        import pyarrow as pa
+
+        from opentick_spark.wire_packed import NS, pack_arrow_table
+
+        names = names or [f"c{i}" for i in range(len(arrays))]
+        tbl = pa.table(dict(zip(names, arrays)))
+        payload = pack_arrow_table(tbl, list(zip(names, types)))
+        got = unpack_columns(
+            wire_bson.loads(wire_bson.dumps({"1p": payload}))["1p"]
+        )
+        # reference cells: what the engine's to_pylist path would carry
+        want = []
+        for a, t in zip(arrays, types):
+            cells = a.to_pylist() if hasattr(a, "to_pylist") else list(a)
+            if t == "timestamp":
+                cells = [None if v is None else divmod(v, NS) for v in cells]
+            want.append(cells)
+        assert got == want
+
+    def test_all_engine_types(self):
+        import pyarrow as pa
+
+        self._equiv(
+            [
+                pa.array([1, None, 3], pa.int32()),
+                pa.array([2**40, -5, None], pa.int64()),
+                pa.array([1.5, None, -2.25], pa.float32()),
+                pa.array([0.1, 0.2, None], pa.float64()),
+                pa.array([True, None, False], pa.bool_()),
+                pa.array(["a", None, "ccc"], pa.string()),
+                pa.array([1_500_000_000, None, 0], pa.int64()),
+                pa.array([None, None, None], pa.int64()),
+            ],
+            ["int", "bigint", "float", "double", "boolean", "text",
+             "timestamp", "bigint"],
+        )
+
+    def test_sliced_offset_arrays(self):
+        import pyarrow as pa
+
+        base_i = pa.array([9, 1, None, 3, 7], pa.int64())
+        base_s = pa.array(["xx", "a", None, "ccc", "zz"], pa.string())
+        self._equiv(
+            [base_i.slice(1, 3), base_s.slice(1, 3)],
+            ["bigint", "text"],
+        )
+
+    def test_empty_table(self):
+        import pyarrow as pa
+
+        self._equiv(
+            [pa.array([], pa.int64()), pa.array([], pa.string())],
+            ["bigint", "text"],
+        )
+
+    def test_unsupported_type_falls_back(self):
+        # engine never stores lists; the "o" fallback leg must behave
+        # exactly like pack_columns over the same cells (which
+        # tuple-izes list cells on unpack — the row shape's convention)
+        import pyarrow as pa
+
+        from opentick_spark.wire_packed import pack_arrow_table
+
+        arr = pa.array([[1.0, 2.0], None, [3.0]], pa.list_(pa.float64()))
+        tbl = pa.table({"c0": arr})
+        payload = pack_arrow_table(tbl, [("c0", "text")])
+        got = unpack_columns(
+            wire_bson.loads(wire_bson.dumps({"1p": payload}))["1p"]
+        )
+        via_cells = unpack_columns(
+            wire_bson.loads(
+                wire_bson.dumps({"1p": pack_columns([arr.to_pylist()])})
+            )["1p"]
+        )
+        assert got == via_cells == [[(1.0, 2.0), None, (3.0,)]]
