@@ -1041,6 +1041,7 @@ class TableStore:
         target_partitions: int | None = None,
         hash_buckets: int | None = None,
         zorder: list[str] | None = None,
+        codec: str | None = None,
     ) -> None:
         """Collapse the append-log into PK-sorted, PK-range-partitioned
         Parquet — restores the reference's physical-PK-order property and
@@ -1082,7 +1083,9 @@ class TableStore:
         # so no commit can land between the snapshot read and the log
         # swap (a commit written after the snapshot would be deleted)
         with self._lock, self._file_lock():
-            self._compact_locked(spark, target_partitions, hash_buckets, zorder)
+            self._compact_locked(
+                spark, target_partitions, hash_buckets, zorder, codec
+            )
 
     def _compact_locked(
         self,
@@ -1090,6 +1093,7 @@ class TableStore:
         target_partitions: int | None,
         hash_buckets: int | None,
         zorder: list[str] | None = None,
+        codec: str | None = None,
     ) -> None:
         schema = self.schema
         consumed_log = sorted(os.listdir(self.log_path))
@@ -1151,6 +1155,12 @@ class TableStore:
         )
         tmp_dir = os.path.join(self.path, f"compact-{uuid.uuid4().hex}")
         writer = out.write.mode("overwrite")
+        if codec:
+            # storage codec for the rewritten base (e.g. "zstd": ~1.3-2x
+            # smaller than the snappy default at 100 TB, decode cost
+            # amortized by the scan's columnar batches; log commits keep
+            # the session default — they are short-lived by design)
+            writer = writer.option("compression", codec)
         if hash_buckets:
             writer = writer.partitionBy(BUCKET_COL)
         writer.parquet(tmp_dir)
