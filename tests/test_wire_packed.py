@@ -274,3 +274,63 @@ class TestArrowBufferPath:
             )["1p"]
         )
         assert got == via_cells == [[(1.0, 2.0), None, (3.0,)]]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["int", "bigint", "double", "boolean", "text",
+                             "timestamp"]),
+            st.integers(0, 40),       # rows
+            st.floats(0, 0.5),        # null fraction
+            st.randoms(use_true_random=False),
+        ),
+        max_size=4,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_pack_arrow_table_matches_pack_columns_property(colspecs):
+    """Property: for ANY engine-typed Arrow table (random rows, random
+    null fraction), pack_arrow_table's payload decodes to exactly the
+    cells pack_columns over the to_pylist path carries."""
+    import pyarrow as pa
+
+    from opentick_spark.wire_packed import NS, pack_arrow_table
+
+    if not colspecs:
+        return
+    n = min(r for _, r, _, _ in colspecs)
+    pa_type = {
+        "int": pa.int32(), "bigint": pa.int64(), "double": pa.float64(),
+        "boolean": pa.bool_(), "text": pa.string(), "timestamp": pa.int64(),
+    }
+    mk = {
+        "int": lambda rng: rng.randint(-(2**31), 2**31 - 1),
+        "bigint": lambda rng: rng.randint(-(2**62), 2**62),
+        "double": lambda rng: rng.uniform(-1e9, 1e9),
+        "boolean": lambda rng: rng.random() < 0.5,
+        "text": lambda rng: "x" * rng.randint(0, 6) + str(rng.random()),
+        "timestamp": lambda rng: rng.randint(0, 2**62),
+    }
+    arrays, types, cells_want = [], [], []
+    for t, _, nullfrac, rng in colspecs:
+        vals = [
+            None if rng.random() < nullfrac else mk[t](rng)
+            for _ in range(n)
+        ]
+        arrays.append(pa.array(vals, pa_type[t]))
+        types.append(t)
+        cells_want.append(
+            [None if v is None else divmod(v, NS) for v in vals]
+            if t == "timestamp"
+            else vals
+        )
+    names = [f"c{i}" for i in range(len(arrays))]
+    tbl = pa.table(dict(zip(names, arrays)))
+    payload = pack_arrow_table(tbl, list(zip(names, types)))
+    decoded = wire_bson.loads(wire_bson.dumps({"1p": payload}))["1p"]
+    got = unpack_columns(decoded)
+    for g, w in zip(got, cells_want):
+        assert [
+            pytest.approx(x) if isinstance(x, float) else x for x in g
+        ] == w
