@@ -1743,3 +1743,28 @@ def test_compact_codec_zstd(kv):
     snappy_bytes = sum(__import__("os").path.getsize(f) for f in files2)
     assert zstd_bytes < snappy_bytes
     assert len(kv.execute_rows("select k from cz")) == 2001
+
+
+def test_modify_column_widen_composes_with_merge_and_append(kv):
+    """Post-widen interop: a MERGE source (or streaming append) still
+    carrying the NARROW types must land correctly against the widened
+    table — append_dataframe casts to the current spark schema."""
+    spark = kv.spark
+    kv.execute("create table wm(k int, v float, primary key(k))")
+    kv.execute("insert into wm(k, v) values(1, 1.5)")
+    kv.execute("alter table wm modify column k bigint")
+    kv.execute("alter table wm modify column v double")
+    st = kv.store("d", "wm")
+    # narrow-typed merge source: update {1}, insert {2}
+    st.merge_into(
+        spark,
+        spark.createDataFrame([(2, 2.25), (1, 9.5)], "k int, v double"),
+    )
+    assert sorted(kv.execute_rows("select k, v from wm")) == [
+        (1, 9.5), (2, 2.25),
+    ]
+    # wide-typed append past int32 range
+    st.append_dataframe(
+        spark.createDataFrame([(5_000_000_000, 3.5)], "k bigint, v double")
+    )
+    assert kv.execute_rows("select v from wm where k=5000000000") == [(3.5,)]
