@@ -618,6 +618,15 @@ class TCPConnection:
             return list(zip(*unpack_columns(packed)))
         cols = msg.get("1c")
         if cols is not None:
+            # negotiated "1t" (r11): these columns arrived as raw
+            # epoch-ns ints — divmod to the (sec, nsec) cell contract
+            # (same work the tuple-conversion loop did, minus the
+            # server-side conversion and the fatter 2-array encode)
+            for i in msg.get("1t") or ():
+                cols[i] = [
+                    None if v is None else divmod(v, 1_000_000_000)
+                    for v in cols[i]
+                ]
             return self._cols_to_rows(cols)
         return msg.get("1")
 
@@ -680,9 +689,14 @@ class TCPConnection:
             # queries through the server's response cache
             sql = self.prepare(sql)
         # "5" advertises packed-columnar reply support (wire_packed.py);
-        # a bson server answers with key "1p", json servers ignore it
+        # a bson server answers with key "1p", json servers ignore it.
+        # "8" advertises ns-timestamp columnar replies ("1c"+"1t"); a
+        # json server then skips its per-cell (sec,nsec) conversion
         fut = self._request(
-            {"1": "run", "2": sql, "3": args, "4": 1 if cache else 0, "5": 1}
+            {
+                "1": "run", "2": sql, "3": args,
+                "4": 1 if cache else 0, "5": 1, "8": 1,
+            }
         )
         return self._wrap_reply(fut, self._rows_in)
 
@@ -718,6 +732,7 @@ class TCPConnection:
                 "3": args,
                 "5": 1,  # packed-columnar reply support (bson servers)
                 "7": [list(r) for r in ranges],
+                "8": 1,  # ns-timestamp columnar replies (json servers)
             }
         )
         return self._wrap_reply(fut, self._rows_in)

@@ -710,6 +710,49 @@ class Engine:
         order = "descending" if stmt.reverse else "ascending"
         return tbl.sort_by([(k, order) for k in stmt.schema.pk_names])
 
+    def execute_columns_ns(self, sql: str | int, *args: Any):
+        """``(cols, ts_idx)`` for the wire's negotiated ns-timestamp
+        reply ("1t", r11): timestamp columns stay raw epoch-ns int64
+        and ``ts_idx`` names their positions, skipping the server-side
+        per-cell (sec, nsec) conversion AND shrinking the json encode
+        (ints, not 2-arrays); the CLIENT divmods — the same total work
+        its tuple-conversion loop already did. Falls back to the
+        converted cells with ``ts_idx=[]`` (reply then carries no "1t")
+        for LIMIT/adj/non-Arrow/non-select shapes."""
+        resolved = None
+        if isinstance(sql, int):
+            resolved = self._prepared.get(sql, (None, None))[1]
+        elif not sql.lstrip().lower().startswith("explain "):
+            node = parse(sql)
+            if isinstance(node, ast.Select):
+                resolved = self._resolve(node)
+        if isinstance(resolved, ResolvedSelect):
+            self._check_args(resolved.n_placeholders, args)
+            tbl = self._select_arrow_table(resolved, args)
+            if tbl is not None:
+                cols = [tbl.column(c.name).to_pylist() for c in resolved.cols]
+                ts_idx = [
+                    i
+                    for i, c in enumerate(resolved.cols)
+                    if c.type == "timestamp"
+                ]
+                return cols, ts_idx
+        return self.execute_columns(sql, *args), []
+
+    def execute_split_columns_ns(
+        self, sql: str | int, ranges: list[tuple], *args: Any
+    ):
+        """ns-timestamp twin of ``execute_split_columns`` (see
+        ``execute_columns_ns``)."""
+        tbl, resolved = self._split_arrow_table(sql, ranges, args)
+        if tbl is None:
+            return self.execute_split_columns(sql, ranges, *args), []
+        cols = [tbl.column(c.name).to_pylist() for c in resolved.cols]
+        ts_idx = [
+            i for i, c in enumerate(resolved.cols) if c.type == "timestamp"
+        ]
+        return cols, ts_idx
+
     def execute_packed_payload(self, sql: str | int, *args: Any):
         """The wire's packed-columnar reply ("1p") built straight from
         the Arrow collect where the statement allows — numeric/bool/

@@ -242,6 +242,10 @@ class _Session:
                             sql_text,
                             repr(args),
                             1 if msg.get("5") else 0,
+                            # "8" changes the reply SHAPE ("1t" ns ints)
+                            # — a non-"8" client must never be served a
+                            # cached "1t" blob
+                            1 if msg.get("8") else 0,
                         )
                         hit = self.server._cache_get(cache_key)
                         if hit is not None:
@@ -257,9 +261,21 @@ class _Session:
                 if self.protocol == "json":
                     # columnar fast path: engine hands over column lists
                     # (no server-side transpose), client zips after
-                    # decode — json arrays encode/decode faster columnar
-                    cols = self.engine.execute_columns(what, *args)
-                    payload = self._enc({"0": ticket, "1c": cols})
+                    # decode — json arrays encode/decode faster columnar.
+                    # "8" (r11, negotiated): timestamp columns ride as
+                    # raw ns ints, positions in "1t", client divmods —
+                    # no per-cell server loop, smaller encode
+                    if msg.get("8"):
+                        cols, tsi = self.engine.execute_columns_ns(
+                            what, *args
+                        )
+                        reply = {"0": ticket, "1c": cols}
+                        if tsi:
+                            reply["1t"] = tsi
+                        payload = self._enc(reply)
+                    else:
+                        cols = self.engine.execute_columns(what, *args)
+                        payload = self._enc({"0": ticket, "1c": cols})
                 elif msg.get("5"):
                     # packed-columnar bson fast path (key "1p"),
                     # NEGOTIATED: only our client sends "5" — one
@@ -306,10 +322,19 @@ class _Session:
                 # fast shapes as "run": columnar "1c" (json), packed
                 # "1p" (bson + negotiated "5"), reference rows "1"
                 if self.protocol == "json":
-                    cols = self.engine.execute_split_columns(
-                        what, ranges, *args
-                    )
-                    payload = self._enc({"0": ticket, "1c": cols})
+                    if msg.get("8"):
+                        cols, tsi = self.engine.execute_split_columns_ns(
+                            what, ranges, *args
+                        )
+                        reply = {"0": ticket, "1c": cols}
+                        if tsi:
+                            reply["1t"] = tsi
+                        payload = self._enc(reply)
+                    else:
+                        cols = self.engine.execute_split_columns(
+                            what, ranges, *args
+                        )
+                        payload = self._enc({"0": ticket, "1c": cols})
                 elif msg.get("5"):
                     payload = self._enc(
                         {

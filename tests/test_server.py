@@ -749,3 +749,29 @@ def test_bson_wire_split_packed(bson_server):
         assert rows == [(1, (k, 0), float(k)) for k in range(40)]
     finally:
         c.close()
+
+
+def test_wire_ns_timestamp_reply_negotiation(server):
+    """"8"-flag ns-timestamp replies (r11): an "8" client gets identical
+    cells via the "1t" leg (incl. NULL ts from sparse rows); a client
+    WITHOUT the flag — an older build — keeps receiving converted
+    (sec, nsec) cells with no "1t" key, and the reply cache never
+    serves one shape to the other."""
+    c = connect_tcp("127.0.0.1", server.port)
+    try:
+        _mkdb(c, "wnt")
+        c.execute(
+            "create table t(a int, tm timestamp, t2 timestamp, px double, "
+            "primary key(a, tm))"
+        )
+        c.execute("insert into t(a, tm, t2, px) values(1, 5, 7, 2.5)")
+        c.execute("insert into t(a, tm) values(1, 6)")  # NULL t2, px
+        want = [(1, (5, 0), (7, 0), 2.5), (1, (6, 0), None, None)]
+        assert c.execute("select * from t where a=1") == want
+        # simulate an older client: same wire, no "8" flag
+        fut = c._request({"1": "run", "2": "select * from t where a=1",
+                          "3": [], "4": 1, "5": 1})
+        legacy = c._result(c._wrap_reply(fut, c._rows_in)._fut, 30)
+        assert legacy == want
+    finally:
+        c.close()
