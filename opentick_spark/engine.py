@@ -643,21 +643,28 @@ class Engine:
         side, one transpose total instead of three)."""
         return self._execute_to_columns(sql, args)
 
-    def _execute_to_columns(self, sql: str | int, args: tuple) -> list[list] | None:
-        """Shared row/wire materialization: resolves SELECTs up front so
-        they take the Arrow-sorted collect (no range-exchange — see
-        ``_collect_select_columns``); everything else goes through
-        ``execute`` unchanged."""
-        resolved = None
+    def _resolved_select_of(self, sql: str | int):
+        """Resolve a statement for the columnar materializers: the
+        ResolvedSelect when ``sql`` is a (prepared) SELECT, else None
+        (caller falls through to the generic ``execute`` path). Raises
+        the standard unknown-pid error for dangling prepared ids."""
         if isinstance(sql, int):
             try:
                 resolved = self._prepared[sql][1]
             except KeyError:
                 raise OpentickError(f"Unknown prepared id {sql}") from None
-        elif not sql.lstrip().lower().startswith("explain "):
-            node = parse(sql)
-            if isinstance(node, ast.Select):
-                resolved = self._resolve(node)
+            return resolved if isinstance(resolved, ResolvedSelect) else None
+        if sql.lstrip().lower().startswith("explain "):
+            return None
+        node = parse(sql)
+        return self._resolve(node) if isinstance(node, ast.Select) else None
+
+    def _execute_to_columns(self, sql: str | int, args: tuple) -> list[list] | None:
+        """Shared row/wire materialization: resolves SELECTs up front so
+        they take the Arrow-sorted collect (no range-exchange — see
+        ``_collect_select_columns``); everything else goes through
+        ``execute`` unchanged."""
+        resolved = self._resolved_select_of(sql)
         if isinstance(resolved, ResolvedSelect):
             self._check_args(resolved.n_placeholders, args)
             return self._collect_select_columns(resolved, args)
@@ -718,14 +725,10 @@ class Engine:
         (ints, not 2-arrays); the CLIENT divmods — the same total work
         its tuple-conversion loop already did. Falls back to the
         converted cells with ``ts_idx=[]`` (reply then carries no "1t")
-        for LIMIT/adj/non-Arrow/non-select shapes."""
-        resolved = None
-        if isinstance(sql, int):
-            resolved = self._prepared.get(sql, (None, None))[1]
-        elif not sql.lstrip().lower().startswith("explain "):
-            node = parse(sql)
-            if isinstance(node, ast.Select):
-                resolved = self._resolve(node)
+        for LIMIT/non-Arrow/non-select shapes. adj selects ride the ns
+        path — adj rewrites px/vol float columns and leaves timestamp
+        columns as engine-native ns, so the "1t" contract holds."""
+        resolved = self._resolved_select_of(sql)
         if isinstance(resolved, ResolvedSelect):
             self._check_args(resolved.n_placeholders, args)
             tbl = self._select_arrow_table(resolved, args)
@@ -737,6 +740,14 @@ class Engine:
                     if c.type == "timestamp"
                 ]
                 return cols, ts_idx
+            # LIMIT / non-Arrow: materialize the already-resolved
+            # statement directly (no second resolution or collect retry)
+            return (
+                self._materialize_columns(
+                    self._run_select(resolved, args), resolved
+                ),
+                [],
+            )
         return self.execute_columns(sql, *args), []
 
     def execute_split_columns_ns(
@@ -746,7 +757,11 @@ class Engine:
         ``execute_columns_ns``)."""
         tbl, resolved = self._split_arrow_table(sql, ranges, args)
         if tbl is None:
-            return self.execute_split_columns(sql, ranges, *args), []
+            # LIMIT/adj/non-Arrow: materialize the DataFrame split path
+            # directly — re-entering execute_split_columns would rebuild
+            # the scan and retry the same failing collect
+            df = self.execute_split(sql, ranges, *args)
+            return self._materialize_columns(df, resolved), []
         cols = [tbl.column(c.name).to_pylist() for c in resolved.cols]
         ts_idx = [
             i for i, c in enumerate(resolved.cols) if c.type == "timestamp"
@@ -759,18 +774,12 @@ class Engine:
         string/ns-timestamp columns become C-speed casts + buffer
         slices, skipping ``to_pylist`` and every per-cell Python loop
         (engine-side AND pack-side). Falls back cell-exactly to
-        ``pack_columns(execute_columns(...))`` for LIMIT/adj/DDL/
+        ``pack_columns`` over materialized cells for LIMIT/DDL/
         non-Arrow shapes. Returns the payload dict, or None for
         row-less statements."""
         from opentick_spark.wire_packed import pack_arrow_table, pack_columns
 
-        resolved = None
-        if isinstance(sql, int):
-            resolved = self._prepared.get(sql, (None, None))[1]
-        elif not sql.lstrip().lower().startswith("explain "):
-            node = parse(sql)
-            if isinstance(node, ast.Select):
-                resolved = self._resolve(node)
+        resolved = self._resolved_select_of(sql)
         if isinstance(resolved, ResolvedSelect):
             self._check_args(resolved.n_placeholders, args)
             tbl = self._select_arrow_table(resolved, args)
@@ -778,6 +787,12 @@ class Engine:
                 return pack_arrow_table(
                     tbl, [(c.name, c.type) for c in resolved.cols]
                 )
+            # LIMIT / non-Arrow: materialize directly, no collect retry
+            return pack_columns(
+                self._materialize_columns(
+                    self._run_select(resolved, args), resolved
+                )
+            )
         return pack_columns(self.execute_columns(sql, *args))
 
     def execute_split_packed_payload(
@@ -790,7 +805,10 @@ class Engine:
 
         tbl, resolved = self._split_arrow_table(sql, ranges, args)
         if tbl is None:
-            return pack_columns(self.execute_split_columns(sql, ranges, *args))
+            # materialize the DataFrame split path directly (see
+            # execute_split_columns_ns — no rebuilt scan/collect retry)
+            df = self.execute_split(sql, ranges, *args)
+            return pack_columns(self._materialize_columns(df, resolved))
         return pack_arrow_table(
             tbl, [(c.name, c.type) for c in resolved.cols]
         )

@@ -43,7 +43,7 @@ from typing import Any
 
 from opentick_spark.engine import Engine
 from opentick_spark.errors import OpentickError
-from opentick_spark.wire_packed import pack_columns, unpack_columns
+from opentick_spark.wire_packed import unpack_columns
 
 _LEN = struct.Struct("<I")
 

@@ -246,3 +246,35 @@ def test_storage_stats_over_the_wire(cache_server):
         assert st["pk_overlap"] == 0
     finally:
         c.close()
+
+
+def test_wire_cache_isolates_ns_timestamp_shape(cache_server):
+    """The reply cache keys the "8" (ns-timestamp "1t") flag: a legacy
+    client hitting the same prepared select right after an "8" client
+    populated the cache must get its own tuple-shaped reply, never the
+    cached "1t" blob (which would surface raw ns ints as cells)."""
+    c = connect_tcp("127.0.0.1", cache_server.port)
+    try:
+        if "wc8" not in c.list_databases():
+            c.execute("create database wc8")
+        c.use("wc8")
+        c.execute(
+            "create table t(a int, tm timestamp, px double, primary key(a, tm))"
+        )
+        c.execute("insert into t(a, tm, px) values(1, 5, 2.5)")
+        want = [(1, (5, 0), 2.5)]
+        # "8" client populates its cache entry (auto-prepared select)
+        assert c.execute("select * from t where a=?", (1,)) == want
+        pid = c.prepare("select * from t where a=?")
+        # legacy request: same pid, cache on, NO "8" flag — must not be
+        # served the "1t"-shaped blob
+        fut = c._request({"1": "run", "2": pid, "3": [1], "4": 1, "5": 1})
+        legacy = c._result(c._wrap_reply(fut, c._rows_in)._fut, 30)
+        assert legacy == want  # ns ints would surface as bare ints here
+        # and the legacy shape now has its own cached copy: repeat hit
+        fut = c._request({"1": "run", "2": pid, "3": [1], "4": 1, "5": 1})
+        assert c._result(c._wrap_reply(fut, c._rows_in)._fut, 30) == want
+        # the "8" shape keeps ITS cached copy too
+        assert c.execute("select * from t where a=?", (1,)) == want
+    finally:
+        c.close()
