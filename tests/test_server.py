@@ -775,3 +775,45 @@ def test_wire_ns_timestamp_reply_negotiation(server):
         assert legacy == want
     finally:
         c.close()
+
+
+def test_wire_hostile_commands_answered_not_fatal(server):
+    """Well-framed but hostile COMMANDS (wrong field types, absurd
+    values, unknown keys) must each produce an error reply or be
+    survivable — never kill the server or another session."""
+    import socket as _socket
+
+    from opentick_spark.server import recv_frame, send_frame, _dumps
+
+    hostile = [
+        {"0": 1, "1": "run"},                        # no statement
+        {"0": 2, "1": "run", "2": 999999},           # dangling pid
+        {"0": 3, "1": "run", "2": ["not", "sql"]},   # non-string sql
+        {"0": 4, "1": "split", "2": "select 1"},     # split, no ranges
+        {"0": 5, "1": "split", "2": "x", "7": "??"}, # ranges not a list
+        {"0": 6, "1": "batch", "2": "nope", "3": 7}, # args not rows
+        {"0": 7, "1": 42},                           # cmd not a string
+        {"0": 8, "1": "meta", "2": "bogus_sub"},     # unknown meta
+        {"0": 9, "1": "use", "2": 123},              # db not a string
+        {"0": "tick", "1": "run", "2": "select 1"},  # non-int ticket
+    ]
+    s = _socket.create_connection(("127.0.0.1", server.port))
+    s.settimeout(10)
+    try:
+        for msg in hostile:
+            send_frame(s, _dumps(msg))
+        got = 0
+        while got < len(hostile):
+            body = recv_frame(s)
+            assert body is not None, f"connection died after {got} replies"
+            if body in (b"H", b""):
+                continue  # heartbeat
+            got += 1
+    finally:
+        s.close()
+    # server still serves a fresh, well-behaved session
+    c = connect_tcp("127.0.0.1", server.port)
+    try:
+        assert isinstance(c.list_databases(), list)
+    finally:
+        c.close()
