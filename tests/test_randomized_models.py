@@ -327,3 +327,43 @@ def test_execute_split_matches_branch_union(spark, tmp_path, seed):
             {t for t in ts if any(member(t, lo, hi) for lo, hi in ranges)}
         )
         assert got == want, (seed, op1, op2, ranges)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_execute_split_float_ranges_match_union(spark, tmp_path, seed):
+    """Float-PK SplitRange model: inclusive float sub-ranges (the only
+    shape the reference's float split_range emits — shared boundaries)
+    coalesce on touch/overlap and must stay set-identical to the
+    per-branch union; disjoint ranges keep their gaps."""
+    from opentick_spark.engine import Engine, split_range
+
+    rng = random.Random(seed)
+    eng = Engine(spark, str(tmp_path / f"whf{seed}"))
+    eng.execute("create database fp")
+    eng.use("fp")
+    eng.execute("create table f(k double, v double, primary key(k))")
+    pid = eng.prepare("insert into f(k, v) values(?, ?)")
+    ks = [i / 4 for i in range(80)]  # 0.0 .. 19.75, exact quarters
+    eng.batch_insert(pid, [(k, k * 2) for k in ks])
+
+    # reference-style contiguous float split: full coverage, coalesced
+    rows = eng.execute_split_rows(
+        "select k from f where k>=? and k<=?", split_range(0.0, 19.75, 7)
+    )
+    assert [r[0] for r in rows] == ks
+    # random inclusive float ranges incl. reversed/overlapping/disjoint
+    for _ in range(4):
+        ranges = [
+            (rng.randrange(-8, 88) / 4, rng.randrange(-8, 88) / 4)
+            for _ in range(rng.randint(1, 4))
+        ]
+        got = [
+            r[0]
+            for r in eng.execute_split_rows(
+                "select k from f where k>=? and k<=?", ranges
+            )
+        ]
+        want = sorted(
+            {k for k in ks if any(lo <= k <= hi for lo, hi in ranges)}
+        )
+        assert got == want, (seed, ranges)

@@ -817,3 +817,39 @@ def test_wire_hostile_commands_answered_not_fatal(server):
         assert isinstance(c.list_databases(), list)
     finally:
         c.close()
+
+
+def test_wire_split_reads_interleave_pipelined_batches(conn):
+    """Reads stay fully concurrent with the per-connection batch chain,
+    and every split read observes an ATOMIC prefix of the pipelined
+    batches: row counts are always a multiple of the chunk size (a
+    batch is one commit — no read ever sees half a batch)."""
+    _mkdb(conn, "wil")
+    conn.execute(
+        "create table t(sec int, tm timestamp, v double, primary key(sec, tm))"
+    )
+    chunk = 2_000
+    batches = [
+        [(1, b * chunk + i, float(i)) for i in range(chunk)]
+        for b in range(10)
+    ]
+    sql = "insert into t(sec, tm, v) values(?, ?, ?)"
+    futs = [conn.batch_insert_async(sql, rows) for rows in batches]
+    counts = []
+    for _ in range(8):  # reads racing the in-flight chain
+        rows = conn.execute_split(
+            "select tm from t where sec=? and tm>=? and tm<=?",
+            [(0, 9_999), (10_000, 19_999)],
+            args=(1,),
+        )
+        counts.append(len(rows))
+    for f in futs:
+        f.get(120)
+    final = conn.execute_split(
+        "select tm from t where sec=? and tm>=? and tm<=?",
+        [(0, 9_999), (10_000, 19_999)],
+        args=(1,),
+    )
+    assert len(final) == 10 * chunk
+    assert all(c % chunk == 0 for c in counts), counts
+    assert counts == sorted(counts)  # commits land in send order
