@@ -2075,7 +2075,10 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         COUNT(*)::DOUBLE AS m4
       FROM events
     )
-    SELECT r.rule, r.metric, r.bound, r.passed FROM m, LATERAL (
+    -- CAST bound: the VALUES decimal literals type as DECIMAL(5,1),
+    -- which the driver's value hash sees differently from Spark's double
+    SELECT r.rule, r.metric, CAST(r.bound AS DOUBLE) AS bound, r.passed
+    FROM m, LATERAL (
       SELECT * FROM (VALUES
         ('not_null(value)', ROUND(m.m0, 6), 0.0, m.m0 <= 0.0),
         ('unique(event_id)', ROUND(m.m1, 6), 0.0, m.m1 <= 0.0),

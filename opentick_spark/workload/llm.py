@@ -4051,8 +4051,8 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT CAST(shard AS BIGINT) AS shard,
-           COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_doc_id
     FROM assign GROUP BY shard
     """,
@@ -4088,7 +4088,7 @@ def deterministic_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hist
     )
     SELECT CAST((cum * 10 + total - 1) // total AS BIGINT) AS bucket,
-           SUM(cnt) AS n_docs,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
            MIN(n_chars) AS min_n_chars,
            MAX(n_chars) AS max_n_chars,
            CAST(SUM(n_chars * cnt) AS BIGINT) AS total_n_chars

@@ -1,7 +1,16 @@
 """Local replica of the driver's correctness gate: run each
 __spark_entry__.queries() entry and its oracle_sql() side-by-side at
 sf0.01 and compare row count, column names, and values (sorted columns,
-order-insensitive rows) — stricter than a hash: reports actual diffs.
+order-insensitive rows) — and, since r12, the ORACLE RESULT TYPES.
+
+The r11 lesson (VERDICT #2): value comparison here converts DuckDB
+cells to Python objects first, which normalizes away exactly the type
+dimension the driver's value hash is sensitive to — an un-cast integer
+SUM (HUGEINT) or numeric literal (DECIMAL) compared equal locally but
+hashed red in CORRECTNESS_r11. So this checker now also DESCRIBEs each
+oracle and fails on any output type outside the hash-safe allowlist
+(BIGINT/INTEGER/DOUBLE/FLOAT/VARCHAR/BOOLEAN + lists); the same lint
+runs at registry admission in tests/test_oracle_types.py.
 
 Usage: python tests/oracle_check.py [query ...]   (default: all)
 """
@@ -22,6 +31,22 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+
+_ALLOWED_SCALAR = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN",
+}
+
+
+def type_violations(con, sql):
+    out = []
+    for row in con.execute("DESCRIBE " + sql).fetchall():
+        col, typ = row[0], row[1].strip()
+        base = typ[:-2] if typ.endswith("[]") else typ
+        if base not in _ALLOWED_SCALAR:
+            out.append((col, typ))
+    return out
 
 
 def norm_cell(v):
@@ -88,6 +113,7 @@ def main():
                 print(f"FAIL  {name}: rows-only query returned 0 rows")
             continue
         try:
+            tviol = type_violations(con, oracles[name])
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
@@ -96,6 +122,12 @@ def main():
             print(f"FAIL  {name}: oracle error: {e}")
             continue
         ok = True
+        if tviol:
+            ok = False
+            print(
+                f"FAIL  {name}: hash-unsafe oracle output types "
+                f"(CAST to BIGINT/DOUBLE): {tviol}"
+            )
         if sorted(cols) != sorted(ocols):
             ok = False
             print(f"FAIL  {name}: columns {sorted(cols)} vs oracle {sorted(ocols)}")
