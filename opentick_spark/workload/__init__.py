@@ -46,20 +46,19 @@ real bugs invisible at sf0.01 (r3: a keeper tie-break). Run
 ``SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.1 python
 tests/oracle_check.py`` to reproduce.
 
-Round-11 rotation (VERDICT r10 item 1): never-driver-checked entries
-lead (drop_evolution_state, idempotent_batch_state — the two r10
-schema-evolution/idempotency additions), then the four entries
-displaced from the r10 window whose last driver row is still r6
-(video_frame_stats, vwap_hourly, wav_decode_features,
-window_rank_topn), then the round-7-stale cohort (alphabetical head,
-trimmed by the three mid-round r11 additions swapped into the tail —
-deterministic_shard_assign, curriculum_length_buckets, and
-streaming_cdc_apply get first-time driver evidence the round they
-land, the r6-r10 precedent). The displaced r7 tail —
-text_pii_redaction, text_quality, text_unigram_nll,
-video_clip_containment, window_count_distinct, window_lead_lag,
-window_range_frame, window_rank_stats, window_running_sum — rejoins
-the r12 queue.
+Round-12 rotation (VERDICT r11 item 5): the displaced r7-stale tail
+rejoins first (text_fingerprint … window_running_sum, 10 entries —
+no entry's last driver row ages past ~4 rounds), then the four
+queries whose ORACLES were re-typed this round after the r11
+HUGEINT/DECIMAL finding (deterministic_shard_assign,
+curriculum_length_buckets — the two r11 reds, judge's done-criterion
+is hash-green driver rows in r12 — plus idempotent_batch_state and
+dialect_upsert_delete whose latent DECIMAL oracles were hardened by
+the same sweep; data_quality_report and merge_into_final_state, the
+other two sweep finds, land inside the r8 cohort below), then the
+alphabetical head of the r8-stale cohort (36 of 50). The deferred r8
+tail — source_mixture_stats … weighted_sample_docs, 14 entries —
+leads the r13 queue.
 Every rotated-out entry was driver-green in a prior round with an
 unchanged implementation and keeps oracle_check value coverage each
 round. The per-query rotation history (query →
@@ -87,76 +86,67 @@ ALL_ORACLES = {**_CORE_O, **_TICK_O, **_LLM_O}
 # asked for — query → rounds driver-checked → local verification),
 # replacing the docstring changelogs.
 _DRIVER_WINDOW = [
-    # ---- round 11 rotation (VERDICT r10 item 1): the only two
-    # never-driver-checked registry entries lead — r10's schema-evolution
-    # and idempotent-batch state queries (local oracle green r10, judge
-    # value-checked them independently) ----
-    "drop_evolution_state",
-    "idempotent_batch_state",
-    # ---- the four entries displaced from the r10 window whose last
-    # driver row is still r6 ----
-    "video_frame_stats",
-    "vwap_hourly",
-    "wav_decode_features",
-    "window_rank_topn",
-    # ---- the round-7-stale cohort (alphabetical head 44 of the 50
-    # entries whose last driver row is r7; the displaced tail —
-    # video_clip_containment, window_count_distinct, window_lead_lag,
-    # window_range_frame, window_rank_stats, window_running_sum, all
-    # value-exact in this round's local oracle_check — rejoins the r12
-    # queue) ----
-    "ann_recall_report",
-    "approx_quantiles",
-    "conditional_agg_filter",
-    "contamination_8gram",
-    "corpus_pipeline",
-    "cube_status_priority",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_simhash",
-    "distinct_suppliers_per_flag",
-    "embedding_label_stats",
-    "except_all_high_value",
-    "grouping_sets_mixed",
-    "hop_window_counts",
-    "incremental_agg_maintenance",
-    "intersect_users",
-    "interval_join_windows",
-    "log_diff_incremental",
-    "lsh_banding_efficiency",
-    "mixture_sample",
-    "mjpg_frame_stats",
-    "multimodal_features",
-    "pack_sequences_by_lang",
-    "profile_orders",
-    "rollup_nation_region",
-    "salted_join_revenue",
-    "semantic_dedup",
-    "semi_anti_join",
-    "set_ops_except",
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "source_pagerank",
-    "streaming_join_purchases",
-    "streaming_session_windows",
-    "streaming_stateful_totals",
-    "streaming_window_counts",
-    "text_bm25_search",
-    "text_chunking",
-    "text_compression_ratio",
-    "text_dup_ngram_coverage",
-    # ---- mid-round r11 additions (first-time driver evidence, the
-    # r6-r10 precedent; the displaced r7-stale tail — text_fingerprint,
-    # text_pii_redaction, text_quality, text_unigram_nll — rejoins the
-    # r12 queue) ----
-    # reproducible md5 shard deal (zero-shuffle narrow map)
+    # ---- round 12 rotation (VERDICT r11 item 5): the r7-stale tail
+    # displaced by the r11 window rejoins so no entry's last driver row
+    # ages past ~4 rounds ----
+    "text_fingerprint",
+    "text_pii_redaction",
+    "text_quality",
+    "text_unigram_nll",
+    "video_clip_containment",
+    "window_count_distinct",
+    "window_lead_lag",
+    "window_range_frame",
+    "window_rank_stats",
+    "window_running_sum",
+    # ---- the four re-typed oracles from the r12 HUGEINT/DECIMAL sweep
+    # (VERDICT r11 items 1-2): the two r11 reds need hash-green driver
+    # rows this round to close the finding; the other two had latent
+    # DECIMAL oracles hardened by the same sweep ----
     "deterministic_shard_assign",
-    # exact length deciles via value-histogram CDF (NTILE w/o global sort)
     "curriculum_length_buckets",
-    # streaming CDC apply: per-row upsert/delete ops, atomic per batch
-    "streaming_cdc_apply",
-    # ALTER TABLE MODIFY COLUMN type-widening lifecycle (closed form)
-    "widen_evolution_state",
+    "idempotent_batch_state",
+    "dialect_upsert_delete",
+    # ---- alphabetical head of the r8-stale cohort (36 of 50; the
+    # deferred tail source_mixture_stats..weighted_sample_docs leads the
+    # r13 queue; data_quality_report and merge_into_final_state in this
+    # cohort are the remaining two oracle-sweep fixes) ----
+    "adj_factor_audit",
+    "ann_recall_planted",
+    "arrow_ipc_roundtrip_stats",
+    "balanced_sample_per_lang",
+    "bar_downsample_daily",
+    "corpus_split_stats",
+    "curated_corpus_stats",
+    "data_quality_report",
+    "decayed_event_stats",
+    "dedup_aware_split_stats",
+    "dedup_embedding_lsh",
+    "dedup_keeper_by_quality",
+    "dedup_ngram_jaccard",
+    "dsir_importance_scores",
+    "dup_span_stats",
+    "event_transitions",
+    "heavy_hitter_words",
+    "image_exif_audit",
+    "jsonl_zst_ingest_stats",
+    "knn_label_vote",
+    "length_batch_stats",
+    "mad_outlier_stats",
+    "market_beta",
+    "max_drawdown",
+    "merge_into_final_state",
+    "multimodal_frame_sample",
+    "negative_sampling",
+    "realized_vol_hourly",
+    "return_correlation",
+    "rolling_zscore_outliers",
+    "semantic_contamination",
+    "seq_len_histogram",
+    "sim_topk_ivf_append",
+    "sim_topk_ivf_indexed",
+    "sim_topk_pq",
+    "sim_topk_quantized",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
