@@ -653,8 +653,12 @@ def main():
         # from-scratch baseline-JPEG codec, and the frame-hash
         # subsequence join for clip containment
         "mjpg_frame_stats",
-        "video_clip_containment",
-        # r8 new-operator rows (all cheap; min-of-3 from day one)
+        # r12 (VERDICT r11 item 4): video_clip_containment (pairs) is
+        # RETIRED from the headline suite — it is the deliberately-kept
+        # quadratic comparison shape whose OOM-at-K=4000 drill is already
+        # recorded (skew_drill_clip.py, PLANS r9); the grouped variant
+        # below is the measured scale path. Correctness entry remains in
+        # the registry/driver window.
         "video_clip_containment_grouped",
         "image_exif_audit",
         "semantic_contamination",
@@ -684,7 +688,6 @@ def main():
         "hll_distinct_rollup",
         # r8: media family + new-operator rows get min-of-3 from day one
         "mjpg_frame_stats",
-        "video_clip_containment",
         "video_clip_containment_grouped",
         "image_exif_audit",
         "semantic_contamination",

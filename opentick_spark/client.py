@@ -672,14 +672,34 @@ class TCPConnection:
         return self._result(self.execute_async(sql, args, cache)._fut, timeout)
 
     def execute_async(
-        self, sql: str | int, args: Iterable[Any] = (), cache: bool = True
-    ) -> Future:
+        self,
+        sql: str | int,
+        args: Iterable[Any] = (),
+        cache: bool = True,
+        callback: Any = None,
+    ) -> Future | None:
+        """``callback`` mirrors the reference C++ binding's
+        ExecuteAsync(sql, args, Callback) result-skip mode
+        (bindings/cpp/include/opentick.h:76,86-87,527-545): when given a
+        ``callback(rows, err_str)``, the reply is delivered straight to
+        it on the receive thread (like Notify, opentick.h:486-507) and
+        NEVER parked in a user-held future — returns ``None`` exactly
+        as the C++ overload returns an empty Future. Fire-and-forget
+        reads therefore hold no per-call result state: the ticket's
+        future is popped by the recv loop, the callback consumes the
+        rows, and nothing accumulates in ``_futures`` no matter how
+        many calls never block for a result. On success the error
+        string is ``""``; on a server error or transport failure the
+        callback gets ``([], err_str)`` — the C++ signature
+        ``Callback(ResultSet, const std::string&)``."""
         # reference in-band SplitRange convention (client.py:204-218):
         # last arg = list of (lo, hi) pairs → the split path
         args = list(args)  # materialize ONCE: args may be a one-shot iterator
         split = Connection._inband_ranges(args)
         if split is not None:
-            return self.execute_split_async(sql, split[0], split[1])
+            return self.execute_split_async(
+                sql, split[0], split[1], callback=callback
+            )
         # "4" is the use-cache flag (Go client always sends 1,
         # client/opentick.go:351); only meaningful for prepared selects
         # on a --cache server
@@ -698,7 +718,7 @@ class TCPConnection:
                 "4": 1 if cache else 0, "5": 1, "8": 1,
             }
         )
-        return self._wrap_reply(fut, self._rows_in)
+        return self._wrap_reply(fut, self._rows_in, callback=callback)
 
     def execute_split(
         self,
@@ -712,8 +732,12 @@ class TCPConnection:
         )
 
     def execute_split_async(
-        self, sql: str | int, ranges: list[tuple], args: Iterable[Any] = ()
-    ) -> Future:
+        self,
+        sql: str | int,
+        ranges: list[tuple],
+        args: Iterable[Any] = (),
+        callback: Any = None,
+    ) -> Future | None:
         """SplitRange over the wire (extension cmd "split", r11): the
         reference client opens n connections and merges n sub-scans
         client-side (client/opentick.go:63-127, 302-317); here ONE
@@ -735,12 +759,32 @@ class TCPConnection:
                 "8": 1,  # ns-timestamp columnar replies (json servers)
             }
         )
-        return self._wrap_reply(fut, self._rows_in)
+        return self._wrap_reply(fut, self._rows_in, callback=callback)
 
-    def _wrap_reply(self, fut: CFuture, on_ok) -> Future:
+    def _wrap_reply(self, fut: CFuture, on_ok, callback=None) -> Future | None:
         """Chain a raw reply future into the user-facing Future: string
         replies are server errors; anything else maps through
-        ``on_ok`` (shared by execute_async / batch_insert_async)."""
+        ``on_ok`` (shared by execute_async / batch_insert_async).
+
+        With ``callback`` (the C++ binding's result-skip mode,
+        opentick.h:527-545): deliver ``(rows, err_str)`` to it on the
+        recv thread instead and return ``None`` — no Future is created,
+        so an abandoning caller retains zero result state."""
+        if callback is not None:
+
+            def chain_cb(f):
+                try:
+                    res = f.result()
+                except Exception as e:
+                    callback([], str(e))
+                    return
+                if isinstance(res, str):
+                    callback([], res)
+                else:
+                    callback(on_ok(res), "")
+
+            fut.add_done_callback(chain_cb)
+            return None
         wrapped: CFuture = CFuture()
 
         def chain(f):

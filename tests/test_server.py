@@ -853,3 +853,47 @@ def test_wire_split_reads_interleave_pipelined_batches(conn):
     assert len(final) == 10 * chunk
     assert all(c % chunk == 0 for c in counts), counts
     assert counts == sorted(counts)  # commits land in send order
+
+
+def test_wire_callback_result_skip(conn):
+    """C++-binding ExecuteAsync(sql, args, Callback) parity
+    (opentick.h:76,86-87,527-545): with a callback, the reply is
+    delivered to it on the recv thread, execute_async returns None (the
+    C++ empty Future), and no per-call result state survives in
+    _futures — the fire-and-forget read mode."""
+    _mkdb(conn, "wcb")
+    conn.execute("create table t(a int, v double, primary key(a))")
+    conn.batch_insert(
+        "insert into t(a, v) values(?, ?)", [(1, 1.5), (2, 2.5)]
+    )
+    got = []
+    done = threading.Event()
+
+    def cb(rows, err):
+        got.append((rows, err))
+        done.set()
+
+    ret = conn.execute_async("select * from t where a=?", (2,), callback=cb)
+    assert ret is None  # the C++ overload returns an empty Future
+    assert done.wait(10)
+    assert got == [([(2, 2.5)], "")]
+
+    # error path: the callback receives ([], err_str) like the C++
+    # Callback(ResultSet{}, error) convention. No placeholders: with
+    # args the auto-prepare raises synchronously — the C++ binding's
+    # own behavior (ExecuteAsync → Prepare → Get_() throws,
+    # opentick.h:432-447), so only reply-time errors reach the callback
+    got.clear()
+    done.clear()
+    conn.execute_async("select * from nosuch", callback=cb)
+    assert done.wait(10)
+    assert got[0][0] == []
+    assert "nosuch" in got[0][1]
+
+    # fire-and-forget posture: nothing accumulates per abandoned call
+    for _ in range(50):
+        conn.execute_async("select * from t where a=?", (1,), callback=lambda r, e: None)
+    deadline = time.time() + 10
+    while conn._futures and time.time() < deadline:
+        time.sleep(0.01)
+    assert not conn._futures  # every ticket popped by the recv loop
