@@ -113,3 +113,107 @@ def vocab_coverage(
             "coverage"
         ),
     )
+
+
+def bigram_pmi_top(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information — the vocabulary-mining primitive behind multi-word
+    token candidates (a BPE/WordPiece pre-step) and collocation-aware
+    quality filters:
+
+        pmi(a,b) = ln( (c_ab / N_bi) / ((c_a/N_uni) · (c_b/N_uni)) )
+
+    Scale shape: one (w1,w2) hash agg for bigram counts and one w hash
+    agg for unigram counts (both map-side combined); the ``min_count``
+    floor is applied to bigrams BEFORE the unigram joins — under a
+    Zipfian corpus most bigrams are singletons, so the floor prunes the
+    join input by orders of magnitude. The two count joins then shuffle
+    only floor-surviving bigrams against the vocabulary. Global top-k
+    is orderBy+limit → TakeOrderedAndProject (never a full sort), and
+    ranks are assigned on the k-row result.
+
+    Cross-engine determinism: the ORDER key is the single IEEE division
+    c_ab/(c_a·c_b) on exact integers (< 2^53) — bit-identical in any
+    IEEE engine, monotone in pmi (N_uni, N_bi are constants) — with a
+    (w1, w2) tie-break; the displayed ``pmi`` is rounded to 6dp and
+    never used for ranking (the weighted_sample rank-on-raw lesson).
+
+    Output: (w1, w2, c_ab, pmi, rank), rank 1..k by pmi descending.
+    """
+    from pyspark.sql import Window
+
+    from opentick_spark.operators.text import ws_tokens
+
+    toks = docs.select(ws_tokens(F.col(text_col)).alias("t")).select(
+        F.filter("t", lambda w: w != F.lit("")).alias("t")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c").cast("long").alias("n")).withColumn("__j", F.lit(1))
+    n_bi = (
+        toks.select((F.size("t") - 1).alias("m"))
+        .filter("m > 0")
+        .agg(F.sum("m").cast("long").alias("n_bi"))
+        .withColumn("__j", F.lit(1))
+    )
+    totals = n_uni.join(n_bi, "__j").select(
+        F.col("n").alias("n_uni"), "n_bi", "__j"
+    )
+    joined = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .withColumn("__j", F.lit(1))
+        .join(F.broadcast(totals), "__j")
+    )
+    scored = joined.select(
+        "w1",
+        "w2",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        # rank key: ONE exact-integer division — IEEE-identical cross-engine
+        (
+            F.col("c_ab").cast("double")
+            / (F.col("c_a") * F.col("c_b")).cast("double")
+        ).alias("__key"),
+        F.round(
+            F.log(
+                F.col("c_ab").cast("double")
+                * F.col("n_uni").cast("double")
+                * F.col("n_uni").cast("double")
+                / (
+                    F.col("n_bi").cast("double")
+                    * F.col("c_a").cast("double")
+                    * F.col("c_b").cast("double")
+                )
+            ),
+            6,
+        ).alias("pmi"),
+    )
+    top = scored.orderBy(
+        F.col("__key").desc(), F.col("w1"), F.col("w2")
+    ).limit(k)
+    w = Window.orderBy(F.col("__key").desc(), F.col("w1"), F.col("w2"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).drop(
+        "__key"
+    )

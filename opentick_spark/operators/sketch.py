@@ -171,3 +171,140 @@ def _shiftleft_one(bit: Column) -> Column:
     """1L << bit with a column-valued shift (the pyspark ``shiftleft``
     helper only accepts a literal count)."""
     return F.call_function("shiftleft", F.lit(1).cast("long"), bit)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch
+
+
+def _cms_check(width: int, depth: int) -> None:
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+    if not 1 <= depth <= 16:
+        raise ValueError(f"depth must be in [1, 16], got {depth}")
+
+
+def _cms_bucket(col: Column, row: int, width: int, seed: int) -> Column:
+    """Bucket for hash row ``row``: md5(value || ':' || (seed+row))[:15
+    hex] mod width — the repo's deterministic cross-engine hash idiom
+    (selection.deterministic_shards), so a DuckDB oracle can replicate
+    every cell exactly. 60 hash bits → modulo bias < width/2^60."""
+    key = F.concat(col.cast("string"), F.lit(f":{seed + row}"))
+    return (
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+        % F.lit(int(width))
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 9101,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min Sketch over ``df[col]`` — THE mergeable frequency
+    sketch for corpus-scale word/item statistics: depth×width counters,
+    est(x) = min over rows of cell[row][bucket_row(x)], always ≥ the
+    true count (overestimate-only, error ≤ 2N/width with prob 1-2^-depth
+    — Cormode & Muthukrishnan 2005).
+
+    Scale shape: the k bucket ids per row are a narrow projection;
+    the ONLY shuffle is the (row, bucket) hash agg, map-side combined,
+    so shuffle volume is ≤ depth×width per map partition regardless of
+    corpus size — same posture as ``bloom_build``. Sketches from
+    disjoint corpus slices merge by cell-wise SUM (``cms_merge``), which
+    is how incremental maintenance works: sketch the delta, add.
+
+    ``weight_col``: build from pre-aggregated (value, count) rows
+    instead of one occurrence per row.
+
+    Output: one row (cms: array<long>[depth*width], row-major).
+    """
+    _cms_check(width, depth)
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    cells = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            _cms_bucket(F.col(col), d, width, seed).alias("b"),
+                            w.alias("w"),
+                        )
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("e")
+        )
+        .select(
+            (F.col("e.d") * F.lit(width) + F.col("e.b")).alias("cell"),
+            F.col("e.w"),
+        )
+        .groupBy("cell")
+        .agg(F.sum("w").alias("cnt"))
+    )
+    n_cells = depth * width
+    return cells.agg(
+        F.expr("map_from_entries(collect_list(struct(cell, cnt)))").alias("__m")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {n_cells - 1}), "
+            "i -> coalesce(element_at(__m, cast(i as long)), 0L))"
+        ).alias("cms")
+    )
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge CMS partials built with identical (width, depth, seed):
+    cell-wise sum via zip_with fold — O(#sketches × cells), the raw
+    data is never rescanned."""
+    return sketches.agg(
+        F.reduce(
+            F.collect_list("cms"),
+            F.expr("cast(array() as array<long>)"),
+            lambda acc, x: F.when(F.size(acc) == 0, x).otherwise(
+                F.zip_with(acc, x, lambda a, b: a + b)
+            ),
+        ).alias("cms")
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    cms: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 9101,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[col]`` against a built
+    sketch: broadcast the one-row cms array and take the min over the
+    depth cells — a pure projection on the probe side, zero probe-side
+    shuffle (the bloom_might_contain posture). Estimates are exact for
+    items whose cells suffered no collisions and overestimates
+    otherwise — never underestimates."""
+    _cms_check(width, depth)
+    from pyspark.sql.functions import broadcast
+
+    est = F.least(
+        *[
+            F.element_at(
+                F.col("__cms"),
+                (
+                    F.lit(d * width)
+                    + _cms_bucket(F.col(col), d, width, seed)
+                ).cast("int")
+                + 1,
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        probes.crossJoin(broadcast(cms.select(F.col("cms").alias("__cms"))))
+        .withColumn(out_col, est)
+        .drop("__cms")
+    )

@@ -38,8 +38,8 @@ The driver's correctness gate checks the FIRST 50 entries of
   rotate into the driver window next round in place of long-stable
   ones.
 
-Every round the ENTIRE registry (window + extras; 208 queries, ALL 208
-with oracles as of round 11 — authoritative counts in COVERAGE.md's
+Every round the ENTIRE registry (window + extras; 212 queries, ALL 212
+with oracles as of round 12 — authoritative counts in COVERAGE.md's
 generated rotation table) is value-verified against DuckDB at BOTH
 sf0.01 (the driver's scale) and sf0.1 (10×) — the 10× run has caught
 real bugs invisible at sf0.01 (r3: a keeper tie-break). Run
@@ -145,8 +145,15 @@ _DRIVER_WINDOW = [
     "seq_len_histogram",
     "sim_topk_ivf_append",
     "sim_topk_ivf_indexed",
-    "sim_topk_pq",
-    "sim_topk_quantized",
+    # ---- mid-round r12 additions (first-time driver evidence the round
+    # they land, the r6-r11 precedent; the displaced r8-cohort tail —
+    # sim_topk_pq, sim_topk_quantized — joins the r13 queue) ----
+    # Count-Min Sketch word frequencies: the oracle replicates every
+    # md5-bucketed cell, so the sketch itself is value-checked
+    "cms_word_freq",
+    # top-50 bigram collocations by PMI, ranked on the raw
+    # exact-integer-division key (IEEE-identical cross-engine)
+    "bigram_pmi_top",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -5663,3 +5663,130 @@ def group_kfold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
     )
+
+
+@q(
+    "cms_word_freq",
+    """
+    WITH t AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    w AS (SELECT unnest(ts) AS w FROM t),
+    c AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+    -- the exact CMS cell table: md5-bucket per (depth row, word), the
+    -- same cross-engine hash the Spark side uses (sketch.cms_build)
+    cells AS (
+      SELECT dd.d,
+             CAST('0x' || substr(md5(c.w || ':' || CAST(9101 + dd.d AS VARCHAR)),
+                                 1, 15) AS UBIGINT) % 1024 AS b,
+             SUM(c.c) AS cnt
+      FROM c, (SELECT unnest([0, 1, 2, 3]) AS d) dd
+      GROUP BY dd.d, b
+    ),
+    top AS (SELECT w, c FROM c ORDER BY c DESC, w LIMIT 10),
+    probe AS (
+      SELECT top.w, top.c AS exact_cnt, dd.d,
+             CAST('0x' || substr(md5(top.w || ':' || CAST(9101 + dd.d AS VARCHAR)),
+                                 1, 15) AS UBIGINT) % 1024 AS b
+      FROM top, (SELECT unnest([0, 1, 2, 3]) AS d) dd
+    )
+    SELECT p.w, CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(cells.cnt) AS BIGINT) AS cms_est,
+           CAST(MIN(cells.cnt) - p.exact_cnt AS BIGINT) AS overcount
+    FROM probe p JOIN cells ON cells.d = p.d AND cells.b = p.b
+    GROUP BY p.w, p.exact_cnt
+    """,
+)
+def cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch word frequencies (r12, operators/sketch.py
+    cms_build/cms_estimate): a 4×1024 mergeable sketch built with ONE
+    map-side-combined hash agg whose shuffle volume is capped at
+    depth×width per map partition regardless of corpus size; estimates
+    are a broadcast-probe projection (zero probe-side shuffle — the
+    bloom posture). Probes = the exact top-10 words; output compares
+    est vs exact (CMS guarantees est ≥ exact). The oracle replicates
+    every cell: the md5 bucket hash is the repo's cross-engine idiom,
+    so the driver value-checks the sketch itself, not just its
+    guarantee."""
+    from opentick_spark.operators import sketch as SK
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(X.ws_tokens(F.col("text"))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    cms = SK.cms_build(words, "w", width=1024, depth=4, seed=9101)
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "w").limit(10)
+    est = SK.cms_estimate(top, cms, "w", width=1024, depth=4, seed=9101)
+    return est.select(
+        "w",
+        "exact_cnt",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
+@q(
+    "bigram_pmi_top",
+    """
+    WITH t AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    uc AS (
+      SELECT w, COUNT(*) AS c FROM (SELECT unnest(ts) AS w FROM t) GROUP BY w
+    ),
+    nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uc),
+    nb AS (
+      SELECT CAST(SUM(len(ts) - 1) AS BIGINT) AS n_bi FROM t WHERE len(ts) > 1
+    ),
+    bc AS (
+      SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c_ab
+      FROM (
+        SELECT unnest(list_zip(ts[:len(ts) - 1], ts[2:])) AS p
+        FROM t WHERE len(ts) > 1
+      )
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+    ),
+    scored AS (
+      SELECT bc.w1, bc.w2, bc.c_ab,
+             -- rank key: ONE exact-integer IEEE division, identical in
+             -- any IEEE engine (the Spark side uses the same shape)
+             CAST(bc.c_ab AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS key,
+             ((CAST(bc.c_ab AS DOUBLE) * CAST(nu.n_uni AS DOUBLE))
+              * CAST(nu.n_uni AS DOUBLE))
+             / ((CAST(nb.n_bi AS DOUBLE) * CAST(a.c AS DOUBLE))
+                * CAST(b.c AS DOUBLE)) AS ratio
+      FROM bc
+      JOIN uc a ON a.w = bc.w1
+      JOIN uc b ON b.w = bc.w2
+      CROSS JOIN nu CROSS JOIN nb
+    ),
+    ranked AS (
+      SELECT w1, w2, c_ab, ratio,
+             ROW_NUMBER() OVER (ORDER BY key DESC, w1, w2) AS rank
+      FROM scored
+    )
+    SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+           ROUND(LN(ratio), 6) AS pmi, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 50
+    """,
+)
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-bigram collocations by PMI (r12,
+    operators/freq.bigram_pmi_top) — the vocabulary-mining primitive
+    for multi-word token candidates. Two map-side-combined hash aggs;
+    the min_count floor prunes bigrams BEFORE the vocabulary joins
+    (Zipf: most bigrams are singletons); global top-k is
+    TakeOrderedAndProject, never a full sort. Ranked on the raw
+    exact-integer division c_ab/(c_a·c_b) (IEEE-identical cross-engine,
+    monotone in pmi) with (w1,w2) tie-break; the displayed pmi is
+    rounded 6dp and never used for ranking."""
+    from opentick_spark.operators.freq import bigram_pmi_top as PMI
+
+    docs = load(spark, sf_dir, "documents")
+    return PMI(docs, k=50, min_count=5)

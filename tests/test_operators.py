@@ -1692,3 +1692,46 @@ def test_lsh_cluster_index_explicit_clusters_and_empty_cases(spark):
         ).collect()
     }
     assert got2 == {200: 200, 201: 200, 202: 202}
+
+
+class TestBigramPMI:
+    """freq.bigram_pmi_top (r12): hand-computed golden, deterministic
+    tie-break on the raw rank key, and the count floor."""
+
+    def test_golden_small_corpus(self, spark):
+        from opentick_spark.operators.freq import bigram_pmi_top
+
+        docs = spark.createDataFrame(
+            [("a b a b",), ("a b c",)], ["text"]
+        )
+        rows = bigram_pmi_top(docs, k=10, min_count=1).collect()
+        # unigrams a:3 b:3 c:1 (N=7); bigrams ab:3 ba:1 bc:1 (N=5)
+        # keys: ab 3/9, bc 1/3 (tie, w1 breaks it), ba 1/9
+        got = [(r.w1, r.w2, r.c_ab, r.pmi, r.rank) for r in rows]
+        ln = math.log
+        assert got == [
+            ("a", "b", 3, round(ln(3 * 49 / (5 * 9)), 6), 1),
+            ("b", "c", 1, round(ln(1 * 49 / (5 * 3)), 6), 2),
+            ("b", "a", 1, round(ln(1 * 49 / (5 * 9)), 6), 3),
+        ]
+
+    def test_min_count_floor_prunes_before_join(self, spark):
+        from opentick_spark.operators.freq import bigram_pmi_top
+
+        docs = spark.createDataFrame(
+            [("x y x y x y",), ("p q",)], ["text"]
+        )
+        rows = bigram_pmi_top(docs, k=10, min_count=3).collect()
+        assert [(r.w1, r.w2) for r in rows] == [("x", "y")]
+
+    def test_topk_is_take_ordered_not_full_sort(self, spark):
+        from opentick_spark.operators.freq import bigram_pmi_top
+
+        docs = spark.createDataFrame(
+            [(f"tok{i} tok{i+1} tok{i+2}",) for i in range(60)], ["text"]
+        )
+        out = bigram_pmi_top(docs, k=5, min_count=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the global top-k must be TakeOrderedAndProject; the final
+        # row_number window then runs on the k-row result only
+        assert "TakeOrderedAndProject" in plan

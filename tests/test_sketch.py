@@ -226,3 +226,76 @@ class TestStreamingHllRollup:
         partial.write.mode("append").parquet(path)  # the replay
         twice = hll_rollup_estimate(spark, path).collect()[0]["approx_distinct"]
         assert once == twice
+
+
+class TestCountMin:
+    """cms_build / cms_merge / cms_estimate (r12): the mergeable
+    frequency sketch — estimates never undercount, partials sum
+    cell-wise, and the probe stays a broadcast projection."""
+
+    def _words(self, spark, n_distinct=50, reps=4):
+        # deterministic zipf-ish multiset: word i appears (i % reps)+1 times
+        return spark.range(0, n_distinct).selectExpr(
+            "explode(transform(sequence(1, cast(id % {r} as int) + 1), "
+            "x -> concat('w-', id))) AS w".format(r=reps)
+        )
+
+    def test_never_underestimates_and_exact_when_roomy(self, spark):
+        words = self._words(spark)
+        # roomy sketch: width >> distinct → no collisions → exact
+        cms = SK.cms_build(words, "w", width=4096, depth=4)
+        exact = words.groupBy("w").count()
+        est = SK.cms_estimate(exact, cms, "w", width=4096, depth=4)
+        bad = est.filter(F.col("cms_est") != F.col("count")).count()
+        assert bad == 0
+
+    def test_overestimate_only_under_heavy_collisions(self, spark):
+        words = self._words(spark, n_distinct=400)
+        # width 8 forces collisions in every cell: estimates may inflate
+        # but must NEVER fall below the true count
+        cms = SK.cms_build(words, "w", width=8, depth=3)
+        exact = words.groupBy("w").count()
+        est = SK.cms_estimate(exact, cms, "w", width=8, depth=3)
+        under = est.filter(F.col("cms_est") < F.col("count")).count()
+        assert under == 0
+        # and collisions must actually occur at this width (the test
+        # would be vacuous otherwise)
+        over = est.filter(F.col("cms_est") > F.col("count")).count()
+        assert over > 0
+
+    def test_merge_equals_whole(self, spark):
+        words = self._words(spark, n_distinct=120).withColumn(
+            "half", F.expr("crc32(w) % 2")
+        )
+        whole = SK.cms_build(words, "w", width=256, depth=4)
+        parts = SK.cms_merge(
+            SK.cms_build(words.filter("half = 0"), "w", width=256, depth=4)
+            .union(SK.cms_build(words.filter("half = 1"), "w", width=256, depth=4))
+        )
+        assert whole.collect()[0][0] == parts.collect()[0][0]
+
+    def test_weighted_build_matches_row_build(self, spark):
+        words = self._words(spark, n_distinct=80)
+        pre = words.groupBy("w").agg(F.count("*").alias("c"))
+        a = SK.cms_build(words, "w", width=128, depth=3).collect()[0][0]
+        b = SK.cms_build(pre, "w", width=128, depth=3, weight_col="c").collect()[0][0]
+        assert a == b
+
+    def test_param_validation(self, spark):
+        words = self._words(spark, n_distinct=5)
+        with pytest.raises(ValueError, match="width"):
+            SK.cms_build(words, "w", width=0)
+        with pytest.raises(ValueError, match="depth"):
+            SK.cms_build(words, "w", depth=0)
+        with pytest.raises(ValueError, match="depth"):
+            SK.cms_estimate(words, words, "w", depth=17)
+
+    def test_probe_is_broadcast_projection(self, spark):
+        # estimate side: broadcast nested-loop over the ONE sketch row,
+        # never a sort-merge join — the corpus-probe posture
+        words = self._words(spark, n_distinct=60)
+        cms = SK.cms_build(words, "w", width=128, depth=3)
+        est = SK.cms_estimate(words, cms, "w", width=128, depth=3)
+        plan = est._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
