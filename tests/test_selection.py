@@ -693,3 +693,21 @@ def test_cdf_buckets_exact_deciles_no_global_sort(spark):
     # the 500-row tie of value 7 is entirely inside its single bucket
     seven = [r for r in res if r["min_v"] <= 7 <= r["max_v"]]
     assert len(seven) == 1 and seven[0]["n_docs"] >= 500
+
+
+def test_deterministic_shards_is_zero_shuffle_narrow_map(spark):
+    """The shard deal itself must stay a pure narrow map — zero
+    Exchange in the physical plan (the 100 TB posture: every writer
+    computes the assignment independently; VERDICT r11 item 7's drill
+    records the flat 10x exponent, this pins the plan shape)."""
+    from opentick_spark.operators.selection import deterministic_shards
+
+    ids = spark.range(1000).selectExpr("id AS doc_id")
+    plan = (
+        deterministic_shards(ids, 64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "pythonUDF" not in plan.lower()  # all JVM-side expressions
