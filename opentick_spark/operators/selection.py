@@ -270,3 +270,56 @@ def cdf_buckets(
             f"total_{value_col}"
         ),
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[tuple[int, int]] = ((25, 100), (50, 100), (75, 100), (90, 100), (99, 100)),
+) -> DataFrame:
+    """EXACT type-1 (discrete) percentiles without a global sort — the
+    cdf_buckets posture applied to point quantiles: percentile num/den
+    is the smallest value whose cumulative count reaches
+    ceil(num·total/den). The corpus-sized work is ONE hash agg (the
+    value histogram); the running-sum window and the per-q threshold
+    probe run on the histogram, whose size is the value domain, not the
+    corpus. ``percentile_approx`` trades exactness for one pass; this
+    keeps exactness at the same pass count whenever the value domain is
+    bounded (lengths, scores, timestamps at fixed grain — the usual
+    curriculum/quality columns).
+
+    Thresholds are integer-exact: (num·total + den − 1) DIV den — no
+    doubles anywhere near the boundary, so cross-engine oracle parity
+    is exact. ``qs`` are (num, den) rationals for the same reason.
+
+    Output: one row per q — (q double = num/den, value, cum_count,
+    total)."""
+    hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.orderBy(value_col)  # histogram-sized, never corpus-sized
+    cdf = hist.select(
+        F.col(value_col),
+        F.sum("__cnt").over(w).alias("__cum"),
+        F.sum("__cnt").over(Window.partitionBy()).alias("__total"),
+    )
+    qdf = F.broadcast(
+        cdf.sparkSession.createDataFrame(
+            [(int(n), int(d)) for n, d in qs], "__num long, __den long"
+        ).select(
+            (F.col("__num").cast("double") / F.col("__den")).alias("q"),
+            "__num",
+            "__den",
+        )
+    )
+    hit = cdf.crossJoin(qdf).filter(
+        F.col("__cum")
+        >= F.expr("CAST((__num * __total + __den - 1) DIV __den AS LONG)")
+    )
+    return (
+        hit.groupBy("q")
+        .agg(
+            F.min(value_col).alias("value"),
+            F.min("__cum").cast("long").alias("cum_count"),
+            F.min("__total").cast("long").alias("total"),
+        )
+        .select("q", "value", "cum_count", "total")
+    )

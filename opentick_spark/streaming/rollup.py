@@ -201,3 +201,83 @@ def hll_rollup_estimate(
         .cast("long")
         .alias("approx_distinct")
     )
+
+
+def streaming_cms_build(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    partials_dir: str,
+    checkpoint_dir: str,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 9101,
+    transform=None,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Continuously maintain a Count-Min frequency sketch from a file
+    stream — the streaming twin of ``operators.sketch.cms_build``.
+
+    CMS partials merge by cell-wise SUM, so unlike the HLL log
+    (idempotent max) a replayed micro-batch would double-count.
+    Exactly-once therefore comes from DETERMINISTIC PLACEMENT, the
+    foreachBatch idiom the repo's other sum-shaped sinks use: each
+    batch's one-row sketch lands at ``partials_dir/batch=<batch_id>``
+    with mode=overwrite, so a crash-replay of batch N overwrites batch
+    N's own partial with identical content instead of appending a
+    duplicate. Read-time merge (``streaming_cms_estimate``) sums the
+    per-batch partials — O(#batches × cells), never the raw stream.
+
+    Per-batch cost is one map-side-combined hash agg capped at
+    depth×width cells plus a KB-sized write; state never grows with
+    corpus size. Returns the StreamingQuery."""
+    from opentick_spark.operators.sketch import cms_build
+
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        if batch_df.isEmpty():
+            return  # both the original and any replay skip identically
+        partial = cms_build(batch_df, col, width=width, depth=depth, seed=seed)
+        partial.write.mode("overwrite").parquet(
+            f"{partials_dir}/batch={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_cms_estimate(
+    spark: SparkSession,
+    partials_dir: str,
+    probes: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 9101,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Merge the streamed per-batch sketch partials and estimate probe
+    frequencies. Because cms_build is deterministic and the partial
+    placement is exactly-once, the merged sketch is cell-for-cell
+    IDENTICAL to a batch build over the same rows — which is what the
+    registry oracle checks."""
+    from opentick_spark.operators.sketch import cms_estimate, cms_merge
+
+    merged = cms_merge(spark.read.parquet(partials_dir).select("cms"))
+    return cms_estimate(
+        probes, merged, col, width=width, depth=depth, seed=seed,
+        out_col=out_col,
+    )

@@ -141,19 +141,23 @@ _DRIVER_WINDOW = [
     "realized_vol_hourly",
     "return_correlation",
     "rolling_zscore_outliers",
-    "semantic_contamination",
-    "seq_len_histogram",
     "sim_topk_ivf_append",
     "sim_topk_ivf_indexed",
     # ---- mid-round r12 additions (first-time driver evidence the round
     # they land, the r6-r11 precedent; the displaced r8-cohort tail —
-    # sim_topk_pq, sim_topk_quantized — joins the r13 queue) ----
+    # semantic_contamination, seq_len_histogram, sim_topk_pq,
+    # sim_topk_quantized — joins the r13 queue) ----
     # Count-Min Sketch word frequencies: the oracle replicates every
     # md5-bucketed cell, so the sketch itself is value-checked
     "cms_word_freq",
     # top-50 bigram collocations by PMI, ranked on the raw
     # exact-integer-division key (IEEE-identical cross-engine)
     "bigram_pmi_top",
+    # streaming CMS maintenance: batch_id-keyed overwrite partials,
+    # oracle checks the streamed sketch cell-for-cell vs a batch build
+    "streaming_cms_freq",
+    # exact length percentiles from the histogram CDF (no global sort)
+    "exact_length_percentiles",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -5790,3 +5790,136 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return PMI(docs, k=50, min_count=5)
+
+
+@q(
+    "streaming_cms_freq",
+    """
+    -- identical cells to cms_word_freq: the streamed sketch must be
+    -- cell-for-cell equal to a batch build over the same corpus
+    WITH t AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    w AS (SELECT unnest(ts) AS w FROM t),
+    c AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+    cells AS (
+      SELECT dd.d,
+             CAST('0x' || substr(md5(c.w || ':' || CAST(9101 + dd.d AS VARCHAR)),
+                                 1, 15) AS UBIGINT) % 1024 AS b,
+             SUM(c.c) AS cnt
+      FROM c, (SELECT unnest([0, 1, 2, 3]) AS d) dd
+      GROUP BY dd.d, b
+    ),
+    top AS (SELECT w, c FROM c ORDER BY c DESC, w LIMIT 10),
+    probe AS (
+      SELECT top.w, top.c AS exact_cnt, dd.d,
+             CAST('0x' || substr(md5(top.w || ':' || CAST(9101 + dd.d AS VARCHAR)),
+                                 1, 15) AS UBIGINT) % 1024 AS b
+      FROM top, (SELECT unnest([0, 1, 2, 3]) AS d) dd
+    )
+    SELECT p.w, CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(cells.cnt) AS BIGINT) AS cms_est
+    FROM probe p JOIN cells ON cells.d = p.d AND cells.b = p.b
+    GROUP BY p.w, p.exact_cnt
+    """,
+)
+def streaming_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min maintenance (r12,
+    streaming/rollup.streaming_cms_build): documents arrive in THREE
+    real micro-batches; each batch's one-row sketch partial lands at a
+    batch_id-keyed path (overwrite — a crash-replay rewrites identical
+    content instead of double-counting the SUM-merged state), and the
+    read-time merge estimates the exact top-10 words. The oracle is the
+    full batch-CMS cell replication, so the driver verifies the
+    streamed sketch is cell-for-cell identical to a batch build —
+    exactly-once, not just approximately right."""
+    from opentick_spark.streaming.rollup import (
+        streaming_cms_build,
+        streaming_cms_estimate,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="otspark_cmssrc_")
+    partials_dir = tempfile.mkdtemp(prefix="otspark_cmsparts_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(
+        src_dir
+    )
+
+    def to_words(batch_df: DataFrame) -> DataFrame:
+        return batch_df.select(
+            F.explode(X.ws_tokens(F.col("text"))).alias("w")
+        ).filter(F.col("w") != "")
+
+    query = streaming_cms_build(
+        spark,
+        src_dir,
+        "doc_id long, text string",
+        partials_dir,
+        tempfile.mkdtemp(prefix="otspark_cmsck_"),
+        "w",
+        width=1024,
+        depth=4,
+        seed=9101,
+        transform=to_words,
+    )
+    query.awaitTermination()
+
+    words = docs.select(F.explode(X.ws_tokens(F.col("text"))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    top = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "w")
+        .limit(10)
+    )
+    est = streaming_cms_estimate(
+        spark, partials_dir, top, "w", width=1024, depth=4, seed=9101
+    )
+    return est.select(
+        "w", "exact_cnt", F.col("cms_est").cast("long").alias("cms_est")
+    )
+
+
+@q(
+    "exact_length_percentiles",
+    """
+    WITH hist AS (
+      SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars
+    ),
+    cdf AS (
+      SELECT n_chars,
+             SUM(cnt) OVER (ORDER BY n_chars) AS cum,
+             SUM(cnt) OVER () AS total
+      FROM hist
+    ),
+    qs AS (
+      SELECT * FROM (VALUES (25, 100), (50, 100), (75, 100),
+                            (90, 100), (99, 100)) AS v(num, den)
+    ),
+    hit AS (
+      SELECT CAST(qs.num AS DOUBLE) / qs.den AS q, cdf.n_chars, cdf.cum,
+             cdf.total
+      FROM cdf, qs
+      WHERE cdf.cum >= (qs.num * cdf.total + qs.den - 1) // qs.den
+    )
+    SELECT q, MIN(n_chars) AS value,
+           CAST(MIN(cum) AS BIGINT) AS cum_count,
+           CAST(MIN(total) AS BIGINT) AS total
+    FROM hit GROUP BY q
+    """,
+)
+def exact_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p25/p50/p75/p90/p99 of document length without a global
+    sort (r12, operators/selection.exact_percentiles): the corpus-sized
+    work is one hash agg (the n_chars histogram); the CDF window and
+    threshold probes run on the histogram. Thresholds are integer-exact
+    ceil-division — no doubles near the boundary, so the oracle is
+    value-exact. The length-domain histogram stays bounded at any
+    corpus scale — the same reason cdf_buckets scales."""
+    from opentick_spark.operators.selection import exact_percentiles
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_percentiles(docs, "n_chars")

@@ -711,3 +711,28 @@ def test_deterministic_shards_is_zero_shuffle_narrow_map(spark):
     )
     assert "Exchange" not in plan
     assert "pythonUDF" not in plan.lower()  # all JVM-side expressions
+
+
+def test_exact_percentiles_ties_and_plan(spark):
+    """exact_percentiles (r12): type-1 quantile semantics under heavy
+    ties, integer-exact thresholds at tiny n, and the plan contract —
+    the CDF windows run above the histogram aggregate, never on the
+    corpus-sized input."""
+    from pyspark.sql import functions as F
+
+    from opentick_spark.operators.selection import exact_percentiles
+
+    # heavy tie: 90 rows of value 5, 10 of value 100 → p25..p90 all 5
+    df = spark.range(100).selectExpr("CASE WHEN id < 90 THEN 5 ELSE 100 END AS v")
+    out = {r["q"]: r["value"] for r in exact_percentiles(df, "v").collect()}
+    assert out == {0.25: 5, 0.5: 5, 0.75: 5, 0.9: 5, 0.99: 100}
+
+    # n=3: ceil thresholds — p50 of [10,20,30] is the 2nd value
+    df3 = spark.createDataFrame([(10,), (20,), (30,)], ["v"])
+    out3 = {r["q"]: r["value"] for r in exact_percentiles(df3, "v").collect()}
+    assert out3[0.5] == 20 and out3[0.99] == 30 and out3[0.25] == 10
+
+    res = exact_percentiles(df, "v")
+    opt = res._jdf.queryExecution().optimizedPlan().toString()
+    hist_pos = opt.index("count(1) AS __cnt")
+    assert opt.rindex("Window [") < hist_pos  # windows above the histogram

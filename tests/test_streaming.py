@@ -421,3 +421,58 @@ def test_stream_upsert_delete_col_cdc_apply(spark, engine, tmp_path):
     run(str(tmp_path / "ck_b"))
     assert store.current_seq() == seq_after
     assert engine.execute_rows("select k, v from kv") == expect
+
+
+def test_streaming_cms_replay_is_exactly_once(spark, tmp_path):
+    """streaming_cms_build (r12): CMS partials merge by SUM, so the
+    exactly-once contract is deterministic batch_id-keyed overwrite —
+    a FULL stream replay (fresh checkpoint, same partials dir, batch
+    ids restart at 0) must leave the merged sketch cell-for-cell
+    unchanged, and the streamed sketch must equal a batch build over
+    the same rows."""
+    from pyspark.sql import functions as F
+
+    from opentick_spark.operators.sketch import cms_build, cms_merge
+    from opentick_spark.streaming.rollup import (
+        streaming_cms_build,
+        streaming_cms_estimate,
+    )
+
+    src = str(tmp_path / "src")
+    parts = str(tmp_path / "parts")
+    rows = spark.range(0, 300).selectExpr(
+        "id AS doc_id", "concat('tok', id % 37) AS text"
+    )
+    rows.repartitionByRange(3, "doc_id").write.parquet(src)
+
+    def to_words(b):
+        return b.select(F.col("text").alias("w"))
+
+    def run(ck):
+        q = streaming_cms_build(
+            spark, src, "doc_id long, text string", parts, ck,
+            "w", width=256, depth=3, transform=to_words,
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    merged1 = cms_merge(spark.read.parquet(parts).select("cms")).collect()[0][0]
+    # full replay: fresh checkpoint, same partials dir
+    run(str(tmp_path / "ck2"))
+    merged2 = cms_merge(spark.read.parquet(parts).select("cms")).collect()[0][0]
+    assert merged1 == merged2  # no double counting from the replay
+
+    # streamed state == batch build over the same rows, cell for cell
+    batch = cms_build(
+        rows.select(F.col("text").alias("w")), "w", width=256, depth=3
+    ).collect()[0][0]
+    assert merged2 == batch
+
+    # and the probe path returns exact counts (roomy width, no collisions)
+    probes = rows.select(F.col("text").alias("w")).distinct()
+    est = streaming_cms_estimate(
+        spark, parts, probes, "w", width=256, depth=3
+    )
+    exact = rows.groupBy(F.col("text").alias("w")).count()
+    joined = est.join(exact, "w")
+    assert joined.filter(F.col("cms_est") != F.col("count")).count() == 0
