@@ -121,3 +121,79 @@ def _pagerank_driver(spark, pairs, damping: float, iterations: int):
     return spark.createDataFrame(
         [(nodes[i], pr[i]) for i in range(n)], f"node {node_type}, pr double"
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact per-vertex triangle counts by degree-ordered orientation —
+    the classic bound that makes exact triangle counting feasible on a
+    skewed 100 TB graph.
+
+    The naive wedge join explodes on hub vertices (a degree-d hub emits
+    d² wedges). Orienting every undirected edge from the
+    (degree, id)-SMALLER endpoint to the larger one caps every oriented
+    out-degree at O(sqrt(m)) — a vertex with out-degree k has k
+    neighbors of degree ≥ its own, so k² ≤ 2m — bounding total wedge
+    work at O(m^1.5) regardless of hub skew (Schank & Wagner 2005; the
+    same orientation GraphX's triangleCount uses). Every triangle
+    {x ≺ y ≺ z} is counted exactly once: as the wedge (y, z) at its
+    ≺-minimum x closed by the oriented edge y→z.
+
+    Shuffle story: dedup + degree agg + two joins on graph keys — all
+    partition on vertex ids, nothing driver-side. Input direction and
+    duplicate/self edges are normalized away first.
+
+    Output: (node, n_tri) — one row per vertex appearing in any edge,
+    counting the triangles it participates in (vertices in no triangle
+    report 0); sum(n_tri) = 3 × global triangle count.
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.filter(u != v)
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    keyed = (
+        canon.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            "u", "v",
+            F.struct(F.col("du").alias("d"), F.col("u").alias("n")).alias("ku"),
+            F.struct(F.col("dv").alias("d"), F.col("v").alias("n")).alias("kv"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kb"),
+    )
+    e1 = oriented.select(
+        F.col("a"), F.col("b").alias("x"), F.col("kb").alias("kx")
+    )
+    e2 = oriented.select(
+        F.col("a"), F.col("b").alias("y"), F.col("kb").alias("ky")
+    )
+    wedges = e1.join(e2, "a").filter(F.col("kx") < F.col("ky")).select(
+        "a", "x", "y"
+    )
+    closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"])  # each row = one triangle
+    per_vertex = (
+        tris.select(F.explode(F.array("a", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return (
+        deg.select("node")
+        .join(per_vertex, "node", "left")
+        .select("node", F.coalesce("n_tri", F.lit(0).cast("long")).alias("n_tri"))
+    )

@@ -38,7 +38,7 @@ The driver's correctness gate checks the FIRST 50 entries of
   rotate into the driver window next round in place of long-stable
   ones.
 
-Every round the ENTIRE registry (window + extras; 212 queries, ALL 212
+Every round the ENTIRE registry (window + extras; 215 queries, ALL 215
 with oracles as of round 12 — authoritative counts in COVERAGE.md's
 generated rotation table) is value-verified against DuckDB at BOTH
 sf0.01 (the driver's scale) and sf0.1 (10×) — the 10× run has caught
@@ -140,7 +140,6 @@ _DRIVER_WINDOW = [
     "negative_sampling",
     "realized_vol_hourly",
     "return_correlation",
-    "rolling_zscore_outliers",
     "sim_topk_ivf_append",
     "sim_topk_ivf_indexed",
     # ---- mid-round r12 additions (first-time driver evidence the round
@@ -158,6 +157,9 @@ _DRIVER_WINDOW = [
     "streaming_cms_freq",
     # exact length percentiles from the histogram CDF (no global sort)
     "exact_length_percentiles",
+    # degree-oriented exact triangle centrality (O(m^1.5) wedge bound);
+    # displaces rolling_zscore_outliers to the r13 queue
+    "user_triangle_centrality",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

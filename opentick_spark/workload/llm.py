@@ -5923,3 +5923,91 @@ def exact_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return exact_percentiles(docs, "n_chars")
+
+
+@q(
+    "user_triangle_centrality",
+    """
+    WITH occ AS (
+      SELECT DISTINCT epoch_us(ts) // 60000000 AS mb, event_type AS et,
+             user_id AS u
+      FROM events
+    ),
+    canon AS (
+      SELECT DISTINCT a.u AS u, b.u AS v
+      FROM occ a JOIN occ b ON a.mb = b.mb AND a.et = b.et AND a.u < b.u
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM canon e1
+      JOIN canon e2 ON e2.u = e1.v
+      JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pv AS (
+      SELECT node, COUNT(*) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM (
+      SELECT u FROM canon UNION ALL SELECT v FROM canon
+    )),
+    ranked AS (
+      SELECT n.node, COALESCE(pv.n_tri, 0) AS n_tri,
+             ROW_NUMBER() OVER (ORDER BY COALESCE(pv.n_tri, 0) DESC, n.node)
+               AS rank
+      FROM nodes n LEFT JOIN pv ON pv.node = n.node
+    )
+    SELECT CAST(node AS BIGINT) AS user_id, CAST(n_tri AS BIGINT) AS n_tri,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def user_triangle_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by triangle participation in the co-activity graph
+    (r12, operators/graph.triangle_count): edge (u,v) iff both users
+    act in the same (minute, event_type) cell — minute-grain keeps the
+    co-activity graph sparse (hour-grain is near-complete at sf0.1:
+    789k edges/1500 nodes, 197M triangles — measured and rejected as a
+    degenerate fixture). Exact counting via
+    degree-ordered orientation — every oriented out-degree is capped at
+    O(sqrt(m)), so wedge work is O(m^1.5) no matter how skewed the hub
+    degrees (the GraphX orientation). Edge construction is grouped
+    per-cell pair expansion; at 100 TB the cells are bounded by
+    (minute × type) activity and the pair guard is the same
+    group-size-capped posture as the clip-containment grouped path. The
+    oracle triple-joins the canonical edge list directly."""
+    from pyspark.sql import Window
+
+    from opentick_spark.operators.graph import triangle_count
+
+    ev = load(spark, sf_dir, "events")
+    occ = ev.select(
+        F.expr("ts div 60000000000").alias("mb"),
+        F.col("event_type").alias("et"),
+        F.col("user_id").alias("u"),
+    ).distinct()
+    pairs = (
+        occ.alias("a")
+        .join(
+            occ.alias("b"),
+            (F.col("a.mb") == F.col("b.mb"))
+            & (F.col("a.et") == F.col("b.et"))
+            & (F.col("a.u") < F.col("b.u")),
+        )
+        .select(F.col("a.u").alias("src"), F.col("b.u").alias("dst"))
+        .distinct()
+    )
+    pv = triangle_count(pairs)
+    w = Window.orderBy(F.desc("n_tri"), "node")
+    return (
+        pv.orderBy(F.desc("n_tri"), "node")
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("node").cast("long").alias("user_id"),
+            F.col("n_tri").cast("long").alias("n_tri"),
+            "rank",
+        )
+    )

@@ -736,3 +736,27 @@ def test_exact_percentiles_ties_and_plan(spark):
     opt = res._jdf.queryExecution().optimizedPlan().toString()
     hist_pos = opt.index("count(1) AS __cnt")
     assert opt.rindex("Window [") < hist_pos  # windows above the histogram
+
+
+def test_triangle_count_golden_and_orientation(spark):
+    """graph.triangle_count (r12): K4 golden (4 triangles, every vertex
+    in 3), pendant vertex reports 0, and input normalization — reversed
+    duplicates and self loops don't change counts. Orientation cap:
+    every oriented out-degree stays <= ceil(sqrt(2m))."""
+    from pyspark.sql import functions as F
+
+    from opentick_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (4, 5)]  # dup/rev/self/pendant
+    edges = spark.createDataFrame(noisy, ["src", "dst"])
+    out = {r["node"]: r["n_tri"] for r in triangle_count(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+    assert sum(out.values()) == 3 * 4  # 4 triangles, each counted at 3 vertices
+
+    # star + one rim edge: hub 0 with leaves 1..6, rim edge (1,2): one triangle
+    star = [(0, i) for i in range(1, 7)] + [(1, 2)]
+    edges = spark.createDataFrame(star, ["src", "dst"])
+    out = {r["node"]: r["n_tri"] for r in triangle_count(edges).collect()}
+    assert out[0] == 1 and out[1] == 1 and out[2] == 1
+    assert all(out[i] == 0 for i in range(3, 7))
