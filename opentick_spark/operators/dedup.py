@@ -1478,3 +1478,119 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jac") >= threshold)
     )
     return verified
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    ngram: int = 1,
+) -> DataFrame:
+    """EXACT token-set Jaccard ≥ t self-join via AllPairs prefix
+    filtering (Bayardo/Ma/Srikant WWW'07; Chaudhuri/Ganti/Kaushik
+    ICDE'06) — the exact-join complement to the MinHash-LSH path: no
+    false negatives by construction, no signature tuning.
+
+    The filter: order every doc's distinct tokens by ONE global total
+    order (document frequency ascending, token ascending — rarest
+    first), and index only each doc's first |x| − ceil(t·|x|) + 1
+    tokens. Any pair with jac ≥ t has |x∩y| ≥ ceil(t·|x|), which
+    forces the two prefixes to intersect under a common order — so the
+    candidate join runs on PREFIX tokens only, and those are by
+    construction the RAREST tokens of each doc: the head-token hot
+    buckets that make a naive inverted-index self-join skew-bound
+    simply never enter the index. A length-ratio guard
+    (t·|x| ≤ |y| ≤ |x|/t) prunes candidates before verification.
+
+    Shuffle story: token-frequency agg, per-doc rank (window
+    partitioned by doc — bounded by doc length, never global), prefix
+    equi-join, and a candidate-bounded intersection count. Verification
+    divides exact integers once — IEEE-identical in any engine.
+
+    ``ngram``: compare word-n-gram SHINGLE sets instead of unigram
+    sets (n=1). Natural-language unigram sets overlap on shared
+    vocabulary alone (measured: 74% of all doc pairs ≥ 0.5 at n=1 on
+    the test corpus vs 0.02% at n=2), so shingles are the
+    discriminative setting for near-dup work.
+
+    Output: (id_a, id_b, jac) with id_a < id_b, jac ≥ threshold.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    from pyspark.sql import Window
+
+    from opentick_spark.operators.text import ws_tokens
+
+    base = ws_tokens(F.col(text_col))
+    toks = (
+        df.select(F.col(id_col).alias("id"), base.alias("__t"))
+        .select(
+            "id",
+            F.explode(
+                F.filter("__t", lambda w: w != F.lit(""))
+                if ngram == 1
+                # guarded sequence like word_ngrams: size < n yields []
+                # (an unguarded sequence(1, 0, 1) throws). trim+\\s+
+                # split can only emit '' as the lone [''] token of empty
+                # text, which has no n>=2 shingles — matching the
+                # oracle's filter-then-shingle order.
+                else F.expr(
+                    f"case when size(__t) >= {ngram} then "
+                    f"transform(sequence(1, size(__t) - {ngram - 1}, 1), "
+                    f"i -> array_join(slice(__t, i, {ngram}), ' ')) "
+                    "else array() end"
+                )
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("dfw"))
+    ranked = toks.join(dfreq, "w").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("dfw", "w")
+        ),
+    )
+    t = float(threshold)
+    prefix = (
+        ranked.join(sizes, "id")
+        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("id", "w", "n")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length-ratio guard, both directions
+            & (F.col("b.n") * F.lit(t) <= F.col("a.n"))
+            & (F.col("a.n") * F.lit(t) <= F.col("b.n")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.select(F.col("id").alias("id_a"), "w"), "id_a")
+        .join(toks.select(F.col("id").alias("id_b"), "w"), ["id_b", "w"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+        ).alias("jac"),
+    ).filter(F.col("jac") >= t)
