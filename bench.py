@@ -665,6 +665,13 @@ def main():
         "dedup_aware_split_stats",
         "sim_topk_ivf_indexed",
         "sim_topk_ivf_append",
+        # r12 new-operator rows (min-of-3 from day one, the r8
+        # precedent): mergeable CMS, PMI collocations, histogram-CDF
+        # percentiles, degree-oriented triangle centrality
+        "cms_word_freq",
+        "bigram_pmi_top",
+        "exact_length_percentiles",
+        "user_triangle_centrality",
     ]
     # r7 (VERDICT item 5): the slowest registry rows get the same
     # min-of-3 + published-spread treatment as the harness shapes —
@@ -694,6 +701,10 @@ def main():
         "dedup_aware_split_stats",
         "sim_topk_ivf_indexed",
         "sim_topk_ivf_append",
+        "cms_word_freq",
+        "bigram_pmi_top",
+        "exact_length_percentiles",
+        "user_triangle_centrality",
     }
     # family heads: a quiet-heap break runs BEFORE each of these rows
     # (untimed) so late-suite heap accumulation can't masquerade as

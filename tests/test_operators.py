@@ -1810,3 +1810,21 @@ class TestJaccardPrefixJoin:
         docs = self._docs(spark, n=3)
         with _pytest.raises(ValueError, match="threshold"):
             jaccard_prefix_pairs(docs, threshold=0.0)
+
+
+def test_jaccard_prefix_no_cartesian_in_plan(spark):
+    """The candidate stage must be an equi-join on the prefix token —
+    never a CartesianProduct / BroadcastNestedLoop over doc pairs."""
+    from opentick_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} common") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    plan = (
+        jaccard_prefix_pairs(docs, threshold=0.8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
