@@ -1447,7 +1447,7 @@ def prefix_filter_jaccard_pairs(
     cand = (
         prefix.alias("a")
         .join(
-            prefix.alias("b"),
+            prefix.alias("b").hint("merge"),
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.id") < F.col("b.id"))
             # size filter: J >= t forces t·|A| <= |B| and t·|B| <= |A|
@@ -1550,7 +1550,13 @@ def jaccard_prefix_pairs(
     )
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("dfw"))
-    ranked = toks.join(dfreq, "w").withColumn(
+    # EVERY side of every join below scales with the corpus (token
+    # postings, vocabulary, doc sizes, prefixes, candidates) — none may
+    # ever broadcast. Catalyst's post-shuffle size estimates run small
+    # enough here to trip auto-broadcast, which at the 10x drill scale
+    # died building the broadcast table on the default driver heap
+    # (recorded in PLANS r12); the merge hints pin the always-safe SMJ.
+    ranked = toks.join(dfreq.hint("merge"), "w").withColumn(
         "pos",
         F.row_number().over(
             Window.partitionBy("id").orderBy("dfw", "w")
@@ -1558,14 +1564,14 @@ def jaccard_prefix_pairs(
     )
     t = float(threshold)
     prefix = (
-        ranked.join(sizes, "id")
+        ranked.join(sizes.hint("merge"), "id")
         .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
         .select("id", "w", "n")
     )
     cand = (
         prefix.alias("a")
         .join(
-            prefix.alias("b"),
+            prefix.alias("b").hint("merge"),
             (F.col("a.w") == F.col("b.w"))
             & (F.col("a.id") < F.col("b.id"))
             # length-ratio guard, both directions
@@ -1580,11 +1586,37 @@ def jaccard_prefix_pairs(
         )
         .distinct()
     )
+    # Verification joins the candidate pairs to per-doc token ARRAYS
+    # and intersects in place. The exploded alternative (cand ⋈ all
+    # tokens of a, then ⋈ b's tokens) materializes |cand|·|doc| rows
+    # before the second join — measured 10x drill: it filled the disk
+    # with SMJ sort spill. Arrays ship each doc's tokens once per pair
+    # (bounded by candidate count, which the prefix filter already
+    # bounded); shuffle_hash avoids sorting wide array rows, and the
+    # array side scales with the corpus so it must never broadcast.
+    tok_arrays = toks.groupBy("id").agg(
+        F.sort_array(F.collect_list("w")).alias("__ts")
+    )
     inter = (
-        cand.join(toks.select(F.col("id").alias("id_a"), "w"), "id_a")
-        .join(toks.select(F.col("id").alias("id_b"), "w"), ["id_b", "w"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.join(
+            tok_arrays.select(
+                F.col("id").alias("id_a"), F.col("__ts").alias("__ts_a")
+            ).hint("shuffle_hash"),
+            "id_a",
+        )
+        .join(
+            tok_arrays.select(
+                F.col("id").alias("id_b"), F.col("__ts").alias("__ts_b")
+            ).hint("shuffle_hash"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("__ts_a", "__ts_b")).alias("inter"),
+        )
     )
     return inter.select(
         "id_a",

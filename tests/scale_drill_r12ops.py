@@ -75,7 +75,7 @@ def main():
     from opentick_spark.session import get_spark
     from opentick_spark.workload import ALL_QUERIES
 
-    spark = get_spark(app_name="scale_drill_r12ops", shuffle_partitions=64)
+    spark = get_spark(app_name="scale_drill_r12ops", shuffle_partitions=64, driver_memory="8g")
 
     def run_noop(name, sf_dir):
         def fn():

@@ -70,7 +70,7 @@ def main():
     from opentick_spark.session import get_spark
     from opentick_spark.workload import ALL_QUERIES
 
-    spark = get_spark(app_name="scale_drill_selection", shuffle_partitions=64)
+    spark = get_spark(app_name="scale_drill_selection", shuffle_partitions=64, driver_memory="8g")
 
     def materialize(df):
         df.write.mode("overwrite").format("noop").save()
