@@ -1157,3 +1157,84 @@ def random_projection(
         return pd.Series(out)
 
     return df.select(F.col(id_col), _project(F.col(vec_col)).alias("proj"))
+
+
+def margin_bitext_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    LASER recipe): candidate pair score is the RATIO margin
+
+        margin(s,t) = cos(s,t) / ((mu_k(s,T) + mu_k(t,S)) / 2)
+
+    where mu_k(x,Y) is the mean cosine of x's k nearest neighbors in
+    the other language — dividing by the neighborhood density kills the
+    hubness failure mode of raw-cosine mining (hub vectors score high
+    against EVERYTHING, so absolute thresholds either drown in hub
+    pairs or drop everything else). 'max' strategy: each source keeps
+    its single best-margin target, filtered at ``threshold``.
+
+    Shapes: the pairwise scoring is the brute_force_topk posture
+    (broadcast the smaller language × scan the larger); both
+    neighborhood means are windowed top-k over the same scored
+    relation, so the cross product is computed ONCE and reused three
+    times. At corpus scale, swap the exact cross for the IVF/LSH
+    candidate generator (ivf_topk_indexed) — the margin formula only
+    needs each candidate's top-k neighborhood, which the index probe
+    already returns.
+
+    Output: (src_id, tgt_id, cos, margin) — one row per source with
+    margin ≥ threshold; ranked on RAW doubles, ids break exact ties.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    s = src.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
+    t = tgt.select(F.col(id_col).alias("tid"), F.col(vec_col).alias("tv"))
+    scored = (
+        t.crossJoin(F.broadcast(s))
+        .select("sid", "tid", cosine(F.col("sv"), F.col("tv")).alias("cos"))
+    )
+    wf = Window.partitionBy("sid").orderBy(F.desc("cos"), "tid")
+    wb = Window.partitionBy("tid").orderBy(F.desc("cos"), "sid")
+    fwd = (
+        scored.withColumn("__r", F.row_number().over(wf))
+        .filter(F.col("__r") <= k)
+        .groupBy("sid")
+        .agg(F.avg("cos").alias("__mu_s"))
+    )
+    bwd = (
+        scored.withColumn("__r", F.row_number().over(wb))
+        .filter(F.col("__r") <= k)
+        .groupBy("tid")
+        .agg(F.avg("cos").alias("__mu_t"))
+    )
+    # candidates are positive-similarity pairs only: A&S mine from
+    # FAISS k-NN lists (always the highest cosines); the RATIO margin
+    # is ill-defined at cos <= 0 — a negative neighborhood mean flips
+    # the sign and a perfect anti-match scores a huge positive margin
+    # (caught by the golden test's (-1, 0) target)
+    margins = (
+        scored.filter(F.col("cos") > 0)
+        .join(fwd, "sid")
+        .join(bwd, "tid")
+        .withColumn(
+            "margin",
+            F.col("cos") / ((F.col("__mu_s") + F.col("__mu_t")) / F.lit(2.0)),
+        )
+    )
+    best = Window.partitionBy("sid").orderBy(F.desc("margin"), "tid")
+    return (
+        margins.withColumn("__b", F.row_number().over(best))
+        .filter((F.col("__b") == 1) & (F.col("margin") >= threshold))
+        .select(
+            F.col("sid").alias("src_id"),
+            F.col("tid").alias("tgt_id"),
+            "cos",
+            "margin",
+        )
+    )

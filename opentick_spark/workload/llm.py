@@ -6066,3 +6066,78 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = jaccard_prefix_pairs(docs, threshold=0.8, ngram=2)
     return out.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+
+
+@q(
+    "bitext_margin_mine",
+    """
+    WITH s AS (
+      SELECT e.vec_id AS sid, e.embedding AS sv
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'de'
+    ),
+    t AS (
+      SELECT e.vec_id AS tid, e.embedding AS tv
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'en'
+    ),
+    sc AS (
+      SELECT sid, tid,
+             list_cosine_similarity(sv::DOUBLE[], tv::DOUBLE[]) AS cos
+      FROM s, t
+    ),
+    f AS (
+      SELECT sid, AVG(cos) AS mu_s FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY sid
+                                     ORDER BY cos DESC, tid) AS r FROM sc
+      ) WHERE r <= 4 GROUP BY sid
+    ),
+    b AS (
+      SELECT tid, AVG(cos) AS mu_t FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY tid
+                                     ORDER BY cos DESC, sid) AS r FROM sc
+      ) WHERE r <= 4 GROUP BY tid
+    ),
+    m AS (
+      SELECT sc.sid, sc.tid, sc.cos,
+             sc.cos / ((f.mu_s + b.mu_t) / 2) AS margin
+      FROM sc JOIN f USING (sid) JOIN b USING (tid)
+      WHERE sc.cos > 0   -- the operator's positive-candidate guard
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY sid
+                                   ORDER BY margin DESC, tid) AS bb
+      FROM m
+    )
+    SELECT sid AS src_id, tid AS tgt_id, ROUND(cos, 6) AS cos,
+           ROUND(margin, 6) AS margin
+    FROM best WHERE bb = 1 AND margin >= 1.1
+    """,
+)
+def bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining de→en (r12,
+    operators/similarity.margin_bitext_pairs — the LASER recipe,
+    Artetxe & Schwenk ACL'19): ratio margin normalizes each candidate
+    cosine by both endpoints' k-NN neighborhood density, killing the
+    hubness failure of absolute-cosine mining; 'max' strategy keeps
+    each source's best-margin target at margin ≥ 1.1. The pairwise
+    stage is the broadcast brute-force posture; at corpus scale the
+    cross swaps for the IVF probe (the margin only needs each
+    candidate's top-k neighborhood). Oracle replays the identical
+    windowed pipeline on DuckDB's cosine."""
+    from opentick_spark.operators.similarity import margin_bitext_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    embs = load(spark, sf_dir, "embeddings")
+    withlang = embs.join(
+        docs.withColumnRenamed("doc_id", "vec_id"), "vec_id"
+    )
+    src = withlang.filter(F.col("lang") == "de")
+    tgt = withlang.filter(F.col("lang") == "en")
+    out = margin_bitext_pairs(src, tgt, k=4, threshold=1.1)
+    return out.select(
+        "src_id",
+        "tgt_id",
+        F.round("cos", 6).alias("cos"),
+        F.round("margin", 6).alias("margin"),
+    )

@@ -1828,3 +1828,63 @@ def test_jaccard_prefix_no_cartesian_in_plan(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+class TestMarginBitextMining:
+    """similarity.margin_bitext_pairs (r12): golden geometry, the
+    hubness property the ratio margin exists for, and validation."""
+
+    def test_golden_best_match(self, spark):
+        from opentick_spark.operators.similarity import margin_bitext_pairs
+
+        # src s1 aligned with t1; t2 orthogonal; t3 the anti-match
+        src = spark.createDataFrame(
+            [(1, [1.0, 0.0])], ["vec_id", "embedding"]
+        )
+        tgt = spark.createDataFrame(
+            [(10, [0.9, 0.1]), (11, [0.0, 1.0]), (12, [-1.0, 0.0])],
+            ["vec_id", "embedding"],
+        )
+        rows = margin_bitext_pairs(src, tgt, k=2, threshold=0.0).collect()
+        assert len(rows) == 1
+        assert (rows[0]["src_id"], rows[0]["tgt_id"]) == (1, 10)
+        assert rows[0]["margin"] > 1.0  # best match beats its neighborhood
+
+    def test_hub_vector_is_not_everyones_match(self, spark):
+        """The property the ratio margin exists for: a HUB target
+        (dense neighborhood in the source cloud) ties the isolated true
+        target on raw cosine — and the raw-cosine tie-break (lower id)
+        would pick the hub — but the margin divides by neighborhood
+        density, so the isolated true pair wins."""
+        import math
+
+        from opentick_spark.operators.similarity import margin_bitext_pairs
+
+        a = math.radians(10)
+        # probe source on the x-axis; 5 decoy sources clustered around
+        # the hub direction (+10°) to densify the hub's neighborhood
+        srcs = [(0, [1.0, 0.0])] + [
+            (i, [math.cos(math.radians(8 + i)), math.sin(math.radians(8 + i))])
+            for i in range(1, 6)
+        ]
+        # hub at +10° (id 50 < 60 so a cosine tie would pick IT);
+        # isolated true target at -10°: cos(s0, hub) == cos(s0, t) exactly
+        tgts = [
+            (50, [math.cos(a), math.sin(a)]),
+            (60, [math.cos(a), -math.sin(a)]),
+        ]
+        src = spark.createDataFrame(srcs, ["vec_id", "embedding"])
+        tgt = spark.createDataFrame(tgts, ["vec_id", "embedding"])
+        rows = margin_bitext_pairs(src, tgt, k=3, threshold=0.0).collect()
+        picked = {r["src_id"]: r["tgt_id"] for r in rows}
+        # the probe source escapes the hub despite the exact cosine tie
+        assert picked[0] == 60
+
+    def test_k_validation(self, spark):
+        import pytest as _pytest
+
+        from opentick_spark.operators.similarity import margin_bitext_pairs
+
+        df = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
+        with _pytest.raises(ValueError, match="k must be"):
+            margin_bitext_pairs(df, df, k=0)
