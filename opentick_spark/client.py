@@ -773,15 +773,21 @@ class TCPConnection:
         if callback is not None:
 
             def chain_cb(f):
+                # on_ok runs INSIDE the try: a row-materialization
+                # error on a malformed reply must still reach the
+                # callback as ([], err) — outside it, the exception
+                # dies in the done-callback and a fire-and-forget
+                # caller waits forever (r12 review finding)
                 try:
                     res = f.result()
+                    rows = [] if isinstance(res, str) else on_ok(res)
                 except Exception as e:
                     callback([], str(e))
                     return
                 if isinstance(res, str):
                     callback([], res)
                 else:
-                    callback(on_ok(res), "")
+                    callback(rows, "")
 
             fut.add_done_callback(chain_cb)
             return None

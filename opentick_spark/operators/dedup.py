@@ -1425,10 +1425,14 @@ def prefix_filter_jaccard_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     e = exploded_shingles(df, id_col, text_col, n)
     # global total order: document frequency ascending (rarest first),
-    # shingle text as tie-break — identical ordering in every document
+    # shingle text as tie-break — identical ordering in every document.
+    # merge hint (r12 drill): the vocabulary relation scales with the
+    # corpus and Catalyst's post-shuffle size estimates run small enough
+    # to trip auto-broadcast — at the 10x drill scale that died building
+    # the broadcast table; nothing in this operator may ever broadcast.
     dfreq = e.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("id").orderBy("__df", "g")
-    ranked = e.join(dfreq, "g").select(
+    ranked = e.join(dfreq.hint("merge"), "g").select(
         "id",
         "g",
         F.row_number().over(w).alias("__r"),
@@ -1459,10 +1463,23 @@ def prefix_filter_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # shuffle_hash (r12 drill): the per-doc shingle-set arrays scale
+    # with the corpus (never broadcast), and SMJ would sort wide array
+    # rows — hash joins ship each array once per matching candidate
     sets = e.groupBy("id").agg(F.collect_set("g").alias("toks"))
     verified = (
-        cand.join(sets.withColumnsRenamed({"id": "id_a", "toks": "ta"}), "id_a")
-        .join(sets.withColumnsRenamed({"id": "id_b", "toks": "tb"}), "id_b")
+        cand.join(
+            sets.withColumnsRenamed({"id": "id_a", "toks": "ta"}).hint(
+                "shuffle_hash"
+            ),
+            "id_a",
+        )
+        .join(
+            sets.withColumnsRenamed({"id": "id_b", "toks": "tb"}).hint(
+                "shuffle_hash"
+            ),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
@@ -1478,151 +1495,3 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jac") >= threshold)
     )
     return verified
-
-
-def jaccard_prefix_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.5,
-    ngram: int = 1,
-) -> DataFrame:
-    """EXACT token-set Jaccard ≥ t self-join via AllPairs prefix
-    filtering (Bayardo/Ma/Srikant WWW'07; Chaudhuri/Ganti/Kaushik
-    ICDE'06) — the exact-join complement to the MinHash-LSH path: no
-    false negatives by construction, no signature tuning.
-
-    The filter: order every doc's distinct tokens by ONE global total
-    order (document frequency ascending, token ascending — rarest
-    first), and index only each doc's first |x| − ceil(t·|x|) + 1
-    tokens. Any pair with jac ≥ t has |x∩y| ≥ ceil(t·|x|), which
-    forces the two prefixes to intersect under a common order — so the
-    candidate join runs on PREFIX tokens only, and those are by
-    construction the RAREST tokens of each doc: the head-token hot
-    buckets that make a naive inverted-index self-join skew-bound
-    simply never enter the index. A length-ratio guard
-    (t·|x| ≤ |y| ≤ |x|/t) prunes candidates before verification.
-
-    Shuffle story: token-frequency agg, per-doc rank (window
-    partitioned by doc — bounded by doc length, never global), prefix
-    equi-join, and a candidate-bounded intersection count. Verification
-    divides exact integers once — IEEE-identical in any engine.
-
-    ``ngram``: compare word-n-gram SHINGLE sets instead of unigram
-    sets (n=1). Natural-language unigram sets overlap on shared
-    vocabulary alone (measured: 74% of all doc pairs ≥ 0.5 at n=1 on
-    the test corpus vs 0.02% at n=2), so shingles are the
-    discriminative setting for near-dup work.
-
-    Output: (id_a, id_b, jac) with id_a < id_b, jac ≥ threshold.
-    """
-    if not 0.0 < threshold <= 1.0:
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    if ngram < 1:
-        raise ValueError(f"ngram must be >= 1, got {ngram}")
-    from pyspark.sql import Window
-
-    from opentick_spark.operators.text import ws_tokens
-
-    base = ws_tokens(F.col(text_col))
-    toks = (
-        df.select(F.col(id_col).alias("id"), base.alias("__t"))
-        .select(
-            "id",
-            F.explode(
-                F.filter("__t", lambda w: w != F.lit(""))
-                if ngram == 1
-                # guarded sequence like word_ngrams: size < n yields []
-                # (an unguarded sequence(1, 0, 1) throws). trim+\\s+
-                # split can only emit '' as the lone [''] token of empty
-                # text, which has no n>=2 shingles — matching the
-                # oracle's filter-then-shingle order.
-                else F.expr(
-                    f"case when size(__t) >= {ngram} then "
-                    f"transform(sequence(1, size(__t) - {ngram - 1}, 1), "
-                    f"i -> array_join(slice(__t, i, {ngram}), ' ')) "
-                    "else array() end"
-                )
-            ).alias("w"),
-        )
-        .filter(F.col("w") != "")
-        .distinct()
-    )
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("dfw"))
-    # EVERY side of every join below scales with the corpus (token
-    # postings, vocabulary, doc sizes, prefixes, candidates) — none may
-    # ever broadcast. Catalyst's post-shuffle size estimates run small
-    # enough here to trip auto-broadcast, which at the 10x drill scale
-    # died building the broadcast table on the default driver heap
-    # (recorded in PLANS r12); the merge hints pin the always-safe SMJ.
-    ranked = toks.join(dfreq.hint("merge"), "w").withColumn(
-        "pos",
-        F.row_number().over(
-            Window.partitionBy("id").orderBy("dfw", "w")
-        ),
-    )
-    t = float(threshold)
-    prefix = (
-        ranked.join(sizes.hint("merge"), "id")
-        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
-        .select("id", "w", "n")
-    )
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b").hint("merge"),
-            (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.id") < F.col("b.id"))
-            # length-ratio guard, both directions
-            & (F.col("b.n") * F.lit(t) <= F.col("a.n"))
-            & (F.col("a.n") * F.lit(t) <= F.col("b.n")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
-        )
-        .distinct()
-    )
-    # Verification joins the candidate pairs to per-doc token ARRAYS
-    # and intersects in place. The exploded alternative (cand ⋈ all
-    # tokens of a, then ⋈ b's tokens) materializes |cand|·|doc| rows
-    # before the second join — measured 10x drill: it filled the disk
-    # with SMJ sort spill. Arrays ship each doc's tokens once per pair
-    # (bounded by candidate count, which the prefix filter already
-    # bounded); shuffle_hash avoids sorting wide array rows, and the
-    # array side scales with the corpus so it must never broadcast.
-    tok_arrays = toks.groupBy("id").agg(
-        F.sort_array(F.collect_list("w")).alias("__ts")
-    )
-    inter = (
-        cand.join(
-            tok_arrays.select(
-                F.col("id").alias("id_a"), F.col("__ts").alias("__ts_a")
-            ).hint("shuffle_hash"),
-            "id_a",
-        )
-        .join(
-            tok_arrays.select(
-                F.col("id").alias("id_b"), F.col("__ts").alias("__ts_b")
-            ).hint("shuffle_hash"),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            "n_a",
-            "n_b",
-            F.size(F.array_intersect("__ts_a", "__ts_b")).alias("inter"),
-        )
-    )
-    return inter.select(
-        "id_a",
-        "id_b",
-        (
-            F.col("inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
-        ).alias("jac"),
-    ).filter(F.col("jac") >= t)

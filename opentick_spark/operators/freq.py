@@ -158,7 +158,11 @@ def bigram_pmi_top(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     bi = (
-        toks.select(
+        # guard: slice length size-1 is NEGATIVE for an empty token
+        # array (empty/whitespace-only doc) and Spark's slice throws on
+        # it — filter before slicing (r12 review finding, reproduced)
+        toks.filter(F.size("t") > 1)
+        .select(
             F.explode(
                 F.arrays_zip(
                     F.slice("t", 1, F.size("t") - 1).alias("w1"),

@@ -1181,9 +1181,12 @@ def margin_bitext_pairs(
 
     Shapes: the pairwise scoring is the brute_force_topk posture
     (broadcast the smaller language × scan the larger); both
-    neighborhood means are windowed top-k over the same scored
-    relation, so the cross product is computed ONCE and reused three
-    times. At corpus scale, swap the exact cross for the IVF/LSH
+    neighborhood means and the margin join read the same scored
+    relation, which is localCheckpointed so the cross product is
+    MATERIALIZED once — without the checkpoint the three consumers
+    re-execute it (verified on the physical plan: three
+    BroadcastNestedLoopJoin nodes, zero ReusedExchange, because the
+    exchanges above it differ; r12 review finding). At corpus scale, swap the exact cross for the IVF/LSH
     candidate generator (ivf_topk_indexed) — the margin formula only
     needs each candidate's top-k neighborhood, which the index probe
     already returns.
@@ -1198,6 +1201,7 @@ def margin_bitext_pairs(
     scored = (
         t.crossJoin(F.broadcast(s))
         .select("sid", "tid", cosine(F.col("sv"), F.col("tv")).alias("cos"))
+        .localCheckpoint(eager=False)  # one materialization, 3 consumers
     )
     wf = Window.partitionBy("sid").orderBy(F.desc("cos"), "tid")
     wb = Window.partitionBy("tid").orderBy(F.desc("cos"), "sid")

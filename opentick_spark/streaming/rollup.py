@@ -230,10 +230,35 @@ def streaming_cms_build(
     duplicate. Read-time merge (``streaming_cms_estimate``) sums the
     per-batch partials — O(#batches × cells), never the raw stream.
 
+    Deterministic placement covers SAME-CHECKPOINT crash replay only:
+    a fresh checkpoint restarts batch ids at 0, and under a different
+    batch decomposition (changed maxFilesPerTrigger, new files) the
+    overwrites would only partially cover stale partials — silent
+    double counting. So a fresh checkpoint FENCES on a non-empty
+    partials dir: clear it (full rebuild) or reuse the original
+    checkpoint (r12 review finding).
+
     Per-batch cost is one map-side-combined hash agg capped at
     depth×width cells plus a KB-sized write; state never grows with
     corpus size. Returns the StreamingQuery."""
+    import os as _os
+
     from opentick_spark.operators.sketch import cms_build
+
+    fresh_checkpoint = not _os.path.isdir(
+        _os.path.join(checkpoint_dir, "offsets")
+    )
+    has_partials = _os.path.isdir(partials_dir) and any(
+        e.startswith("batch=") for e in _os.listdir(partials_dir)
+    )
+    if fresh_checkpoint and has_partials:
+        raise ValueError(
+            "streaming_cms_build: fresh checkpoint with existing partials "
+            f"at {partials_dir} — a restarted stream re-deals batch ids "
+            "and would silently double-count stale partials. Clear the "
+            "partials dir for a full rebuild, or reuse the original "
+            "checkpoint to resume."
+        )
 
     stream = (
         spark.readStream.schema(source_schema)

@@ -38,7 +38,7 @@ The driver's correctness gate checks the FIRST 50 entries of
   rotate into the driver window next round in place of long-stable
   ones.
 
-Every round the ENTIRE registry (window + extras; 215 queries, ALL 215
+Every round the ENTIRE registry (window + extras; 216 queries, ALL 216
 with oracles as of round 12 — authoritative counts in COVERAGE.md's
 generated rotation table) is value-verified against DuckDB at BOTH
 sf0.01 (the driver's scale) and sf0.1 (10×) — the 10× run has caught
@@ -139,7 +139,6 @@ _DRIVER_WINDOW = [
     "multimodal_frame_sample",
     "negative_sampling",
     "realized_vol_hourly",
-    "return_correlation",
     "sim_topk_ivf_append",
     "sim_topk_ivf_indexed",
     # ---- mid-round r12 additions (first-time driver evidence the round
@@ -160,6 +159,9 @@ _DRIVER_WINDOW = [
     # degree-oriented exact triangle centrality (O(m^1.5) wedge bound);
     # displaces rolling_zscore_outliers to the r13 queue
     "user_triangle_centrality",
+    # margin-based bitext mining (LASER ratio margin, hubness-proof);
+    # displaces return_correlation to the r13 queue
+    "bitext_margin_mine",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -6014,61 +6014,6 @@ def user_triangle_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "dedup_jaccard_prefix",
-    """
-    WITH w AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                         x -> x <> '') AS w
-      FROM documents
-    ),
-    t AS (
-      SELECT doc_id,
-             list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))])
-               AS ts
-      FROM w WHERE len(w) > 1
-    ),
-    tt AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.ts, b.ts)) AS inter,
-             a.n AS na, b.n AS nb
-      FROM tt a JOIN tt b
-        ON a.doc_id < b.doc_id
-       AND b.n * 0.8 <= a.n AND a.n * 0.8 <= b.n
-    )
-    SELECT id_a, id_b,
-           ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6)
-             AS jac
-    FROM pairs
-    WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8
-    """,
-)
-def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT word-BIGRAM-shingle-set Jaccard ≥ 0.8 near-dup pairs via
-    AllPairs prefix
-    filtering (r12, operators/dedup.jaccard_prefix_pairs): only each
-    doc's rarest |x|−ceil(t|x|)+1 tokens enter the inverted index, so
-    head-token hot buckets never join and there are NO false negatives
-    (the exact complement to the MinHash-LSH path — same answer,
-    different scaling lever). The oracle is the naive quadratic
-    verify with the same length-ratio guard; the single exact-integer
-    division makes the jac values bit-identical cross-engine. Bigram
-    shingle sets, not unigram sets: natural-language unigram vocabulary
-    overlap alone puts 74% of ALL doc pairs over 0.5 (measured — a
-    degenerate fixture); bigram sets isolate the true near-dups (all
-    at jac ≥ 0.9, so t=0.8 finds every one while the prefix index
-    carries only each doc's rarest fifth — t=0.5 would index half of
-    every doc and explode candidates 20x for the same result set,
-    measured 5.5M vs ~0.3M at sf0.1)."""
-    from opentick_spark.operators.dedup import jaccard_prefix_pairs
-
-    docs = load(spark, sf_dir, "documents")
-    out = jaccard_prefix_pairs(docs, threshold=0.8, ngram=2)
-    return out.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
-
-
-@q(
     "bitext_margin_mine",
     """
     WITH s AS (

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import sys
 import time
 
@@ -33,18 +34,33 @@ TABLES = (
 ).split()
 
 
-_ALLOWED_SCALAR = {
+# THE hash-safe oracle output types — the single predicate both this
+# checker and the registry-admission lint (tests/test_oracle_types.py)
+# import, so the two gates can never diverge (r12 review finding:
+# the first cut had two copies that disagreed on nested lists).
+ALLOWED_SCALAR = {
     "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
     "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN",
 }
+_ARRAY_SUFFIX = re.compile(r"^(.*)\[\d*\]$")
+
+
+def type_ok(typ: str) -> bool:
+    """Recursive: lists (``DOUBLE[]``), nested lists (``DOUBLE[][]``),
+    and DuckDB fixed-size arrays (``DOUBLE[3]``) are allowed iff their
+    element type is."""
+    typ = typ.strip()
+    m = _ARRAY_SUFFIX.match(typ)
+    if m:
+        return type_ok(m.group(1))
+    return typ in ALLOWED_SCALAR
 
 
 def type_violations(con, sql):
     out = []
     for row in con.execute("DESCRIBE " + sql).fetchall():
-        col, typ = row[0], row[1].strip()
-        base = typ[:-2] if typ.endswith("[]") else typ
-        if base not in _ALLOWED_SCALAR:
+        col, typ = row[0], row[1]
+        if not type_ok(typ):
             out.append((col, typ))
     return out
 

@@ -27,41 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF01 = "/root/testdata/sf0.1"
 
 
-def synth_10x(dst: str) -> None:
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+from synth_util import synth_documents_10x, synth_events_10x  # noqa: E402
 
-    os.makedirs(dst, exist_ok=True)
-    docs = pq.read_table(os.path.join(SF01, "documents.parquet")).to_pandas()
-    parts = []
-    for r in range(10):
-        d = docs.copy()
-        d["doc_id"] = d["doc_id"] + r * 10_000_000
-        if r > 0:
-            d["text"] = d["text"] + f" replica{r}"
-            d["n_chars"] = d["text"].str.len()
-        parts.append(d)
-    pq.write_table(
-        pa.Table.from_pandas(
-            pd.concat(parts, ignore_index=True), preserve_index=False
-        ),
-        os.path.join(dst, "documents.parquet"),
-    )
-    ev = pq.read_table(os.path.join(SF01, "events.parquet")).to_pandas()
-    span = (ev["ts"].max() - ev["ts"].min()) + pd.Timedelta(hours=1)
-    parts = []
-    for r in range(10):
-        e = ev.copy()
-        e["event_id"] = e["event_id"] + r * 100_000_000
-        e["ts"] = e["ts"] + r * span
-        parts.append(e)
-    pq.write_table(
-        pa.Table.from_pandas(
-            pd.concat(parts, ignore_index=True), preserve_index=False
-        ),
-        os.path.join(dst, "events.parquet"),
-    )
+
+def synth_10x(dst: str) -> None:
+    synth_documents_10x(dst)
+    synth_events_10x(dst)
 
 
 def timed_warm(fn):
@@ -111,13 +82,13 @@ def main():
 
         # prefix join: output grows by synth design (replica cliques) —
         # report pairs and pairs/sec alongside the exponent
-        from opentick_spark.operators.dedup import jaccard_prefix_pairs
+        from opentick_spark.operators.dedup import prefix_filter_jaccard_pairs
         from opentick_spark.workload.util import load
 
         def run_pairs(sf_dir):
             def fn():
-                return jaccard_prefix_pairs(
-                    load(spark, sf_dir, "documents"), threshold=0.8, ngram=2
+                return prefix_filter_jaccard_pairs(
+                    load(spark, sf_dir, "documents"), n=2, threshold=0.8
                 ).count()
 
             return fn
@@ -127,7 +98,7 @@ def main():
         exp = round(math.log10(max(t10, 1e-3) / max(t1, 1e-3)), 2)
         print(
             json.dumps(
-                {"metric": "scaling", "row": "dedup_jaccard_prefix",
+                {"metric": "scaling", "row": "dedup_ppjoin",
                  "t_1x": t1, "t_10x": t10, "exponent": exp,
                  "pairs_1x": n1, "pairs_10x": n10,
                  "pairs_per_s_1x": round(n1 / max(t1, 1e-3), 1),
@@ -136,7 +107,7 @@ def main():
             ),
             flush=True,
         )
-        results["dedup_jaccard_prefix_pairs_per_s"] = (
+        results["dedup_ppjoin_pairs_per_s"] = (
             0.0 if n10 / max(t10, 1e-3) >= n1 / max(t1, 1e-3) else 9.9
         )
 

@@ -36,27 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF01 = "/root/testdata/sf0.1"
 
 
-def synth_documents_10x(dst: str) -> None:
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    os.makedirs(dst, exist_ok=True)
-    docs = pq.read_table(os.path.join(SF01, "documents.parquet")).to_pandas()
-    parts = []
-    for r in range(10):
-        d = docs.copy()
-        d["doc_id"] = d["doc_id"] + r * 10_000_000
-        if r > 0:
-            d["text"] = d["text"] + f" replica{r}"
-            d["n_chars"] = d["text"].str.len()
-        parts.append(d)
-    pq.write_table(
-        pa.Table.from_pandas(
-            pd.concat(parts, ignore_index=True), preserve_index=False
-        ),
-        os.path.join(dst, "documents.parquet"),
-    )
+from synth_util import synth_documents_10x  # noqa: E402
 
 
 def timed_warm(fn) -> float:

@@ -1737,97 +1737,26 @@ class TestBigramPMI:
         assert "TakeOrderedAndProject" in plan
 
 
-class TestJaccardPrefixJoin:
-    """dedup.jaccard_prefix_pairs (r12): exact AllPairs prefix-filtered
-    Jaccard join — equivalence against brute force, boundary inclusion,
-    and the prefix-index size bound."""
-
-    def _docs(self, spark, n=40):
-        # overlapping token pools force a spread of jaccard values,
-        # deterministic by construction
-        rows = []
-        for i in range(n):
-            toks = [f"t{j}" for j in range(i % 7, i % 7 + 8)]
-            if i % 3 == 0:
-                toks += [f"rare{i}"]
-            rows.append((i, " ".join(toks)))
-        return spark.createDataFrame(rows, ["doc_id", "text"])
-
-    def _brute(self, docs, t):
-        data = {r["doc_id"]: set(r["text"].lower().split()) for r in docs.collect()}
-        out = set()
-        ids = sorted(data)
-        for i, a in enumerate(ids):
-            for b in ids[i + 1:]:
-                u = len(data[a] | data[b])
-                jac = len(data[a] & data[b]) / u if u else 0.0
-                if jac >= t:
-                    out.add((a, b, round(jac, 9)))
-        return out
-
-    def test_matches_bruteforce_exactly(self, spark):
-        from opentick_spark.operators.dedup import jaccard_prefix_pairs
-
-        docs = self._docs(spark)
-        for t in (0.3, 0.5, 0.8):
-            got = {
-                (r["id_a"], r["id_b"], round(r["jac"], 9))
-                for r in jaccard_prefix_pairs(docs, threshold=t).collect()
-            }
-            assert got == self._brute(docs, t), f"t={t}"
-
-    def test_threshold_boundary_inclusive(self, spark):
-        from opentick_spark.operators.dedup import jaccard_prefix_pairs
-
-        # |x∩y|=2, |x∪y|=4 → jac exactly 0.5
-        docs = spark.createDataFrame(
-            [(1, "a b c"), (2, "a b d")], ["doc_id", "text"]
-        )
-        rows = jaccard_prefix_pairs(docs, threshold=0.5).collect()
-        assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
-        assert rows[0]["jac"] == 0.5
-
-    def test_prefix_index_is_smaller_than_full_index(self, spark):
-        # the point of the filter: at t=0.8 only ~1/5 of each doc's
-        # tokens enter the index — count the exploded prefix rows via
-        # the operator's own internals by comparing candidate counts
-        from opentick_spark.operators.dedup import jaccard_prefix_pairs
-
-        docs = self._docs(spark, n=60)
-        # with a high threshold the result must still be exact
-        got = {
-            (r["id_a"], r["id_b"])
-            for r in jaccard_prefix_pairs(docs, threshold=0.9).collect()
-        }
-        brute = {(a, b) for a, b, _ in self._brute(docs, 0.9)}
-        assert got == brute
-
-    def test_validates_threshold(self, spark):
-        import pytest as _pytest
-
-        from opentick_spark.operators.dedup import jaccard_prefix_pairs
-
-        docs = self._docs(spark, n=3)
-        with _pytest.raises(ValueError, match="threshold"):
-            jaccard_prefix_pairs(docs, threshold=0.0)
-
-
-def test_jaccard_prefix_no_cartesian_in_plan(spark):
-    """The candidate stage must be an equi-join on the prefix token —
-    never a CartesianProduct / BroadcastNestedLoop over doc pairs."""
-    from opentick_spark.operators.dedup import jaccard_prefix_pairs
+def test_prefix_filter_jaccard_no_cartesian_no_broadcast(spark):
+    """Candidate + verify stages must be equi-joins on prefix token /
+    doc id — never a CartesianProduct, and (r12 drill finding) never a
+    broadcast of the corpus-scaled vocabulary or shingle-set relations:
+    the merge/shuffle_hash hints pin that."""
+    from opentick_spark.operators.dedup import prefix_filter_jaccard_pairs
 
     docs = spark.createDataFrame(
         [(i, f"w{i} w{i+1} w{i+2} common") for i in range(30)],
         ["doc_id", "text"],
     )
     plan = (
-        jaccard_prefix_pairs(docs, threshold=0.8)
+        prefix_filter_jaccard_pairs(docs, threshold=0.8)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 class TestMarginBitextMining:
@@ -1888,3 +1817,21 @@ class TestMarginBitextMining:
         df = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
         with _pytest.raises(ValueError, match="k must be"):
             margin_bitext_pairs(df, df, k=0)
+
+
+def test_bigram_pmi_survives_empty_documents(spark):
+    """r12 review finding: an empty/whitespace-only doc used to crash
+    the whole job (slice length -1); now it simply contributes no
+    bigrams and the result matches the corpus without it."""
+    from opentick_spark.operators.freq import bigram_pmi_top
+
+    clean = spark.createDataFrame([("a b a b",), ("a b c",)], ["text"])
+    noisy = spark.createDataFrame(
+        [("a b a b",), ("",), ("   ",), ("solo",), ("a b c",)], ["text"]
+    )
+    want = [(r.w1, r.w2, r.c_ab) for r in bigram_pmi_top(clean, k=10, min_count=1).collect()]
+    got_rows = bigram_pmi_top(noisy, k=10, min_count=1).collect()
+    got = [(r.w1, r.w2, r.c_ab) for r in got_rows]
+    # 'solo' adds one unigram (changes N_uni/pmi values) but no bigram
+    # pair may appear or disappear, and nothing crashes
+    assert got == want

@@ -18,13 +18,14 @@ Pure DuckDB — no SparkSession, runs in seconds over all ~210 oracles.
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from opentick_spark.workload import ALL_ORACLES
 
@@ -34,29 +35,11 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-# Exactly the types whose Python/Arrow materialization matches what the
-# Spark side can produce (long/int/double/float/str/bool), plus LISTs
-# thereof (embedding outputs). HUGEINT, DECIMAL(p,s), UBIGINT etc. are
-# NOT listed on purpose — they are the hash-divergence class.
-ALLOWED_SCALAR = {
-    "BIGINT",
-    "INTEGER",
-    "SMALLINT",
-    "TINYINT",
-    "DOUBLE",
-    "FLOAT",
-    "VARCHAR",
-    "BOOLEAN",
-}
-_LIST_RE = re.compile(r"^(.*)\[\]$")
-
-
-def _type_ok(typ: str) -> bool:
-    typ = typ.strip()
-    m = _LIST_RE.match(typ)
-    if m:
-        return _type_ok(m.group(1))
-    return typ in ALLOWED_SCALAR
+# ONE predicate, shared with the per-run checker: imported from
+# oracle_check so the admission lint and the sweep gate can never
+# diverge (r12 review finding). HUGEINT, DECIMAL(p,s), UBIGINT etc.
+# are excluded on purpose — they are the hash-divergence class.
+from oracle_check import ALLOWED_SCALAR, type_ok as _type_ok  # noqa: E402,F401
 
 
 @pytest.fixture(scope="module")

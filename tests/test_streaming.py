@@ -454,13 +454,43 @@ def test_streaming_cms_replay_is_exactly_once(spark, tmp_path):
             "w", width=256, depth=3, transform=to_words,
         )
         q.awaitTermination()
+        # explicit stop + drain: a terminated availableNow query can
+        # linger in the session's active list and trip the
+        # concurrent-checkpoint guard when the SAME checkpoint restarts
+        q.stop()
+        deadline = time.time() + 30
+        while (
+            any(a.id == q.id for a in spark.streams.active)
+            and time.time() < deadline
+        ):
+            time.sleep(0.1)
 
-    run(str(tmp_path / "ck1"))
+    import os
+
+    ck = str(tmp_path / "ck1")
+    run(ck)
     merged1 = cms_merge(spark.read.parquet(parts).select("cms")).collect()[0][0]
-    # full replay: fresh checkpoint, same partials dir
-    run(str(tmp_path / "ck2"))
+    # crash replay: drop the LAST commit marker from the checkpoint —
+    # on restart Structured Streaming re-executes that batch (the sink
+    # ran but the commit was lost, the real at-least-once window); the
+    # batch_id-keyed overwrite must rewrite identical content
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ck, "commits")) if f.isdigit()
+    )
+    os.remove(os.path.join(ck, "commits", commits[-1]))
+    crc = os.path.join(ck, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # local-FS checksum sidecar of the commit
+        os.remove(crc)
+    run(ck)
     merged2 = cms_merge(spark.read.parquet(parts).select("cms")).collect()[0][0]
     assert merged1 == merged2  # no double counting from the replay
+
+    # fresh-checkpoint restarts over live partials are FENCED: batch
+    # ids would re-deal and stale partials double-count (r12 review)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fresh checkpoint"):
+        run(str(tmp_path / "ck2"))
 
     # streamed state == batch build over the same rows, cell for cell
     batch = cms_build(
