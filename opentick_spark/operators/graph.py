@@ -151,10 +151,15 @@ def triangle_count(
     report 0); sum(n_tri) = 3 × global triangle count.
     """
     u, v = F.col(src_col), F.col(dst_col)
+    # localCheckpoint (module-header hygiene): canon feeds the degree
+    # agg, the orientation, AND (via deg) the zero-fill — un-cut, every
+    # consumer re-executes the dedup from the raw edges (plan audit at
+    # r12: 86 Exchange nodes; 14 after the two cuts)
     canon = (
         edges.filter(u != v)
         .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         canon.select(F.col("u").alias("node"))
@@ -171,11 +176,12 @@ def triangle_count(
             F.struct(F.col("dv").alias("d"), F.col("v").alias("n")).alias("kv"),
         )
     )
+    # three consumers (both wedge sides + the closing-edge probe)
     oriented = keyed.select(
         F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kb"),
-    )
+    ).localCheckpoint(eager=False)
     e1 = oriented.select(
         F.col("a"), F.col("b").alias("x"), F.col("kb").alias("kx")
     )
