@@ -367,3 +367,97 @@ def test_execute_split_float_ranges_match_union(spark, tmp_path, seed):
             {k for k in ks if any(lo <= k <= hi for lo, hi in ranges)}
         )
         assert got == want, (seed, ranges)
+
+
+def _py_triangles(edges):
+    """Brute-force per-vertex triangle counts on a canonical edge set."""
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    count = {n: 0 for n in nodes}
+    for i, x in enumerate(nodes):
+        for y in (n for n in adj[x] if n > x):
+            for z in (n for n in adj[x] & adj[y] if n > y):
+                for v in (x, y, z):
+                    count[v] += 1
+    return count
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_triangle_count_matches_bruteforce_random_graphs(spark, seed):
+    """graph.triangle_count (r12) vs a brute-force adjacency model on
+    seeded G(n, p) graphs WITH noise: duplicate edges, reversed edges,
+    self loops — the operator must normalize them all away."""
+    from opentick_spark.operators.graph import triangle_count
+
+    rng = random.Random(seed)
+    n = 40
+    edges = [
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if rng.random() < 0.15
+    ]
+    noisy = (
+        edges
+        + [(b, a) for a, b in edges if rng.random() < 0.3]  # reversed dups
+        + [(a, a) for a in range(0, n, 7)]  # self loops
+    )
+    rng.shuffle(noisy)
+    df = spark.createDataFrame(noisy, ["src", "dst"])
+    got = {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+    assert got == _py_triangles(edges)
+
+
+def _py_type1_percentiles(values, qs):
+    s = sorted(values)
+    n = len(s)
+    out = {}
+    for num, den in qs:
+        thresh = -(-num * n // den)  # ceil(num*n/den), integer-exact
+        out[float(num) / den] = s[max(thresh, 1) - 1]
+    return out
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_exact_percentiles_match_sorted_model(spark, seed):
+    """selection.exact_percentiles (r12) vs the sorted-list type-1
+    quantile definition on seeded multisets with heavy ties."""
+    from opentick_spark.operators.selection import exact_percentiles
+
+    rng = random.Random(seed)
+    vals = [rng.randint(0, 30) for _ in range(rng.randint(50, 400))]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    qs = ((25, 100), (50, 100), (75, 100), (90, 100), (99, 100))
+    got = {
+        r["q"]: r["value"] for r in exact_percentiles(df, "v", qs).collect()
+    }
+    assert got == _py_type1_percentiles(vals, qs)
+
+
+def _py_cms(values, width, depth, seed):
+    import hashlib
+
+    cells = [0] * (width * depth)
+    for v in values:
+        for d in range(depth):
+            h = hashlib.md5(f"{v}:{seed + d}".encode()).hexdigest()
+            cells[d * width + int(h[:15], 16) % width] += 1
+    return cells
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_cms_cells_match_python_model(spark, seed):
+    """sketch.cms_build (r12) vs a straight-line Python CMS on seeded
+    zipf-ish multisets — every cell, not just the estimates."""
+    from opentick_spark.operators.sketch import cms_build
+
+    rng = random.Random(seed)
+    vals = [f"w{int(rng.paretovariate(1.2))}" for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], ["w"])
+    got = cms_build(df, "w", width=64, depth=3, seed=9101).collect()[0][0]
+    assert list(got) == _py_cms(vals, 64, 3, 9101)
