@@ -323,3 +323,53 @@ def exact_percentiles(
         )
         .select("q", "value", "cum_count", "total")
     )
+
+
+def exact_percentiles_by(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: list[tuple[int, int]] = ((25, 100), (50, 100), (75, 100), (90, 100), (99, 100)),
+) -> DataFrame:
+    """Per-group exact type-1 percentiles — ``exact_percentiles``
+    partitioned by ``group_col``: ONE corpus-sized hash agg builds the
+    per-group value histogram, the CDF window partitions by group (so
+    per-partition work is each group's value domain, never the corpus),
+    and the threshold probe joins the same tiny q-table. The per-source
+    /-language quality-report shape: a 100 TB corpus reduces to
+    |groups| × |value domain| histogram rows after the first agg.
+
+    Output: one row per (group, q) — (group_col, q, value, cum_count,
+    total), with total = the group's row count."""
+    hist = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    cdf = hist.select(
+        F.col(group_col),
+        F.col(value_col),
+        F.sum("__cnt").over(w).alias("__cum"),
+        F.sum("__cnt").over(Window.partitionBy(group_col)).alias("__total"),
+    )
+    qdf = F.broadcast(
+        cdf.sparkSession.createDataFrame(
+            [(int(n), int(d)) for n, d in qs], "__num long, __den long"
+        ).select(
+            (F.col("__num").cast("double") / F.col("__den")).alias("q"),
+            "__num",
+            "__den",
+        )
+    )
+    hit = cdf.crossJoin(qdf).filter(
+        F.col("__cum")
+        >= F.expr("CAST((__num * __total + __den - 1) DIV __den AS LONG)")
+    )
+    return (
+        hit.groupBy(group_col, "q")
+        .agg(
+            F.min(value_col).alias("value"),
+            F.min("__cum").cast("long").alias("cum_count"),
+            F.min("__total").cast("long").alias("total"),
+        )
+        .select(group_col, "q", "value", "cum_count", "total")
+    )

@@ -6086,3 +6086,45 @@ def bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cos", 6).alias("cos"),
         F.round("margin", 6).alias("margin"),
     )
+
+
+@q(
+    "source_length_percentiles",
+    """
+    WITH hist AS (
+      SELECT source, n_chars, COUNT(*) AS cnt
+      FROM documents GROUP BY source, n_chars
+    ),
+    cdf AS (
+      SELECT source, n_chars,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS total
+      FROM hist
+    ),
+    qs AS (
+      SELECT * FROM (VALUES (25, 100), (50, 100), (75, 100),
+                            (90, 100), (99, 100)) AS v(num, den)
+    ),
+    hit AS (
+      SELECT cdf.source, CAST(qs.num AS DOUBLE) / qs.den AS q,
+             cdf.n_chars, cdf.cum, cdf.total
+      FROM cdf, qs
+      WHERE cdf.cum >= (qs.num * cdf.total + qs.den - 1) // qs.den
+    )
+    SELECT source, q, MIN(n_chars) AS value,
+           CAST(MIN(cum) AS BIGINT) AS cum_count,
+           CAST(MIN(total) AS BIGINT) AS total
+    FROM hit GROUP BY source, q
+    """,
+)
+def source_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact length percentiles (r12,
+    operators/selection.exact_percentiles_by): the grouped twin of
+    exact_length_percentiles — one corpus-sized hash agg, per-group
+    histogram CDF windows, integer-exact thresholds. The per-source
+    quality-report shape at 100 TB: after the first agg everything is
+    |sources| × |length domain| rows."""
+    from opentick_spark.operators.selection import exact_percentiles_by
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_percentiles_by(docs, "n_chars", "source")

@@ -760,3 +760,40 @@ def test_triangle_count_golden_and_orientation(spark):
     out = {r["node"]: r["n_tri"] for r in triangle_count(edges).collect()}
     assert out[0] == 1 and out[1] == 1 and out[2] == 1
     assert all(out[i] == 0 for i in range(3, 7))
+
+
+def test_exact_percentiles_by_groups_match_ungrouped(spark):
+    """exact_percentiles_by (r12): each group's rows must equal
+    exact_percentiles run on that group alone, and the CDF windows must
+    partition by the group (plan: no un-partitioned Window)."""
+    from pyspark.sql import functions as F
+
+    from opentick_spark.operators.selection import (
+        exact_percentiles,
+        exact_percentiles_by,
+    )
+
+    df = spark.range(200).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+        "CAST(id % 37 AS LONG) AS v",
+    )
+    grouped = exact_percentiles_by(df, "v", "g")
+    for g in ("a", "b"):
+        want = {
+            (r["q"], r["value"], r["cum_count"], r["total"])
+            for r in exact_percentiles(df.filter(F.col("g") == g), "v").collect()
+        }
+        got = {
+            (r["q"], r["value"], r["cum_count"], r["total"])
+            for r in grouped.filter(F.col("g") == g).collect()
+        }
+        assert got == want, g
+    opt = grouped._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    # every Window in the plan is partitioned by the group column —
+    # an un-partitioned window would funnel the corpus through one task
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", opt)
+    assert windows, opt[:500]
+    for spec in windows:
+        assert "g" in spec, opt[:500]
