@@ -138,7 +138,6 @@ _DRIVER_WINDOW = [
     "merge_into_final_state",
     "multimodal_frame_sample",
     "negative_sampling",
-    "realized_vol_hourly",
     "sim_topk_ivf_append",
     "sim_topk_ivf_indexed",
     # ---- mid-round r12 additions (first-time driver evidence the round
@@ -162,6 +161,9 @@ _DRIVER_WINDOW = [
     # margin-based bitext mining (LASER ratio margin, hubness-proof);
     # displaces return_correlation to the r13 queue
     "bitext_margin_mine",
+    # per-group exact percentiles (grouped histogram-CDF twin);
+    # displaces realized_vol_hourly to the r13 queue
+    "source_length_percentiles",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
