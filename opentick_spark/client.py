@@ -404,9 +404,14 @@ class TCPConnection:
         port: int,
         db_name: str | None = None,
         protocol: str = "json",
+        default_timeout: float = 0,
     ):
         from opentick_spark.server import _codecs
 
+        # reference opentick.h:126,171: constructor timeout, 0 = disabled;
+        # in callback (result-skip) mode a deadline timer delivers
+        # ({}, "timeout") when no reply arrives (opentick.h:544-561)
+        self.default_timeout = default_timeout
         self._addr, self._port = addr, port
         self._db = db_name
         self._protocol = protocol
@@ -514,6 +519,8 @@ class TCPConnection:
             self._ticket += 1
             msg["0"] = self._ticket
             fut: CFuture = CFuture()
+            fut.ot_ticket = msg["0"]  # lets the callback deadline timer
+            fut.ot_futures = self._futures  # evict ITS pending entry
             self._futures[msg["0"]] = fut
             try:
                 self._send_frame(self._sock, self._enc(msg))
@@ -769,10 +776,35 @@ class TCPConnection:
         With ``callback`` (the C++ binding's result-skip mode,
         opentick.h:527-545): deliver ``(rows, err_str)`` to it on the
         recv thread instead and return ``None`` — no Future is created,
-        so an abandoning caller retains zero result state."""
+        so an abandoning caller retains zero result state. When
+        ``default_timeout`` > 0, a deadline timer matches the reference
+        (opentick.h:544-561): if no reply lands by then, the pending
+        entry is evicted and the callback fires with ``([],
+        "timeout")`` — without it a dropped reply on a healthy
+        connection leaves a fire-and-forget caller uninvoked forever
+        (r12 ADVICE)."""
         if callback is not None:
+            timer = None
+            if self.default_timeout and self.default_timeout > 0:
+                def on_deadline():
+                    with self._lock:
+                        # evict from the SAME dict generation _request
+                        # used — a reconnect swaps self._futures
+                        getattr(fut, "ot_futures", {}).pop(
+                            getattr(fut, "ot_ticket", None), None
+                        )
+                    try:
+                        fut.set_exception(Error("timeout"))
+                    except Exception:
+                        pass  # reply won the race — chain_cb delivers it
+
+                timer = threading.Timer(self.default_timeout, on_deadline)
+                timer.daemon = True
+                timer.start()
 
             def chain_cb(f):
+                if timer is not None:
+                    timer.cancel()
                 # on_ok runs INSIDE the try: a row-materialization
                 # error on a malformed reply must still reach the
                 # callback as ([], err) — outside it, the exception

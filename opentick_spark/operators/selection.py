@@ -243,7 +243,12 @@ def cdf_buckets(
 
     Returns one row per bucket: ``bucket`` (1..n, long), row count,
     min/max value, and the value total — the shape a curriculum
-    scheduler consumes (cut points + per-stage sizes)."""
+    scheduler consumes (cut points + per-stage sizes).
+
+    NULL values are EXCLUDED from the CDF (r12 ADVICE): Spark windows
+    sort NULLs first, DuckDB last, so a NULL histogram row would shift
+    every cumulative count differently per engine."""
+    df = df.filter(F.col(value_col).isNotNull())
     hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
     w = Window.orderBy(value_col)  # histogram-sized, not corpus-sized
     cdf = hist.select(
@@ -293,7 +298,10 @@ def exact_percentiles(
     is exact. ``qs`` are (num, den) rationals for the same reason.
 
     Output: one row per q — (q double = num/den, value, cum_count,
-    total)."""
+    total). NULL values are EXCLUDED (r12 ADVICE: Spark sorts NULLs
+    first, DuckDB last — a NULL histogram row would shift every
+    cumulative count differently per engine)."""
+    df = df.filter(F.col(value_col).isNotNull())
     hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
     w = Window.orderBy(value_col)  # histogram-sized, never corpus-sized
     cdf = hist.select(
@@ -340,7 +348,10 @@ def exact_percentiles_by(
     |groups| × |value domain| histogram rows after the first agg.
 
     Output: one row per (group, q) — (group_col, q, value, cum_count,
-    total), with total = the group's row count."""
+    total), with total = the group's NON-NULL row count (NULL values
+    are excluded, r12 ADVICE — cross-engine NULL sort order would
+    shift the CDF)."""
+    df = df.filter(F.col(value_col).isNotNull())
     hist = df.groupBy(group_col, value_col).agg(
         F.count(F.lit(1)).alias("__cnt")
     )

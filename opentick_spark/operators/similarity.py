@@ -1226,6 +1226,11 @@ def margin_bitext_pairs(
         scored.filter(F.col("cos") > 0)
         .join(fwd, "sid")
         .join(bwd, "tid")
+        # the denominator needs the same guard as the numerator: k-NN
+        # means can average negative cosines, so (mu_s + mu_t) <= 0
+        # would make the ratio Inf/NaN or sign-flipped even at cos > 0
+        # (r12 ADVICE) — same ill-defined-ratio class as the cos filter
+        .filter((F.col("__mu_s") + F.col("__mu_t")) > 0)
         .withColumn(
             "margin",
             F.col("cos") / ((F.col("__mu_s") + F.col("__mu_t")) / F.lit(2.0)),

@@ -290,19 +290,20 @@ def cms_estimate(
     _cms_check(width, depth)
     from pyspark.sql.functions import broadcast
 
-    est = F.least(
-        *[
-            F.element_at(
-                F.col("__cms"),
-                (
-                    F.lit(d * width)
-                    + _cms_bucket(F.col(col), d, width, seed)
-                ).cast("int")
-                + 1,
-            )
-            for d in range(depth)
-        ]
-    )
+    cells = [
+        F.element_at(
+            F.col("__cms"),
+            (
+                F.lit(d * width)
+                + _cms_bucket(F.col(col), d, width, seed)
+            ).cast("int")
+            + 1,
+        )
+        for d in range(depth)
+    ]
+    # F.least requires >= 2 args; depth=1 (allowed by _cms_check) is the
+    # single cell itself (r12 ADVICE)
+    est = cells[0] if depth == 1 else F.least(*cells)
     return (
         probes.crossJoin(broadcast(cms.select(F.col("cms").alias("__cms"))))
         .withColumn(out_col, est)

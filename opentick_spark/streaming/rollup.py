@@ -241,15 +241,27 @@ def streaming_cms_build(
     Per-batch cost is one map-side-combined hash agg capped at
     depth×width cells plus a KB-sized write; state never grows with
     corpus size. Returns the StreamingQuery."""
-    import os as _os
-
     from opentick_spark.operators.sketch import cms_build
 
-    fresh_checkpoint = not _os.path.isdir(
-        _os.path.join(checkpoint_dir, "offsets")
-    )
-    has_partials = _os.path.isdir(partials_dir) and any(
-        e.startswith("batch=") for e in _os.listdir(partials_dir)
+    # the fence must see the SAME filesystem the sink writes to: the
+    # sink goes through Spark (any Hadoop FS URI — hdfs:, s3a:, file:),
+    # so probing with os.path would silently evaluate to "fresh, no
+    # partials" on non-local URIs and the double-count the fence exists
+    # to prevent comes back (r12 ADVICE). Resolve both paths through
+    # the Hadoop FileSystem API instead.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _fs_path(p: str):
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        return jpath.getFileSystem(hconf), jpath
+
+    fs, offsets = _fs_path(checkpoint_dir + "/offsets")
+    fresh_checkpoint = not fs.exists(offsets)
+    pfs, ppath = _fs_path(partials_dir)
+    has_partials = pfs.exists(ppath) and any(
+        st.getPath().getName().startswith("batch=")
+        for st in pfs.listStatus(ppath)
     )
     if fresh_checkpoint and has_partials:
         raise ValueError(

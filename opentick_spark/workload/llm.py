@@ -6048,6 +6048,7 @@ def user_triangle_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
              sc.cos / ((f.mu_s + b.mu_t) / 2) AS margin
       FROM sc JOIN f USING (sid) JOIN b USING (tid)
       WHERE sc.cos > 0   -- the operator's positive-candidate guard
+        AND (f.mu_s + b.mu_t) > 0  -- denominator guard (r12 ADVICE)
     ),
     best AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY sid

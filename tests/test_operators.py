@@ -1818,6 +1818,28 @@ class TestMarginBitextMining:
         with _pytest.raises(ValueError, match="k must be"):
             margin_bitext_pairs(df, df, k=0)
 
+    def test_negative_denominator_candidates_dropped(self, spark):
+        """r12 ADVICE: k-NN neighborhood means can average NEGATIVE
+        cosines, so a candidate with cos > 0 can still see
+        (mu_s + mu_t) <= 0 — an ill-defined ratio (Inf/NaN at zero,
+        sign-flipped otherwise). Such candidates must be dropped, not
+        scored: here s1's k=2 neighborhood mean is -0.456 (one mild
+        match, one anti-match), making the denominator negative for the
+        only positive-cosine pair — even a pass-everything threshold
+        must return nothing."""
+        import math
+
+        from opentick_spark.operators.similarity import margin_bitext_pairs
+
+        a = math.radians(85)
+        src = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+        tgt = spark.createDataFrame(
+            [(10, [math.cos(a), math.sin(a)]), (11, [-1.0, 0.0])],
+            ["vec_id", "embedding"],
+        )
+        rows = margin_bitext_pairs(src, tgt, k=2, threshold=-1e18).collect()
+        assert rows == []
+
 
 def test_bigram_pmi_survives_empty_documents(spark):
     """r12 review finding: an empty/whitespace-only doc used to crash

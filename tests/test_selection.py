@@ -738,6 +738,35 @@ def test_exact_percentiles_ties_and_plan(spark):
     assert opt.rindex("Window [") < hist_pos  # windows above the histogram
 
 
+def test_percentile_family_excludes_nulls(spark):
+    """r12 ADVICE: Spark windows sort NULLs first, DuckDB last — a NULL
+    histogram row would shift every cumulative count differently per
+    engine. Contract: NULL values are excluded, so a null-bearing input
+    must produce byte-identical output to its non-null subset across
+    all three histogram-CDF operators."""
+    from opentick_spark.operators.selection import (
+        cdf_buckets,
+        exact_percentiles,
+        exact_percentiles_by,
+    )
+
+    clean = spark.range(100).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+        "CAST(id % 11 AS LONG) AS v",
+    )
+    dirty = clean.unionAll(
+        spark.range(17).selectExpr("'a' AS g", "CAST(NULL AS LONG) AS v")
+    )
+    for op in (
+        lambda d: exact_percentiles(d, "v"),
+        lambda d: exact_percentiles_by(d, "v", "g"),
+        lambda d: cdf_buckets(d, "v", 4),
+    ):
+        a = sorted(map(tuple, op(clean).collect()))
+        b = sorted(map(tuple, op(dirty).collect()))
+        assert a == b and a  # identical, and not vacuously empty
+
+
 def test_triangle_count_golden_and_orientation(spark):
     """graph.triangle_count (r12): K4 golden (4 triangles, every vertex
     in 3), pendant vertex reports 0, and input normalization — reversed

@@ -897,3 +897,51 @@ def test_wire_callback_result_skip(conn):
     while conn._futures and time.time() < deadline:
         time.sleep(0.01)
     assert not conn._futures  # every ticket popped by the recv loop
+
+
+def test_wire_callback_default_timeout(conn):
+    """Reference deadline-timer parity (opentick.h:544-561): with
+    default_timeout > 0, a callback whose reply never arrives gets
+    ``([], "timeout")`` and its pending entry is evicted — without the
+    timer a dropped reply on a healthy connection leaves a
+    fire-and-forget caller uninvoked forever (r12 ADVICE)."""
+    from concurrent.futures import Future as CFuture
+
+    _mkdb(conn, "wcbt")
+    conn.execute("create table t(a int, primary key(a))")
+    conn.execute("insert into t(a) values(?)", (7,))
+    old = conn.default_timeout
+    conn.default_timeout = 0.2
+    try:
+        # simulate a dropped reply: a pending future no reply will match
+        fut = CFuture()
+        fut.ot_ticket = 999_999
+        fut.ot_futures = conn._futures
+        conn._futures[999_999] = fut
+        got, done = [], threading.Event()
+        ret = conn._wrap_reply(
+            fut,
+            lambda r: r,
+            callback=lambda rows, err: (got.append((rows, err)), done.set()),
+        )
+        assert ret is None
+        assert done.wait(5)
+        assert got == [([], "timeout")]  # exact reference error string
+        assert 999_999 not in conn._futures  # pending entry evicted
+
+        # a reply that DOES arrive cancels the timer: exactly one
+        # delivery, no spurious timeout after the deadline passes
+        # (deterministic: complete the raw future as the recv loop would)
+        fut2 = CFuture()
+        got2, done2 = [], threading.Event()
+        conn._wrap_reply(
+            fut2,
+            lambda r: r,
+            callback=lambda rows, err: (got2.append((rows, err)), done2.set()),
+        )
+        fut2.set_result([(7,)])  # the reply wins the race
+        assert done2.wait(5)
+        time.sleep(0.4)  # past the 0.2s deadline
+        assert got2 == [([(7,)], "")]
+    finally:
+        conn.default_timeout = old

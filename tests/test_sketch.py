@@ -281,6 +281,17 @@ class TestCountMin:
         b = SK.cms_build(pre, "w", width=128, depth=3, weight_col="c").collect()[0][0]
         assert a == b
 
+    def test_depth_one_works(self, spark):
+        # depth=1 is explicitly allowed by _cms_check but F.least needs
+        # >= 2 args (r12 ADVICE): the single-row estimate is that cell
+        words = self._words(spark, n_distinct=30)
+        cms = SK.cms_build(words, "w", width=2048, depth=1)
+        exact = words.groupBy("w").count()
+        est = SK.cms_estimate(exact, cms, "w", width=2048, depth=1)
+        assert est.filter(F.col("cms_est") < F.col("count")).count() == 0
+        # roomy width → collision-free → exact even with one hash row
+        assert est.filter(F.col("cms_est") != F.col("count")).count() == 0
+
     def test_param_validation(self, spark):
         words = self._words(spark, n_distinct=5)
         with pytest.raises(ValueError, match="width"):

@@ -506,3 +506,33 @@ def test_streaming_cms_replay_is_exactly_once(spark, tmp_path):
     exact = rows.groupBy(F.col("text").alias("w")).count()
     joined = est.join(exact, "w")
     assert joined.filter(F.col("cms_est") != F.col("count")).count() == 0
+
+
+def test_streaming_cms_fence_sees_hadoop_fs_uris(spark, tmp_path):
+    """r12 ADVICE (medium): the sink writes through Spark, which
+    accepts any Hadoop FS URI — so the fence must probe through the
+    Hadoop FileSystem API too. With ``file:``-scheme paths,
+    os.path.isdir would silently say 'fresh, no partials' and the
+    double-count fence is bypassed; the FS-API fence must still
+    raise."""
+    import os
+
+    import pytest as _pytest
+
+    from opentick_spark.streaming.rollup import streaming_cms_build
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    parts = tmp_path / "parts"
+    (parts / "batch=0").mkdir(parents=True)  # stale partial from a prior run
+    ck = tmp_path / "ck_fresh"  # no offsets/ → fresh checkpoint
+
+    with _pytest.raises(ValueError, match="fresh checkpoint"):
+        streaming_cms_build(
+            spark,
+            "file:" + src,
+            "doc_id long, text string",
+            "file:" + str(parts),
+            "file:" + str(ck),
+            "text",
+        )
