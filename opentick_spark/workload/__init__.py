@@ -46,19 +46,15 @@ real bugs invisible at sf0.01 (r3: a keeper tie-break). Run
 ``SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.1 python
 tests/oracle_check.py`` to reproduce.
 
-Round-12 rotation (VERDICT r11 item 5): the displaced r7-stale tail
-rejoins first (text_fingerprint … window_running_sum, 10 entries —
-no entry's last driver row ages past ~4 rounds), then the four
-queries whose ORACLES were re-typed this round after the r11
-HUGEINT/DECIMAL finding (deterministic_shard_assign,
-curriculum_length_buckets — the two r11 reds, judge's done-criterion
-is hash-green driver rows in r12 — plus idempotent_batch_state and
-dialect_upsert_delete whose latent DECIMAL oracles were hardened by
-the same sweep; data_quality_report and merge_into_final_state, the
-other two sweep finds, land inside the r8 cohort below), then the
-alphabetical head of the r8-stale cohort (36 of 50). The deferred r8
-tail — source_mixture_stats … weighted_sample_docs, 14 entries —
-leads the r13 queue.
+Round-13 rotation (VERDICT r12 item 5, the documented queue): the
+21 r8-stale entries lead — the deferred r8 tail (source_mixture_stats
+… weighted_sample_docs, 14 entries) plus the seven r12 displacements
+(semantic_contamination, seq_len_histogram, sim_topk_pq,
+sim_topk_quantized, rolling_zscore_outliers, return_correlation,
+realized_vol_hourly) — then the alphabetical head of the r9-stale
+cohort (49 entries; the head fills the window, the tail yields one
+slot per mid-round r13 addition, the r6-r12 precedent). The deferred
+r9 tail leads the r14 queue.
 Every rotated-out entry was driver-green in a prior round with an
 unchanged implementation and keeps oracle_check value coverage each
 round. The per-query rotation history (query →
@@ -86,84 +82,62 @@ ALL_ORACLES = {**_CORE_O, **_TICK_O, **_LLM_O}
 # asked for — query → rounds driver-checked → local verification),
 # replacing the docstring changelogs.
 _DRIVER_WINDOW = [
-    # ---- round 12 rotation (VERDICT r11 item 5): the r7-stale tail
-    # displaced by the r11 window rejoins so no entry's last driver row
-    # ages past ~4 rounds ----
-    "text_fingerprint",
-    "text_pii_redaction",
-    "text_quality",
-    "text_unigram_nll",
-    "video_clip_containment",
-    "window_count_distinct",
-    "window_lead_lag",
-    "window_range_frame",
-    "window_rank_stats",
-    "window_running_sum",
-    # ---- the four re-typed oracles from the r12 HUGEINT/DECIMAL sweep
-    # (VERDICT r11 items 1-2): the two r11 reds need hash-green driver
-    # rows this round to close the finding; the other two had latent
-    # DECIMAL oracles hardened by the same sweep ----
-    "deterministic_shard_assign",
-    "curriculum_length_buckets",
-    "idempotent_batch_state",
-    "dialect_upsert_delete",
-    # ---- alphabetical head of the r8-stale cohort (36 of 50; the
-    # deferred tail source_mixture_stats..weighted_sample_docs leads the
-    # r13 queue; data_quality_report and merge_into_final_state in this
-    # cohort are the remaining two oracle-sweep fixes) ----
-    "adj_factor_audit",
-    "ann_recall_planted",
-    "arrow_ipc_roundtrip_stats",
-    "balanced_sample_per_lang",
-    "bar_downsample_daily",
-    "corpus_split_stats",
-    "curated_corpus_stats",
-    "data_quality_report",
-    "decayed_event_stats",
-    "dedup_aware_split_stats",
-    "dedup_embedding_lsh",
-    "dedup_keeper_by_quality",
-    "dedup_ngram_jaccard",
-    "dsir_importance_scores",
-    "dup_span_stats",
-    "event_transitions",
-    "heavy_hitter_words",
-    "image_exif_audit",
-    "jsonl_zst_ingest_stats",
-    "knn_label_vote",
-    "length_batch_stats",
-    "mad_outlier_stats",
-    "market_beta",
-    "max_drawdown",
-    "merge_into_final_state",
-    "multimodal_frame_sample",
-    "negative_sampling",
-    "sim_topk_ivf_append",
-    "sim_topk_ivf_indexed",
-    # ---- mid-round r12 additions (first-time driver evidence the round
-    # they land, the r6-r11 precedent; the displaced r8-cohort tail —
-    # semantic_contamination, seq_len_histogram, sim_topk_pq,
-    # sim_topk_quantized — joins the r13 queue) ----
-    # Count-Min Sketch word frequencies: the oracle replicates every
-    # md5-bucketed cell, so the sketch itself is value-checked
-    "cms_word_freq",
-    # top-50 bigram collocations by PMI, ranked on the raw
-    # exact-integer-division key (IEEE-identical cross-engine)
-    "bigram_pmi_top",
-    # streaming CMS maintenance: batch_id-keyed overwrite partials,
-    # oracle checks the streamed sketch cell-for-cell vs a batch build
-    "streaming_cms_freq",
-    # exact length percentiles from the histogram CDF (no global sort)
-    "exact_length_percentiles",
-    # degree-oriented exact triangle centrality (O(m^1.5) wedge bound);
-    # displaces rolling_zscore_outliers to the r13 queue
-    "user_triangle_centrality",
-    # margin-based bitext mining (LASER ratio margin, hubness-proof);
-    # displaces return_correlation to the r13 queue
-    "bitext_margin_mine",
-    # per-group exact percentiles (grouped histogram-CDF twin);
-    # displaces realized_vol_hourly to the r13 queue
-    "source_length_percentiles",
+    # ---- round 13 rotation (VERDICT r12 item 5): the documented queue.
+    # First the deferred r8 tail (14 entries) ----
+    "source_mixture_stats",
+    "source_token_entropy",
+    "streaming_enrich",
+    "streaming_hop_counts",
+    "temperature_sample",
+    "text_bigram_nll",
+    "text_repetition",
+    "text_token_count_total",
+    "tfidf_top_terms",
+    "token_shard_stats",
+    "twap_hourly",
+    "video_clip_containment_grouped",
+    "vocab_coverage_top100",
+    "weighted_sample_docs",
+    # ---- then the seven r12 displacements (all r8-stale) ----
+    "semantic_contamination",
+    "seq_len_histogram",
+    "sim_topk_pq",
+    "sim_topk_quantized",
+    "rolling_zscore_outliers",
+    "return_correlation",
+    "realized_vol_hourly",
+    # ---- alphabetical head of the r9-stale cohort (49 entries; the
+    # tail yields one slot per mid-round r13 addition below, the
+    # r6-r12 precedent; the deferred tail leads the r14 queue) ----
+    "adj_forward",
+    "approx_distinct_users",
+    "asof_join_purchase_signup",
+    "bloom_decontaminate",
+    "collocation_pmi_top100",
+    "continuous_ohlcv",
+    "dataset_card",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_edit_distance",
+    "dedup_minhash_lsh",
+    "dedup_ppjoin",
+    "embedding_random_projection",
+    "event_type_lift",
+    "exact_quantiles_by_type",
+    "funnel_time_to_convert",
+    "group_kfold_stats",
+    "hard_negative_mining",
+    "hll_distinct_rollup",
+    "hourly_seasonality",
+    "hybrid_search",
+    "incremental_dedup",
+    "key_skew_report",
+    "label_cohesion_stats",
+    "lang_id_confusion",
+    "lead_lag_correlation",
+    "mahalanobis_outliers",
+    "merge_evolution_state",
+    "meta_catalog",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
