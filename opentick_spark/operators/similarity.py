@@ -1159,6 +1159,48 @@ def random_projection(
     return df.select(F.col(id_col), _project(F.col(vec_col)).alias("proj"))
 
 
+def _probe_lists(
+    df: DataFrame,
+    cents_rows,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Route each vector to its ``nprobe`` nearest centroids WITHOUT a
+    join: the centroid matrix is driver-collected (ncentroids × dim —
+    the PQ-codebook / probed-centroid-ids collect() precedent: tiny by
+    construction) and closed over by an Arrow-vectorized argsort, so
+    the plan is a narrow projection + explode — no
+    BroadcastNestedLoopJoin even over the tiny centroid relation.
+    Ties break to the LOWER centroid_id (stable argsort over
+    cid-ascending columns), matching ivf_topk's (sim desc, centroid_id)
+    window order. Output: (id_col, vec_col, centroid_id) — one row per
+    probed list."""
+    order = sorted(cents_rows, key=lambda r: r[0])  # cid-ascending
+    cids = np.asarray([int(c) for c, _ in order], dtype=np.int64)
+    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in order])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    n = min(int(nprobe), len(cids))
+
+    @pandas_udf(ArrayType(LongType()))
+    def _probe(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        sims = Vn @ Cn.T
+        # stable argsort on -sims over cid-ascending columns: exact
+        # ties go to the lower centroid_id deterministically
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        return pd.Series(list(cids[top]))
+
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(_probe(F.col(vec_col))).alias("centroid_id"),
+    )
+
+
 def margin_bitext_pairs(
     src: DataFrame,
     tgt: DataFrame,
@@ -1166,6 +1208,10 @@ def margin_bitext_pairs(
     threshold: float = 1.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "exact",
+    ncentroids: int = 16,
+    nprobe: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
     LASER recipe): candidate pair score is the RATIO margin
@@ -1179,40 +1225,93 @@ def margin_bitext_pairs(
     pairs or drop everything else). 'max' strategy: each source keeps
     its single best-margin target, filtered at ``threshold``.
 
-    Shapes: the pairwise scoring is the brute_force_topk posture
-    (broadcast the smaller language × scan the larger); both
-    neighborhood means and the margin join read the same scored
-    relation, which is localCheckpointed so the cross product is
-    MATERIALIZED once — without the checkpoint the three consumers
-    re-execute it (verified on the physical plan: three
-    BroadcastNestedLoopJoin nodes, zero ReusedExchange, because the
-    exchanges above it differ; r12 review finding). At corpus scale, swap the exact cross for the IVF/LSH
-    candidate generator (ivf_topk_indexed) — the margin formula only
-    needs each candidate's top-k neighborhood, which the index probe
-    already returns.
+    Strategies (``strategy=``):
+
+    - ``"exact"`` (default, the oracle-checked path): brute_force_topk
+      posture — broadcast the smaller language × scan the larger. Both
+      neighborhood means and the margin join read the same scored
+      relation, which is localCheckpointed so the cross product is
+      MATERIALIZED once — without the checkpoint the three consumers
+      re-execute it (r12 review finding). |S|×|T| work: right for
+      benchmark-sized mining, not for corpus scale.
+    - ``"ivf"`` (r13, VERDICT r12 item 1 — the corpus-scale path):
+      shared coarse quantizer over S ∪ T (``seed_centroids``, or
+      k-means when ``train_iters`` > 0); every vector is ASSIGNED to
+      its nearest list and PROBES its ``nprobe`` nearest. Forward
+      candidates = s-probes ⋈ t-assignments on centroid_id (s's
+      approximate k-NN list → μ_s); backward = t-probes ⋈
+      s-assignments (→ μ_t); the margin is scored over the
+      forward ∪ backward union. Work is Σ|list_s|·|list_t| over
+      co-probed lists instead of |S|×|T|; every join keys on
+      centroid_id/sid/tid (hash joins — NO BroadcastNestedLoopJoin:
+      even centroid routing is a driver-collected-matrix Arrow argsort,
+      see ``_probe_lists``), and at 1000 executors the lists shard by
+      centroid exactly like ``build_ivf_index``'s physical layout.
+      ``nprobe == ncentroids`` probes every list, making the result
+      EXACTLY equal to ``"exact"`` (the equivalence test's contract);
+      smaller nprobe trades recall for cost like ``ivf_topk``. A pair
+      whose two endpoints never co-probe is unscored (standard IVF
+      recall loss); a candidate t with an empty backward list has no
+      μ_t and drops out of the margin join.
 
     Output: (src_id, tgt_id, cos, margin) — one row per source with
     margin ≥ threshold; ranked on RAW doubles, ids break exact ties.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if strategy not in ("exact", "ivf"):
+        raise ValueError(f"strategy must be 'exact' or 'ivf', got {strategy!r}")
     s = src.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
     t = tgt.select(F.col(id_col).alias("tid"), F.col(vec_col).alias("tv"))
-    scored = (
-        t.crossJoin(F.broadcast(s))
-        .select("sid", "tid", cosine(F.col("sv"), F.col("tv")).alias("cos"))
-        .localCheckpoint(eager=False)  # one materialization, 3 consumers
-    )
+    if strategy == "exact":
+        scored = (
+            t.crossJoin(F.broadcast(s))
+            .select("sid", "tid", cosine(F.col("sv"), F.col("tv")).alias("cos"))
+            .localCheckpoint(eager=False)  # one materialization, 3 consumers
+        )
+        fwd_scored = bwd_scored = cand_scored = scored
+    else:
+        both = s.select(
+            F.col("sid").alias("vec_id"), F.col("sv").alias("embedding")
+        ).unionAll(
+            t.select(F.col("tid").alias("vec_id"), F.col("tv").alias("embedding"))
+        )
+        if train_iters > 0:
+            cents = kmeans_centroids(both, ncentroids=ncentroids, iters=train_iters)
+        else:
+            cents = seed_centroids(both, ncentroids=ncentroids)
+        crows = [(r["centroid_id"], r["centv"]) for r in cents.collect()]
+        s_probe = _probe_lists(s, crows, nprobe, "sid", "sv")
+        t_probe = _probe_lists(t, crows, nprobe, "tid", "tv")
+        # nearest list == first probe: assignment is the nprobe=1 slice
+        s_assign = _probe_lists(s, crows, 1, "sid", "sv")
+        t_assign = _probe_lists(t, crows, 1, "tid", "tv")
+        cos_expr = cosine(F.col("sv"), F.col("tv")).alias("cos")
+        # each pair appears at most once per direction (assignment is
+        # unique, probes are distinct lists) — no within-branch dedup
+        fwd_scored = (
+            s_probe.join(t_assign, "centroid_id")
+            .select("sid", "tid", cos_expr)
+            .localCheckpoint(eager=False)  # consumed by μ_s and the union
+        )
+        bwd_scored = (
+            s_assign.join(t_probe, "centroid_id")
+            .select("sid", "tid", cos_expr)
+            .localCheckpoint(eager=False)  # consumed by μ_t and the union
+        )
+        # identical expression on identical values → bit-identical cos:
+        # the (sid, tid, cos) distinct is safe on the double
+        cand_scored = fwd_scored.unionAll(bwd_scored).distinct()
     wf = Window.partitionBy("sid").orderBy(F.desc("cos"), "tid")
     wb = Window.partitionBy("tid").orderBy(F.desc("cos"), "sid")
     fwd = (
-        scored.withColumn("__r", F.row_number().over(wf))
+        fwd_scored.withColumn("__r", F.row_number().over(wf))
         .filter(F.col("__r") <= k)
         .groupBy("sid")
         .agg(F.avg("cos").alias("__mu_s"))
     )
     bwd = (
-        scored.withColumn("__r", F.row_number().over(wb))
+        bwd_scored.withColumn("__r", F.row_number().over(wb))
         .filter(F.col("__r") <= k)
         .groupBy("tid")
         .agg(F.avg("cos").alias("__mu_t"))
@@ -1223,7 +1322,7 @@ def margin_bitext_pairs(
     # the sign and a perfect anti-match scores a huge positive margin
     # (caught by the golden test's (-1, 0) target)
     margins = (
-        scored.filter(F.col("cos") > 0)
+        cand_scored.filter(F.col("cos") > 0)
         .join(fwd, "sid")
         .join(bwd, "tid")
         # the denominator needs the same guard as the numerator: k-NN

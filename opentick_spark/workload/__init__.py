@@ -137,7 +137,12 @@ _DRIVER_WINDOW = [
     "lead_lag_correlation",
     "mahalanobis_outliers",
     "merge_evolution_state",
-    "meta_catalog",
+    # ---- mid-round r13 additions (first-time driver evidence the
+    # round they land, the r6-r12 precedent) ----
+    # IVF-candidate bitext mining at full probe: value-checks the
+    # strategy='ivf' plumbing against the exact brute-force oracle;
+    # displaces meta_catalog to the r14 queue
+    "bitext_margin_mine_ivf",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -1818,6 +1818,86 @@ class TestMarginBitextMining:
         with _pytest.raises(ValueError, match="k must be"):
             margin_bitext_pairs(df, df, k=0)
 
+    def _pseudo_corpus(self, spark, n, dim, seed, id0=0):
+        import random as _random
+
+        rng = _random.Random(seed)
+        rows = [
+            (id0 + i, [rng.uniform(-1.0, 1.0) for _ in range(dim)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_ivf_full_probe_equals_exact(self, spark):
+        """strategy='ivf' with nprobe == ncentroids probes every list, so
+        forward candidates are the full S×T and both μ_k neighborhoods
+        see exactly what the exact path sees: the result must be
+        IDENTICAL (VERDICT r12 item 1's equivalence contract)."""
+        from opentick_spark.operators.similarity import margin_bitext_pairs
+
+        src = self._pseudo_corpus(spark, 30, 6, seed=13)
+        tgt = self._pseudo_corpus(spark, 45, 6, seed=29, id0=1000)
+        kw = dict(k=4, threshold=0.9)
+        exact = sorted(map(tuple, margin_bitext_pairs(src, tgt, **kw).collect()))
+        ivf = sorted(
+            map(
+                tuple,
+                margin_bitext_pairs(
+                    src, tgt, strategy="ivf", ncentroids=8, nprobe=8, **kw
+                ).collect(),
+            )
+        )
+        assert len(exact) > 0  # non-vacuous
+        assert [(a, b) for a, b, *_ in exact] == [(a, b) for a, b, *_ in ivf]
+        for e, v in zip(exact, ivf):
+            assert abs(e[2] - v[2]) < 1e-12 and abs(e[3] - v[3]) < 1e-12
+
+    def test_ivf_planted_recall_at_partial_probe(self, spark):
+        """Planted-geometry recall with nprobe < ncentroids (the
+        ann_recall_planted style, forced behavior): 8 orthogonal
+        clusters, ids ≡ cluster (mod 8), so seed_centroids puts centroid
+        c at e_c exactly and every vector routes to its own cluster's
+        list. Each source must recover its cluster's lowest-id target
+        while probing only 2 of 8 lists."""
+        from opentick_spark.operators.similarity import margin_bitext_pairs
+
+        def e(c):
+            return [1.0 if i == c else 0.0 for i in range(8)]
+
+        src = spark.createDataFrame(
+            [(c, e(c)) for c in range(8)], ["vec_id", "embedding"]
+        )
+        tgt = spark.createDataFrame(
+            [(8 + j, e((8 + j) % 8)) for j in range(32)],
+            ["vec_id", "embedding"],
+        )
+        out = margin_bitext_pairs(
+            src, tgt, k=4, threshold=1.0, strategy="ivf",
+            ncentroids=8, nprobe=2,
+        ).collect()
+        picked = {r["src_id"]: r["tgt_id"] for r in out}
+        # cluster c's targets are {8+c, 16+c, 24+c, 32+c}: equal-margin
+        # ties break to the lowest tid
+        assert picked == {c: 8 + c for c in range(8)}
+
+    def test_ivf_plan_has_no_nested_loop_join(self, spark):
+        """The scale contract (VERDICT r12 item 1): the IVF path's plan
+        must contain NO BroadcastNestedLoopJoin or CartesianProduct —
+        candidate generation is hash joins on centroid_id (even
+        centroid routing is a collected-matrix Arrow argsort, not a
+        broadcast cross)."""
+        from opentick_spark.operators.similarity import margin_bitext_pairs
+
+        src = self._pseudo_corpus(spark, 24, 6, seed=7)
+        tgt = self._pseudo_corpus(spark, 36, 6, seed=11, id0=500)
+        df = margin_bitext_pairs(
+            src, tgt, k=3, threshold=0.5, strategy="ivf",
+            ncentroids=4, nprobe=2,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_negative_denominator_candidates_dropped(self, spark):
         """r12 ADVICE: k-NN neighborhood means can average NEGATIVE
         cosines, so a candidate with cos > 0 can still see
