@@ -225,6 +225,40 @@ def deterministic_shards(
     return df.withColumn("shard", h % F.lit(int(n_shards)))
 
 
+def _hist_cdf(hist: DataFrame, value_col: str, group_cols: tuple = ()) -> DataFrame:
+    """Inclusive CDF (``__cum``) + per-group total (``__total``) over a
+    value histogram (one row per distinct value [per group], counts in
+    ``__cnt``). Numeric value domains use the two-level range-bucketed
+    prefix sum (operators.prefix_sum — r13, VERDICT r12 item 3): no
+    window task ever sees more than n_buckets rows per group, so an
+    UNBOUNDED value domain no longer degrades to a single-task global
+    sort. Non-rangeable types (strings …) keep the single window — for
+    those the caller's contract is a histogram-sized domain. ``__total``
+    re-aggregates the histogram; the histogram's shuffle is planner-
+    deduplicated (ReusedExchange — plan-asserted in tests), so the
+    corpus is still scanned once."""
+    from opentick_spark.operators.prefix_sum import (
+        is_rangeable,
+        two_level_cumsum,
+    )
+
+    if is_rangeable(hist.schema[value_col].dataType):
+        cum = two_level_cumsum(
+            hist, value_col, "__cnt", "__cum",
+            group_cols=group_cols, inclusive=True,
+        )
+    else:
+        w = Window.partitionBy(*group_cols).orderBy(value_col)
+        cum = hist.withColumn("__cum", F.sum("__cnt").over(w))
+    if group_cols:
+        totals = hist.groupBy(*group_cols).agg(
+            F.sum("__cnt").alias("__total")
+        )
+        return cum.join(F.broadcast(totals), list(group_cols))
+    totals = hist.agg(F.sum("__cnt").alias("__total"))
+    return cum.crossJoin(F.broadcast(totals))
+
+
 def cdf_buckets(
     df: DataFrame,
     value_col: str,
@@ -236,8 +270,10 @@ def cdf_buckets(
     proxy such as length). NTILE over the full corpus would funnel
     100 TB through one sorted partition; instead the exact CDF is
     computed on the VALUE HISTOGRAM (one hash agg — the only shuffle;
-    its size is the value domain, not the corpus) and the running-sum
-    window runs on that small relation. Every row with the same value
+    its size is the value domain, not the corpus) with the two-level
+    range-bucketed prefix sum (``_hist_cdf``/``operators.prefix_sum``,
+    r13) — so even an UNBOUNDED numeric domain never funnels into a
+    single-task window. Every row with the same value
     lands in the same bucket (ceil(cum·n/total) on the value's
     cumulative count) — deterministic, no row-order tie-break needed.
 
@@ -250,14 +286,8 @@ def cdf_buckets(
     every cumulative count differently per engine."""
     df = df.filter(F.col(value_col).isNotNull())
     hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    w = Window.orderBy(value_col)  # histogram-sized, not corpus-sized
-    cdf = hist.select(
-        F.col(value_col),
-        F.col("__cnt"),
-        F.sum("__cnt").over(w).alias("__cum"),
-        F.sum("__cnt").over(
-            Window.partitionBy()  # single small relation: fine
-        ).alias("__total"),
+    cdf = _hist_cdf(hist, value_col).select(
+        F.col(value_col), F.col("__cnt"), "__cum", "__total"
     )
     # integer-exact ceil division (both engines: DIV / //), no doubles
     buck = cdf.withColumn(
@@ -286,12 +316,12 @@ def exact_percentiles(
     cdf_buckets posture applied to point quantiles: percentile num/den
     is the smallest value whose cumulative count reaches
     ceil(num·total/den). The corpus-sized work is ONE hash agg (the
-    value histogram); the running-sum window and the per-q threshold
-    probe run on the histogram, whose size is the value domain, not the
-    corpus. ``percentile_approx`` trades exactness for one pass; this
-    keeps exactness at the same pass count whenever the value domain is
-    bounded (lengths, scores, timestamps at fixed grain — the usual
-    curriculum/quality columns).
+    value histogram); the CDF runs on the histogram through the
+    two-level range-bucketed prefix sum (``_hist_cdf``, r13 — no
+    single-task window even when the numeric value domain is unbounded)
+    and the per-q threshold probe joins a tiny q-table.
+    ``percentile_approx`` trades exactness for one pass; this keeps
+    exactness at the same pass count.
 
     Thresholds are integer-exact: (num·total + den − 1) DIV den — no
     doubles anywhere near the boundary, so cross-engine oracle parity
@@ -303,11 +333,8 @@ def exact_percentiles(
     cumulative count differently per engine)."""
     df = df.filter(F.col(value_col).isNotNull())
     hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    w = Window.orderBy(value_col)  # histogram-sized, never corpus-sized
-    cdf = hist.select(
-        F.col(value_col),
-        F.sum("__cnt").over(w).alias("__cum"),
-        F.sum("__cnt").over(Window.partitionBy()).alias("__total"),
+    cdf = _hist_cdf(hist, value_col).select(
+        F.col(value_col), "__cum", "__total"
     )
     qdf = F.broadcast(
         cdf.sparkSession.createDataFrame(
@@ -341,8 +368,9 @@ def exact_percentiles_by(
 ) -> DataFrame:
     """Per-group exact type-1 percentiles — ``exact_percentiles``
     partitioned by ``group_col``: ONE corpus-sized hash agg builds the
-    per-group value histogram, the CDF window partitions by group (so
-    per-partition work is each group's value domain, never the corpus),
+    per-group value histogram, the CDF partitions by (group, range
+    bucket) via the shared two-level prefix sum (``_hist_cdf``, r13 —
+    a hot group's unbounded value domain no longer funnels one task),
     and the threshold probe joins the same tiny q-table. The per-source
     /-language quality-report shape: a 100 TB corpus reduces to
     |groups| × |value domain| histogram rows after the first agg.
@@ -355,12 +383,8 @@ def exact_percentiles_by(
     hist = df.groupBy(group_col, value_col).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    w = Window.partitionBy(group_col).orderBy(value_col)
-    cdf = hist.select(
-        F.col(group_col),
-        F.col(value_col),
-        F.sum("__cnt").over(w).alias("__cum"),
-        F.sum("__cnt").over(Window.partitionBy(group_col)).alias("__total"),
+    cdf = _hist_cdf(hist, value_col, group_cols=(group_col,)).select(
+        F.col(group_col), F.col(value_col), "__cum", "__total"
     )
     qdf = F.broadcast(
         cdf.sparkSession.createDataFrame(

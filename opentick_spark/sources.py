@@ -166,43 +166,20 @@ def assign_token_shards(
     yields each row's exact global running token count, and
     ``shard = tokens_before div shard_tokens`` — a document belongs to
     the shard where it STARTS, the same boundary rule as
-    ``pack_sequences``. Adds ``shard`` and ``tokens_before``."""
-    from pyspark.sql import Window
+    ``pack_sequences``. Adds ``shard`` and ``tokens_before``.
+
+    The two-level prefix sum lives in ``operators.prefix_sum`` (r13:
+    factored out so the histogram-CDF percentile family shares it);
+    the integer bucket formula there is this function's original,
+    bit-for-bit."""
+    from opentick_spark.operators.prefix_sum import two_level_cumsum
 
     if shard_tokens <= 0:
         raise ValueError("shard_tokens must be positive")
-    bounds = df.agg(
-        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
-    ).first()
-    lo, hi = bounds["lo"], bounds["hi"]
-    if lo is None:
-        lo, width = 0, 1
-    else:
-        width = max(1, (hi - lo) // n_buckets + 1)
-    with_b = df.withColumn(
-        "__bkt", F.expr(f"({id_col} - {lo}L) div {width}L")
-    )
-    sums = with_b.groupBy("__bkt").agg(F.sum(tokens_col).alias("__btok"))
-    wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sums.withColumn(
-        "__off", F.coalesce(F.sum("__btok").over(wb), F.lit(0))
-    ).select("__bkt", "__off")
-    w_in = (
-        Window.partitionBy("__bkt")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        with_b.join(F.broadcast(offsets), "__bkt")
-        .withColumn(
-            "tokens_before",
-            F.col("__off")
-            + F.coalesce(F.sum(tokens_col).over(w_in), F.lit(0)),
-        )
-        .withColumn(
-            "shard", F.expr(f"tokens_before div {shard_tokens}L").cast("int")
-        )
-        .drop("__bkt", "__off")
+    return two_level_cumsum(
+        df, id_col, tokens_col, "tokens_before", n_buckets=n_buckets
+    ).withColumn(
+        "shard", F.expr(f"tokens_before div {shard_tokens}L").cast("int")
     )
 
 

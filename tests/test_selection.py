@@ -670,14 +670,22 @@ def test_cdf_buckets_exact_deciles_no_global_sort(spark):
     # all-distinct values 1..100, 10 buckets => exactly 10 per bucket
     df = spark.range(1, 101).selectExpr("id AS v")
     res = cdf_buckets(df, "v", 10)
-    # plan shape IS the contract: both windows (running sum + total) sit
-    # ABOVE the histogram aggregate — never on the corpus-sized input.
-    # An NTILE-over-raw regression would put a Window below the (then
-    # missing) histogram agg and fail here while staying value-correct.
+    # plan shape IS the contract (r13: the CDF goes through the
+    # two-level range-bucketed prefix sum): the bucket machinery is
+    # present, the windows run above the histogram aggregate, and the
+    # only unpartitioned window orders on the bounded __tl_bkt relation
+    # — an NTILE-over-raw regression would window the corpus rows
+    import re as _re
+
     opt = res._jdf.queryExecution().optimizedPlan().toString()
-    hist_pos = opt.index("count(1) AS __cnt")  # the histogram aggregate
+    assert "count(1) AS __cnt" in opt  # the histogram aggregate
+    assert "__tl_bkt" in opt
     assert "Window [" in opt
-    assert opt.rindex("Window [") < hist_pos  # all windows above the agg
+    for spec in _re.findall(
+        r"windowspecdefinition\(([^)]*?) (?:ASC|DESC)", opt
+    ):
+        if "," not in spec:  # unpartitioned window
+            assert "__tl_bkt" in spec.split(",")[0], spec
     out = {r["bucket"]: r for r in res.collect()}
     assert sorted(out) == list(range(1, 11))
     for b, r in out.items():
@@ -734,8 +742,70 @@ def test_exact_percentiles_ties_and_plan(spark):
 
     res = exact_percentiles(df, "v")
     opt = res._jdf.queryExecution().optimizedPlan().toString()
-    hist_pos = opt.index("count(1) AS __cnt")
-    assert opt.rindex("Window [") < hist_pos  # windows above the histogram
+    # r13 plan contract: the histogram agg feeds the two-level CDF; no
+    # unpartitioned window orders on anything but the bounded __tl_bkt
+    import re as _re
+
+    assert "count(1) AS __cnt" in opt and "__tl_bkt" in opt
+    for spec in _re.findall(r"windowspecdefinition\(([^)]*?) (?:ASC|DESC)", opt):
+        if "," not in spec:
+            assert "__tl_bkt" in spec.split(",")[0], spec
+
+
+def test_percentiles_wide_domain_no_single_task_window(spark):
+    """VERDICT r12 item 3: on a WIDE numeric value domain (every value
+    distinct — the histogram IS the corpus) the CDF must use the
+    two-level range-bucketed prefix sum, not a single-task global
+    window. Plan contract: no unpartitioned window ordering on the
+    value column (the only permitted unpartitioned window is the
+    n_buckets-row offsets cumulation, which orders on __tl_bkt), the
+    bucket machinery present, and the histogram exchange REUSED (one
+    corpus agg feeds both the CDF and the total). Values: correct
+    type-1 percentiles on distinct doubles."""
+    import re
+
+    from opentick_spark.operators.selection import (
+        exact_percentiles,
+        exact_percentiles_by,
+    )
+
+    df = spark.range(10_000).selectExpr(
+        "CAST(id % 4 AS STRING) AS g",
+        # distinct, non-monotone doubles: a genuinely wide domain
+        "sin(CAST(id AS DOUBLE)) * 1e6 + id * 1e-3 AS v",
+    )
+    res = exact_percentiles(df, "v")
+    vals = sorted(r["v"] for r in df.select("v").collect())
+    out = {r["q"]: r["value"] for r in res.collect()}
+    # plan inspected AFTER execution: AQE finalizes exchange reuse at
+    # runtime (isFinalPlan=true)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # every unpartitioned windowspecdefinition must order on the
+    # bounded bucket relation, never on the raw value column
+    for spec in re.findall(r"windowspecdefinition\(([^)]*?) (?:ASC|DESC)", plan):
+        first_arg = spec.split(",")[0].strip()
+        if "," not in spec:  # no partition columns at all
+            assert "__tl_bkt" in first_arg, f"single-task window on {first_arg}"
+    assert "__tl_bkt" in plan
+    assert "ReusedExchange" in plan  # one corpus agg, two consumers
+
+    # values: p50 of 10k distinct values = the 5000th ascending value
+    assert out[0.5] == vals[4999] and out[0.25] == vals[2499]
+    assert out[0.99] == vals[9899]
+
+    # grouped variant: per-group rows match per-group ground truth
+    outg = {
+        (r["g"], r["q"]): r["value"]
+        for r in exact_percentiles_by(df, "v", "g").collect()
+    }
+    for g in ("0", "1", "2", "3"):
+        gv = sorted(
+            r["v"] for r in df.filter(F.col("g") == g).select("v").collect()
+        )
+        import math as _math
+
+        assert outg[(g, 0.5)] == gv[_math.ceil(0.5 * len(gv)) - 1]
+        assert outg[(g, 0.99)] == gv[_math.ceil(0.99 * len(gv)) - 1]
 
 
 def test_percentile_family_excludes_nulls(spark):
