@@ -1389,38 +1389,37 @@ def ngram_containment_pairs(
     )
 
 
-def prefix_filter_jaccard_pairs(
+def prefix_jaccard_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.5,
+    positional_filter: bool = True,
 ) -> DataFrame:
-    """Exact Jaccard near-dup pairs via PREFIX FILTERING (the
-    AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
-    WWW'08): deterministic exact results like ``ngram_jaccard_pairs``,
-    but candidates come only from each document's PREFIX — its
-    |S| - ceil(t·|S|) + 1 globally rarest shingles — instead of every
-    shingle. Completeness: if J(A,B) >= t then |A∩B| >= ceil(t·max(|A|,
-    |B|)) = a, and two sorted sets whose first |S| - a + 1 tokens are
-    disjoint can overlap at most a - 1 (every shared token <= the
-    smaller prefix boundary would sit in both prefixes), so some prefix
-    token is shared; per-set prefixes |S| - ceil(t·|S|) + 1 are >= that
-    and only widen the net.
+    """Candidate (id_a, id_b) pairs for ``prefix_filter_jaccard_pairs``
+    — exposed separately so the scale drill can MEASURE the candidate
+    volume each filter stage admits (r13, VERDICT r12 item 4).
 
-    Why it matters at 100 TB: the inverted-index join fans out on EVERY
-    shingle — the hottest (most common) shingles make the biggest,
-    skewed buckets. Rarest-first prefixes invert that: the join key is
-    biased toward LOW-frequency shingles (small buckets) and each doc
-    contributes ~(1-t) of its shingles, so candidate volume drops
-    superlinearly while the result stays exact — the deterministic
-    alternative to MinHash-LSH when probabilistic recall is not
-    acceptable. A size filter (t·|A| <= |B| and vice versa) prunes
-    length-incompatible pairs before verification.
+    Stages: prefix filter (rarest-first prefixes — see the main
+    operator's completeness proof), the size filter, and — new in r13 —
+    the PPJoin POSITIONAL filter (Xiao et al., WWW'08 §3.2, adapted to
+    the set-parallel join): a shared prefix token at sorted positions
+    (i, j) of A and B splits A∩B into before/at/after, so
 
-    Output contract matches ``ngram_jaccard_pairs``:
-    (id_a, id_b, jac) with id_a < id_b and jac >= threshold.
-    """
+        overlap <= min(i-1, j-1) + 1 + min(|A|-i, |B|-j)
+
+    for EVERY captured shared-prefix-token row (tokens shared only
+    outside one side's prefix fall in the ``before`` slack term —
+    that's what makes the per-row bound safe in the parallel setting,
+    where classic PPJoin's running-overlap accumulator doesn't exist).
+    The pair's tightest bound — min over its captured rows — must reach
+    the Jaccard overlap requirement α = ceil(t·(|A|+|B|)/(1+t))
+    (J >= t  ⟺  |A∩B| >= t·(|A|+|B|)/(1+t)); pairs that cannot are
+    dropped BEFORE the verify join ships their shingle arrays — the
+    r12 drill's ~60 GB verify spill under heavy duplication is exactly
+    this candidate mass. The same 9-decimal rounding guards the α
+    ceiling as guard the prefix-length ceiling."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     e = exploded_shingles(df, id_col, text_col, n)
@@ -1448,20 +1447,102 @@ def prefix_filter_jaccard_pairs(
         - F.ceil(F.round(F.lit(threshold) * F.col("__n"), 9))
         + 1
     )
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b").hint("merge"),
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.id") < F.col("b.id"))
-            # size filter: J >= t forces t·|A| <= |B| and t·|B| <= |A|
-            # (1e-9 slack so float noise at rational boundaries, e.g.
-            # t=0.55 · n=100, can't exclude exactly-at-threshold pairs)
-            & (F.lit(threshold) * F.col("a.__n") <= F.col("b.__n") + F.lit(1e-9))
-            & (F.lit(threshold) * F.col("b.__n") <= F.col("a.__n") + F.lit(1e-9)),
+    joined = prefix.alias("a").join(
+        prefix.alias("b").hint("merge"),
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.id") < F.col("b.id"))
+        # size filter: J >= t forces t·|A| <= |B| and t·|B| <= |A|
+        # (1e-9 slack so float noise at rational boundaries, e.g.
+        # t=0.55 · n=100, can't exclude exactly-at-threshold pairs)
+        & (F.lit(threshold) * F.col("a.__n") <= F.col("b.__n") + F.lit(1e-9))
+        & (F.lit(threshold) * F.col("b.__n") <= F.col("a.__n") + F.lit(1e-9)),
+    )
+    if not positional_filter:
+        return joined.select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        ).distinct()
+    per_row = joined.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.__n").alias("__na"),
+        F.col("b.__n").alias("__nb"),
+        (
+            F.least(F.col("a.__r") - 1, F.col("b.__r") - 1)
+            + F.lit(1)
+            + F.least(
+                F.col("a.__n") - F.col("a.__r"),
+                F.col("b.__n") - F.col("b.__r"),
+            )
+        ).alias("__ub"),
+    )
+    # the groupBy replaces the pair-distinct (same shuffle key), taking
+    # each pair's tightest captured upper bound alongside
+    return (
+        per_row.groupBy("id_a", "id_b")
+        .agg(
+            F.min("__ub").alias("__ub"),
+            F.first("__na").alias("__na"),
+            F.first("__nb").alias("__nb"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .filter(
+            F.col("__ub")
+            >= F.ceil(
+                F.round(
+                    F.lit(threshold)
+                    * (F.col("__na") + F.col("__nb"))
+                    / F.lit(1.0 + threshold),
+                    9,
+                )
+            )
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.5,
+    positional_filter: bool = True,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via PREFIX FILTERING (the
+    AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08): deterministic exact results like ``ngram_jaccard_pairs``,
+    but candidates come only from each document's PREFIX — its
+    |S| - ceil(t·|S|) + 1 globally rarest shingles — instead of every
+    shingle. Completeness: if J(A,B) >= t then |A∩B| >= ceil(t·max(|A|,
+    |B|)) = a, and two sorted sets whose first |S| - a + 1 tokens are
+    disjoint can overlap at most a - 1 (every shared token <= the
+    smaller prefix boundary would sit in both prefixes), so some prefix
+    token is shared; per-set prefixes |S| - ceil(t·|S|) + 1 are >= that
+    and only widen the net.
+
+    Why it matters at 100 TB: the inverted-index join fans out on EVERY
+    shingle — the hottest (most common) shingles make the biggest,
+    skewed buckets. Rarest-first prefixes invert that: the join key is
+    biased toward LOW-frequency shingles (small buckets) and each doc
+    contributes ~(1-t) of its shingles, so candidate volume drops
+    superlinearly while the result stays exact — the deterministic
+    alternative to MinHash-LSH when probabilistic recall is not
+    acceptable. A size filter (t·|A| <= |B| and vice versa) prunes
+    length-incompatible pairs before verification, and the PPJoin
+    POSITIONAL filter (r13, on by default — see
+    ``prefix_jaccard_candidates`` for the bound and its parallel-safety
+    argument) drops candidates whose shared-prefix positions already
+    cap the overlap below the Jaccard requirement, shrinking the
+    verify join's shipped shingle-array volume. Both filters are
+    exactness-preserving: the randomized model test holds the result
+    identical with ``positional_filter=False`` across thresholds on
+    planted near-dup cliques.
+
+    Output contract matches ``ngram_jaccard_pairs``:
+    (id_a, id_b, jac) with id_a < id_b and jac >= threshold.
+    """
+    e = exploded_shingles(df, id_col, text_col, n)
+    cand = prefix_jaccard_candidates(
+        df, id_col, text_col, n, threshold, positional_filter
     )
     # shuffle_hash (r12 drill): the per-doc shingle-set arrays scale
     # with the corpus (never broadcast), and SMJ would sort wide array

@@ -136,13 +136,15 @@ _DRIVER_WINDOW = [
     "lang_id_confusion",
     "lead_lag_correlation",
     "mahalanobis_outliers",
-    "merge_evolution_state",
     # ---- mid-round r13 additions (first-time driver evidence the
     # round they land, the r6-r12 precedent) ----
     # IVF-candidate bitext mining at full probe: value-checks the
     # strategy='ivf' plumbing against the exact brute-force oracle;
     # displaces meta_catalog to the r14 queue
     "bitext_margin_mine_ivf",
+    # model-based quality filtering (zero-shuffle scoring pass, exact
+    # dyadic-weight oracle); displaces merge_evolution_state
+    "model_quality_filter",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -6171,6 +6171,64 @@ def bitext_margin_mine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "model_quality_filter",
+    f"""
+    WITH tw AS (
+      SELECT doc_id,
+             (({_H8.format(x="t")} % 4096) % 97) / 64.0 - 0.75 AS w
+      FROM (SELECT doc_id, unnest({_WS_TOKS}) AS t FROM documents)
+      WHERE t != ''
+    ),
+    m AS (
+      SELECT doc_id, SUM(w) / COUNT(*) AS margin FROM tw GROUP BY doc_id
+    ),
+    d AS (
+      SELECT documents.source, COALESCE(m.margin, 0.0) AS margin
+      FROM documents LEFT JOIN m USING (doc_id)
+    )
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN margin >= 0.125 THEN 1 ELSE 0 END)::BIGINT
+             AS n_kept,
+           ROUND(AVG(margin), 6) AS avg_margin,
+           ROUND(MIN(margin), 6) AS min_margin,
+           ROUND(MAX(margin), 6) AS max_margin
+    FROM d GROUP BY source
+    """,
+)
+def model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (r13, VERDICT r12 item 6 —
+    operators/quality_model): the FineWeb-Edu-style corpus-wide scoring
+    pass as a ZERO-SHUFFLE projection — the dim-sized classifier weight
+    vector rides the plan as an array literal and each document folds
+    its token-bucket weights in array order (plan-asserted: no Exchange
+    on the scoring pass). The driver row uses the deterministic
+    dyadic-rational weight fixture (w_b = (b mod 97)/64 − 0.75 —
+    per-document weight sums are EXACT doubles, order-independent, so
+    the DuckDB replay hashes identically; training itself is covered by
+    tests/test_quality_model.py against a numpy reference) and keeps
+    documents at margin ≥ 0.125 — margin space, where the threshold is
+    an exact dyadic rational (σ is monotone; this IS a sigmoid-score
+    threshold). Output: per-source kept counts + margin stats."""
+    from opentick_spark.operators.quality_model import (
+        score_quality,
+        synthetic_quality_weights,
+    )
+
+    w, b = synthetic_quality_weights(4096)
+    docs = load(spark, sf_dir, "documents")
+    scored = score_quality(docs, w, b, dim=4096)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("q_margin") >= 0.125, 1).otherwise(0)
+        ).cast("long").alias("n_kept"),
+        F.round(F.avg("q_margin"), 6).alias("avg_margin"),
+        F.round(F.min("q_margin"), 6).alias("min_margin"),
+        F.round(F.max("q_margin"), 6).alias("max_margin"),
+    )
+
+
+@q(
     "source_length_percentiles",
     """
     WITH hist AS (

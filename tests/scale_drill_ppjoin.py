@@ -1,0 +1,79 @@
+"""10x drill for the PPJoin POSITIONAL filter (r13, VERDICT r12 item 4):
+measure the candidate volume the filter removes before the verify join
+ships shingle arrays — the r12 drill recorded ~60 GB of verify spill
+from candidate density under heavy duplication; the positional bound
+attacks exactly that mass.
+
+Same fixture as scale_drill_r12ops' ppjoin row (sf0.1 documents + the
+replica-suffix 10x synth — each original doc becomes a ~0.99-Jaccard
+clique of 10, the worst-case duplication regime) at threshold 0.8.
+Reports, at 1x and 10x: candidates admitted without/with the positional
+filter, the reduction, and the full operator wall-clock with the filter
+on (r12 recorded 475 s for the prefix-only variant at 10x).
+
+Run: python tests/scale_drill_ppjoin.py   (one JSON line per row)
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+
+from synth_util import synth_documents_10x  # noqa: E402
+
+
+def main():
+    from opentick_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+        prefix_jaccard_candidates,
+    )
+    from opentick_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale_drill_ppjoin", shuffle_partitions=64,
+        driver_memory="8g",
+    )
+    sf1 = tempfile.mkdtemp(prefix="otspark_ppjoin10x_")
+    try:
+        synth_documents_10x(sf1)
+        for label, sf_dir in (("1x", SF01), ("10x", sf1)):
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            c_plain = prefix_jaccard_candidates(
+                docs, threshold=0.8, positional_filter=False
+            ).count()
+            c_pos = prefix_jaccard_candidates(
+                docs, threshold=0.8, positional_filter=True
+            ).count()
+            t0 = time.time()
+            n_pairs = prefix_filter_jaccard_pairs(
+                docs, threshold=0.8, positional_filter=True
+            ).count()
+            t_full = round(time.time() - t0, 1)
+            print(
+                json.dumps(
+                    {
+                        "metric": "ppjoin_positional", "scale": label,
+                        "cand_prefix_only": c_plain,
+                        "cand_positional": c_pos,
+                        "reduction_pct": round(
+                            100.0 * (c_plain - c_pos) / max(c_plain, 1), 1
+                        ),
+                        "pairs": n_pairs,
+                        "t_full_op_s": t_full,
+                    },
+                    separators=(",", ":"),
+                ),
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(sf1, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
