@@ -36,8 +36,11 @@ def main():
     from opentick_spark.session import get_spark
 
     spark = get_spark(
-        app_name="scale_drill_ppjoin", shuffle_partitions=64,
-        driver_memory="8g",
+        app_name="scale_drill_ppjoin", shuffle_partitions=128,
+        # 8g spins in TaskMemoryManager page-allocation retries on the
+        # 10x prefix-only candidate count (recorded); 24g + finer
+        # partitions keeps per-task pages small enough
+        driver_memory="24g",
     )
     sf1 = tempfile.mkdtemp(prefix="otspark_ppjoin10x_")
     try:
