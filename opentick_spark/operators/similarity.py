@@ -1281,6 +1281,17 @@ def margin_bitext_pairs(
         else:
             cents = seed_centroids(both, ncentroids=ncentroids)
         crows = [(r["centroid_id"], r["centv"]) for r in cents.collect()]
+        if not crows:  # empty input: no centroids, no pairs
+            return (
+                s.limit(0)
+                .crossJoin(t.limit(0))
+                .select(
+                    F.col("sid").alias("src_id"),
+                    F.col("tid").alias("tgt_id"),
+                    F.lit(0.0).alias("cos"),
+                    F.lit(0.0).alias("margin"),
+                )
+            )
         s_probe = _probe_lists(s, crows, nprobe, "sid", "sv")
         t_probe = _probe_lists(t, crows, nprobe, "tid", "tv")
         # nearest list == first probe: assignment is the nprobe=1 slice

@@ -1937,3 +1937,17 @@ def test_bigram_pmi_survives_empty_documents(spark):
     # 'solo' adds one unigram (changes N_uni/pmi values) but no bigram
     # pair may appear or disappear, and nothing crashes
     assert got == want
+
+
+def test_margin_bitext_ivf_empty_input(spark):
+    """strategy='ivf' on empty input: no centroids can be trained —
+    must return an empty result with the output schema, not crash in
+    the collected-matrix probe (r13 edge guard)."""
+    from opentick_spark.operators.similarity import margin_bitext_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = margin_bitext_pairs(empty, empty, k=2, strategy="ivf")
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "src_id", "tgt_id", "cos", "margin",
+    ]
