@@ -151,3 +151,24 @@ def test_weight_dim_validation(spark):
     w, b = synthetic_quality_weights(64)
     with pytest.raises(ValueError, match="weights"):
         score_quality(docs, w, b, dim=128)
+
+
+def test_composes_with_pipeline_no_extra_exchange(spark):
+    """The corpus_pipeline composition claim: appending the model
+    filter to a dedup→heuristic-gate pipeline must add ZERO Exchange
+    nodes — the scoring fold rides the same scan/shuffle structure as
+    the pipeline it extends."""
+    from opentick_spark.operators.dedup import exact_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} body text") for i in range(100)],
+        ["doc_id", "text"],
+    )
+    keepers = exact_duplicates(docs).select(F.col("keeper").alias("doc_id"))
+    base = docs.join(keepers, "doc_id")
+    w, b = synthetic_quality_weights(64)
+    filtered = quality_model_filter(base, w, b, margin_threshold=-10.0, dim=64)
+    n_base = base._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    n_filt = filtered._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    assert n_filt == n_base
+    assert filtered.count() == base.count()  # -10 margin keeps everything
