@@ -672,6 +672,11 @@ def main():
         "bigram_pmi_top",
         "exact_length_percentiles",
         "user_triangle_centrality",
+        # r13 new-operator rows: IVF-candidate bitext mining (full
+        # probe — the plumbing's cost vs the exact row above it in the
+        # registry) and the zero-shuffle model-quality scoring pass
+        "bitext_margin_mine_ivf",
+        "model_quality_filter",
     ]
     # r7 (VERDICT item 5): the slowest registry rows get the same
     # min-of-3 + published-spread treatment as the harness shapes —
@@ -705,6 +710,8 @@ def main():
         "bigram_pmi_top",
         "exact_length_percentiles",
         "user_triangle_centrality",
+        "bitext_margin_mine_ivf",
+        "model_quality_filter",
     }
     # family heads: a quiet-heap break runs BEFORE each of these rows
     # (untimed) so late-suite heap accumulation can't masquerade as
