@@ -42,38 +42,53 @@ def main():
         # partitions keeps per-task pages small enough
         driver_memory="24g",
     )
+    def shuffle_gc():
+        # each 10x pass spills ~60 GB; without forcing the
+        # ContextCleaner between passes the THREE passes' shuffle files
+        # coexist and fill the 112 GB box (first run of this drill died
+        # exactly there — recorded). A JVM GC drops the shuffle
+        # references so the cleaner deletes them before the next pass.
+        import gc
+
+        gc.collect()
+        spark._jvm.System.gc()
+        time.sleep(10)
+
+    def emit(payload):
+        print(json.dumps(payload, separators=(",", ":")), flush=True)
+
     sf1 = tempfile.mkdtemp(prefix="otspark_ppjoin10x_")
     try:
         synth_documents_10x(sf1)
+        # per scale: full op first (the headline number, cleanest disk),
+        # then the positional count, then the prefix-only count LAST —
+        # it admits the most candidates, so if anything hits the disk
+        # ceiling it's the one whose loss costs least
         for label, sf_dir in (("1x", SF01), ("10x", sf1)):
             docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-            c_plain = prefix_jaccard_candidates(
-                docs, threshold=0.8, positional_filter=False
-            ).count()
-            c_pos = prefix_jaccard_candidates(
-                docs, threshold=0.8, positional_filter=True
-            ).count()
             t0 = time.time()
             n_pairs = prefix_filter_jaccard_pairs(
                 docs, threshold=0.8, positional_filter=True
             ).count()
-            t_full = round(time.time() - t0, 1)
-            print(
-                json.dumps(
-                    {
-                        "metric": "ppjoin_positional", "scale": label,
-                        "cand_prefix_only": c_plain,
-                        "cand_positional": c_pos,
-                        "reduction_pct": round(
-                            100.0 * (c_plain - c_pos) / max(c_plain, 1), 1
-                        ),
-                        "pairs": n_pairs,
-                        "t_full_op_s": t_full,
-                    },
-                    separators=(",", ":"),
-                ),
-                flush=True,
-            )
+            emit({"metric": "ppjoin_full_op", "scale": label,
+                  "pairs": n_pairs,
+                  "t_full_op_s": round(time.time() - t0, 1)})
+            shuffle_gc()
+            c_pos = prefix_jaccard_candidates(
+                docs, threshold=0.8, positional_filter=True
+            ).count()
+            emit({"metric": "ppjoin_cand_positional", "scale": label,
+                  "cand_positional": c_pos})
+            shuffle_gc()
+            c_plain = prefix_jaccard_candidates(
+                docs, threshold=0.8, positional_filter=False
+            ).count()
+            emit({"metric": "ppjoin_positional", "scale": label,
+                  "cand_prefix_only": c_plain,
+                  "cand_positional": c_pos,
+                  "reduction_pct": round(
+                      100.0 * (c_plain - c_pos) / max(c_plain, 1), 1)})
+            shuffle_gc()
     finally:
         shutil.rmtree(sf1, ignore_errors=True)
 
