@@ -672,10 +672,10 @@ def main():
         "bigram_pmi_top",
         "exact_length_percentiles",
         "user_triangle_centrality",
-        # r13 new-operator rows: IVF-candidate bitext mining (full
-        # probe — the plumbing's cost vs the exact row above it in the
-        # registry) and the zero-shuffle model-quality scoring pass
-        "bitext_margin_mine_ivf",
+        # r13 new-operator row: the zero-shuffle model-quality scoring
+        # pass (the bitext IVF row is benched below at PARTIAL probe —
+        # the registry entry's full probe is the oracle-equivalence
+        # configuration, which deliberately pays exact-cross cost)
         "model_quality_filter",
     ]
     # r7 (VERDICT item 5): the slowest registry rows get the same
@@ -710,7 +710,6 @@ def main():
         "bigram_pmi_top",
         "exact_length_percentiles",
         "user_triangle_centrality",
-        "bitext_margin_mine_ivf",
         "model_quality_filter",
     }
     # family heads: a quiet-heap break runs BEFORE each of these rows
@@ -758,6 +757,34 @@ def main():
         "hamming_star_edges",
         lambda: materialize(
             hamming_blocked_star_edges(star_sigs, sig_col="sh", max_hamming=6)
+        ),
+    )
+
+    # r13: bitext mining through the IVF candidate generator at its
+    # OPERATING point (partial probe, ncentroids=16/nprobe=4 over the
+    # sf0.1 embeddings split by doc lang) — the longitudinal row for
+    # the strategy='ivf' path; the registry's full-probe entry is the
+    # oracle-equivalence configuration and deliberately pays exact cost
+    from opentick_spark.operators.similarity import margin_bitext_pairs
+
+    _family_break(spark)
+    _bt_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    _bt_embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _bt = _bt_embs.join(
+        _bt_docs.withColumnRenamed("doc_id", "vec_id"), "vec_id"
+    )
+    _bt_src = _bt.filter("lang = 'de'")
+    _bt_tgt = _bt.filter("lang = 'en'")
+    timings["bitext_margin_ivf_probe4"] = timed_reps(
+        spark,
+        "bitext_margin_ivf_probe4",
+        lambda: materialize(
+            margin_bitext_pairs(
+                _bt_src, _bt_tgt, k=4, threshold=1.1,
+                strategy="ivf", ncentroids=16, nprobe=4,
+            )
         ),
     )
 
