@@ -1461,40 +1461,39 @@ def prefix_jaccard_candidates(
         return joined.select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         ).distinct()
+    # α folds into a per-row SLACK before the pair shuffle: the first
+    # cut of this filter shipped (id_a, id_b, |A|, |B|, ub) — 2.5x the
+    # bytes of the distinct it replaces — and the 10x drill's candidate
+    # shuffle grew from ~60 GB past the box's disk (recorded). One int
+    # of slack carries the same decision: min(ub) >= α  ⟺
+    # min(ub − α) >= 0, and α is constant per pair.
+    ub = (
+        F.least(F.col("a.__r") - 1, F.col("b.__r") - 1)
+        + F.lit(1)
+        + F.least(
+            F.col("a.__n") - F.col("a.__r"),
+            F.col("b.__n") - F.col("b.__r"),
+        )
+    )
+    alpha = F.ceil(
+        F.round(
+            F.lit(threshold)
+            * (F.col("a.__n") + F.col("b.__n"))
+            / F.lit(1.0 + threshold),
+            9,
+        )
+    )
     per_row = joined.select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        F.col("a.__n").alias("__na"),
-        F.col("b.__n").alias("__nb"),
-        (
-            F.least(F.col("a.__r") - 1, F.col("b.__r") - 1)
-            + F.lit(1)
-            + F.least(
-                F.col("a.__n") - F.col("a.__r"),
-                F.col("b.__n") - F.col("b.__r"),
-            )
-        ).alias("__ub"),
+        (ub - alpha).cast("int").alias("__slack"),
     )
-    # the groupBy replaces the pair-distinct (same shuffle key), taking
-    # each pair's tightest captured upper bound alongside
+    # the groupBy replaces the pair-distinct (same shuffle key, same
+    # map-side partial aggregation), keeping the tightest bound's slack
     return (
         per_row.groupBy("id_a", "id_b")
-        .agg(
-            F.min("__ub").alias("__ub"),
-            F.first("__na").alias("__na"),
-            F.first("__nb").alias("__nb"),
-        )
-        .filter(
-            F.col("__ub")
-            >= F.ceil(
-                F.round(
-                    F.lit(threshold)
-                    * (F.col("__na") + F.col("__nb"))
-                    / F.lit(1.0 + threshold),
-                    9,
-                )
-            )
-        )
+        .agg(F.min("__slack").alias("__slack"))
+        .filter(F.col("__slack") >= 0)
         .select("id_a", "id_b")
     )
 
