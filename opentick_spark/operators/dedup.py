@@ -1395,7 +1395,7 @@ def prefix_jaccard_candidates(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.5,
-    positional_filter: bool = True,
+    positional_filter: bool = False,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs for ``prefix_filter_jaccard_pairs``
     — exposed separately so the scale drill can MEASURE the candidate
@@ -1416,10 +1416,21 @@ def prefix_jaccard_candidates(
     The pair's tightest bound — min over its captured rows — must reach
     the Jaccard overlap requirement α = ceil(t·(|A|+|B|)/(1+t))
     (J >= t  ⟺  |A∩B| >= t·(|A|+|B|)/(1+t)); pairs that cannot are
-    dropped BEFORE the verify join ships their shingle arrays — the
-    r12 drill's ~60 GB verify spill under heavy duplication is exactly
-    this candidate mass. The same 9-decimal rounding guards the α
-    ceiling as guard the prefix-length ceiling."""
+    dropped BEFORE the verify join ships their shingle arrays. The
+    same 9-decimal rounding guards the α ceiling as guard the
+    prefix-length ceiling.
+
+    MEASURED VERDICT (r13 drill, tests/scale_drill_ppjoin.py + the
+    threshold sweep in PLANS): the min(i−1, j−1) slack the parallel
+    setting must grant — sequential PPJoin knows no unseen shared
+    token precedes the probe position; a distributed join cannot —
+    guts most of the bound's power. Candidate reduction measured
+    0.6–10% across thresholds 0.5–0.8 and scales 1×/10×, while the
+    slack aggregation costs ~5–25% wall-clock, so the filter loses
+    net on every measured regime. It therefore defaults OFF and the
+    exactness machinery (identical pairs with the filter on, both
+    SFs, planted-clique randomized test) stays as the guarantee for
+    callers who enable it on sparser-candidate corpora."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     e = exploded_shingles(df, id_col, text_col, n)
@@ -1504,7 +1515,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.5,
-    positional_filter: bool = True,
+    positional_filter: bool = False,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via PREFIX FILTERING (the
     AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
@@ -1526,15 +1537,14 @@ def prefix_filter_jaccard_pairs(
     superlinearly while the result stays exact — the deterministic
     alternative to MinHash-LSH when probabilistic recall is not
     acceptable. A size filter (t·|A| <= |B| and vice versa) prunes
-    length-incompatible pairs before verification, and the PPJoin
-    POSITIONAL filter (r13, on by default — see
-    ``prefix_jaccard_candidates`` for the bound and its parallel-safety
-    argument) drops candidates whose shared-prefix positions already
-    cap the overlap below the Jaccard requirement, shrinking the
-    verify join's shipped shingle-array volume. Both filters are
-    exactness-preserving: the randomized model test holds the result
-    identical with ``positional_filter=False`` across thresholds on
-    planted near-dup cliques.
+    length-incompatible pairs before verification. The PPJoin
+    POSITIONAL filter (r13, ``positional_filter=True`` — see
+    ``prefix_jaccard_candidates`` for the bound, its parallel-safety
+    argument, and the measured verdict that keeps it OFF by default)
+    additionally drops candidates whose shared-prefix positions already
+    cap the overlap below the Jaccard requirement. Exactness either
+    way: the randomized model test holds the result identical across
+    thresholds on planted near-dup cliques.
 
     Output contract matches ``ngram_jaccard_pairs``:
     (id_a, id_b, jac) with id_a < id_b and jac >= threshold.
