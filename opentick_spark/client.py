@@ -409,9 +409,17 @@ class TCPConnection:
         from opentick_spark.server import _codecs
 
         # reference opentick.h:126,171: constructor timeout, 0 = disabled;
-        # in callback (result-skip) mode a deadline timer delivers
-        # ({}, "timeout") when no reply arrives (opentick.h:544-561)
+        # in callback (result-skip) mode a deadline monitor delivers
+        # ([], "timeout") when no reply arrives (opentick.h:544-561)
         self.default_timeout = default_timeout
+        # ONE shared deadline monitor (lazy): a Timer-per-request would
+        # spawn an OS thread per fire-and-forget call — the result-skip
+        # mode exists for exactly the high-call-rate shapes where that
+        # hurts (r13 review finding)
+        self._deadline_cond = threading.Condition()
+        self._deadlines: list = []  # heap of (deadline, seq, fut)
+        self._deadline_seq = 0
+        self._deadline_thread = None
         self._addr, self._port = addr, port
         self._db = db_name
         self._protocol = protocol
@@ -768,6 +776,57 @@ class TCPConnection:
         )
         return self._wrap_reply(fut, self._rows_in, callback=callback)
 
+    def _arm_deadline(self, fut: CFuture, timeout: float) -> None:
+        """Register ``fut`` with the shared deadline monitor (one daemon
+        thread per connection, started lazily): at the deadline, a
+        still-pending future is evicted from its futures-dict generation
+        and failed with ``timeout`` — which the callback chain delivers
+        as ``([], "timeout")``. A reply that wins the race marks the
+        future done; the monitor then just discards the entry (implicit
+        cancellation — no per-request timer thread)."""
+        import heapq
+        import time as _time
+
+        with self._deadline_cond:
+            self._deadline_seq += 1
+            heapq.heappush(
+                self._deadlines,
+                (_time.monotonic() + timeout, self._deadline_seq, fut),
+            )
+            if self._deadline_thread is None:
+                self._deadline_thread = threading.Thread(
+                    target=self._deadline_loop, daemon=True
+                )
+                self._deadline_thread.start()
+            self._deadline_cond.notify()
+
+    def _deadline_loop(self) -> None:
+        import heapq
+        import time as _time
+
+        while True:
+            with self._deadline_cond:
+                while not self._deadlines:
+                    self._deadline_cond.wait()
+                due_at = self._deadlines[0][0]
+                now = _time.monotonic()
+                if due_at > now:
+                    self._deadline_cond.wait(due_at - now)
+                    continue
+                _, _, fut = heapq.heappop(self._deadlines)
+            if fut.done():
+                continue  # reply won — implicit cancel
+            with self._lock:
+                # evict from the SAME dict generation _request used —
+                # a reconnect swaps self._futures
+                getattr(fut, "ot_futures", {}).pop(
+                    getattr(fut, "ot_ticket", None), None
+                )
+            try:
+                fut.set_exception(Error("timeout"))
+            except Exception:
+                pass  # reply won the race — chain_cb delivers it
+
     def _wrap_reply(self, fut: CFuture, on_ok, callback=None) -> Future | None:
         """Chain a raw reply future into the user-facing Future: string
         replies are server errors; anything else maps through
@@ -784,27 +843,10 @@ class TCPConnection:
         connection leaves a fire-and-forget caller uninvoked forever
         (r12 ADVICE)."""
         if callback is not None:
-            timer = None
             if self.default_timeout and self.default_timeout > 0:
-                def on_deadline():
-                    with self._lock:
-                        # evict from the SAME dict generation _request
-                        # used — a reconnect swaps self._futures
-                        getattr(fut, "ot_futures", {}).pop(
-                            getattr(fut, "ot_ticket", None), None
-                        )
-                    try:
-                        fut.set_exception(Error("timeout"))
-                    except Exception:
-                        pass  # reply won the race — chain_cb delivers it
-
-                timer = threading.Timer(self.default_timeout, on_deadline)
-                timer.daemon = True
-                timer.start()
+                self._arm_deadline(fut, self.default_timeout)
 
             def chain_cb(f):
-                if timer is not None:
-                    timer.cancel()
                 # on_ok runs INSIDE the try: a row-materialization
                 # error on a malformed reply must still reach the
                 # callback as ([], err) — outside it, the exception
@@ -1049,11 +1091,18 @@ def connect_tcp(
     port: int,
     db_name: str | None = None,
     protocol: str = "json",
+    default_timeout: float = 0,
 ) -> TCPConnection:
     """Connect to a running OpentickServer over TCP (C9/C10 wire path).
     ``protocol``: ``"bson"`` (the reference default) or ``"json"`` —
     negotiated per CONNECTION like the reference (server.go:288-291):
     a json client announces itself with a ``protocol=json`` frame, so
     either protocol works against a bson-default server; the server's
-    boot protocol only sets the per-connection default."""
-    return TCPConnection(addr, port, db_name, protocol=protocol)
+    boot protocol only sets the per-connection default.
+    ``default_timeout`` (reference Connection ctor parity, opentick.h:
+    171): > 0 arms the callback-mode deadline — fire-and-forget calls
+    whose reply never arrives get ``([], "timeout")``."""
+    return TCPConnection(
+        addr, port, db_name, protocol=protocol,
+        default_timeout=default_timeout,
+    )

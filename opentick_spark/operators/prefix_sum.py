@@ -51,10 +51,15 @@ def two_level_cumsum(
     (rows-frame windows are order-nondeterministic under ties; every
     caller here feeds ids or distinct histogram values). ``inclusive``
     includes the current row (CDF semantics); exclusive gives the
-    tokens-before convention. Bucket bounds come from one tiny min/max
-    job; the offsets relation (|groups| × n_buckets rows) is broadcast
-    back — at millions of groups size the broadcast accordingly or cut
-    n_buckets."""
+    tokens-before convention. Bucket bounds ride the PLAN as a
+    broadcast one-row min/max aggregate (not a driver ``.first()`` —
+    that made plan construction eager and, for histogram callers,
+    executed the corpus aggregation twice; r13 review finding): the
+    bounds subtree duplicates ``df``'s lineage, and the planner's
+    ReuseExchange collapses the duplicate, so the input is still
+    computed once and everything stays lazy. The offsets relation
+    (|groups| × n_buckets rows) is broadcast back — at millions of
+    groups size the broadcast accordingly or cut n_buckets."""
     dtype = df.schema[order_col].dataType
     if not is_rangeable(dtype):
         raise ValueError(
@@ -62,34 +67,33 @@ def two_level_cumsum(
             f"{dtype.simpleString()} — range bucketing needs a numeric "
             "ordering column"
         )
-    bounds = df.agg(
-        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
-    ).first()
-    lo, hi = bounds["lo"], bounds["hi"]
-    if lo is None:
-        bkt = F.lit(0).cast("long")
-    elif isinstance(dtype, _INTEGRAL):
+    bnds = df.agg(
+        F.min(order_col).alias("__tl_lo"), F.max(order_col).alias("__tl_hi")
+    )
+    if isinstance(dtype, _INTEGRAL):
         # integer-exact bucketing (the assign_token_shards formula,
-        # preserved bit-for-bit)
-        width = max(1, (int(hi) - int(lo)) // n_buckets + 1)
+        # preserved bit-for-bit: width = max(1, (hi - lo) div B + 1))
         bkt = F.expr(
-            f"(cast({order_col} as long) - {int(lo)}L) div {width}L"
+            "CASE WHEN __tl_lo IS NULL THEN 0L ELSE "
+            f"(cast({order_col} AS long) - cast(__tl_lo AS long)) DIV "
+            "greatest(1L, (cast(__tl_hi AS long) - cast(__tl_lo AS long)) "
+            f"DIV {int(n_buckets)}L + 1L) END"
         )
     else:
-        lo_f, hi_f = float(lo), float(hi)
-        if not hi_f > lo_f:
-            bkt = F.lit(0).cast("long")
-        else:
-            width = (hi_f - lo_f) / n_buckets
-            bkt = F.least(
-                F.floor(
-                    (F.col(order_col).cast("double") - F.lit(lo_f))
-                    / F.lit(width)
-                ),
-                F.lit(n_buckets - 1),
-            ).cast("long")
+        bkt = F.expr(
+            "CASE WHEN __tl_lo IS NULL OR cast(__tl_hi AS double) <= "
+            "cast(__tl_lo AS double) THEN 0L ELSE "
+            f"least(CAST(floor((cast({order_col} AS double) - "
+            "cast(__tl_lo AS double)) / ((cast(__tl_hi AS double) - "
+            f"cast(__tl_lo AS double)) / {int(n_buckets)})) AS LONG), "
+            f"{int(n_buckets) - 1}L) END"
+        )
     gcols = list(group_cols)
-    with_b = df.withColumn("__tl_bkt", bkt)
+    with_b = (
+        df.crossJoin(F.broadcast(bnds))
+        .withColumn("__tl_bkt", bkt)
+        .drop("__tl_lo", "__tl_hi")
+    )
     sums = with_b.groupBy(*gcols, "__tl_bkt").agg(
         F.sum(sum_col).alias("__tl_sum")
     )

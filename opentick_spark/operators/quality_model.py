@@ -93,38 +93,53 @@ def train_quality_classifier(
     """Full-batch logistic regression on hashed unigram features:
     returns (weights: list[dim], bias). ``label_col`` is 0/1 (int or
     bool). Deterministic up to float summation order (the gradient is
-    a distributed sum); each iteration is two hash aggs + two broadcast
-    joins on the labeled sample. The returned vector is dim-sized —
+    a distributed sum). The bias is the INTERCEPT feature — bucket -1
+    with x = 1.0 on EVERY labeled document, zero-token documents
+    included (r13 review findings: the first cut silently dropped
+    empty docs from n_docs and the bias gradient, and ran the error
+    sub-plan twice per iteration) — so each iteration is exactly one
+    broadcast-weights join → per-doc margin agg → per-bucket gradient
+    agg → one dim+1-row collect. The returned vector is dim-sized —
     driver-small by construction, like the PQ codebooks."""
     spark = df.sparkSession
+    labeled = df.select(
+        F.col(id_col), F.col(text_col),
+        F.col(label_col).cast("double").alias("__y"),
+    )
     feats = hashed_unigram_features(
-        df.select(
-            F.col(id_col), F.col(text_col),
-            F.col(label_col).cast("double").alias("__y"),
-        ),
+        labeled,
         id_col=id_col,
         text_col=text_col,
         dim=dim,
         extra_cols=("__y",),
+    )
+    intercept = labeled.select(
+        F.col(id_col).alias("id"),
+        "__y",
+        F.lit(-1).cast("long").alias("b"),
+        F.lit(1.0).alias("x"),
+    )
+    feats = feats.select("id", "__y", "b", "x").unionAll(
+        intercept
     ).localCheckpoint(eager=True)  # one tokenize, 2·iters consumers
-    n_docs = feats.select("id").distinct().count()
+    n_docs = df.count()
     if n_docs == 0:
-        raise ValueError("train_quality_classifier: no non-empty documents")
+        raise ValueError("train_quality_classifier: no documents")
     w = [0.0] * dim
     bias = 0.0
     for _ in range(iters):
         wdf = spark.createDataFrame(
-            [(b, w[b]) for b in range(dim)], "b long, __w double"
+            [(-1, bias)] + [(b, w[b]) for b in range(dim)],
+            "b long, __w double",
         )
         errs = (
             feats.join(F.broadcast(wdf), "b")
             .groupBy("id", "__y")
-            .agg((F.sum(F.col("x") * F.col("__w"))).alias("__m"))
+            .agg(F.sum(F.col("x") * F.col("__w")).alias("__m"))
             .select(
                 "id",
                 (
-                    F.lit(1.0)
-                    / (F.lit(1.0) + F.exp(-(F.col("__m") + F.lit(bias))))
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m")))
                     - F.col("__y")
                 ).alias("__e"),
             )
@@ -136,12 +151,11 @@ def train_quality_classifier(
             .collect()
         )
         g = {r["b"]: r["__g"] for r in grad_rows}
-        gb = errs.agg(F.sum("__e")).first()[0] or 0.0
         w = [
             w[b] - lr * ((g.get(b, 0.0) / n_docs) + l2 * w[b])
             for b in range(dim)
         ]
-        bias -= lr * gb / n_docs
+        bias -= lr * g.get(-1, 0.0) / n_docs  # intercept: no l2, ref parity
     return w, bias
 
 

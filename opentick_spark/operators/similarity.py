@@ -1174,8 +1174,11 @@ def _probe_lists(
     BroadcastNestedLoopJoin even over the tiny centroid relation.
     Ties break to the LOWER centroid_id (stable argsort over
     cid-ascending columns), matching ivf_topk's (sim desc, centroid_id)
-    window order. Output: (id_col, vec_col, centroid_id) — one row per
-    probed list."""
+    window order. Output: (id_col, vec_col, centroid_id, __probe_rank)
+    — one row per probed list, rank 0 = the NEAREST centroid (the
+    assignment list), so one routing pass serves both the probe side
+    and the assignment side (r13 review finding: a separate nprobe=1
+    pass doubled the routing matmul/argsort over each corpus)."""
     order = sorted(cents_rows, key=lambda r: r[0])  # cid-ascending
     cids = np.asarray([int(c) for c, _ in order], dtype=np.int64)
     C = np.stack([np.asarray(v, dtype=np.float64) for _, v in order])
@@ -1197,8 +1200,10 @@ def _probe_lists(
     return df.select(
         F.col(id_col),
         F.col(vec_col),
-        F.explode(_probe(F.col(vec_col))).alias("centroid_id"),
-    )
+        F.posexplode(_probe(F.col(vec_col))).alias(
+            "__probe_rank", "centroid_id"
+        ),
+    ).select(id_col, vec_col, "centroid_id", "__probe_rank")
 
 
 def margin_bitext_pairs(
@@ -1292,11 +1297,23 @@ def margin_bitext_pairs(
                     F.lit(0.0).alias("margin"),
                 )
             )
-        s_probe = _probe_lists(s, crows, nprobe, "sid", "sv")
-        t_probe = _probe_lists(t, crows, nprobe, "tid", "tv")
-        # nearest list == first probe: assignment is the nprobe=1 slice
-        s_assign = _probe_lists(s, crows, 1, "sid", "sv")
-        t_assign = _probe_lists(t, crows, 1, "tid", "tv")
+        # ONE routing pass per side (checkpointed: the probe relation
+        # feeds both directions, and without the pin each consumer
+        # re-runs the routing matmul); assignment = rank-0 slice
+        s_probe = _probe_lists(s, crows, nprobe, "sid", "sv").localCheckpoint(
+            eager=False
+        )
+        t_probe = _probe_lists(t, crows, nprobe, "tid", "tv").localCheckpoint(
+            eager=False
+        )
+        s_assign = s_probe.filter(F.col("__probe_rank") == 0).drop(
+            "__probe_rank"
+        )
+        t_assign = t_probe.filter(F.col("__probe_rank") == 0).drop(
+            "__probe_rank"
+        )
+        s_probe = s_probe.drop("__probe_rank")
+        t_probe = t_probe.drop("__probe_rank")
         cos_expr = cosine(F.col("sv"), F.col("tv")).alias("cos")
         # each pair appears at most once per direction (assignment is
         # unique, probes are distinct lists) — no within-branch dedup

@@ -65,6 +65,10 @@ def _planted_corpus(seed, n=60):
 @pytest.mark.parametrize("seed", [51, 52])
 def test_trainer_matches_numpy_reference(spark, seed):
     rows = _planted_corpus(seed)
+    # zero-token labeled docs participate in full-batch GD: they carry
+    # the intercept feature only, and they count in n_docs (r13 review
+    # finding — the first cut silently dropped them)
+    rows = rows + [(1000, "", 0), (1001, "   ", 0)]
     df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
     dim, iters, lr = 256, 15, 2.0
     w, b = train_quality_classifier(
