@@ -38,9 +38,14 @@ _BUCKET_SCHEMA = "id long, band int, bucket long"
 
 
 def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    if os.path.isdir(path) and any(
-        e.startswith("batch-") for e in os.listdir(path)
-    ):
+    # Hadoop-FS probe, not os.path (r13, the r12-ADVICE fence class):
+    # the sink writes state via Spark to ANY filesystem; an os.path
+    # check answers "missing" for non-local URIs, which would SILENTLY
+    # fabricate empty prior state — a dedup detector that forgets every
+    # previously-seen document is the worst failure mode this stream has
+    from opentick_spark.fsutil import fs_has_child_with_prefix
+
+    if fs_has_child_with_prefix(spark, path, "batch-"):
         return spark.read.schema(schema).parquet(f"{path}/batch-*")
     return spark.createDataFrame([], schema)
 

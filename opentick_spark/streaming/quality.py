@@ -51,10 +51,13 @@ def stream_quality(
 def quality_report(
     spark: SparkSession, state_dir: str, rules: list[Rule]
 ) -> DataFrame:
-    if not (
-        os.path.isdir(state_dir)
-        and any(e.startswith("batch-") for e in os.listdir(state_dir))
-    ):
+    # Hadoop-FS probe, not os.path (r13, the r12-ADVICE fence class):
+    # the sink writes partials via Spark to ANY filesystem; an os.path
+    # check answers "missing" for every non-local URI and this would
+    # raise on perfectly good hdfs:/s3a:/file: state
+    from opentick_spark.fsutil import fs_has_child_with_prefix
+
+    if not fs_has_child_with_prefix(spark, state_dir, "batch-"):
         raise FileNotFoundError(f"no quality partials under {state_dir}")
     parts = spark.read.parquet(f"{state_dir}/batch-*")
     return merge_report(spark, parts, rules)

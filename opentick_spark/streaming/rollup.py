@@ -247,22 +247,11 @@ def streaming_cms_build(
     # sink goes through Spark (any Hadoop FS URI — hdfs:, s3a:, file:),
     # so probing with os.path would silently evaluate to "fresh, no
     # partials" on non-local URIs and the double-count the fence exists
-    # to prevent comes back (r12 ADVICE). Resolve both paths through
-    # the Hadoop FileSystem API instead.
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
+    # to prevent comes back (r12 ADVICE; probe shared via fsutil, r13).
+    from opentick_spark.fsutil import fs_exists, fs_has_child_with_prefix
 
-    def _fs_path(p: str):
-        jpath = jvm.org.apache.hadoop.fs.Path(p)
-        return jpath.getFileSystem(hconf), jpath
-
-    fs, offsets = _fs_path(checkpoint_dir + "/offsets")
-    fresh_checkpoint = not fs.exists(offsets)
-    pfs, ppath = _fs_path(partials_dir)
-    has_partials = pfs.exists(ppath) and any(
-        st.getPath().getName().startswith("batch=")
-        for st in pfs.listStatus(ppath)
-    )
+    fresh_checkpoint = not fs_exists(spark, checkpoint_dir + "/offsets")
+    has_partials = fs_has_child_with_prefix(spark, partials_dir, "batch=")
     if fresh_checkpoint and has_partials:
         raise ValueError(
             "streaming_cms_build: fresh checkpoint with existing partials "

@@ -536,3 +536,33 @@ def test_streaming_cms_fence_sees_hadoop_fs_uris(spark, tmp_path):
             "file:" + str(ck),
             "text",
         )
+
+
+def test_state_probes_see_hadoop_fs_uris(spark, tmp_path):
+    """r13 sweep of the r12-ADVICE fence class: every probe of
+    Spark-written streaming state must go through the Hadoop FS API.
+    With ``file:``-scheme paths, os.path probes answer 'missing' —
+    quality_report would raise on good state, and neardup's
+    _read_state would SILENTLY fabricate empty prior state (a dedup
+    detector that forgets every previously-seen document)."""
+    from opentick_spark.operators.quality import inc_not_null
+    from opentick_spark.streaming.neardup import _read_state, _SIG_SCHEMA
+    from opentick_spark.streaming.quality import partial_metrics, quality_report
+
+    # quality: one Spark-written partial under a file:-scheme state dir
+    qdir = str(tmp_path / "qstate")
+    rules = [inc_not_null("n_chars")]
+
+    spark.range(5).selectExpr("CAST(id AS LONG) AS n_chars").agg(
+        *partial_metrics(rules)
+    ).write.parquet(f"{qdir}/batch-000000001")
+    rep = quality_report(spark, "file:" + qdir, rules)
+    assert rep.count() >= 1  # found through the file: URI, no raise
+
+    # neardup: Spark-written signature state behind a file: URI
+    ndir = str(tmp_path / "nstate")
+    spark.createDataFrame(
+        [(1, [1, 2, 3])], _SIG_SCHEMA
+    ).write.parquet(f"{ndir}/batch-000000001")
+    got = _read_state(spark, "file:" + ndir, _SIG_SCHEMA).collect()
+    assert [r["id"] for r in got] == [1]  # prior state NOT forgotten
