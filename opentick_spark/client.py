@@ -32,6 +32,7 @@ import datetime as _dt
 import tempfile
 import threading
 from concurrent.futures import Future as CFuture
+from concurrent.futures import InvalidStateError
 from concurrent.futures import ThreadPoolExecutor
 from concurrent.futures import TimeoutError as _FutTimeout
 from typing import Any, Iterable
@@ -497,7 +498,20 @@ class TCPConnection:
                     msg = inner
                 fut = futures.pop(msg.get("0"), None)
                 if fut is not None and not fut.done():
-                    fut.set_result(self._extract_result(msg))
+                    # ownership protocol (r13 ADVICE): whoever POPS the
+                    # ticket owns completion. The deadline monitor only
+                    # completes a future it successfully popped, so a
+                    # successful pop here means no other completer —
+                    # but a lost race must still be a dropped reply,
+                    # never a recv-loop-killing "protocol bug": an
+                    # InvalidStateError from a completer race is NOT a
+                    # decode error, and letting it reach the generic
+                    # handler below failed every in-flight request on a
+                    # healthy connection.
+                    try:
+                        fut.set_result(self._extract_result(msg))
+                    except InvalidStateError:
+                        pass  # timeout won the race — drop the reply
         except OSError:
             pass  # orderly shutdown / socket teardown
         except Exception as exc:  # decode/protocol bug — name it
@@ -507,16 +521,26 @@ class TCPConnection:
             # hanging until timeout — on ANY exit path. A decode error
             # is surfaced BY NAME on every pending future (a bare
             # "Connection closed" would mask the root cause of a
-            # protocol/codec bug — r6 ADVICE).
+            # protocol/codec bug — r6 ADVICE). Claim each by POP
+            # (popitem is atomic under the GIL) so a concurrently
+            # firing deadline can't double-complete — an unguarded
+            # set_exception here would abandon the REST of the
+            # in-flight futures mid-loop (r13 ADVICE race class).
             err = (
                 Error(f"Connection closed (recv loop died: {cause!r})")
                 if cause is not None
                 else Error("Connection closed")
             )
-            for fut in list(futures.values()):
+            while futures:
+                try:
+                    _, fut = futures.popitem()
+                except KeyError:
+                    break  # deadline monitor drained the last entry
                 if not fut.done():
-                    fut.set_exception(err)
-            futures.clear()
+                    try:
+                        fut.set_exception(err)
+                    except InvalidStateError:
+                        pass  # deadline completed it first
 
     def _request(self, msg: dict, retried: bool = False) -> CFuture:
         with self._lock:
@@ -818,14 +842,30 @@ class TCPConnection:
                 continue  # reply won — implicit cancel
             with self._lock:
                 # evict from the SAME dict generation _request used —
-                # a reconnect swaps self._futures
-                getattr(fut, "ot_futures", {}).pop(
-                    getattr(fut, "ot_ticket", None), None
+                # a reconnect swaps self._futures. The POP is the
+                # ownership claim (r13 ADVICE): the recv loop also
+                # claims tickets by pop, so completing a future we did
+                # NOT pop would race its set_result between the recv
+                # loop's done()-check and the set — the loser's
+                # InvalidStateError killed the recv loop (its generic
+                # except treated the race as a protocol bug) and failed
+                # every in-flight request on a healthy connection. The
+                # reference has no such race: its io_service callbacks
+                # and reads are serialized (opentick.h:544-561).
+                fdict = getattr(fut, "ot_futures", None)
+                owner = (
+                    fut  # untracked future — the monitor is its only
+                    if fdict is None  # completer besides the reply
+                    else fdict.pop(getattr(fut, "ot_ticket", None), None)
                 )
+            if owner is not fut:
+                # the recv loop (reply) or its shutdown path popped the
+                # ticket first — that completer owns delivery
+                continue
             try:
                 fut.set_exception(Error("timeout"))
-            except Exception:
-                pass  # reply won the race — chain_cb delivers it
+            except InvalidStateError:
+                pass  # belt-and-braces: fut was completed out-of-band
 
     def _wrap_reply(self, fut: CFuture, on_ok, callback=None) -> Future | None:
         """Chain a raw reply future into the user-facing Future: string

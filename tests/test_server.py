@@ -945,3 +945,78 @@ def test_wire_callback_default_timeout(conn):
         assert got2 == [([(7,)], "")]
     finally:
         conn.default_timeout = old
+
+
+def test_deadline_pop_claim_reply_owns(conn):
+    """r13 ADVICE race, made deterministic: the ticket POP is the
+    completion claim. Once the recv loop has popped a ticket (reply in
+    hand but set_result not yet called — the exact window where the old
+    monitor's unguarded set_exception landed), the firing deadline must
+    NOT complete the future: the loser's InvalidStateError used to kill
+    the recv loop and fail every in-flight request on a healthy
+    connection (the reference's serialized io_service callbacks,
+    opentick.h:544-561, have no such window)."""
+    from concurrent.futures import Future as CFuture
+
+    old = conn.default_timeout
+    conn.default_timeout = 0.15
+    try:
+        fut = CFuture()
+        fut.ot_ticket = 888_888
+        fut.ot_futures = conn._futures
+        conn._futures[888_888] = fut
+        got, done = [], threading.Event()
+        conn._wrap_reply(
+            fut,
+            lambda r: r,
+            callback=lambda rows, err: (got.append((rows, err)), done.set()),
+        )
+        # the "recv loop" claims the ticket… then is slow to deliver
+        assert conn._futures.pop(888_888) is fut
+        time.sleep(0.5)  # deadline fires well past 0.15s
+        assert not fut.done()  # monitor must NOT have completed it
+        fut.set_result([(1,)])  # …the slow reply now lands cleanly
+        assert done.wait(5)
+        assert got == [([(1,)], "")]  # exactly one delivery: the reply
+    finally:
+        conn.default_timeout = old
+
+
+def test_recv_loop_survives_timeout_reply_races(conn):
+    """Stress the timeout-vs-reply race end-to-end: with a deadline of
+    the same order as the wire round-trip, many callbacks resolve on
+    whichever side wins — each must be delivered exactly once, and the
+    recv loop must stay alive (the old race killed it, failing the
+    whole connection)."""
+    _mkdb(conn, "wrace")
+    conn.execute("create table t(a int, primary key(a))")
+    conn.execute("insert into t(a) values(?)", (5,))
+    old = conn.default_timeout
+    conn.default_timeout = 0.002  # ~ the local wire round-trip
+    lock = threading.Lock()
+    deliveries: dict[int, list] = {}
+    try:
+        n = 300
+        for i in range(n):
+            conn.execute_async(
+                "select * from t where a=?",
+                (5,),
+                callback=(
+                    lambda rows, err, i=i: (
+                        lock.__enter__(),
+                        deliveries.setdefault(i, []).append((rows, err)),
+                        lock.__exit__(None, None, None),
+                    )
+                ),
+            )
+        deadline = time.time() + 30
+        while len(deliveries) < n and time.time() < deadline:
+            time.sleep(0.01)
+        time.sleep(0.3)  # let any double-delivery land before asserting
+        assert len(deliveries) == n
+        assert all(len(v) == 1 for v in deliveries.values())  # exactly once
+    finally:
+        conn.default_timeout = old
+    # the connection is still healthy: recv thread alive, sync call works
+    assert conn._recv_thread.is_alive()
+    assert conn.execute("select * from t where a=?", (5,)) == [(5,)]
