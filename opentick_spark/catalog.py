@@ -150,7 +150,13 @@ class Catalog:
     """Filesystem-backed catalog with a process-wide schema cache."""
 
     def __init__(self, warehouse: str):
-        self.warehouse = warehouse
+        from opentick_spark.fsutil import require_local_path
+
+        # the warehouse is a documented LOCAL design (os/open() lifecycle:
+        # .lock flock, compact-intent rename fences) — reject URIs loudly
+        # instead of letting os.path treat "hdfs://…" as a relative dir
+        # (r14, VERDICT r13 item 4)
+        self.warehouse = require_local_path(warehouse, "Catalog warehouse")
         os.makedirs(warehouse, exist_ok=True)
         self._cache: dict[tuple[str, str], TableSchema] = {}
         self._lock = threading.RLock()

