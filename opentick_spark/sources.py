@@ -225,6 +225,130 @@ def export_training_shards(
     return manifest
 
 
+def curriculum_order(
+    df: DataFrame,
+    value_col: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The two relations behind ``export_curriculum_shards``:
+    ``assigned`` (input + deterministic ``shard`` id from the exact
+    histogram CDF) and ``ordered`` (range-repartitioned on
+    (shard, value, id) with partition-local sorts — the write-ready
+    difficulty order with NO global Sort in the plan). Split out so
+    plan tests can assert the physical strategy of the writer's input
+    directly. NULL difficulty rows are excluded (the CDF convention)."""
+    from opentick_spark.operators.selection import _hist_cdf
+
+    df = df.filter(F.col(value_col).isNotNull())
+    hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    smap = _hist_cdf(hist, value_col).select(
+        value_col,
+        F.expr(
+            f"CAST((__cum * {int(n_shards)}L + __total - 1) DIV __total "
+            "AS LONG)"
+        ).alias("shard"),
+    )
+    # histogram-sized map joined back on the value — unhinted, AQE
+    # broadcasts it when the domain is small and hash-joins otherwise
+    assigned = df.join(smap, value_col)
+    ordered = assigned.repartitionByRange(
+        int(n_shards), "shard", value_col, id_col
+    ).sortWithinPartitions("shard", value_col, id_col)
+    return assigned, ordered
+
+
+def export_curriculum_shards(
+    df: DataFrame,
+    path: str | None,
+    value_col: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """MATERIALIZE a difficulty-ordered corpus without a global sort
+    (r14, VERDICT r13 item 6): ``cdf_buckets`` computes curriculum
+    order and ``export_training_shards`` writes token-budget shards,
+    but neither produces an easy→hard corpus ON DISK. This writer does,
+    in three scale-shaped steps:
+
+    1. **Deterministic shard ids from the exact histogram CDF** — the
+       ``cdf_buckets`` integer math (``shard = ceil(cum·n/total)`` on
+       the value's cumulative count, via the two-level range-bucketed
+       prefix sum — no single-task window at any value-domain size).
+       Every row with the same difficulty value lands in the same
+       shard, so the layout is reproducible across runs and engines —
+       NOT Spark's sampled range boundaries, which are neither.
+    2. **Physical order without a global Sort**:
+       ``repartitionByRange(n_shards, shard, value, id)`` +
+       ``sortWithinPartitions`` — RangePartitioning ships each range to
+       its partition and every sort stays partition-local. The ``id``
+       tie-break in the RANGE KEYS is the hot-value answer: a
+       difficulty value holding half the corpus range-splits across
+       partitions by id (they share a shard id — directory layout is
+       unaffected) instead of funneling one writer task.
+    3. **A shard manifest from the WRITTEN FILES** (when ``path`` is
+       given): per-shard row count, min/max difficulty, token totals —
+       the scheduler-facing contract, and reading it back from disk
+       makes the manifest an end-to-end check of what actually landed.
+
+    Rows with NULL difficulty are EXCLUDED (the CDF convention shared
+    with the percentile family — cross-engine NULL sort order would
+    shift every cut point). Returns the manifest DataFrame
+    (shard, n_docs, min/max value, token total); shards land under
+    ``<path>/data/shard=N/`` plus a ``manifest.json``."""
+    import json as _json
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    assigned, ordered = curriculum_order(df, value_col, n_shards, id_col)
+    if path is None:
+        src = assigned
+    else:
+        ordered.write.mode("overwrite").partitionBy("shard").parquet(
+            f"{path}/data"
+        )
+        src = df.sparkSession.read.parquet(f"{path}/data")
+    manifest = src.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min(value_col).alias(f"min_{value_col}"),
+        F.max(value_col).alias(f"max_{value_col}"),
+        F.sum(tokens_col if tokens_col else F.lit(0))
+        .cast("long")
+        .alias("tokens"),
+    )
+    if path is not None:
+        rows = sorted(
+            ([r[c] for c in manifest.columns] for r in manifest.collect()),
+            key=lambda t: t[0],
+        )
+        with open(f"{path}/manifest.json", "w") as f:
+            _json.dump(
+                {
+                    "n_shards": int(n_shards),
+                    "value_col": value_col,
+                    "columns": manifest.columns,
+                    "shards": [
+                        dict(zip(manifest.columns, map(_py, r))) for r in rows
+                    ],
+                },
+                f,
+                indent=2,
+            )
+    return manifest
+
+
+def _py(v):
+    """JSON-safe scalar (numpy/py4j longs → int, Decimals → float)."""
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if hasattr(v, "item"):
+        return v.item()
+    return v
+
+
 def assign_length_batches(
     df: DataFrame,
     id_col: str,

@@ -46,15 +46,13 @@ real bugs invisible at sf0.01 (r3: a keeper tie-break). Run
 ``SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.1 python
 tests/oracle_check.py`` to reproduce.
 
-Round-13 rotation (VERDICT r12 item 5, the documented queue): the
-21 r8-stale entries lead — the deferred r8 tail (source_mixture_stats
-… weighted_sample_docs, 14 entries) plus the seven r12 displacements
-(semantic_contamination, seq_len_histogram, sim_topk_pq,
-sim_topk_quantized, rolling_zscore_outliers, return_correlation,
-realized_vol_hourly) — then the alphabetical head of the r9-stale
-cohort (49 entries; the head fills the window, the tail yields one
-slot per mid-round r13 addition, the r6-r12 precedent). The deferred
-r9 tail leads the r14 queue.
+Round-14 rotation (VERDICT r13 item 5, the documented queue): the
+deferred r9-stale tail leads (22 entries), with ``meta_catalog`` and
+``merge_evolution_state`` — displaced by the r13 additions — restored
+FIRST; then the alphabetical head of the r10-stale cohort (50 entries;
+27 fill the window, the tail leads the r15 queue) and the one
+mid-round r14 addition (curriculum_shard_export, first-time driver
+evidence the round it lands — the r6-r13 precedent).
 Every rotated-out entry was driver-green in a prior round with an
 unchanged implementation and keeps oracle_check value coverage each
 round. The per-query rotation history (query →
@@ -82,69 +80,68 @@ ALL_ORACLES = {**_CORE_O, **_TICK_O, **_LLM_O}
 # asked for — query → rounds driver-checked → local verification),
 # replacing the docstring changelogs.
 _DRIVER_WINDOW = [
-    # ---- round 13 rotation (VERDICT r12 item 5): the documented queue.
-    # First the deferred r8 tail (14 entries) ----
-    "source_mixture_stats",
-    "source_token_entropy",
-    "streaming_enrich",
-    "streaming_hop_counts",
-    "temperature_sample",
-    "text_bigram_nll",
-    "text_repetition",
-    "text_token_count_total",
-    "tfidf_top_terms",
-    "token_shard_stats",
-    "twap_hourly",
-    "video_clip_containment_grouped",
-    "vocab_coverage_top100",
-    "weighted_sample_docs",
-    # ---- then the seven r12 displacements (all r8-stale) ----
-    "semantic_contamination",
-    "seq_len_histogram",
-    "sim_topk_pq",
-    "sim_topk_quantized",
-    "rolling_zscore_outliers",
-    "return_correlation",
-    "realized_vol_hourly",
-    # ---- alphabetical head of the r9-stale cohort (49 entries; the
-    # tail yields one slot per mid-round r13 addition below, the
-    # r6-r12 precedent; the deferred tail leads the r14 queue) ----
-    "adj_forward",
-    "approx_distinct_users",
-    "asof_join_purchase_signup",
-    "bloom_decontaminate",
-    "collocation_pmi_top100",
-    "continuous_ohlcv",
-    "dataset_card",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_edit_distance",
-    "dedup_minhash_lsh",
-    "dedup_ppjoin",
-    "embedding_random_projection",
-    "event_type_lift",
-    "exact_quantiles_by_type",
-    "funnel_time_to_convert",
-    "group_kfold_stats",
-    "hard_negative_mining",
-    "hll_distinct_rollup",
-    "hourly_seasonality",
-    "hybrid_search",
-    "incremental_dedup",
-    "key_skew_report",
-    "label_cohesion_stats",
-    "lang_id_confusion",
-    "lead_lag_correlation",
-    "mahalanobis_outliers",
-    # ---- mid-round r13 additions (first-time driver evidence the
-    # round they land, the r6-r12 precedent) ----
-    # IVF-candidate bitext mining at full probe: value-checks the
-    # strategy='ivf' plumbing against the exact brute-force oracle;
-    # displaces meta_catalog to the r14 queue
-    "bitext_margin_mine_ivf",
-    # model-based quality filtering (zero-shuffle scoring pass, exact
-    # dyadic-weight oracle); displaces merge_evolution_state
-    "model_quality_filter",
+    # ---- round 14 rotation (VERDICT r13 item 5): the documented queue.
+    # The deferred r9-stale tail leads (22 entries), meta_catalog and
+    # merge_evolution_state — displaced by the r13 additions — restored
+    # FIRST per the verdict ----
+    "meta_catalog",
+    "merge_evolution_state",
+    "multimodal_audio_windows",
+    "pareto_nation_revenue",
+    "psi_value_drift",
+    "run_length_histogram",
+    "snapshot_diff",
+    "source_overlap_matrix",
+    "split_contamination_stats",
+    "split_range_scan",
+    "stratified_sample",
+    "streaming_dedup_ingest",
+    "streaming_dedup_watermark",
+    "streaming_ohlcv",
+    "streaming_topk_values",
+    "supplier_concentration_hhi",
+    "tokenizer_fertility_by_lang",
+    "user_activity_entropy",
+    "user_ts_features",
+    "users_high_value_no_error",
+    "value_decile_stats",
+    "vwap_slippage",
+    # ---- alphabetical head of the r10-stale cohort (50 entries; 27
+    # fill the window, the tail leads the r15 queue) ----
+    "adj_backward",
+    "audio_dedup_fingerprint",
+    "bpe_encode_docs",
+    "brand_nation_revenue",
+    "char_entropy_stats",
+    "chunk_dedup_stats",
+    "cohort_retention",
+    "daily_growth_accounting",
+    "dedup_star_clusters",
+    "dialect_point_get",
+    "dialect_prefix_scan",
+    "dialect_range_tail",
+    "embedding_norm_stats",
+    "ewma_final_price",
+    "full_scan_agg",
+    "funnel_signup_purchase",
+    "gap_fill_locf",
+    "heaps_law_stats",
+    "hll_intersection_users",
+    "image_dedup_dhash",
+    "image_neardup_hamming",
+    "incremental_neardup_assign",
+    "json_props_stats",
+    "merge_sparse_preserve",
+    "ohlcv_rollup",
+    "pivot_event_counts",
+    "pk_point_get",
+    # ---- mid-round r14 addition (first-time driver evidence the
+    # round it lands, the r6-r13 precedent) ----
+    # curriculum-ordered shard materialization: deterministic CDF cut
+    # points + repartitionByRange/sortWithinPartitions writer, manifest
+    # aggregated from the written files (full write path end-to-end);
+    # displaces pk_prefix_scan to the r15 queue head
+    "curriculum_shard_export",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
