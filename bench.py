@@ -677,6 +677,11 @@ def main():
         # the registry entry's full probe is the oracle-equivalence
         # configuration, which deliberately pays exact-cross cost)
         "model_quality_filter",
+        # r14 new-operator rows: curriculum shard writer (full write
+        # path: CDF cut points + range-partitioned parquet + manifest
+        # read-back) and per-source 5-gram novelty accounting
+        "curriculum_shard_export",
+        "ngram_novelty",
     ]
     # r7 (VERDICT item 5): the slowest registry rows get the same
     # min-of-3 + published-spread treatment as the harness shapes —
@@ -711,6 +716,8 @@ def main():
         "exact_length_percentiles",
         "user_triangle_centrality",
         "model_quality_filter",
+        "curriculum_shard_export",
+        "ngram_novelty",
     }
     # family heads: a quiet-heap break runs BEFORE each of these rows
     # (untimed) so late-suite heap accumulation can't masquerade as

@@ -1585,3 +1585,79 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jac") >= threshold)
     )
     return verified
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    group_cols: tuple = ("source",),
+) -> DataFrame:
+    """Per-group n-gram NOVELTY accounting — the redundancy-growth
+    curve (Gopher/RefinedWeb-style corpus analysis): a document's
+    distinct word n-grams are split into FIRST OCCURRENCES (the global
+    minimum ``id_col`` over the n-gram's occurrences is this document)
+    and repeats of earlier text; per group the exact integer tallies
+    come back as (n_docs, total_ngrams, novel_ngrams,
+    fully_novel_docs). A corpus whose marginal shard contributes few
+    first occurrences is saturating — the curator's stop signal.
+
+    Scale shape (all built-ins, zero Python): ONE shingle pass
+    (``exploded_shingles`` — tokenize once, window-lead n-grams), then
+    TWO hash aggs over the (id, gram) relation — per-doc distinct
+    counts, and per-GRAM min-id (the same global shuffle dedup_exact
+    rides; novel counts fall out of the min agg's OUTPUT grouped by
+    first id, so no join back on the gram is ever needed) — and a
+    doc-count-sized join (unhinted; AQE broadcasts when small). The
+    RAW gram relation is explicitly repartitioned on the gram at the
+    FORK between the two aggs: that exchange is the reuse point
+    (ReusedExchange — plan-asserted) without which Catalyst recomputes
+    the whole tokenize→window pipeline once per consumer (two corpus
+    passes — the shape this operator refuses to ship at 100 TB). The
+    fork must sit BELOW any dedup: with a distinct under it, the novel
+    branch's ``min`` (duplicate-insensitive) lets the optimizer strip
+    that distinct, the two exchange subtrees stop canonicalizing
+    equal, and reuse silently dies — measured, two full shingle
+    passes. Each branch dedups its own way on top (per-(id,g) group
+    for totals; ``min`` needs none), with no further gram-scale
+    shuffle: g-partitioning co-locates (id, g) too. Docs with fewer
+    than ``n`` tokens have no n-grams and are excluded (documented;
+    the oracle matches).
+
+    Attribution order is ``id_col`` ascending — "first" means lowest
+    id, the ingest-order convention the incremental-dedup family uses.
+    """
+    # explicit non-null id filter BELOW the fork: the final inner join
+    # infers isnotnull(id) and pushes it into the totals branch only —
+    # one more silent canonical mismatch that would kill exchange reuse
+    df = df.filter(F.col(id_col).isNotNull())
+    grams = exploded_shingles(df, id_col, text_col, n=n, distinct=False)
+    grams = grams.repartition(F.col("g"))
+    totals = grams.dropDuplicates(["id", "g"]).groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_ngrams")
+    )
+    novel = (
+        grams.groupBy("g")
+        .agg(F.min("id").alias("__first_id"))
+        .groupBy("__first_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_novel"))
+    )
+    per_doc = totals.join(
+        novel, totals["id"] == novel["__first_id"], "left"
+    ).select(
+        "id",
+        "__n_ngrams",
+        F.coalesce("__n_novel", F.lit(0)).alias("__n_novel"),
+    )
+    keyed = per_doc.join(
+        df.select(F.col(id_col).alias("id"), *group_cols), "id"
+    )
+    return keyed.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__n_ngrams").cast("long").alias("total_ngrams"),
+        F.sum("__n_novel").cast("long").alias("novel_ngrams"),
+        F.sum(
+            (F.col("__n_novel") == F.col("__n_ngrams")).cast("long")
+        ).cast("long").alias("fully_novel_docs"),
+    )

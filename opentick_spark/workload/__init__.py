@@ -50,9 +50,10 @@ Round-14 rotation (VERDICT r13 item 5, the documented queue): the
 deferred r9-stale tail leads (22 entries), with ``meta_catalog`` and
 ``merge_evolution_state`` — displaced by the r13 additions — restored
 FIRST; then the alphabetical head of the r10-stale cohort (50 entries;
-27 fill the window, the tail leads the r15 queue) and the one
-mid-round r14 addition (curriculum_shard_export, first-time driver
-evidence the round it lands — the r6-r13 precedent).
+26 fill the window, the tail leads the r15 queue) and the two
+mid-round r14 additions (curriculum_shard_export, ngram_novelty —
+first-time driver evidence the round they land, the r6-r13
+precedent).
 Every rotated-out entry was driver-green in a prior round with an
 unchanged implementation and keeps oracle_check value coverage each
 round. The per-query rotation history (query →
@@ -134,14 +135,16 @@ _DRIVER_WINDOW = [
     "merge_sparse_preserve",
     "ohlcv_rollup",
     "pivot_event_counts",
-    "pk_point_get",
-    # ---- mid-round r14 addition (first-time driver evidence the
-    # round it lands, the r6-r13 precedent) ----
+    # ---- mid-round r14 additions (first-time driver evidence the
+    # round they land, the r6-r13 precedent) ----
     # curriculum-ordered shard materialization: deterministic CDF cut
     # points + repartitionByRange/sortWithinPartitions writer, manifest
     # aggregated from the written files (full write path end-to-end);
     # displaces pk_prefix_scan to the r15 queue head
     "curriculum_shard_export",
+    # per-source 5-gram first-occurrence novelty (redundancy-growth
+    # accounting, exact integer tallies); displaces pk_point_get
+    "ngram_novelty",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

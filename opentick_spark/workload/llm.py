@@ -929,6 +929,47 @@ def contamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ngram_novelty",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, list_distinct(list_transform(
+               range(1, greatest(len(__toks) - 3, 1)),
+               i -> array_to_string(__toks[i:i+4], ' '))) AS sh
+      FROM (SELECT doc_id, source, string_split({_NORM}, ' ') AS __toks
+            FROM documents)
+    ),
+    g AS (SELECT doc_id, source, unnest(sh) AS g FROM t),
+    totals AS (SELECT doc_id, source, COUNT(*)::BIGINT AS n_ngrams
+               FROM g GROUP BY 1, 2),
+    novel AS (
+      SELECT first_id, COUNT(*)::BIGINT AS n_novel
+      FROM (SELECT g, MIN(doc_id) AS first_id FROM g GROUP BY 1)
+      GROUP BY 1
+    )
+    SELECT totals.source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(totals.n_ngrams)::BIGINT AS total_ngrams,
+           SUM(COALESCE(novel.n_novel, 0))::BIGINT AS novel_ngrams,
+           SUM(CASE WHEN COALESCE(novel.n_novel, 0) = totals.n_ngrams
+                    THEN 1 ELSE 0 END)::BIGINT AS fully_novel_docs
+    FROM totals LEFT JOIN novel ON totals.doc_id = novel.first_id
+    GROUP BY 1
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 5-gram novelty accounting (r14) — how much of each
+    source is text the corpus had NOT seen before it (first occurrence
+    by lowest doc_id, the ingest-order convention): the
+    redundancy-growth / corpus-saturation curve. Exact integer tallies,
+    so the oracle is value-exact. One shingle pass + two hash aggs
+    (per-doc counts; per-gram min-id, whose OUTPUT grouped by first id
+    IS the novel count — no join back on the gram); docs with < 5
+    tokens have no 5-grams and are excluded by both engines."""
+    docs = load(spark, sf_dir, "documents")
+    return D.ngram_novelty(docs, n=5, group_cols=("source",))
+
+
+@q(
     "pack_sequences_by_lang",
     f"""
     WITH t AS (

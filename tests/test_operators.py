@@ -1951,3 +1951,48 @@ def test_margin_bitext_ivf_empty_input(spark):
     assert [f.name for f in out.schema.fields] == [
         "src_id", "tgt_id", "cos", "margin",
     ]
+
+
+def test_ngram_novelty_golden(spark):
+    """r14: first-occurrence accounting — a verbatim dup contributes 0
+    novel n-grams, partial overlap attributes each gram to its lowest
+    doc_id, and docs shorter than n tokens are excluded entirely."""
+    rows = [
+        (1, "a b c", "s1"),   # {a b, b c} both first here
+        (2, "a b c", "s1"),   # verbatim dup -> 0 novel
+        (3, "b c d", "s2"),   # {b c (first@1), c d (first@3)}
+        (4, "x", "s2"),       # < 2 tokens: no bigrams, excluded
+        (5, "p q r", "s2"),   # {p q, q r} both first here
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: (r["n_docs"], r["total_ngrams"], r["novel_ngrams"],
+                      r["fully_novel_docs"])
+        for r in D.ngram_novelty(df, n=2).collect()
+    }
+    assert got == {"s1": (2, 4, 2, 1), "s2": (2, 4, 3, 1)}
+
+
+def test_ngram_novelty_one_shingle_pass(spark):
+    """The tokenize→window shingle pipeline must run ONCE: the raw gram
+    relation's fork-point repartition is the reuse point (ReusedExchange)
+    feeding both the per-doc and per-gram aggs. Regression guard for two
+    measured reuse killers: a distinct below the fork (the novel
+    branch's duplicate-insensitive min lets the optimizer strip it —
+    subtrees stop canonicalizing equal) and the inner join's inferred
+    isnotnull(id) landing in one branch only."""
+    df = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat('w', id % 9, ' w', id % 7, ' w', id % 5, ' w', id % 3, "
+        "' w', id % 2, ' tail', id % 4) AS text",
+        "concat('s', id % 3) AS source",
+    )
+    out = D.ngram_novelty(df, n=5)
+    out.collect()
+    final = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert final.count("Generate") == 1, "shingle pipeline ran per-branch"
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final
+    assert "BroadcastNestedLoopJoin" not in final
