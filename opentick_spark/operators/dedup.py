@@ -1625,6 +1625,14 @@ def ngram_novelty(
     than ``n`` tokens have no n-grams and are excluded (documented;
     the oracle matches).
 
+    Plan-inspection note (tests/scale_drill_novelty.py learned this
+    the hard way): under AQE the reuse only MATERIALIZES in the final
+    executed plan — asserting on an unexecuted DataFrame's
+    ``executedPlan`` (e.g. after ``.count()``, which executes a
+    different wrapped plan) shows two Generates and no ReusedExchange
+    even though execution is one-pass. Execute the inspected plan
+    itself before reading it.
+
     Attribution order is ``id_col`` ascending — "first" means lowest
     id, the ingest-order convention the incremental-dedup family uses.
     """
