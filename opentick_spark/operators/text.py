@@ -786,7 +786,19 @@ def chunk_dedup_metrics(
     chunk hash for the global frequency (map-side combinable count),
     one on doc id for the rollup — never pairwise, fan-out is exactly
     n_chunks rows per doc. Works unchanged at 100 TB because a chunk's
-    global count is a hash-agg, not a join of documents."""
+    global count is a hash-agg, not a join of documents.
+
+    r14 (the plan_reuse_sweep finding): the original agg-then-join
+    formulation forked the chunk relation into the frequency agg AND
+    the join probe — Catalyst recomputed the tokenize→explode→md5
+    pipeline once per consumer (two corpus passes, measured two
+    Generates), and a fork-point exchange could not save it because
+    column pruning diverges below the fork (the frequency branch drops
+    doc_id, so the subtrees never canonicalize equal). The global
+    chunk count is now a COUNT OVER (PARTITION BY hash) window on the
+    single chunk relation: one pass, one shuffle, no join, no fork
+    (plan-asserted one Generate). Same hot-hash exposure as the join
+    it replaces — a degenerate chunk's rows co-locate either way."""
     if chunk_words <= 0:
         raise ValueError(f"chunk_words must be positive, got {chunk_words}")
     toks = ws_tokens(F.col(text_col))
@@ -815,9 +827,13 @@ def chunk_dedup_metrics(
             "__h"
         ),
     )
-    freq = chunks.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
+    from pyspark.sql import Window
+
+    counted = chunks.withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy("__h"))
+    )
     return (
-        chunks.join(freq, "__h")
+        counted
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
