@@ -44,6 +44,16 @@ def tfidf_top_terms(
     partitioned by doc from the tf agg. Deterministic tie-break: higher
     score first, then lexicographically smaller term.
 
+    r14 (the plan_reuse_sweep finding): ``df_docs`` must REFERENCE the
+    tf value (count of docs where the term appears >= 1 time — the
+    same number as counting tf rows). Written as a bare row count, the
+    optimizer eliminates the unused count from the dfreq branch's copy
+    of the tf aggregate, the two (id, term) partial aggs stop
+    canonicalizing equal, and the tokenize→explode pipeline silently
+    runs twice (measured: two Generates, no ReusedExchange). With the
+    reference kept, both branches share ONE map-side-combined (id,
+    term) exchange (plan-asserted).
+
     Output: (id, term, tf, df_docs, tfidf, rank).
     """
     toks = df.select(
@@ -51,7 +61,9 @@ def tfidf_top_terms(
         F.explode(ws_tokens(F.col(text_col))).alias("term"),
     ).filter(F.col("term") != "")
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    dfreq = tf.groupBy("term").agg(
+        F.sum((F.col("tf") >= 1).cast("long")).alias("df_docs")
+    )
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
