@@ -69,7 +69,15 @@ def bm25_scores(
         .agg(F.count("*").cast("double").alias("tf"))
     )
 
-    df_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    # df must REFERENCE tf (docs where the term appears >= 1 time —
+    # the same number as counting tf rows): as a bare row count the
+    # optimizer eliminates the unused tf from this branch's copy of
+    # the (doc, term) aggregate, the partial aggs stop canonicalizing
+    # equal, and the corpus tokenize pipeline silently runs twice
+    # (r14 plan_reuse_sweep finding, same class as tfidf_top_terms)
+    df_t = tf.groupBy("term").agg(
+        F.sum((F.col("tf") >= 1).cast("double")).alias("df")
+    )
 
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
