@@ -797,8 +797,17 @@ def hamming_blocked_pairs(
     dHash is all-zero) makes this op emit ~C(K,2) pairs per chunk —
     quadratic in K. For corpora where such cliques are possible, use
     ``hamming_blocked_star_edges`` + ``connected_components`` instead
-    (K-1 edges per bucket; skew drill in PLANS.md)."""
-    chunks = _hamming_chunks(sigs, sig_col, id_col, max_hamming)
+    (K-1 edges per bucket; skew drill in PLANS.md).
+
+    r14 (plan_reuse_sweep): the chunk relation is repartitioned on the
+    join keys so the SELF-join's two sides share one exchange
+    (ReusedExchange) — without it the whole signature pipeline ran
+    once per side (two shingle+64-vote passes for SimHash; two Python
+    DECODE passes for the media hashes), and the sort-merge join then
+    needs no further exchange of its own."""
+    chunks = _hamming_chunks(sigs, sig_col, id_col, max_hamming).repartition(
+        F.col("chunk_idx"), F.col("chunk_val")
+    )
     cand = (
         chunks.alias("x")
         .join(
