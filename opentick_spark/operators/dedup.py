@@ -1165,14 +1165,20 @@ def duplicate_spans(
     index — no suffix array, no pairwise work).
 
     Plan: tokenize once (posexplode keeps positions), n-gram windows by
-    ``lead`` over position (codegen, no higher-order lambdas), ONE
-    corpus-wide hash aggregation to count window occurrences, a
-    semi-join back marks the duplicated positions, then a per-document
-    gaps-and-islands pass merges overlapping/adjacent windows into
-    maximal spans ([p, p+n) and [q, q+n) merge iff q - p <= n). Shuffles:
-    one explicit spread on id (shared by the window sort and the island
-    merge), one on the gram hash — both key-parallel at any corpus size;
-    a repeated window is corpus-frequency-bounded, never doc-pairwise.
+    ``lead`` over position (codegen, no higher-order lambdas), the
+    corpus-wide occurrence count as COUNT() OVER (PARTITION BY gram) —
+    one shuffle on the gram, no join — marking duplicated positions in
+    the same pass, then a per-document gaps-and-islands pass merges
+    overlapping/adjacent windows into maximal spans ([p, p+n) and
+    [q, q+n) merge iff q - p <= n). r14 (plan_reuse_sweep): the
+    previous agg + semi-join formulation forked the gram relation and
+    recomputed the whole tokenize→lead-window pipeline once per
+    consumer (two corpus passes; a fork exchange can't save it —
+    column pruning diverges below the fork, the count branch drops
+    id/__pos). The island window re-partitions only the DUPLICATED
+    positions on id. A repeated window is corpus-frequency-bounded,
+    never doc-pairwise; a degenerate hot gram co-locates its rows the
+    same as the join it replaces.
 
     Output (one row per input doc): id, n_spans, dup_windows,
     dup_tokens (union coverage in tokens), total_tokens, dup_frac.
@@ -1196,12 +1202,13 @@ def duplicate_spans(
             ).alias("g"),
         )
     )
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("__c"))
+    duppos = (
+        grams.withColumn(
+            "__c", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
         .filter(F.col("__c") >= min_count)
+        .select("id", "__pos")
     )
-    duppos = grams.join(dup.select("g"), "g", "left_semi").select("id", "__pos")
     w2 = Window.partitionBy("id").orderBy("__pos")
     new_island = (
         F.when(F.lag("__pos").over(w2).isNull(), 1)
