@@ -41,7 +41,12 @@ def fs_has_child_with_prefix(spark, path: str, prefix: str) -> bool:
 
 import re as _re
 
-_SCHEME_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+# scheme followed by ':' BEFORE any '/' — Hadoop Path parses both URI
+# forms ('hdfs://nn/x' AND the one-slash 'hdfs:/x' / 'file:/x'), so the
+# guard must reject both (r14 review: requiring '://' let the
+# one-slash form through to os.makedirs, which creates a relative dir
+# literally named 'hdfs:' — the fabricated-state failure again)
+_SCHEME_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
 
 def require_local_path(path: str, what: str) -> str:

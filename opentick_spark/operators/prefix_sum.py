@@ -86,8 +86,24 @@ def bucket_key(col: str, dtype: "T.DataType") -> "Column | None":
         ).cast("long")
     if isinstance(dtype, T.DateType):
         return F.unix_date(F.col(col)).cast("long")
-    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dtype, T.TimestampType):
         return F.unix_micros(F.col(col))
+    if isinstance(dtype, T.TimestampNTZType):
+        # unix_micros rejects TIMESTAMP_NTZ (r14 review finding), and a
+        # cast to TIMESTAMP would route through the session timezone —
+        # build a timezone-independent epoch-seconds key from the NTZ
+        # fields instead. Second granularity is enough: bucket keys
+        # only need monotone NON-decreasing (the in-bucket window still
+        # orders by the real column).
+        c = F.col(col)
+        return (
+            (
+                F.unix_date(F.to_date(c)) * F.lit(86400).cast("long")
+                + F.hour(c) * 3600
+                + F.minute(c) * 60
+                + F.floor(F.second(c)).cast("long")
+            ).cast("long")
+        )
     return None
 
 

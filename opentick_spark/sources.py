@@ -318,8 +318,15 @@ def export_curriculum_shards(
         .alias("tokens"),
     )
     if path is not None:
+        # ONE read-back pass: collect the file-derived aggregate, write
+        # manifest.json, and return a DataFrame rebuilt from the
+        # collected rows — the returned frame no longer references the
+        # written files (callers may clean the export up after
+        # consuming the manifest) and downstream evaluation doesn't
+        # re-run the read-back scan (r14 review findings 5+6).
+        collected = manifest.collect()
         rows = sorted(
-            ([r[c] for c in manifest.columns] for r in manifest.collect()),
+            ([r[c] for c in manifest.columns] for r in collected),
             key=lambda t: t[0],
         )
         with open(f"{path}/manifest.json", "w") as f:
@@ -335,15 +342,21 @@ def export_curriculum_shards(
                 f,
                 indent=2,
             )
+        return df.sparkSession.createDataFrame(collected, manifest.schema)
     return manifest
 
 
 def _py(v):
-    """JSON-safe scalar (numpy/py4j longs → int, Decimals → float)."""
+    """JSON-safe scalar (numpy/py4j longs → int, Decimals → float,
+    temporal values → ISO strings — the manifest must serialize for
+    every bucketable difficulty domain, r14 review finding 3)."""
+    import datetime
     import decimal
 
     if isinstance(v, decimal.Decimal):
         return float(v)
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
     if hasattr(v, "item"):
         return v.item()
     return v

@@ -107,7 +107,7 @@ _DRIVER_WINDOW = [
     "users_high_value_no_error",
     "value_decile_stats",
     "vwap_slippage",
-    # ---- alphabetical head of the r10-stale cohort (50 entries; 27
+    # ---- alphabetical head of the r10-stale cohort (50 entries; 26
     # fill the window, the tail leads the r15 queue) ----
     "adj_backward",
     "audio_dedup_fingerprint",

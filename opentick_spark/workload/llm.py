@@ -3661,6 +3661,8 @@ def curriculum_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the files ON DISK, so the oracle (the same window-free
     ordering math over the value histogram) value-checks what actually
     landed — the full write path, end to end."""
+    import shutil
+
     from opentick_spark.sources import export_curriculum_shards
 
     docs = load(spark, sf_dir, "documents").select(
@@ -3668,9 +3670,15 @@ def curriculum_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(X.ws_tokens(F.col("text"))).cast("long").alias("n_toks"),
     )
     out_dir = tempfile.gettempdir() + f"/otspark_curr_{uuid.uuid4().hex}"
-    return export_curriculum_shards(
-        docs, out_dir, "n_toks", 8, id_col="doc_id", tokens_col="n_toks"
-    ).select("shard", "n_docs", "min_n_toks", "max_n_toks", "tokens")
+    try:
+        # the returned manifest is rebuilt from collected rows (it does
+        # not reference the written files), so the export can be swept
+        # immediately — repeated bench/sweep runs must not pile up /tmp
+        return export_curriculum_shards(
+            docs, out_dir, "n_toks", 8, id_col="doc_id", tokens_col="n_toks"
+        ).select("shard", "n_docs", "min_n_toks", "max_n_toks", "tokens")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 @q(

@@ -8,7 +8,9 @@ relative directory literally named "hdfs:"."""
 
 import pytest
 
-URIS = ["hdfs://nn:8020/warehouse", "s3a://bucket/ivf", "file:///tmp/x"]
+URIS = ["hdfs://nn:8020/warehouse", "s3a://bucket/ivf", "file:///tmp/x",
+        # Hadoop Path accepts the one-slash URI form too (r14 review)
+        "file:/tmp/x", "hdfs:/nn/warehouse"]
 
 
 @pytest.mark.parametrize("uri", URIS)

@@ -944,10 +944,14 @@ def test_two_level_cumsum_temporal_and_binary(spark):
     df = spark.range(300).selectExpr(
         "date_add(date'2001-03-04', CAST(id * 7 % 1000 AS INT)) AS d",
         "timestamp_micros(CAST(id * 1234567 AS LONG)) AS ts",
+        # TIMESTAMP_NTZ: unix_micros rejects it (r14 review) — the key
+        # is built from the NTZ fields, timezone-independent
+        "CAST(timestamp_micros(CAST(id * 987654321 AS LONG)) "
+        "AS TIMESTAMP_NTZ) AS tsn",
         "encode(concat('k', lpad(CAST(id AS STRING), 5, '0')), 'UTF-8') AS b",
         "id + 1 AS n",
     ).dropDuplicates(["d"])
-    for col in ("d", "ts", "b"):
+    for col in ("d", "ts", "tsn", "b"):
         out = two_level_cumsum(df, col, "n", "cum", inclusive=False)
         got = {r[col]: r["cum"] for r in out.collect()}
         rows = sorted((r[col], r["n"]) for r in df.collect())

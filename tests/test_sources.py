@@ -416,3 +416,28 @@ def test_curriculum_hot_value_splits_across_partitions(spark):
     )
     assigned, _ = curriculum_order(withnull, "diff", 4, id_col="doc_id")
     assert assigned.count() == 6000
+
+
+def test_export_curriculum_shards_temporal_and_detached(spark, tmp_path):
+    """r14 review findings 3+5+6: a DATE difficulty column must survive
+    manifest.json serialization (ISO strings), and the returned manifest
+    must be DETACHED from the written files — deleting the export after
+    the call must not break evaluating the returned DataFrame."""
+    import json
+    import shutil
+
+    from opentick_spark.sources import export_curriculum_shards
+
+    df = spark.range(100).selectExpr(
+        "id AS doc_id",
+        "date_add(date'2020-01-01', CAST(id % 10 AS INT)) AS day",
+        "id % 3 + 1 AS toks",
+    )
+    d = str(tmp_path / "curr_dates")
+    m = export_curriculum_shards(df, d, "day", 4, id_col="doc_id",
+                                 tokens_col="toks")
+    man = json.load(open(d + "/manifest.json"))
+    assert all(isinstance(s["min_day"], str) for s in man["shards"])
+    shutil.rmtree(d)  # detached: rows were collected once at export time
+    got = {r["shard"]: r["n_docs"] for r in m.collect()}
+    assert sum(got.values()) == 100
