@@ -799,15 +799,18 @@ def hamming_blocked_pairs(
     ``hamming_blocked_star_edges`` + ``connected_components`` instead
     (K-1 edges per bucket; skew drill in PLANS.md).
 
-    r14 (plan_reuse_sweep): the chunk relation is repartitioned on the
-    join keys so the SELF-join's two sides share one exchange
-    (ReusedExchange) — without it the whole signature pipeline ran
-    once per side (two shingle+64-vote passes for SimHash; two Python
-    DECODE passes for the media hashes), and the sort-merge join then
-    needs no further exchange of its own."""
-    chunks = _hamming_chunks(sigs, sig_col, id_col, max_hamming).repartition(
-        F.col("chunk_idx"), F.col("chunk_val")
-    )
+    r14 (plan_reuse_sweep, tried and REVERTED): a fork-point
+    repartition making the self-join's sides share one signature pass
+    was measured 3.5-5x SLOWER on the hot-clique skew drill at K=4000
+    (25-41s vs 7.5s same box) with either fork key — (chunk_idx,
+    chunk_val) forces a co-partitioned join that concentrates the
+    clique's C(K,2) generation, and even an id-key fork regressed the
+    quadratic probe path. The duplicated per-side pipeline here is
+    cheap JVM expression work (the media entries pass precomputed
+    JVM-side signatures; ``simhash_pairs`` exposes ``sigs`` for
+    multi-arm callers), so the two-pass plan is the measured winner —
+    kept, with the drill as the regression guard."""
+    chunks = _hamming_chunks(sigs, sig_col, id_col, max_hamming)
     cand = (
         chunks.alias("x")
         .join(
