@@ -1660,13 +1660,24 @@ def ngram_novelty(
     # one more silent canonical mismatch that would kill exchange reuse
     df = df.filter(F.col(id_col).isNotNull())
     grams = exploded_shingles(df, id_col, text_col, n=n, distinct=False)
-    grams = grams.repartition(F.col("g"))
-    totals = grams.dropDuplicates(["id", "g"]).groupBy("id").agg(
+    # deterministic id-salt in the fork partitioning (r14 hamming-drill
+    # lesson): the fork ships RAW gram rows, so a boilerplate gram held
+    # by 30% of a 100 TB corpus would otherwise land on ONE partition
+    # un-combined. Salting by hash(id) spreads a hot gram 16x while
+    # keeping every (id, gram) pair co-located (the salt is a function
+    # of id), so both consumers still need no gram-scale re-shuffle:
+    # min composes as min-of-mins over (g, salt), and the dedup groups
+    # on (id, g, salt) — salt is constant within an (id, g) pair.
+    grams = grams.withColumn("__slt", F.pmod(F.hash("id"), F.lit(16)))
+    grams = grams.repartition(F.col("g"), F.col("__slt"))
+    totals = grams.dropDuplicates(["id", "g", "__slt"]).groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("__n_ngrams")
     )
     novel = (
-        grams.groupBy("g")
-        .agg(F.min("id").alias("__first_id"))
+        grams.groupBy("g", "__slt")
+        .agg(F.min("id").alias("__m"))
+        .groupBy("g")
+        .agg(F.min("__m").alias("__first_id"))
         .groupBy("__first_id")
         .agg(F.count(F.lit(1)).cast("long").alias("__n_novel"))
     )
