@@ -542,3 +542,45 @@ def test_row_path_select_skips_sort_exchange(spark, tmp_path):
     # LIMIT keeps the plan sort (TakeOrderedAndProject path)
     tail = eng.execute_rows("select b, x from t where a=1 limit -5")
     assert [r[1] for r in tail] == [99.0, 98.0, 97.0, 96.0, 95.0]
+
+
+def _final_plan(df):
+    df.collect()
+    return (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+
+
+def test_one_pass_plans_r14_fork_fixes(spark):
+    """Regression gate for the r14 plan_reuse_sweep fixes: each of these
+    operators used to recompute its corpus tokenize pipeline once per
+    consumer branch (two Generates in the executed plan). The fixes are
+    structural (kept aggregate references, count-over-window rewrites)
+    and silent to every value test — only the executed plan shows a
+    regression. NOTE: the inspected DataFrame itself must be collected;
+    under AQE an un-executed plan never shows the reuse."""
+    from opentick_spark.operators.search import bm25_scores
+    from opentick_spark.operators.selection import tfidf_top_terms
+    from opentick_spark.operators.text import chunk_dedup_metrics
+    from opentick_spark.operators.dedup import duplicate_spans
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="otspark_planfix_") + "/docs"
+    spark.range(80).selectExpr(
+        "id AS doc_id",
+        "concat('alpha beta gamma w', id % 7, ' delta w', id % 5, "
+        "' epsilon zeta eta theta iota kappa') AS text",
+    ).write.mode("overwrite").parquet(d)
+    docs = spark.read.parquet(d)
+    cases = {
+        "tfidf": tfidf_top_terms(docs, k=3),
+        "bm25": bm25_scores(docs, ["alpha", "beta"]),
+        "chunk_dedup": chunk_dedup_metrics(docs, chunk_words=4),
+        "dup_spans": duplicate_spans(docs, n=3),
+    }
+    for name, df in cases.items():
+        plan = _final_plan(df)
+        n_gen = plan.count("Generate")
+        assert n_gen == 1, f"{name}: {n_gen} Generates — fork recompute is back"
