@@ -389,6 +389,14 @@ def _calibration(spark) -> dict:
     proved VM drift; this bakes that control into every run):
     - calib_py_ms: fixed pure-Python loop (single core, no JVM/BLAS)
     - calib_spark_ms: fixed 10M-row shuffle+agg (JVM, all cores)
+    - calib_spark_cpu_ms (r15, VERDICT r14 item 1): fixed CPU-bound
+      whole-stage-codegen aggregation — 200M xxhash64 rows, no shuffle
+      payload. The r14 drift episode proved calib_spark_ms is
+      overhead+bandwidth dominated and does NOT track host
+      instructions-per-second (flat across a 28% suite move while
+      calib_py_ms and every control row rose in lockstep); this probe
+      is the JVM-side analogue of calib_py_ms and moves with the host
+      CPU throughput the suite actually runs on.
     Compare row_time/calib across rounds, not raw seconds."""
     t0 = time.time()
     acc = 0
@@ -400,8 +408,38 @@ def _calibration(spark) -> dict:
         "k"
     ).count().write.mode("overwrite").format("noop").save()
     spark_ms = round((time.time() - t0) * 1000, 1)
+    t0 = time.time()
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "xxhash64(id) AS h"
+    ).agg({"h": "sum"}).collect()
+    spark_cpu_ms = round((time.time() - t0) * 1000, 1)
     del acc
-    return {"calib_py_ms": py_ms, "calib_spark_ms": spark_ms}
+    return {
+        "calib_py_ms": py_ms,
+        "calib_spark_ms": spark_ms,
+        "calib_spark_cpu_ms": spark_cpu_ms,
+    }
+
+
+# r15 (VERDICT r14 item 1): pinned control-row reference — the r13
+# artifact values of rows whose CODE is untouched since r10. Every
+# artifact now carries its own ambient-drift reading (median ratio of
+# this run's control rows vs the last clean-box artifact), so a judge
+# reads box state directly from BENCH_r{N}.json instead of
+# reconstructing it from a prior round's file. If a future round
+# touches one of these code paths, move that row OUT of this dict (and
+# say so in PLANS) — a control row must stay code-frozen to mean
+# anything.
+_CONTROL_REFERENCE = {
+    "full_scan_agg": 0.239,
+    "pk_range_scan": 0.166,
+    "tail_limit": 0.223,
+    "pricing_summary": 0.441,
+    "revenue_by_nation": 0.621,
+    "ohlcv_rollup": 0.262,
+    "mjpg_frame_stats": 1.644,
+    "image_exif_audit": 1.979,
+}
 
 
 def main():
@@ -682,6 +720,9 @@ def main():
         # read-back) and per-source 5-gram novelty accounting
         "curriculum_shard_export",
         "ngram_novelty",
+        # r15 new-operator row: line-level boilerplate dedup
+        # (one-Generate count-over-window + per-doc reassembly)
+        "line_dedup_stats",
     ]
     # r7 (VERDICT item 5): the slowest registry rows get the same
     # min-of-3 + published-spread treatment as the harness shapes —
@@ -718,6 +759,7 @@ def main():
         "model_quality_filter",
         "curriculum_shard_export",
         "ngram_novelty",
+        "line_dedup_stats",
     }
     # family heads: a quiet-heap break runs BEFORE each of these rows
     # (untimed) so late-suite heap accumulation can't masquerade as
@@ -797,6 +839,32 @@ def main():
 
     total = round(sum(timings.values()), 3)
     timings = {k: round(v, 3) for k, v in timings.items()}
+    _ratios = {
+        k: round(timings[k] / ref, 3)
+        for k, ref in _CONTROL_REFERENCE.items()
+        if k in timings
+    }
+    _sorted_r = sorted(_ratios.values())
+    _controls = {
+        "ref_artifact": "BENCH_r13",
+        "ratios": _ratios,
+        "median_ratio": (
+            round(
+                (
+                    _sorted_r[len(_sorted_r) // 2]
+                    if len(_sorted_r) % 2
+                    else (
+                        _sorted_r[len(_sorted_r) // 2 - 1]
+                        + _sorted_r[len(_sorted_r) // 2]
+                    )
+                    / 2
+                ),
+                3,
+            )
+            if _sorted_r
+            else None
+        ),
+    }
     # r8 (VERDICT item 1): the driver captures only a 2000-char stdout
     # tail; r7's single line outgrew it (BENCH_r07 parsed:null) once
     # rep_spreads was extended. Evidence line FIRST, compact headline
@@ -816,6 +884,11 @@ def main():
                     "start": calib_start,
                     "end": _calibration(spark),
                 },
+                # ambient-drift reading: this run's control rows
+                # (code untouched since r10) vs the pinned r13
+                # clean-box artifact — ~1.0 = comparable box,
+                # >1.15 = elevated; read totals accordingly
+                "controls": _controls,
             },
             separators=(",", ":"),
         )

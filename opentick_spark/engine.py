@@ -20,6 +20,7 @@ method calls. What remains semantically is reproduced here:
 from __future__ import annotations
 
 import itertools
+import re
 import threading
 import time
 from typing import Any
@@ -148,12 +149,23 @@ def _render_num_sql(v) -> "str | None":
     return None
 
 
+_SAFE_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def _render_conds_sql(conds) -> "str | None":
     """One SQL string for a bound condition list — the single-expr()
     fast path of ``_split_predicate.fold`` (r14: one py4j call instead
-    of ~9 per comparison). None if any literal is non-numeric."""
+    of ~9 per comparison). None if any literal is non-numeric, or if a
+    column name is not a plain identifier (r15, ADVICE r14: an embedded
+    backtick would break the quoting, and a dotted name quoted whole
+    here would diverge from the ``F.col()`` fallback, which parses dots
+    as field access — the dialect tokenizer only admits
+    ``[_a-zA-Z][a-zA-Z0-9_]*`` so this is unreachable via SQL, but the
+    guard keeps the fast path safe for any future caller)."""
     parts = []
     for c in conds:
+        if not _SAFE_IDENT_RE.match(c.col.name):
+            return None
         name = f"`{c.col.name}`"
         if c.equal is not None:
             lit = _render_num_sql(c.equal)

@@ -41,12 +41,25 @@ def fs_has_child_with_prefix(spark, path: str, prefix: str) -> bool:
 
 import re as _re
 
-# scheme followed by ':' BEFORE any '/' — Hadoop Path parses both URI
-# forms ('hdfs://nn/x' AND the one-slash 'hdfs:/x' / 'file:/x'), so the
-# guard must reject both (r14 review: requiring '://' let the
-# one-slash form through to os.makedirs, which creates a relative dir
-# literally named 'hdfs:' — the fabricated-state failure again)
-_SCHEME_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+# Known REMOTE/URI filesystem schemes, matched case-insensitively
+# before any '/' — Hadoop Path parses both URI forms ('hdfs://nn/x'
+# AND the one-slash 'hdfs:/x' / 'file:/x'), so the guard must reject
+# both (r14 review: requiring '://' let the one-slash form through to
+# os.makedirs, which creates a relative dir literally named 'hdfs:' —
+# the fabricated-state failure again). r15 (ADVICE r14): an allowlist
+# replaces the any-scheme regex, which also rejected legal LOCAL names
+# whose first segment contains a colon — 'data:v2/shard' (legal on
+# Linux; os.makedirs correctly creates a dir named 'data:v2') and
+# Windows drive paths ('C:\\x'). Residual restriction, documented: a
+# remote scheme NOT on this list (some exotic Hadoop connector) passes
+# through and hits the original fabricated-state trap — the list
+# covers every connector Spark ships or commonly loads.
+_REMOTE_SCHEMES = (
+    "hdfs|webhdfs|swebhdfs|viewfs|har|file|local|s3|s3a|s3n|gs|gcs"
+    "|abfs|abfss|wasb|wasbs|adl|oss|cos|cosn|o3fs|ofs|alluxio|maprfs"
+    "|ftp|sftp|http|https"
+)
+_SCHEME_RE = _re.compile(rf"^({_REMOTE_SCHEMES}):", _re.IGNORECASE)
 
 
 def require_local_path(path: str, what: str) -> str:

@@ -1699,3 +1699,101 @@ def ngram_novelty(
             (F.col("__n_novel") == F.col("__n_ngrams")).cast("long")
         ).cast("long").alias("fully_novel_docs"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    delim: str = "\n",
+) -> DataFrame:
+    """Line-level exact dedup / boilerplate removal (the RefinedWeb /
+    C4-style curation staple: drop lines duplicated across >=
+    ``min_docs`` DISTINCT documents — headers, nav bars, cookie
+    banners — from every document that carries them).
+
+    Reference scope note: the reference engine has no text curation
+    surface; this is an extension operator in the LLM-pipeline family
+    (r15, VERDICT r14 item 3), sharing ``duplicate_spans``'s
+    count-over-window scale shape at line granularity.
+
+    Plan (linear pipeline — NO join, NO fork, exactly one Generate):
+
+    1. ``posexplode(split(text, delim))`` keeps each line's position
+       for reassembly.
+    2. The cross-document occurrence count is computed with windows
+       over ONE line-keyed exchange: a ``lag(id)`` first-row-per-doc
+       flag, then ``SUM(flag) OVER (PARTITION BY line)`` = COUNT
+       (DISTINCT doc) without a distinct or a join (both window specs
+       share partitioning+ordering, so Catalyst plans one Exchange +
+       one Sort). Blank-after-trim lines are EXEMPT from dedup and are
+       keyed per (doc, pos) — millions of empty lines never funnel one
+       partition; the collision-proof 'B'/'L' key prefix separates the
+       two namespaces.
+    3. One groupBy(id) rebuilds the cleaned text (collect kept
+       (pos, line) structs, ``array_sort`` — position order restored —
+       then ``concat_ws``) and aggregates the removal stats in the
+       same pass.
+
+    Hot-key exposure, documented like chunk_dedup/duplicate_spans: a
+    boilerplate line held by most of the corpus co-locates its
+    occurrences (one narrow row per occurrence, not whole documents)
+    in one window partition — a linear count over co-located rows,
+    the same exposure as the groupBy/join it replaces; see
+    tests/skew_drill_linededup.py for the 60%-hot-line drill.
+
+    ``delim`` is used as BOTH the split regex and the rejoin literal,
+    so it must be a regex-safe literal string (the '\\n' default is).
+    Output: one row per input document —
+    (id, clean_text, n_lines, removed_lines, removed_frac).
+    """
+    lines = _spread_by_id(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), delim, -1)
+        ).alias("__pos", "__line"),
+    )
+    exempt = F.trim(F.col("__line")) == ""
+    keyed = lines.withColumn(
+        "__k",
+        F.when(
+            exempt, F.concat_ws("\x00", F.lit("B"), F.col("id"), F.col("__pos"))
+        ).otherwise(F.concat(F.lit("L"), F.col("__line"))),
+    )
+    w_ord = Window.partitionBy("__k").orderBy("id", "__pos")
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    first_in_doc = (
+        F.lag("id").over(w_ord).isNull() | (F.lag("id").over(w_ord) != F.col("id"))
+    ).cast("long")
+    marked = keyed.withColumn(
+        "__nd", F.sum(first_in_doc).over(w_all)
+    ).withColumn(
+        "__rm",
+        (F.trim(F.col("__line")) != "") & (F.col("__nd") >= min_docs),
+    )
+    return marked.groupBy("id").agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__rm"),
+                            F.struct(F.col("__pos"), F.col("__line")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("__line"),
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("__rm").cast("long")).cast("long").alias("removed_lines"),
+        F.round(
+            F.sum(F.col("__rm").cast("long"))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            6,
+        ).alias("removed_frac"),
+    )

@@ -107,6 +107,28 @@ def bucket_key(col: str, dtype: "T.DataType") -> "Column | None":
     return None
 
 
+def _nullsafe_join(left: DataFrame, right: DataFrame, keys: list) -> DataFrame:
+    """Inner-join on ``keys`` with null-safe equality (``<=>``), keeping
+    one copy of each key column (the left one) like the name-list join
+    form does. NULL key values match each other — the same grouping
+    semantics as ``groupBy``/``Window.partitionBy``, which treat NULL
+    as a real group; the name-list form's null-unsafe `=` drops those
+    rows (r15, ADVICE r14). Catalyst extracts ``<=>`` as an equi-join
+    key (EqualNullSafe in ExtractEquiJoinKeys), so the physical plan
+    stays a hash/sort-merge join."""
+    renamed = right.select(
+        *[F.col(k).alias(f"__nsj_{i}") for i, k in enumerate(keys)],
+        *[c for c in right.columns if c not in keys],
+    )
+    cond = None
+    for i, k in enumerate(keys):
+        c = left[k].eqNullSafe(renamed[f"__nsj_{i}"])
+        cond = c if cond is None else (cond & c)
+    return left.join(renamed, cond).drop(
+        *[f"__nsj_{i}" for i in range(len(keys))]
+    )
+
+
 def two_level_cumsum(
     df: DataFrame,
     order_col: str,
@@ -124,7 +146,11 @@ def two_level_cumsum(
     Contract: ``order_col`` must be ``is_bucketable`` (raises
     otherwise), NON-NULL, and UNIQUE within each group (rows-frame
     windows are order-nondeterministic under ties; every caller here
-    feeds ids or distinct histogram values). ``inclusive`` includes the
+    feeds ids or distinct histogram values). ``group_cols`` MAY contain
+    NULLs (r15, ADVICE r14): a NULL key forms its own group exactly as
+    under ``groupBy`` — the bounds/offsets joins are null-safe, so
+    those rows get correct per-group running sums instead of being
+    silently dropped. ``inclusive`` includes the
     current row (CDF semantics); exclusive gives the tokens-before
     convention. Bucket bounds ride the PLAN as a broadcast one-row
     min/max aggregate when ungrouped (not a driver ``.first()`` — r13
@@ -169,11 +195,16 @@ def two_level_cumsum(
     gcols = list(group_cols)
     if gcols:
         # per-group bounds, plain (AQE-decided) join back on the group
-        # key: |groups| rows — broadcastable only when actually small
+        # key: |groups| rows — broadcastable only when actually small.
+        # NULL-SAFE equality (r15, ADVICE r14): a NULL group-key value
+        # is a real group under groupBy/Window.partitionBy, but the
+        # name-list join form uses null-unsafe `=` and silently DROPPED
+        # those rows; `<=>` keeps them and Catalyst still extracts it
+        # as an equi-join key (no BNLJ).
         bnds = df.groupBy(*gcols).agg(
             F.min(key_col).alias("__tl_lo"), F.max(key_col).alias("__tl_hi")
         )
-        with_b = df.join(bnds, gcols)
+        with_b = _nullsafe_join(df, bnds, gcols)
     else:
         bnds = df.agg(
             F.min(key_col).alias("__tl_lo"), F.max(key_col).alias("__tl_hi")
@@ -199,8 +230,17 @@ def two_level_cumsum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
     )
+    joined = (
+        # null-safe on the group cols (same NULL-group reasoning as the
+        # bounds join above); __tl_bkt itself is never NULL, and the
+        # ungrouped branch keeps the plain name-join so the broadcast
+        # hint on `offsets` sits directly under the join
+        _nullsafe_join(with_b, offsets, gcols + ["__tl_bkt"])
+        if gcols
+        else with_b.join(offsets, ["__tl_bkt"])
+    )
     out = (
-        with_b.join(offsets, gcols + ["__tl_bkt"])
+        joined
         .withColumn(
             out_col,
             F.col("__tl_off") + F.coalesce(F.sum(sum_col).over(w_in), F.lit(0)),

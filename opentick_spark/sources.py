@@ -265,6 +265,7 @@ def export_curriculum_shards(
     n_shards: int,
     id_col: str = "doc_id",
     tokens_col: str | None = None,
+    verify: bool = True,
 ) -> DataFrame:
     """MATERIALIZE a difficulty-ordered corpus without a global sort
     (r14, VERDICT r13 item 6): ``cdf_buckets`` computes curriculum
@@ -296,7 +297,18 @@ def export_curriculum_shards(
     with the percentile family — cross-engine NULL sort order would
     shift every cut point). Returns the manifest DataFrame
     (shard, n_docs, min/max value, token total); shards land under
-    ``<path>/data/shard=N/`` plus a ``manifest.json``."""
+    ``<path>/data/shard=N/`` plus a ``manifest.json``.
+
+    ``verify`` (r15, VERDICT r14 item 6): True (default) aggregates the
+    manifest from the files ON DISK — an end-to-end check of what
+    actually landed, and the oracle-entry configuration. False derives
+    the SAME aggregate from the pre-write ``assigned`` frame instead:
+    no second scan of a 100 TB export, and no re-execution of the
+    range-repartition exchange either (the aggregate is order-
+    insensitive, so it reads the assignment lineage the same way the
+    ``path=None`` branch does — one pruned source scan plus the
+    value-domain-sized CDF shuffles). Both paths run the identical
+    groupBy; only the scan source differs."""
     import json as _json
 
     if n_shards <= 0:
@@ -308,7 +320,11 @@ def export_curriculum_shards(
         ordered.write.mode("overwrite").partitionBy("shard").parquet(
             f"{path}/data"
         )
-        src = df.sparkSession.read.parquet(f"{path}/data")
+        src = (
+            df.sparkSession.read.parquet(f"{path}/data")
+            if verify
+            else assigned
+        )
     manifest = src.groupBy(F.col("shard").cast("long").alias("shard")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min(value_col).alias(f"min_{value_col}"),
@@ -348,8 +364,11 @@ def export_curriculum_shards(
 
 def _py(v):
     """JSON-safe scalar (numpy/py4j longs → int, Decimals → float,
-    temporal values → ISO strings — the manifest must serialize for
-    every bucketable difficulty domain, r14 review finding 3)."""
+    temporal values → ISO strings, binary → hex — the manifest must
+    serialize for EVERY bucketable difficulty domain: r14 review
+    finding 3, plus r15 ADVICE r14 for BinaryType, whose min/max came
+    back as bytearray and blew up json.dump after the parquet data was
+    already written)."""
     import datetime
     import decimal
 
@@ -357,6 +376,8 @@ def _py(v):
         return float(v)
     if isinstance(v, (datetime.date, datetime.datetime)):
         return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
     if hasattr(v, "item"):
         return v.item()
     return v

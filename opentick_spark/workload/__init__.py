@@ -81,70 +81,70 @@ ALL_ORACLES = {**_CORE_O, **_TICK_O, **_LLM_O}
 # asked for — query → rounds driver-checked → local verification),
 # replacing the docstring changelogs.
 _DRIVER_WINDOW = [
-    # ---- round 14 rotation (VERDICT r13 item 5): the documented queue.
-    # The deferred r9-stale tail leads (22 entries), meta_catalog and
-    # merge_evolution_state — displaced by the r13 additions — restored
-    # FIRST per the verdict ----
-    "meta_catalog",
-    "merge_evolution_state",
-    "multimodal_audio_windows",
-    "pareto_nation_revenue",
-    "psi_value_drift",
-    "run_length_histogram",
-    "snapshot_diff",
-    "source_overlap_matrix",
-    "split_contamination_stats",
-    "split_range_scan",
-    "stratified_sample",
-    "streaming_dedup_ingest",
-    "streaming_dedup_watermark",
-    "streaming_ohlcv",
-    "streaming_topk_values",
-    "supplier_concentration_hhi",
-    "tokenizer_fertility_by_lang",
-    "user_activity_entropy",
-    "user_ts_features",
-    "users_high_value_no_error",
-    "value_decile_stats",
-    "vwap_slippage",
-    # ---- alphabetical head of the r10-stale cohort (50 entries; 26
-    # fill the window, the tail leads the r15 queue) ----
-    "adj_backward",
-    "audio_dedup_fingerprint",
-    "bpe_encode_docs",
-    "brand_nation_revenue",
-    "char_entropy_stats",
-    "chunk_dedup_stats",
-    "cohort_retention",
-    "daily_growth_accounting",
-    "dedup_star_clusters",
-    "dialect_point_get",
-    "dialect_prefix_scan",
-    "dialect_range_tail",
-    "embedding_norm_stats",
-    "ewma_final_price",
-    "full_scan_agg",
-    "funnel_signup_purchase",
-    "gap_fill_locf",
-    "heaps_law_stats",
-    "hll_intersection_users",
-    "image_dedup_dhash",
-    "image_neardup_hamming",
-    "incremental_neardup_assign",
-    "json_props_stats",
-    "merge_sparse_preserve",
-    "ohlcv_rollup",
-    "pivot_event_counts",
-    # ---- mid-round r14 additions (first-time driver evidence the
-    # round they land, the r6-r13 precedent) ----
-    # curriculum-ordered shard materialization: deterministic CDF cut
-    # points + repartitionByRange/sortWithinPartitions writer, manifest
-    # aggregated from the written files (full write path end-to-end);
-    # displaces pk_prefix_scan to the r15 queue head
-    "curriculum_shard_export",
-    # per-source 5-gram first-occurrence novelty (redundancy-growth
-    # accounting, exact integer tallies); displaces pk_point_get
-    "ngram_novelty",
+    # ---- round 15 rotation (VERDICT r14 item 5): the documented queue.
+    # pk_prefix_scan and pk_point_get — displaced by the r14 additions —
+    # restored FIRST per the verdict ----
+    "pk_prefix_scan",
+    "pk_point_get",
+    # ---- tail of the r10-stale cohort (the 22 entries the r14 window's
+    # 26-entry alphabetical head did not reach) ----
+    "pk_range_scan",
+    "png_decode_features",
+    "pricing_summary",
+    "referential_integrity_audit",
+    "retention_cohorts",
+    "revenue_by_nation",
+    "roll_spread_estimate",
+    "rolling_beta_7d",
+    "scalar_subquery_filter",
+    "session_windows",
+    "sim_topk_ivf",
+    "stats_by_event_type",
+    "streaming_arrow_ingest",
+    "streaming_chunk_dedup",
+    "streaming_image_dedup",
+    "streaming_ivf_append",
+    "streaming_upsert_ingest",
+    "streaming_zst_ingest",
+    "tail_limit",
+    "text_lang_id",
+    "top_orders_by_revenue",
+    "video_dedup_fingerprint",
+    # ---- alphabetical head of the r11-stale cohort (47 entries; 25
+    # fill the window, the 22-entry tail from rollup_nation_region on
+    # leads the r16 queue) ----
+    "ann_recall_report",
+    "approx_quantiles",
+    "conditional_agg_filter",
+    "contamination_8gram",
+    "corpus_pipeline",
+    "cube_status_priority",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_simhash",
+    "distinct_suppliers_per_flag",
+    "drop_evolution_state",
+    "embedding_label_stats",
+    "except_all_high_value",
+    "grouping_sets_mixed",
+    "hop_window_counts",
+    "incremental_agg_maintenance",
+    "intersect_users",
+    "interval_join_windows",
+    "log_diff_incremental",
+    "lsh_banding_efficiency",
+    "mixture_sample",
+    "mjpg_frame_stats",
+    "multimodal_features",
+    "pack_sequences_by_lang",
+    "profile_orders",
+    # ---- mid-round r15 additions (first-time driver evidence the
+    # round they land, the r6-r14 precedent) ----
+    # line-level boilerplate dedup (RefinedWeb/C4 staple, VERDICT r14
+    # item 3): one-Generate count-over-window + reassembly; displaces
+    # rollup_nation_region (next r11-stale alphabetical) to the r16
+    # queue head
+    "line_dedup_stats",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

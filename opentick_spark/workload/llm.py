@@ -6367,3 +6367,52 @@ def source_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return exact_percentiles_by(docs, "n_chars", "source")
+
+
+@q(
+    "line_dedup_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, replace(text, ' a ', chr(10)) AS t FROM documents
+    ),
+    l AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(t, chr(10)), 1) - 1 AS pos,
+             unnest(string_split(t, chr(10))) AS line
+      FROM d
+    ),
+    c AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS nd
+      FROM l WHERE trim(line) <> '' GROUP BY line
+    ),
+    m AS (
+      SELECT l.doc_id, l.pos, l.line,
+             CASE WHEN trim(l.line) <> '' AND c.nd >= 2 THEN 1 ELSE 0 END
+               AS rm
+      FROM l LEFT JOIN c ON l.line = c.line
+    )
+    SELECT doc_id AS id,
+           COALESCE(string_agg(CASE WHEN rm = 0 THEN line END, chr(10)
+                               ORDER BY pos), '') AS clean_text,
+           COUNT(*)::BIGINT AS n_lines,
+           SUM(rm)::BIGINT AS removed_lines,
+           ROUND(SUM(rm)::DOUBLE / GREATEST(COUNT(*), 1), 6)
+             AS removed_frac
+    FROM m GROUP BY doc_id
+    """,
+)
+def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate dedup (r15, VERDICT r14 item 3:
+    operators/dedup.line_dedup — the RefinedWeb/C4 curation staple):
+    drop every line duplicated across >= 2 distinct documents, rebuild
+    each document from its kept lines in order, report removal stats.
+    The synthetic corpus is single-line, so the entry derives a
+    deterministic multi-line corpus first (replace ' a ' -> newline,
+    identical left-to-right non-overlapping scan in both engines); the
+    operator itself is one Generate -> line-keyed distinct-doc count
+    over ONE window exchange (no join, no fork) -> one groupBy(id)
+    reassembly."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" a "), F.lit("\n"))
+    )
+    return D.line_dedup(docs, min_docs=2)

@@ -1768,3 +1768,26 @@ def test_modify_column_widen_composes_with_merge_and_append(kv):
         spark.createDataFrame([(5_000_000_000, 3.5)], "k bigint, v double")
     )
     assert kv.execute_rows("select v from wm where k=5000000000") == [(3.5,)]
+
+
+def test_render_conds_sql_ident_guard():
+    """r15 (ADVICE r14): the single-expr() SQL fast path refuses column
+    names that are not plain identifiers (embedded backticks would
+    break the quoting; dotted names would diverge from the F.col()
+    fallback's field-access parse) — those fall back to Column
+    building. Plain identifiers still render."""
+    from opentick_spark.catalog import ColumnDef
+    from opentick_spark.dialect.resolver import Bound, ResolvedCond
+    from opentick_spark.engine import _render_conds_sql
+
+    def cond(name):
+        cd = ColumnDef(
+            name=name, type="int", is_key=True, key_pos=0, pos_col=0,
+            physical=name,
+        )
+        return ResolvedCond(col=cd, start=Bound(1, True), end=Bound(9, False))
+
+    assert _render_conds_sql([cond("tm")]) == "`tm` >= 1 AND `tm` < 9"
+    assert _render_conds_sql([cond("we`ird")]) is None
+    assert _render_conds_sql([cond("a.b")]) is None
+    assert _render_conds_sql([cond("9lead")]) is None

@@ -59,3 +59,15 @@ def test_plain_local_paths_still_accepted(tmp_path):
     assert require_local_path(str(tmp_path), "x") == str(tmp_path)
     assert require_local_path("rel/dir", "x") == "rel/dir"
     Catalog(str(tmp_path / "wh"))  # constructs fine
+    # r15 (ADVICE r14): colon-bearing LOCAL names are legal on Linux —
+    # the guard is a remote-scheme ALLOWLIST now, not any-scheme; a
+    # first segment that merely looks scheme-ish passes through (os.*
+    # treats it as a plain directory name, which is correct local
+    # semantics)
+    assert require_local_path("data:v2/shard", "x") == "data:v2/shard"
+    assert require_local_path("C:\\models\\x", "x") == "C:\\models\\x"
+    # ...but known remote schemes still raise in any case form
+    with pytest.raises(ValueError, match="plain local filesystem path"):
+        require_local_path("HDFS://nn/warehouse", "x")
+    with pytest.raises(ValueError, match="plain local filesystem path"):
+        require_local_path("abfss://c@acct/x", "x")

@@ -1996,3 +1996,63 @@ def test_ngram_novelty_one_shingle_pass(spark):
     assert final.count("Generate") == 1, "shingle pipeline ran per-branch"
     assert "ReusedExchange" in final or "ReusedQueryStage" in final
     assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_line_dedup_known_fixture(spark):
+    """Hand-computed line-level boilerplate removal (r15, VERDICT r14
+    item 3): lines held by >= min_docs DISTINCT documents are dropped
+    from every document (including within-doc repeats of them); lines
+    repeated only WITHIN one document survive (the distinct-doc count,
+    not the occurrence count, is the C4/RefinedWeb criterion); blank
+    lines are exempt and preserved in place."""
+    from opentick_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nreal content one\n\nreal content two"),
+            (2, "cookie banner\nunique para\ncookie banner"),
+            (3, "self repeat\nself repeat\nown words"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r.asDict() for r in line_dedup(docs, min_docs=2).collect()}
+    # "cookie banner" sits in docs 1 and 2 -> removed everywhere,
+    # including doc 2's second copy; blank line kept in place
+    assert got[1]["clean_text"] == "real content one\n\nreal content two"
+    assert got[1]["n_lines"] == 4 and got[1]["removed_lines"] == 1
+    assert got[2]["clean_text"] == "unique para"
+    assert got[2]["removed_lines"] == 2
+    # within-doc repeat only: 1 distinct doc < 2 -> kept
+    assert got[3]["clean_text"] == "self repeat\nself repeat\nown words"
+    assert got[3]["removed_lines"] == 0
+    # empty text = one blank line, exempt, round-trips
+    assert got[4]["clean_text"] == "" and got[4]["n_lines"] == 1
+    assert got[4]["removed_frac"] == 0.0
+
+
+def test_line_dedup_min_docs_and_all_removed(spark):
+    """min_docs=3 threshold honored exactly; a document whose every
+    line is boilerplate collapses to empty text but keeps its stats
+    row."""
+    from opentick_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "nav bar\nfooter") for i in range(1, 4)]
+        + [(4, "nav bar\nmy own line")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r.asDict() for r in line_dedup(docs, min_docs=3).collect()}
+    # "nav bar" in 4 docs (>=3) removed; "footer" in 3 docs removed;
+    # docs 1-3 collapse entirely
+    for i in (1, 2, 3):
+        assert got[i]["clean_text"] == ""
+        assert got[i]["removed_lines"] == 2
+        assert got[i]["removed_frac"] == 1.0
+    assert got[4]["clean_text"] == "my own line"
+    # min_docs=5: nothing reaches the threshold
+    kept = {
+        r["id"]: r["removed_lines"]
+        for r in line_dedup(docs, min_docs=5).collect()
+    }
+    assert all(v == 0 for v in kept.values())

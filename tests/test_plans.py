@@ -584,3 +584,27 @@ def test_one_pass_plans_r14_fork_fixes(spark):
         plan = _final_plan(df)
         n_gen = plan.count("Generate")
         assert n_gen == 1, f"{name}: {n_gen} Generates — fork recompute is back"
+
+
+def test_line_dedup_plan_one_generate_no_join(spark):
+    """r15 (VERDICT r14 item 3 'Done' criterion): line_dedup's executed
+    plan is a LINEAR pipeline — exactly one Generate (the posexplode)
+    and zero joins; the distinct-doc count is windows over one
+    line-keyed exchange, and the reassembly is one groupBy(id). A
+    second Generate or a Join is the fork-recompute / agg+join shape
+    coming back."""
+    import tempfile
+
+    from opentick_spark.operators.dedup import line_dedup
+
+    d = tempfile.mkdtemp(prefix="otspark_linededup_") + "/docs"
+    spark.range(60).selectExpr(
+        "id AS doc_id",
+        "concat('shared header', chr(10), 'body ', id, chr(10), "
+        "CASE WHEN id % 2 = 0 THEN 'even footer' ELSE 'odd footer' END) "
+        "AS text",
+    ).write.mode("overwrite").parquet(d)
+    df = line_dedup(spark.read.parquet(d), min_docs=2)
+    plan = _final_plan(df)
+    assert plan.count("Generate") == 1, plan
+    assert "Join" not in plan, plan

@@ -1005,3 +1005,27 @@ def test_two_level_cumsum_per_group_bounds_and_hint_discipline(spark):
     # ungrouped: the tiny offsets relation keeps its broadcast hint
     out1 = two_level_cumsum(wide, "v", "n", "cum")
     assert "ResolvedHint" in out1._jdf.queryExecution().analyzed().toString()
+
+
+def test_two_level_cumsum_null_group_keys_kept(spark):
+    """r15 (ADVICE r14): rows whose GROUP key is NULL form a real group
+    (groupBy/Window.partitionBy semantics) — the bounds/offsets joins
+    are null-safe, so those rows get correct per-group running sums
+    instead of silently vanishing from the output."""
+    from pyspark.sql import functions as F
+
+    from opentick_spark.operators.prefix_sum import two_level_cumsum
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), (None, 1, 5), (None, 3, 7), (None, 9, 11)],
+        "grp string, v int, n int",
+    )
+    out = two_level_cumsum(
+        df, "v", "n", "cum", n_buckets=4, group_cols=("grp",), inclusive=True
+    ).collect()
+    assert len(out) == 5, "NULL-group rows were dropped"
+    got = {(r["grp"], r["v"]): r["cum"] for r in out}
+    assert got[("a", 1)] == 10 and got[("a", 2)] == 30
+    assert got[(None, 1)] == 5
+    assert got[(None, 3)] == 12
+    assert got[(None, 9)] == 23

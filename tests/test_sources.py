@@ -441,3 +441,65 @@ def test_export_curriculum_shards_temporal_and_detached(spark, tmp_path):
     shutil.rmtree(d)  # detached: rows were collected once at export time
     got = {r["shard"]: r["n_docs"] for r in m.collect()}
     assert sum(got.values()) == 100
+
+
+def test_export_curriculum_shards_verify_false(spark, tmp_path):
+    """r15 (VERDICT r14 item 6): ``verify=False`` must produce the
+    IDENTICAL manifest (DataFrame rows and manifest.json) from the
+    pre-write assignment lineage — no scan of the written export — and
+    still write the same shard layout to disk."""
+    import glob as _glob
+    import json
+
+    from opentick_spark.sources import export_curriculum_shards
+
+    rows = [(i, (i * 11) % 17, i % 4 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, diff long, toks long")
+    d_v = str(tmp_path / "with_verify")
+    d_f = str(tmp_path / "no_verify")
+    m_v = export_curriculum_shards(
+        df, d_v, "diff", 4, id_col="doc_id", tokens_col="toks"
+    )
+    m_f = export_curriculum_shards(
+        df, d_f, "diff", 4, id_col="doc_id", tokens_col="toks", verify=False
+    )
+    assert sorted(map(tuple, m_v.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, m_f.collect()), key=lambda t: t[0]
+    )
+    man_v = json.load(open(d_v + "/manifest.json"))
+    man_f = json.load(open(d_f + "/manifest.json"))
+    assert man_v["shards"] == man_f["shards"]
+    # the export itself still landed with the same partition layout
+    dirs = lambda d: sorted(  # noqa: E731
+        p.rsplit("/", 1)[-1] for p in _glob.glob(d + "/data/shard=*")
+    )
+    assert dirs(d_v) == dirs(d_f)
+    assert _curriculum_ground_truth(rows, 4) == {
+        r["shard"]: (r["n_docs"], r["min_diff"], r["max_diff"], r["tokens"])
+        for r in m_f.collect()
+    }
+
+
+def test_export_curriculum_shards_binary_difficulty(spark, tmp_path):
+    """r15 (ADVICE r14): a BinaryType difficulty column is bucketable,
+    so the manifest's min/max must serialize (hex) instead of blowing
+    up json.dump after the parquet data was already written."""
+    import json
+
+    from opentick_spark.sources import export_curriculum_shards
+
+    df = spark.range(120).selectExpr(
+        "id AS doc_id",
+        "unhex(lpad(hex(id % 30), 4, '0')) AS fp",
+        "id % 3 + 1 AS toks",
+    )
+    d = str(tmp_path / "curr_bin")
+    m = export_curriculum_shards(
+        df, d, "fp", 3, id_col="doc_id", tokens_col="toks"
+    )
+    man = json.load(open(d + "/manifest.json"))
+    assert all(
+        isinstance(s["min_fp"], str) and isinstance(s["max_fp"], str)
+        for s in man["shards"]
+    )
+    assert sum(r["n_docs"] for r in m.collect()) == 120
