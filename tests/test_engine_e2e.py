@@ -312,7 +312,11 @@ def test_response_cache_ttl(spark, tmp_path):
 
     from opentick_spark.engine import Engine
 
-    eng = Engine(spark, str(tmp_path / "wh_ttl"), cache_ttl=2.0)
+    # TTL must exceed the worst-case wall time of the intervening DELETE
+    # (a full Spark job, 2.6s+ observed on an ambient-elevated box — the
+    # r15 flake): 8s keeps the stale-read assert deterministic while the
+    # expiry loop still completes well inside its deadline.
+    eng = Engine(spark, str(tmp_path / "wh_ttl"), cache_ttl=8.0)
     eng.execute("create database c")
     eng.use("c")
     eng.execute("create table t(sec int, tm timestamp, open double, primary key(sec, tm))")
@@ -322,7 +326,7 @@ def test_response_cache_ttl(spark, tmp_path):
     eng.execute("delete from t where sec=?", 1)
     # stale within TTL
     assert len(eng.execute_rows("select * from t where sec=?", 1)) == 2
-    deadline = _t.time() + 10
+    deadline = _t.time() + 30
     while _t.time() < deadline:
         rows = eng.execute_rows("select * from t where sec=?", 1)
         if len(rows) == 0:
