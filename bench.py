@@ -409,9 +409,13 @@ def _calibration(spark) -> dict:
     ).count().write.mode("overwrite").format("noop").save()
     spark_ms = round((time.time() - t0) * 1000, 1)
     t0 = time.time()
+    # bit_xor, not sum: a SUM of 200M ~uniform 64-bit hashes overflows
+    # long under ANSI mode (found on the first full run of this probe —
+    # the mid-build session never executed it); XOR keeps the identical
+    # per-row hash work with no overflow by construction
     spark.range(0, 200_000_000, 1, 32).selectExpr(
         "xxhash64(id) AS h"
-    ).agg({"h": "sum"}).collect()
+    ).selectExpr("bit_xor(h)").collect()
     spark_cpu_ms = round((time.time() - t0) * 1000, 1)
     del acc
     return {

@@ -55,49 +55,92 @@ class Future:
             raise Error("Timeout") from None
 
 
+class _Bundle:
+    """ONE shared completion for every row of one group-commit bundle
+    (r15): the engine lands a bundle as a single atomic commit, so all
+    of its rows resolve identically — one Event + one outcome replaces
+    a ``concurrent.futures.Future`` per row (the async-firehose profile
+    showed per-row future alloc/lock/set_result as pure overhead: 100k
+    futures per second all resolving together). Durability contract
+    unchanged: ``wait`` returns only once the row's commit published."""
+
+    __slots__ = ("_evt", "_exc")
+
+    def __init__(self):
+        self._evt = threading.Event()
+        self._exc = None
+
+    def resolve(self, exc=None) -> None:
+        self._exc = exc
+        self._evt.set()
+
+    def wait(self, timeout: float | None):
+        # fast path: resolved bundles skip the Event lock entirely
+        if not self._evt.is_set() and not self._evt.wait(timeout):
+            raise Error("Timeout")
+        if self._exc is not None:
+            raise self._exc
+        return None
+
+
+class _BundleFuture(Future):
+    """Future facade over a shared :class:`_Bundle` (same ``get``
+    contract as the per-row future it replaces)."""
+
+    __slots__ = ("_fut",)
+
+    def __init__(self, bundle: _Bundle):
+        self._fut = bundle
+
+    def get(self, timeout: float | None = None):
+        return self._fut.wait(timeout)
+
+
 class _GroupCommitBuffer:
     """Group commit for the async single-row insert firehose: the
     reference's clients fire 100k independent ``insert`` futures
     (test.py:44-61) and FDB coalesces them into batched commits. Here,
-    async inserts enqueue (rows, futures) per prepared statement and a
-    flusher thread lands each bundle as ONE atomic commit, resolving the
-    futures afterwards — same durability contract (a future resolves
-    only once its row is committed), ~1000× fewer files than
-    commit-per-row."""
+    async inserts enqueue rows per prepared statement and a flusher
+    thread lands each bundle as ONE atomic commit, resolving the
+    bundle's shared completion afterwards — same durability contract
+    (a future resolves only once its row is committed), ~1000× fewer
+    files than commit-per-row."""
 
     def __init__(self, engine: Engine, max_rows: int = 10_000, flush_ms: float = 2.0):
         self._engine = engine
         self._max_rows = max_rows
         self._flush_s = flush_ms / 1000.0
-        self._pending: dict[int, list] = {}
+        # pid -> (rows list, shared _Bundle for the rows queued in the
+        # current flush window)
+        self._pending: dict[int, tuple[list, _Bundle]] = {}
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def submit(self, pid: int, args: tuple):
-        fut: CFuture = CFuture()
+    def submit(self, pid: int, args: tuple) -> _Bundle:
         with self._lock:
-            self._pending.setdefault(pid, []).append((args, fut))
-            n = len(self._pending[pid])
+            entry = self._pending.get(pid)
+            if entry is None:
+                entry = ([], _Bundle())
+                self._pending[pid] = entry
+            entry[0].append(args)
+            n = len(entry[0])
         if n >= self._max_rows:
             self._wake.set()
-        return fut
+        return entry[1]
 
     def _flush(self) -> None:
         with self._lock:
             batches = self._pending
             self._pending = {}
-        for pid, items in batches.items():
+        for pid, (rows, bundle) in batches.items():
             try:
-                self._engine.batch_insert(pid, [a for a, _ in items])
-                for _, fut in items:
-                    fut.set_result(None)
-            except Exception as e:  # resolve futures with the error
-                for _, fut in items:
-                    if not fut.done():
-                        fut.set_exception(e)
+                self._engine.batch_insert(pid, rows)
+                bundle.resolve()
+            except Exception as e:  # resolve the bundle with the error
+                bundle.resolve(e)
 
     def _run(self) -> None:
         while not self._stop:
@@ -175,6 +218,9 @@ class Connection:
         self._buffer = _GroupCommitBuffer(
             self._engine, group_commit_rows, group_commit_ms
         )
+        # sql text → prepared-insert pid (positive decisions only; see
+        # execute_async)
+        self._insert_pids: dict[str, int] = {}
         if db_name:
             self._engine.use(db_name)
 
@@ -306,13 +352,23 @@ class Connection:
             )
         args = tuple(args)
         # single-row inserts ride the group-commit buffer (the async
-        # firehose path); everything else runs on the pool
+        # firehose path); everything else runs on the pool. The
+        # sql → insert-pid decision is memoized on the connection (r15:
+        # the firehose calls this 100k×/s — engine.prepare's lock and
+        # the resolver isinstance are per-STATEMENT work, not per-row;
+        # only POSITIVE insert decisions are cached, so a statement
+        # that fails to prepare now but becomes valid later still
+        # resolves correctly on every call)
+        pid = self._insert_pids.get(sql)
+        if pid is not None:
+            return _BundleFuture(self._buffer.submit(pid, args))
         try:
             pid = self._engine.prepare(sql)
             from opentick_spark.dialect.resolver import ResolvedInsert
 
             if isinstance(self._engine._prepared[pid][1], ResolvedInsert):
-                return Future(self._buffer.submit(pid, args))
+                self._insert_pids[sql] = pid
+                return _BundleFuture(self._buffer.submit(pid, args))
         except Error:
             pass  # non-preparable (DDL etc.) → pool
         return Future(self._pool.submit(self.execute, sql, args))

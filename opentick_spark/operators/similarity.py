@@ -302,6 +302,33 @@ def seed_centroids(
     )
 
 
+def _cent_rows(cents: DataFrame) -> list:
+    """Driver-collect a centroid relation as (centroid_id, centv) rows —
+    ncentroids × dim, tiny by construction (the PQ-codebook /
+    probed-centroid-ids collect() precedent). The routing passes close
+    over these instead of broadcast-joining the DataFrame: same bytes
+    reach the driver either way (a broadcast collects to the driver
+    first), but the downstream plan loses a crossJoin and a per-id
+    window sort (see _assign_to_centroids)."""
+    return [(r["centroid_id"], r["centv"]) for r in cents.collect()]
+
+
+def _assign_to_centroids(
+    df: DataFrame, cents_rows, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment WITHOUT a join (r15): the
+    ``_probe_lists`` matrix-argmax router at nprobe=1 — one Arrow
+    projection over the corpus, zero Exchange, instead of the previous
+    crossJoin(broadcast(cents)) × cosine_batch × row_number window
+    (which inflated the corpus ncentroids× and shuffled the inflated
+    vectors just to pick the per-id argmax). Tie-break identical to the
+    window it replaces: highest cosine, then lowest centroid_id.
+    Output: (id_col, vec_col, centroid_id)."""
+    return _probe_lists(df, cents_rows, 1, id_col, vec_col).select(
+        id_col, vec_col, "centroid_id"
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -310,11 +337,12 @@ def kmeans_centroids(
     iters: int = 3,
 ) -> DataFrame:
     """Lloyd's k-means (cosine assignment, mean update) as DataFrame
-    iterations: assign via broadcast-centroid argmax, update via
-    ``applyInPandas`` per-centroid numpy mean. Deterministic seed, fixed
-    iteration count (convergence checking would add a driver action per
-    round; near-dup routing doesn't need it). Each round is one broadcast
-    join + one shuffle on centroid_id — linear in corpus size.
+    iterations: assign via the matrix-argmax router (one Arrow pass,
+    no join — r15), update via ``applyInPandas`` per-centroid numpy
+    mean. Deterministic seed, fixed iteration count (convergence
+    checking would add a driver action per round; near-dup routing
+    doesn't need it). Each round is one narrow corpus pass + one
+    shuffle on centroid_id — linear in corpus size.
     """
 
     def _mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -329,24 +357,14 @@ def kmeans_centroids(
 
     cents = seed_centroids(corpus, id_col, vec_col, ncentroids)
     for _ in range(max(0, iters)):
-        assign = (
-            corpus.crossJoin(F.broadcast(cents))
-            .select(
-                F.col(id_col).alias("nid"),
-                F.col(vec_col).alias("cv"),
-                "centroid_id",
-                cosine_batch(F.col(vec_col), F.col("centv")).alias("__sim"),
-            )
-            .withColumn(
-                "__rk",
-                F.row_number().over(
-                    Window.partitionBy("nid").orderBy(
-                        F.col("__sim").desc(), F.col("centroid_id")
-                    )
-                ),
-            )
-            .filter(F.col("__rk") == 1)
-        )
+        # r15: assignment via the matrix-argmax router (see
+        # _assign_to_centroids) — one narrow Arrow pass over the corpus
+        # instead of a 16× crossJoin + per-id window sort each round;
+        # the centroid collect replaces the broadcast (same bytes to
+        # the driver either way)
+        assign = _assign_to_centroids(
+            corpus, _cent_rows(cents), id_col, vec_col
+        ).select(F.col(vec_col).alias("cv"), "centroid_id")
         cents = assign.groupBy("centroid_id").applyInPandas(
             _mean_vec, "centroid_id int, centv array<float>"
         )
@@ -376,43 +394,19 @@ def ivf_topk(
         cents = kmeans_centroids(corpus, id_col, vec_col, ncentroids, train_iters)
     else:
         cents = seed_centroids(corpus, id_col, vec_col, ncentroids)
-    c_assign = (
-        corpus.crossJoin(F.broadcast(cents))
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cv"),
-            "centroid_id",
-            cosine_batch(F.col(vec_col), F.col("centv")).alias("__sim"),
-        )
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id").orderBy(
-                    F.col("__sim").desc(), F.col("centroid_id")
-                )
-            ),
-        )
-        .filter(F.col("__rk") == 1)
-        .select("neighbor_id", "cv", "centroid_id")
+    # r15: both routing passes go through the matrix-argmax router —
+    # no crossJoin, no per-id window sort (see _assign_to_centroids);
+    # the tie-break (sim desc, centroid_id asc) is unchanged
+    crows = _cent_rows(cents)
+    c_assign = _assign_to_centroids(corpus, crows, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "centroid_id",
     )
-    q_probe = (
-        queries.crossJoin(F.broadcast(cents))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            "centroid_id",
-            cosine_batch(F.col(vec_col), F.col("centv")).alias("__sim"),
-        )
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("__sim").desc(), F.col("centroid_id")
-                )
-            ),
-        )
-        .filter(F.col("__rk") <= nprobe)
-        .select("query_id", "qv", "centroid_id")
+    q_probe = _probe_lists(queries, crows, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        "centroid_id",
     )
     scored = (
         c_assign.join(F.broadcast(q_probe), "centroid_id")
@@ -757,24 +751,13 @@ def build_ivf_index(
     else:
         cents = seed_centroids(corpus, id_col, vec_col, ncentroids)
     cents = cents.localCheckpoint(eager=True)  # one training, two writers
-    c_assign = (
-        corpus.crossJoin(F.broadcast(cents))
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cv"),
-            "centroid_id",
-            cosine_batch(F.col(vec_col), F.col("centv")).alias("__sim"),
-        )
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id").orderBy(
-                    F.col("__sim").desc(), F.col("centroid_id")
-                )
-            ),
-        )
-        .filter(F.col("__rk") == 1)
-        .select("neighbor_id", "cv", "centroid_id")
+    # r15: route via the matrix-argmax router (see _assign_to_centroids)
+    c_assign = _assign_to_centroids(
+        corpus, _cent_rows(cents), id_col, vec_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "centroid_id",
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     c_assign.write.mode("overwrite").partitionBy("centroid_id").parquet(
@@ -798,24 +781,16 @@ def ivf_topk_indexed(
     reader prunes every other directory. Same output contract as
     ``ivf_topk``."""
     cents = spark.read.parquet(f"{path}/centroids")
-    q_probe = (
-        queries.crossJoin(F.broadcast(cents))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            "centroid_id",
-            cosine_batch(F.col(vec_col), F.col("centv")).alias("__sim"),
-        )
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("__sim").desc(), F.col("centroid_id")
-                )
-            ),
-        )
-        .filter(F.col("__rk") <= nprobe)
-        .select("query_id", "qv", "centroid_id")
+    # r15: probe via the matrix-argsort router (_probe_lists) — the
+    # centroid relation is driver-collected (ncentroids × dim, tiny)
+    # instead of broadcast-crossJoined, removing the per-query window
+    # sort; tie-break (sim desc, centroid_id asc) unchanged
+    q_probe = _probe_lists(
+        queries, _cent_rows(cents), nprobe, id_col, vec_col
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        "centroid_id",
     )
     probed = [
         r["centroid_id"] for r in q_probe.select("centroid_id").distinct().collect()
@@ -1015,27 +990,15 @@ def ivf_index_append(
         )
         return 0
     cents = spark.read.parquet(f"{path}/centroids")
-    delta = (
-        new_vectors.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-        )
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "neighbor_id",
-            "cv",
-            "centroid_id",
-            cosine_batch(F.col("cv"), F.col("centv")).alias("__sim"),
-        )
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id").orderBy(
-                    F.col("__sim").desc(), F.col("centroid_id")
-                )
-            ),
-        )
-        .filter(F.col("__rk") == 1)
-        .select("neighbor_id", "cv", "centroid_id")
+    # r15: route the delta via the matrix-argmax router (see
+    # _assign_to_centroids) — one narrow Arrow pass over just the
+    # delta, no crossJoin/window
+    delta = _assign_to_centroids(
+        new_vectors, _cent_rows(cents), id_col, vec_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "centroid_id",
     )
     if marker_file is None:
         # observe() counts DURING the single write pass: the count and
