@@ -2024,26 +2024,26 @@ def video_sequence_groups(hashes: DataFrame) -> DataFrame:
     hash of it, so there is no collision risk. ``has_null`` marks
     sequences containing an undecodable frame (NULL fhash) — such a
     video can never be claimed contained (NULL never matches), which
-    the expansion helpers must respect."""
+    the expansion helpers must respect.
+
+    r15 (the chunk_dedup/duplicate_spans count-over-window lesson):
+    rep/n_members are windows over ONE __seq-keyed exchange instead of
+    the previous agg-then-join-back, whose two consumers of ``seqs``
+    re-ran the per-video collect aggregation twice over the full hash
+    corpus (the silent fork-recompute class)."""
+    from pyspark.sql import Window
+
     seqs = hashes.groupBy("id").agg(
         F.sort_array(
             F.collect_list(F.struct("frame_idx", "fhash"))
         ).alias("__seq")
     )
-    groups = seqs.groupBy("__seq").agg(
-        F.min("id").alias("rep"),
-        F.count(F.lit(1)).alias("n_members"),
-    )
-    return (
-        seqs.join(groups, "__seq")
-        .select(
-            "id",
-            "rep",
-            "n_members",
-            F.exists("__seq", lambda s: s["fhash"].isNull()).alias(
-                "has_null"
-            ),
-        )
+    w = Window.partitionBy("__seq")
+    return seqs.select(
+        "id",
+        F.min("id").over(w).alias("rep"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        F.exists("__seq", lambda s: s["fhash"].isNull()).alias("has_null"),
     )
 
 
@@ -2077,7 +2077,11 @@ def video_clip_containment_groups(hashes: DataFrame) -> DataFrame:
     test_video_clip_star_pair_equivalence; asymptotics by
     tests/skew_drill_clip.py (PLANS.md)."""
     members = video_sequence_groups(hashes)
-    sizes = members.select("rep", "n_members", "has_null").distinct()
+    # one row per group WITHOUT a distinct exchange (r15): the rep's
+    # own member row already carries (rep, n_members, has_null)
+    sizes = members.filter(F.col("id") == F.col("rep")).select(
+        "rep", "n_members", "has_null"
+    )
     rep_hashes = hashes.join(
         sizes.select(F.col("rep").alias("id")), "id", "left_semi"
     )
@@ -2323,6 +2327,50 @@ def image_exif_meta(
 
     return df.select(id_col, payload_col).mapInPandas(
         batches, JPEG_META_SCHEMA
+    )
+
+
+JPEG_AUDIT_SCHEMA = T.StructType(
+    JPEG_META_SCHEMA.fields
+    + [T.StructField("strip_clean", T.BooleanType(), True)]
+)
+
+
+def image_exif_audit(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Fused audit + scrub-verification (r15): per payload, ONE Python
+    pass computes the header metadata, strips every APPn/COM segment,
+    and re-audits the scrubbed bytes — semantically identical to
+    ``image_exif_meta(df) JOIN image_exif_meta(image_exif_strip(df))``
+    but the payload crosses the JVM↔Python boundary once instead of
+    three times and the plan has no join and no checkpoint (guide §4:
+    the bytes are opaque to Spark — every extra stage re-ships them).
+    ``strip_clean`` = NOT has_exif(stripped payload); NULL for
+    non-JPEG payloads (matching the meta-join composite it replaces).
+    Output: JPEG_META_SCHEMA + strip_clean."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in JPEG_AUDIT_SCHEMA.fields}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                m = _jpeg_meta(p) or {}
+                s = _jpeg_strip_metadata(p)
+                m2 = _jpeg_meta(p if s is None else s) or {}
+                he2 = m2.get("has_exif")
+                rows["id"].append(int(i))
+                rows["width"].append(m.get("width"))
+                rows["height"].append(m.get("height"))
+                rows["orientation"].append(m.get("orientation"))
+                rows["has_gps"].append(m.get("has_gps"))
+                rows["has_exif"].append(m.get("has_exif"))
+                rows["strip_clean"].append(
+                    None if he2 is None else not he2
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, JPEG_AUDIT_SCHEMA
     )
 
 

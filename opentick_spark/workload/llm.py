@@ -1673,24 +1673,20 @@ def image_exif_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    jp = docs.mapInPandas(gen, "doc_id long, payload binary").localCheckpoint(
-        eager=True
-    )
-    meta = M.image_exif_meta(jp)
-    clean = M.image_exif_meta(
-        M.image_exif_strip(jp), id_col="id"
-    ).select("id", (~F.col("has_exif")).alias("strip_clean"))
-    return (
-        meta.join(clean, "id")
-        .select(
-            F.col("id").cast("long").alias("doc_id"),
-            F.col("width").cast("int").alias("width"),
-            F.col("height").cast("int").alias("height"),
-            F.col("orientation").cast("int").alias("orientation"),
-            "has_gps",
-            "has_exif",
-            "strip_clean",
-        )
+    # r15: the fused audit operator — one Python pass (audit + strip +
+    # re-audit per payload) replaces meta JOIN strip→meta, so the JPEG
+    # bytes cross the JVM↔Python boundary once and the checkpoint/join
+    # disappear (guide §4; semantics pinned identical by the oracle and
+    # test_exif_audit_fused_matches_composite)
+    jp = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return M.image_exif_audit(jp).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("orientation").cast("int").alias("orientation"),
+        "has_gps",
+        "has_exif",
+        "strip_clean",
     )
 
 

@@ -584,6 +584,48 @@ def test_exif_parsers_never_raise(data, prefix, mutate, seed):
         assert ms is None or ms["has_exif"] is False
 
 
+def test_exif_audit_fused_matches_composite(spark):
+    """r15 fusion: ``image_exif_audit`` (one Python pass) must equal
+    the meta JOIN strip→meta composite it replaced, row for row —
+    including the non-JPEG quarantine (all-NULL metadata, NULL
+    strip_clean) and the no-Exif path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    payloads = []
+    for d in range(40):
+        if d % 13 == 4:
+            payloads.append((d, b"not a jpeg at all"))
+            continue
+        img = np.full((8, 8), 40 + d % 50, dtype=np.uint8)
+        app1 = (
+            None
+            if d % 11 == 7
+            else M._encode_exif(orientation=1 + d % 8, gps=(d % 5 == 0))
+        )
+        payloads.append((d, M._encode_jpeg(img, quality=75, app1=app1)))
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    fused = {
+        r["id"]: (
+            r["width"], r["height"], r["orientation"], r["has_gps"],
+            r["has_exif"], r["strip_clean"],
+        )
+        for r in M.image_exif_audit(df).collect()
+    }
+    meta = M.image_exif_meta(df)
+    clean = M.image_exif_meta(M.image_exif_strip(df), id_col="id").select(
+        "id", (~F.col("has_exif")).alias("strip_clean")
+    )
+    composite = {
+        r["id"]: (
+            r["width"], r["height"], r["orientation"], r["has_gps"],
+            r["has_exif"], r["strip_clean"],
+        )
+        for r in meta.join(clean, "id").collect()
+    }
+    assert fused == composite and len(fused) == 40
+
+
 @settings(max_examples=25, deadline=None)
 @given(st.data())
 def test_video_clip_groups_equivalence_property(spark, data):
