@@ -316,6 +316,37 @@ class Connection:
             for row in rows
         ]
 
+    def _cols_out(self, cols_ts):
+        """Columnar result delivery (r15): the engine's ``_ns`` paths
+        return timestamp columns as raw epoch-ns int64 plus their
+        positions, so the client converts ONLY those columns (one
+        datetime per ts cell) and transposes once — the profile showed
+        `_rows_out`'s per-cell tuple sniff (rows × all columns) was
+        ~50% of a 100k-row scan's wall. Value-identical:
+        EPOCH + timedelta(s, µs) ≡ fromtimestamp(s, UTC) + µs for
+        integer seconds. Falls back to the tuple-sniffing row path
+        when ts positions are unknown (LIMIT / non-Arrow shapes)."""
+        if cols_ts is None:
+            return None
+        cols, ts_idx = cols_ts
+        if cols is None:
+            return None
+        if ts_idx:
+            epoch = _dt.datetime(1970, 1, 1)
+            for i in ts_idx:
+                cols[i] = [
+                    None
+                    if v is None
+                    else epoch
+                    + _dt.timedelta(
+                        seconds=v // 1_000_000_000,
+                        microseconds=(v % 1_000_000_000) // 1000,
+                    )
+                    for v in cols[i]
+                ]
+            return list(zip(*cols))
+        return self._rows_out(list(zip(*cols)))
+
     @staticmethod
     def _inband_ranges(args: list):
         """Reference calling convention (client.py:204-218): when the
@@ -339,7 +370,7 @@ class Connection:
         split = self._inband_ranges(args)
         if split is not None:
             return self.execute_split(sql, split[0], split[1])
-        return self._rows_out(self._engine.execute_rows(sql, *args))
+        return self._cols_out(self._engine.execute_columns_ns(sql, *args))
 
     def execute_async(
         self, sql: str, args: Iterable[Any] = (), cache: bool = True
@@ -385,8 +416,8 @@ class Connection:
         (engine._split_predicate) rather than n connection-parallel
         sub-queries. ``ranges`` bind the statement's LAST two
         placeholders, one (lo, hi) pair per sub-range."""
-        return self._rows_out(
-            self._engine.execute_split_rows(
+        return self._cols_out(
+            self._engine.execute_split_columns_ns(
                 sql, [tuple(r) for r in ranges], *tuple(args)
             )
         )

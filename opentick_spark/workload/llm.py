@@ -5811,8 +5811,17 @@ def cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(F.explode(X.ws_tokens(F.col("text"))).alias("w")).filter(
         F.col("w") != ""
     )
-    cms = SK.cms_build(words, "w", width=1024, depth=4, seed=9101)
+    # r15 (one-pass): the sketch is built FROM the exact word-count
+    # relation via cms_build's weight_col mode — cell-identical by
+    # definition (each cell is a SUM over words of their counts, which
+    # is exactly what summing per-occurrence rows computes), so the
+    # corpus is tokenized ONCE and the sketch's hash-agg input is
+    # |vocab| rows instead of every token occurrence. Both consumers
+    # (sketch + top-10) share the one groupBy(w) exchange.
     exact = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    cms = SK.cms_build(
+        exact, "w", width=1024, depth=4, seed=9101, weight_col="exact_cnt"
+    )
     top = exact.orderBy(F.desc("exact_cnt"), "w").limit(10)
     est = SK.cms_estimate(top, cms, "w", width=1024, depth=4, seed=9101)
     return est.select(
