@@ -290,16 +290,23 @@ def seed_centroids(
     ncentroids: int = 16,
 ) -> DataFrame:
     """Deterministic centroid seed: the corpus vector whose id ranks
-    first per (id % ncentroids) stripe. Output: (centroid_id, centv)."""
-    w0 = Window.partitionBy(F.col(id_col) % ncentroids).orderBy(id_col)
-    return (
-        corpus.withColumn("__r", F.row_number().over(w0))
-        .filter(F.col("__r") == 1)
-        .select(
-            (F.col(id_col) % ncentroids).cast("int").alias("centroid_id"),
-            F.col(vec_col).alias("centv"),
-        )
-    )
+    first per (id % ncentroids) stripe. Output: (centroid_id, centv).
+
+    r15 (guide §2.3 aggregate-before-shuffle): ``min_by(vec, id)`` per
+    stripe instead of the previous rank-1 window. Spark 4's
+    WindowGroupLimit already bounded the window's exchange to ≤
+    ncentroids rows per map task (plans/r15/seed_centroids_before.txt),
+    so the shuffle bytes were fine — what min_by removes is the
+    per-task two-key Sort of the whole corpus (stripe, id) feeding it,
+    the second Sort+Window on the reduce side, and the dependence on a
+    physical-rewrite optimization for the scale posture: the partial
+    aggregate keeps one running (vec, id) extremum per stripe and is
+    the pre-exchange bound BY CONSTRUCTION. ivf_build A/B 0.84×.
+    Result identical (ids are unique, so min-id-per-stripe picks the
+    same row the ASC row_number did)."""
+    return corpus.groupBy(
+        (F.col(id_col) % ncentroids).cast("int").alias("centroid_id")
+    ).agg(F.min_by(F.col(vec_col), F.col(id_col)).alias("centv"))
 
 
 def _cent_rows(cents: DataFrame) -> list:
