@@ -83,6 +83,78 @@ def cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(num / den)
 
 
+@pandas_udf(DoubleType())
+def cosine_seq_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """BIT-IDENTICAL Arrow twin of ``cosine()`` (the interpreted JVM
+    fold), for scoring paths whose cos value is ORACLE-COMPARED and so
+    cannot change by an ulp (r15; the quality_margin_arrow precedent).
+
+    Why it is exact, op for op: the fold computes
+    ``acc = acc + (double)x*(double)y`` left-to-right from 0.0; IEEE
+    double ops are deterministic, ``0.0 + p0 == p0``, and
+    ``np.cumsum`` accumulates sequentially (it must produce every
+    prefix), so ``cumsum(products)[-1]`` reproduces the same rounding
+    sequence — unlike ``ndarray.sum``/``np.dot``, whose pairwise /
+    SIMD-blocked summation is why ``cosine_batch`` diverges in ulps.
+    The tail is one sqrt per norm, one multiply, one divide, in the
+    fold's exact order. Edge semantics replicated: NULL operand → NULL
+    (Spark's null propagation through zip_with/aggregate), length
+    mismatch → NULL (zip_with pads with null, null product poisons the
+    fold). Deliberate divergences OUTSIDE the contract's domain
+    (dense, nonzero-norm vectors — what every swapped call site
+    feeds): a zero-norm operand makes the fold RAISE under ANSI
+    (DIVIDE_BY_ZERO) where this returns NaN (strictly more graceful;
+    downstream positive-cos filters drop NaN), and a NULL ELEMENT
+    inside an array reaches numpy as NaN → NaN instead of the fold's
+    NULL. Equality on the domain is pinned by
+    test_cosine_seq_batch_bit_equals_fold on every corpus pair + the
+    adversarial edges."""
+    n = len(a)
+    if n == 0:
+        return pd.Series([], dtype="float64")
+    av = a.to_numpy()
+    bv = b.to_numpy()
+    ok = [
+        i
+        for i in range(n)
+        if av[i] is not None
+        and bv[i] is not None
+        and len(av[i]) == len(bv[i])
+    ]
+    out = np.full(n, np.nan)
+    null_mask = np.ones(n, dtype=bool)
+    if ok:
+        # group the valid rows by dim so each group is one matrix op
+        by_dim: dict[int, list[int]] = {}
+        for i in ok:
+            by_dim.setdefault(len(av[i]), []).append(i)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for d, idxs in by_dim.items():
+                null_mask[idxs] = False
+                if d == 0:
+                    out[idxs] = np.nan  # 0.0 / (0.0 * 0.0)
+                    continue
+                ma = np.stack([np.asarray(av[i], dtype=np.float64) for i in idxs])
+                mb = np.stack([np.asarray(bv[i], dtype=np.float64) for i in idxs])
+                dotv = np.cumsum(ma * mb, axis=1)[:, -1]
+                na = np.sqrt(np.cumsum(ma * ma, axis=1)[:, -1])
+                nb = np.sqrt(np.cumsum(mb * mb, axis=1)[:, -1])
+                out[idxs] = dotv / (na * nb)
+    if not null_mask.any() and not np.isnan(out).any():
+        return pd.Series(out)
+    # NaN is a VALUE here (the fold yields NaN on NaN/Inf elements) and
+    # NULL is a different value — a plain float64 Series conflates them
+    # at the Arrow boundary (from_pandas maps NaN → null), so the mixed
+    # rows go back as an Arrow-backed series with an explicit validity
+    # mask: NaN stays a double, only null_mask rows become NULL
+    import pyarrow as pa
+
+    return pd.Series(
+        pa.array(out, type=pa.float64(), mask=null_mask),
+        dtype=pd.ArrowDtype(pa.float64()),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1250,7 +1322,13 @@ def margin_bitext_pairs(
     if strategy == "exact":
         scored = (
             t.crossJoin(F.broadcast(s))
-            .select("sid", "tid", cosine(F.col("sv"), F.col("tv")).alias("cos"))
+            # r15: bit-identical Arrow twin of the JVM fold (see the
+            # ivf branch note; same oracle-compared-cos contract)
+            .select(
+                "sid",
+                "tid",
+                cosine_seq_batch(F.col("sv"), F.col("tv")).alias("cos"),
+            )
             .localCheckpoint(eager=False)  # one materialization, 3 consumers
         )
         fwd_scored = bwd_scored = cand_scored = scored
@@ -1293,7 +1371,13 @@ def margin_bitext_pairs(
         )
         s_probe = s_probe.drop("__probe_rank")
         t_probe = t_probe.drop("__probe_rank")
-        cos_expr = cosine(F.col("sv"), F.col("tv")).alias("cos")
+        # r15: cosine_seq_batch is the BIT-IDENTICAL Arrow twin of the
+        # JVM fold (cos is oracle-compared output here — it must not
+        # move an ulp; equality pinned by
+        # test_cosine_seq_batch_bit_equals_fold). The fold's
+        # interpreted per-element lambda was the row's dominant cost
+        # (profiled 2.5s of 3.3s at sf0.1).
+        cos_expr = cosine_seq_batch(F.col("sv"), F.col("tv")).alias("cos")
         # each pair appears at most once per direction (assignment is
         # unique, probes are distinct lists) — no within-branch dedup
         fwd_scored = (

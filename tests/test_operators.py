@@ -2056,3 +2056,87 @@ def test_line_dedup_min_docs_and_all_removed(spark):
         for r in line_dedup(docs, min_docs=5).collect()
     }
     assert all(v == 0 for v in kept.values())
+
+
+def test_cosine_seq_batch_bit_equals_fold(spark):
+    """r15: ``cosine_seq_batch`` (the Arrow scoring twin swapped into
+    ``margin_bitext_pairs``, whose cos is ORACLE-COMPARED output) must
+    be BIT-identical to ``cosine()`` (the interpreted JVM fold) — not
+    approximately equal: the driver hashes raw double bits. Covers the
+    real sf0.001 embeddings (every pair, both roles) plus adversarial
+    edges: NULL arrays, length mismatch, zero-dim, zero vectors,
+    NaN/Inf elements, denormal-scale values."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from opentick_spark.operators.similarity import (
+        cosine,
+        cosine_seq_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = emb.select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("vb")
+    )
+    pairs = a.crossJoin(b)
+    edge_schema = StructType(
+        [
+            StructField("ida", LongType()),
+            StructField("idb", LongType()),
+            StructField("va", ArrayType(FloatType())),
+            StructField("vb", ArrayType(FloatType())),
+        ]
+    )
+    edges = spark.createDataFrame(
+        [
+            (1001, 1, None, [1.0, 2.0]),          # NULL array
+            (1002, 2, [1.0, 2.0], None),
+            (1003, 3, [1.0, 2.0, 3.0], [1.0, 2.0]),  # length mismatch
+            # zero-dim / zero-norm rows are deliberately ABSENT: under
+            # ANSI (this session's default) the JVM fold RAISES
+            # DIVIDE_BY_ZERO there, so the domain of the equality
+            # contract is nonzero-norm inputs (the UDF docstring
+            # records the graceful-NaN divergence outside it)
+            (1006, 6, [float("nan"), 1.0], [1.0, 1.0]),
+            (1007, 7, [float("inf"), 1.0], [1.0, 1.0]),
+            (1008, 8, [1e-38, -1e-38, 3e-39], [1e-38, 1e-38, -2e-38]),
+            (1009, 9, [-1.5, 2.25], [4.75, -0.375]),
+        ],
+        edge_schema,
+    )
+    both = pairs.unionByName(edges)
+    got = both.select(
+        "ida",
+        "idb",
+        cosine(F.col("va"), F.col("vb")).alias("jvm"),
+        cosine_seq_batch(F.col("va"), F.col("vb")).alias("arrow"),
+    ).collect()
+    assert len(got) > 1000  # the corpus cross product actually ran
+
+    def bits(x):
+        return None if x is None else struct.pack("<d", x)
+
+    diverged = [
+        r
+        for r in got
+        if bits(r["jvm"]) != bits(r["arrow"])
+        and not (
+            r["jvm"] is not None
+            and r["arrow"] is not None
+            and math.isnan(r["jvm"])
+            and math.isnan(r["arrow"])
+        )
+    ]
+    assert diverged == [], f"cos diverged on {len(diverged)} rows: {diverged[:5]}"
