@@ -173,9 +173,14 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    # JVM fold, not the pandas UDF: no Python worker round-trip on the
-    # scoring path, and the sequential fold accumulates in the same
-    # order as reference SQL engines' cosine (numpy sums pairwise)
+    # JVM fold, not a pandas UDF — TRIED AND REVERTED (r15): swapping
+    # cosine_seq_batch here inserts an ArrowEvalPython that breaks the
+    # BroadcastNestedLoopJoin's codegen pipeline — every pair row (two
+    # 64-float vectors) must materialize and cross the Python boundary
+    # instead of being scored in-pipeline (semantic_contamination A/B:
+    # 1.35x SLOWER, 3/3 pairs). The Arrow twin wins only where the
+    # join already materializes pair rows (margin_bitext_pairs' hash
+    # joins, 0.89x); on broadcast-pipeline shapes the fold stays.
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -922,6 +927,9 @@ def semantic_contamination(
     e = eval_set.select(
         F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev")
     )
+    # JVM fold on purpose — the Arrow twin was tried and REVERTED
+    # here (r15): 1.35x slower, 3/3 interleaved pairs (see
+    # brute_force_topk's note — same broadcast-pipeline shape)
     scored = t.crossJoin(F.broadcast(e)).select(
         "train_id",
         "eval_id",
@@ -1322,12 +1330,14 @@ def margin_bitext_pairs(
     if strategy == "exact":
         scored = (
             t.crossJoin(F.broadcast(s))
-            # r15: bit-identical Arrow twin of the JVM fold (see the
-            # ivf branch note; same oracle-compared-cos contract)
+            # JVM fold on purpose: this is the broadcast-pipeline shape
+            # where the Arrow twin measured SLOWER (see
+            # brute_force_topk's r15 revert note); only the ivf
+            # branch's hash-join candidates keep cosine_seq_batch
             .select(
                 "sid",
                 "tid",
-                cosine_seq_batch(F.col("sv"), F.col("tv")).alias("cos"),
+                cosine(F.col("sv"), F.col("tv")).alias("cos"),
             )
             .localCheckpoint(eager=False)  # one materialization, 3 consumers
         )
