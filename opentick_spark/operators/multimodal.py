@@ -1397,30 +1397,63 @@ _JPEG_AC_C = (
 )
 
 
+_JPEG_QTABLE_CACHE: dict = {}
+
+
 def _jpeg_qtables(quality: int):
-    """IJG quality scaling of the Annex K example tables."""
+    """IJG quality scaling of the Annex K example tables. Memoized per
+    quality (r15 §1.2 per-task work: the encoder is called once per
+    frame; rebuilding two constant 8×8 tables per call measured ~4% of
+    the planted-frame encode)."""
     import numpy as np
 
     q = max(1, min(100, int(quality)))
+    hit = _JPEG_QTABLE_CACHE.get(q)
+    if hit is not None:
+        return hit
     scale = 5000 // q if q < 50 else 200 - 2 * q
     out = []
     for base in (_JPEG_QL, _JPEG_QC):
         t = (np.asarray(base, dtype=np.int64) * scale + 50) // 100
         out.append(np.clip(t, 1, 255).reshape(8, 8))
+    _JPEG_QTABLE_CACHE[q] = out
     return out
+
+
+_DCT_MATRIX_CACHE: list = []
 
 
 def _dct_matrix():
     import numpy as np
 
+    if _DCT_MATRIX_CACHE:
+        return _DCT_MATRIX_CACHE[0]
     x = np.arange(8)
     c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
     c[0] /= np.sqrt(2.0)
+    _DCT_MATRIX_CACHE.append(c)
     return c
 
 
+# test hook (test_encode_jpeg_entropy_fastpath_byte_identical): False
+# forces the general AC run-length scan on every block so the all-zero-AC
+# shortcut can be byte-compared against the loop it replaces
+_ENC_AC_FASTPATH = True
+
+_HUFF_ENC_CACHE: dict = {}
+
+
 def _huff_encode_table(bits, vals):
-    """symbol -> (code, length) per the spec's canonical code assignment."""
+    """symbol -> (code, length) per the spec's canonical code assignment.
+    Memoized on the table VALUES (r15): the four Annex K tables are
+    module constants rebuilt 6× per encoded frame — ~10% of the
+    planted-frame encode for identical dicts. (Value keys, not id():
+    an id can be reused after its object is collected, which would
+    alias a different table to a stale cache entry.)"""
+    key = (tuple(bits), tuple(vals))
+    hit = _HUFF_ENC_CACHE.get(key)
+    if hit is not None:
+        return hit
     table, code = {}, 0
     k = 0
     for length in range(1, 17):
@@ -1429,6 +1462,7 @@ def _huff_encode_table(bits, vals):
             code += 1
             k += 1
         code <<= 1
+    _HUFF_ENC_CACHE[key] = table
     return table
 
 
@@ -1536,9 +1570,16 @@ def _encode_jpeg(
     qblocks = []  # comp -> (by, bx) -> 64 zig-zag ints
     for _cid, sh, sv, ch, qt, _tc in comps:
         bh, bw = mcuy * sv * 8, mcux * sh * 8
-        chp = np.pad(
-            ch, ((0, bh - ch.shape[0]), (0, bw - ch.shape[1])), mode="edge"
-        )
+        if (bh, bw) == ch.shape:
+            chp = ch  # already MCU-aligned: np.pad with zero widths
+            # still walks the full pad machinery (~15% of an aligned
+            # planted-frame encode, r15 profile)
+        else:
+            chp = np.pad(
+                ch,
+                ((0, bh - ch.shape[0]), (0, bw - ch.shape[1])),
+                mode="edge",
+            )
         blocks = chp.reshape(bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3)
         f = np.einsum("ux,rcxy,vy->rcuv", C, blocks, C)
         # snap to a 1/256 grid: kills the ~1e-13 einsum noise so integral
@@ -1557,6 +1598,25 @@ def _encode_jpeg(
         _huff_encode_table(*(_JPEG_AC_L if c[5] == 0 else _JPEG_AC_C))
         for c in comps
     ]
+    # r15 (guide §1.2 per-task work): the entropy loop was the encoder's
+    # hot path — 64 numpy-scalar reads per block plus a per-block zigzag
+    # gather, ~770 interpreted iterations per 16×16 RGB frame. Byte-
+    # identical rewrite: (a) zigzag every block of a component in ONE
+    # vectorized gather and convert to Python ints wholesale (.tolist());
+    # (b) skip the 63-coefficient AC scan entirely when a block has no
+    # nonzero AC (precomputed per-block mask) — all-zero AC encodes as
+    # exactly DC + EOB, which is what the dropped loop emitted. Planted
+    # corpora (block-constant frames → zero AC after quant) hit the fast
+    # path on every block; arbitrary images still save the per-scalar
+    # overhead. Byte identity vs the loop it replaces is pinned by
+    # test_encode_jpeg_entropy_fastpath_byte_identical.
+    zzl = []  # comp -> (by, bx) -> 64 zig-zag ints (Python lists)
+    acnz = []  # comp -> (by, bx) -> block has nonzero AC
+    for qf in qblocks:
+        nby, nbx = qf.shape[0], qf.shape[1]
+        z = qf.reshape(nby, nbx, 64)[:, :, _JPEG_ZZ]
+        zzl.append(z.tolist())
+        acnz.append((z[:, :, 1:] != 0).any(axis=2).tolist())
     bw_ = _BitWriter()
     scan_parts = []
     pred = [0] * len(comps)
@@ -1574,19 +1634,23 @@ def _encode_jpeg(
             for ci, (_cid, sh, sv, _ch, _qt, _tc) in enumerate(comps):
                 for by in range(sv):
                     for bx in range(sh):
-                        blk = qblocks[ci][my * sv + by, mx * sh + bx]
-                        zz = blk.reshape(64)[_JPEG_ZZ]
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
+                        zz = zzl[ci][my * sv + by][mx * sh + bx]
+                        dc = zz[0]
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
                         s = _jpeg_category(diff)
                         code, ln = enc_dc[ci][s]
                         bw_.write(code, ln)
                         if s:
                             v = diff if diff >= 0 else diff + (1 << s) - 1
                             bw_.write(v, s)
+                        if _ENC_AC_FASTPATH and not acnz[ci][my * sv + by][mx * sh + bx]:
+                            code, ln = enc_ac[ci][0x00]  # EOB
+                            bw_.write(code, ln)
+                            continue
                         run = 0
                         for k in range(1, 64):
-                            v = int(zz[k])
+                            v = zz[k]
                             if v == 0:
                                 run += 1
                                 continue
@@ -1610,8 +1674,9 @@ def _encode_jpeg(
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     def dqt(tid: int, table) -> bytes:
-        zz = table.reshape(64)[_JPEG_ZZ].astype(np.int64)
-        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in zz))
+        # values are clipped to 1..255, so uint8 tobytes is exact
+        zz = table.reshape(64)[_JPEG_ZZ].astype(np.uint8)
+        return seg(0xFFDB, bytes([tid]) + zz.tobytes())
 
     def dht(tc: int, th: int, bits, vals) -> bytes:
         return seg(

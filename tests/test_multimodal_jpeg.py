@@ -657,3 +657,47 @@ def test_video_clip_groups_equivalence_property(spark, data):
         ).collect()
     }
     assert star == naive
+
+
+def test_encode_jpeg_entropy_fastpath_byte_identical():
+    """r15: the encoder's all-zero-AC shortcut (DC + EOB without the
+    63-coefficient run-length scan) must be BYTE-identical to the
+    general loop it replaces, across planted zero-AC frames, random
+    frames, gray, subsampled, and restart-marker configurations. The
+    _ENC_AC_FASTPATH hook forces the general path for the comparison."""
+    import numpy as np
+
+    import opentick_spark.operators.multimodal as M
+
+    rng = np.random.default_rng(11)
+    vals = np.array([[8, 32], [56, 80]], dtype=np.uint8)
+    planted = (
+        np.repeat(np.repeat(vals, 8, 0), 8, 1)[:, :, None].repeat(3, 2)
+    )
+    cases = [
+        (planted, {"quality": 90}),
+        (np.full((8, 8), 77, np.uint8), {}),
+        (rng.integers(0, 256, (17, 23, 3)).astype(np.uint8), {}),
+        (
+            rng.integers(0, 256, (32, 32, 3)).astype(np.uint8),
+            {"subsample": True},
+        ),
+        (
+            rng.integers(0, 256, (48, 40, 3)).astype(np.uint8),
+            {"restart": 2},
+        ),
+        (
+            rng.integers(0, 256, (24, 24)).astype(np.uint8),
+            {"restart": 1, "quality": 30},
+        ),
+    ]
+    assert M._ENC_AC_FASTPATH is True  # production default
+    try:
+        for arr, kw in cases:
+            fast = M._encode_jpeg(arr, **kw)
+            M._ENC_AC_FASTPATH = False
+            general = M._encode_jpeg(arr, **kw)
+            M._ENC_AC_FASTPATH = True
+            assert fast == general, (arr.shape, kw)
+    finally:
+        M._ENC_AC_FASTPATH = True
