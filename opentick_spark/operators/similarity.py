@@ -868,13 +868,19 @@ def ivf_topk_indexed(
     # r15: probe via the matrix-argsort router (_probe_lists) — the
     # centroid relation is driver-collected (ncentroids × dim, tiny)
     # instead of broadcast-crossJoined, removing the per-query window
-    # sort; tie-break (sim desc, centroid_id asc) unchanged
-    q_probe = _probe_lists(
-        queries, _cent_rows(cents), nprobe, id_col, vec_col
-    ).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        "centroid_id",
+    # sort; tie-break (sim desc, centroid_id asc) unchanged. The lazy
+    # checkpoint pins the probe relation (query-batch-sized by
+    # contract) so the probed-ids collect below and the scoring join
+    # consume ONE routing evaluation instead of re-running the probe
+    # matmul per consumer (the margin_bitext_pairs precedent).
+    q_probe = (
+        _probe_lists(queries, _cent_rows(cents), nprobe, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            "centroid_id",
+        )
+        .localCheckpoint(eager=False)
     )
     probed = [
         r["centroid_id"] for r in q_probe.select("centroid_id").distinct().collect()
