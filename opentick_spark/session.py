@@ -30,6 +30,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescePartitions.parallelismFirst stays at Spark's default
+        # (true) — TRIED AND REVERTED (r15): flipping it to false (the
+        # production advice in Spark's tuning docs) coalesces this
+        # suite's tiny post-shuffle relations to the 64MB advisory
+        # size, i.e. ONE partition, single-coring window/agg stages
+        # whose JVM work still benefits from fan-out; suite-level
+        # interleaved A/B at 32 cores measured the flip SLOWER in both
+        # adjacent pairs (53.3 vs 55.0, 63.0 vs 66.6). On a real
+        # cluster with 100MB-1GB shuffle partitions the flag is moot —
+        # size-based coalescing and parallelism-based coalescing agree
+        # there; locally parallelism-first is the right default.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
