@@ -1182,6 +1182,54 @@ VIDEO_FRAME_STATS_SCHEMA = T.StructType(
 )
 
 
+def payload_frame_stat_rows(
+    payload: bytes, every_k: int = 1
+) -> "list[tuple] | None":
+    """Per-payload core of ``video_frame_stats``: (frame_idx,
+    mean_pixel, std_pixel, n_frame_bytes) rows for every sampled frame,
+    or None for an unparseable payload. Factored out (r16, guide §4:
+    cross the Python boundary once) so corpus GENERATORS can fuse
+    synthesis and decode into ONE Python stage — the exact same
+    encode→parse→decode work per payload, without shipping the video
+    bytes JVM→Python a second time."""
+    import numpy as np
+
+    m = _parse_avi(payload)
+    if m is None:
+        return None
+    out = []
+    for fi in range(0, len(m["frames"]), every_k):
+        px = _avi_frame_pixels(payload, m, fi)
+        out.append(
+            (
+                fi,
+                float(px.mean()) if px is not None else None,
+                float(px.astype(np.float64).std())
+                if px is not None
+                else None,
+                m["frames"][fi][1],
+            )
+        )
+    return out
+
+
+def payload_frame_hash_rows(
+    payload: bytes, every_k: int = 1, hash_size: int = 8
+) -> "list[tuple] | None":
+    """Per-payload core of ``video_frame_hashes``: (frame_idx, fhash)
+    rows (fhash NULL for an undecodable individual frame), or None for
+    an unparseable payload. Shared by the DataFrame operator and fused
+    gen→hash pipelines (r16, guide §4)."""
+    m = _parse_avi(payload)
+    if m is None:
+        return None
+    out = []
+    for fi in range(0, len(m["frames"]), every_k):
+        px = _avi_frame_pixels(payload, m, fi)
+        out.append((fi, None if px is None else _dhash(px, hash_size)))
+    return out
+
+
 def video_frame_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1195,8 +1243,6 @@ def video_frame_stats(
     real decoder (H.264 …) emit the real byte extent with NULL pixel
     stats (container-real, codec-stubbed). Narrow Arrow map — the
     video bytes never shuffle, only per-frame scalars."""
-    import numpy as np
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {
@@ -1204,22 +1250,15 @@ def video_frame_stats(
                 "std_pixel": [], "n_frame_bytes": [],
             }
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                m = _parse_avi(p)
-                if m is None:
+                rows = payload_frame_stat_rows(p, every_k=every_k)
+                if rows is None:
                     continue
-                for fi in range(0, len(m["frames"]), every_k):
-                    px = _avi_frame_pixels(p, m, fi)
+                for fi, mean, std, nbytes in rows:
                     out["id"].append(int(i))
                     out["frame_idx"].append(fi)
-                    out["mean_pixel"].append(
-                        float(px.mean()) if px is not None else None
-                    )
-                    out["std_pixel"].append(
-                        float(px.astype(np.float64).std())
-                        if px is not None
-                        else None
-                    )
-                    out["n_frame_bytes"].append(m["frames"][fi][1])
+                    out["mean_pixel"].append(mean)
+                    out["std_pixel"].append(std)
+                    out["n_frame_bytes"].append(nbytes)
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(
@@ -2017,16 +2056,15 @@ def video_frame_hashes(
         for pdf in it:
             out = {"id": [], "frame_idx": [], "fhash": []}
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                m = _parse_avi(p)
-                if m is None:
+                rows = payload_frame_hash_rows(
+                    p, every_k=every_k, hash_size=hash_size
+                )
+                if rows is None:
                     continue
-                for fi in range(0, len(m["frames"]), every_k):
-                    px = _avi_frame_pixels(p, m, fi)
+                for fi, fh in rows:
                     out["id"].append(int(i))
                     out["frame_idx"].append(fi)
-                    out["fhash"].append(
-                        None if px is None else _dhash(px, hash_size)
-                    )
+                    out["fhash"].append(fh)
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(
@@ -2085,30 +2123,55 @@ def video_sequence_groups(hashes: DataFrame) -> DataFrame:
     ``hamming_blocked_star_edges`` pattern one level up): one row per
     video, (id, rep, n_members, has_null), where ``rep`` = min id over
     all videos with the exact same ordered (frame_idx, fhash) sequence.
-    Grouping is on the sequence VALUE itself (array<struct>), not a
-    hash of it, so there is no collision risk. ``has_null`` marks
-    sequences containing an undecodable frame (NULL fhash) — such a
-    video can never be claimed contained (NULL never matches), which
-    the expansion helpers must respect.
+    ``has_null`` marks sequences containing an undecodable frame (NULL
+    fhash) — such a video can never be claimed contained (NULL never
+    matches), which the expansion helpers must respect.
 
     r15 (the chunk_dedup/duplicate_spans count-over-window lesson):
-    rep/n_members are windows over ONE __seq-keyed exchange instead of
-    the previous agg-then-join-back, whose two consumers of ``seqs``
-    re-ran the per-video collect aggregation twice over the full hash
-    corpus (the silent fork-recompute class)."""
+    rep/n_members are windows over ONE exchange instead of the previous
+    agg-then-join-back, whose two consumers of ``seqs`` re-ran the
+    per-video collect aggregation twice over the full hash corpus (the
+    silent fork-recompute class).
+
+    r16 (guide §2.3 shuffle keys instead of payloads): each video
+    collapses to a fixed-width sequence FINGERPRINT instead of a
+    collected (frame_idx, fhash) struct array. Per-frame rows hash to
+    64 bits under two independently seeded xxhash64 functions and are
+    combined with order-insensitive aggregates (count + bit_xor/min/max
+    of h1 + bit_xor of h2). frame_idx is distinct within a video and
+    baked into every per-frame hash, so the combined multiset of
+    per-frame hashes determines the ordered sequence exactly; two
+    DIFFERENT sequences group together only if they collide on all five
+    combiners at once (two independent 64-bit spaces plus count/min/max
+    — ≈2^-128 per pair in the random model, far below any data-scale
+    failure rate; the DuckDB oracle re-verifies the planted corpora at
+    every SF). The wins over the array key: the groupBy(id) aggregate
+    now PARTIALLY AGGREGATES map-side (one ~40-byte row per video per
+    map partition crosses the exchange where collect_list shipped every
+    frame row), and the rep/n_members window partitions on five scalar
+    columns instead of shuffling whole struct arrays as the key."""
     from pyspark.sql import Window
 
-    seqs = hashes.groupBy("id").agg(
-        F.sort_array(
-            F.collect_list(F.struct("frame_idx", "fhash"))
-        ).alias("__seq")
+    fh = hashes.select(
+        "id",
+        F.xxhash64("frame_idx", "fhash").alias("__h1"),
+        F.xxhash64(F.lit(0x9E3779B9), "frame_idx", "fhash").alias("__h2"),
+        F.col("fhash").isNull().alias("__nul"),
     )
-    w = Window.partitionBy("__seq")
+    seqs = fh.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.bit_xor("__h1").alias("__x1"),
+        F.min("__h1").alias("__lo1"),
+        F.max("__h1").alias("__hi1"),
+        F.bit_xor("__h2").alias("__x2"),
+        F.max("__nul").alias("has_null"),
+    )
+    w = Window.partitionBy("__n", "__x1", "__lo1", "__hi1", "__x2")
     return seqs.select(
         "id",
         F.min("id").over(w).alias("rep"),
         F.count(F.lit(1)).over(w).alias("n_members"),
-        F.exists("__seq", lambda s: s["fhash"].isNull()).alias("has_null"),
+        "has_null",
     )
 
 
@@ -2143,9 +2206,20 @@ def video_clip_containment_groups(hashes: DataFrame) -> DataFrame:
     tests/skew_drill_clip.py (PLANS.md)."""
     members = video_sequence_groups(hashes)
     # one row per group WITHOUT a distinct exchange (r15): the rep's
-    # own member row already carries (rep, n_members, has_null)
-    sizes = members.filter(F.col("id") == F.col("rep")).select(
-        "rep", "n_members", "has_null"
+    # own member row already carries (rep, n_members, has_null).
+    # r16: ``sizes`` has SIX consumers below (3 via the rep semi-join's
+    # triple use inside video_clip_containments, 2 in the inter joins,
+    # 1 in intra) — without a pin each one replays the corpus-wide
+    # sequence-collapse aggregation (the silent fork-recompute class;
+    # the r16 plan dump showed six __seq-fingerprint exchanges). The
+    # lazy localCheckpoint evaluates the groups subtree ONCE; the
+    # pinned relation is group-count-sized (one narrow row per distinct
+    # sequence — executor-local, non-replicated blocks are fine at that
+    # size, the ivf probe-pin precedent).
+    sizes = (
+        members.filter(F.col("id") == F.col("rep"))
+        .select("rep", "n_members", "has_null")
+        .localCheckpoint(eager=False)
     )
     rep_hashes = hashes.join(
         sizes.select(F.col("rep").alias("id")), "id", "left_semi"

@@ -1509,9 +1509,7 @@ def video_clip_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + both join sides); checkpointing makes the Python corpus-gen +
     # decode pipeline run ONCE (r8: 16.2 s → 10.2 s at sf0.1) — the
     # frame is narrow (id, idx, 8-byte hash), cheap to materialize
-    hashes = M.video_frame_hashes(_clip_corpus(spark, sf_dir)).localCheckpoint(
-        eager=True
-    )
+    hashes = _clip_hash_frames(spark, sf_dir).localCheckpoint(eager=True)
     return M.video_clip_containments(hashes).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -1519,16 +1517,13 @@ def video_clip_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clip_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The planted clip-detection AVI corpus shared by
-    ``video_clip_containment`` (pair path) and
-    ``video_clip_containment_grouped`` (r8 scale path): group g =
-    doc_id %% 25, role = (doc_id // 25) %% 3 — full base (6 frames),
-    clip (frames 1-4), doc-unique decoy (3 frames)."""
+def _clip_doc_payload(d: int) -> bytes:
+    """One planted clip-corpus AVI payload: group g = doc_id %% 25,
+    role = (doc_id // 25) %% 3 — full base (6 frames), clip (frames
+    1-4), doc-unique decoy (3 frames). Shared by the payload corpus
+    (``_clip_corpus``) and the fused gen→hash path
+    (``_clip_hash_frames``) so the two compute byte-identical AVIs."""
     import numpy as np
-    import pandas as pd
-
-    docs = _doc_ids(spark, sf_dir)
 
     def frame(seed: int):
         a = np.random.RandomState(seed).randint(
@@ -1536,29 +1531,68 @@ def _clip_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).astype(np.uint8)
         return a[:, :, None].repeat(3, axis=2)
 
+    g, role = d % 25, (d // 25) % 3
+    if role == 0:
+        frames = [frame(1000 * g + f) for f in range(6)]
+    elif role == 1:
+        frames = [frame(1000 * g + f) for f in range(1, 5)]
+    else:
+        frames = [frame(7_000_000 + d * 10 + f) for f in range(3)]
+    return M._encode_avi(frames, fps=10)
+
+
+def _clip_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted clip-detection AVI corpus shared by
+    ``video_clip_containment`` (pair path) and
+    ``video_clip_containment_grouped`` (r8 scale path)."""
+    import pandas as pd
+
+    docs = _doc_ids(spark, sf_dir)
+
     def gen(it):
         for pdf in it:
-            payloads = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                g, role = d % 25, (d // 25) % 3
-                if role == 0:
-                    frames = [frame(1000 * g + f) for f in range(6)]
-                elif role == 1:
-                    frames = [frame(1000 * g + f) for f in range(1, 5)]
-                else:
-                    frames = [
-                        frame(7_000_000 + d * 10 + f) for f in range(3)
-                    ]
-                payloads.append(M._encode_avi(frames, fps=10))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "payload": payloads,
+                    "payload": [
+                        _clip_doc_payload(int(d)) for d in pdf["doc_id"]
+                    ],
                 }
             )
 
     return docs.mapInPandas(gen, "doc_id long, payload binary")
+
+
+def _clip_hash_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused gen→decode→hash twin of
+    ``video_frame_hashes(_clip_corpus(...))`` (r16, guide §4: cross the
+    Python boundary ONCE per media row): the identical AVI encode,
+    container parse, frame decode and dHash per payload (the shared
+    per-payload cores), without materializing the AVI bytes
+    Python→JVM→Python between two mapInPandas stages. Exact output
+    parity with the composed path is pinned by
+    tests/test_fused_media_r16.py."""
+    import pandas as pd
+
+    docs = _doc_ids(spark, sf_dir)
+
+    def gen(it):
+        for pdf in it:
+            out = {"id": [], "frame_idx": [], "fhash": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rows = M.payload_frame_hash_rows(_clip_doc_payload(d))
+                if rows is None:
+                    continue
+                for fi, fh in rows:
+                    out["id"].append(d)
+                    out["frame_idx"].append(fi)
+                    out["fhash"].append(fh)
+            yield pd.DataFrame(out)
+
+    # the operator's own schema object — downstream nullability (and the
+    # declared query schema) stays identical to the composed path
+    return docs.mapInPandas(gen, M.VIDEO_FRAME_HASH_SCHEMA)
 
 
 @q(
@@ -1607,9 +1641,7 @@ def video_clip_containment_grouped(spark: SparkSession, sf_dir: str) -> DataFram
     # same one-pass checkpoint as video_clip_containment: the grouped
     # op consumes the hash frame for sequence collapse, the rep
     # semi-join, and the rep-level alignment
-    hashes = M.video_frame_hashes(_clip_corpus(spark, sf_dir)).localCheckpoint(
-        eager=True
-    )
+    hashes = _clip_hash_frames(spark, sf_dir).localCheckpoint(eager=True)
     return M.video_clip_containment_groups(hashes).select(
         F.col("rep_a").cast("long").alias("rep_a"),
         F.col("rep_b").cast("long").alias("rep_b"),
@@ -1733,6 +1765,27 @@ def _mjpg_oracle() -> str:
     """
 
 
+def _mjpg_doc_payload(d: int) -> bytes:
+    """One planted MJPG AVI payload (1 + d %% 3 frames of 16×16
+    block-constant color). Shared by the fused registry row and the
+    parity test's composed twin so both encode byte-identical AVIs."""
+    import numpy as np
+
+    nf = 1 + d % 3
+    frames = []
+    for f in range(nf):
+        vals = np.array(
+            [
+                [16 * (d % 8) + 24 * b + 2 * f + 8 for b in (0, 1)],
+                [16 * (d % 8) + 24 * b + 2 * f + 8 for b in (2, 3)],
+            ],
+            dtype=np.uint8,
+        )
+        a = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        frames.append(a[:, :, None].repeat(3, axis=2))
+    return M._encode_avi(frames, fps=10, codec="MJPG")
+
+
 @q("mjpg_frame_stats", _mjpg_oracle())
 def mjpg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Motion-JPEG decode at corpus scale (r7 — the last media
@@ -1740,47 +1793,50 @@ def mjpg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuine MJPG AVI (each '00dc' chunk a real baseline JPEG from the
     from-scratch encoder — Annex K tables, Huffman entropy coding),
     holding 1 + doc_id % 3 frames of 16×16 block-constant
-    grayscale-valued color; ``multimodal.video_frame_stats`` parses
-    the container, runs the full JPEG decode path (Huffman + dequant +
-    IDCT + color convert) per frame, and measures TRUE pixels. The
-    planted DC-only design makes the lossy codec's output EXACT
-    closed-form (see _mjpg_oracle). Scale: synthesis + decode + stats
-    are one narrow Arrow map; only per-frame scalars leave the
-    executor."""
-    import numpy as np
+    grayscale-valued color; the fused gen→decode pass (r16, guide §4:
+    one Python stage per media row — the shared
+    ``multimodal.payload_frame_stat_rows`` core) parses the container,
+    runs the full JPEG decode path (Huffman + dequant + IDCT + color
+    convert) per frame, and measures TRUE pixels, without shipping the
+    AVI bytes Python→JVM→Python between two mapInPandas stages. Exact
+    output parity with the composed gen→``video_frame_stats`` path is
+    pinned by tests/test_fused_media_r16.py. The planted DC-only
+    design makes the lossy codec's output EXACT closed-form (see
+    _mjpg_oracle). Scale: synthesis + decode + stats are one narrow
+    Arrow map; only per-frame scalars leave the executor."""
     import pandas as pd
 
     docs = _doc_ids(spark, sf_dir)
 
     def gen(it):
         for pdf in it:
-            payloads = []
+            out = {
+                "id": [], "frame_idx": [], "mean_pixel": [], "std_pixel": []
+            }
             for d in pdf["doc_id"]:
                 d = int(d)
-                nf = 1 + d % 3
-                frames = []
-                for f in range(nf):
-                    vals = np.array(
-                        [
-                            [16 * (d % 8) + 24 * b + 2 * f + 8 for b in (0, 1)],
-                            [16 * (d % 8) + 24 * b + 2 * f + 8 for b in (2, 3)],
-                        ],
-                        dtype=np.uint8,
-                    )
-                    a = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-                    frames.append(a[:, :, None].repeat(3, axis=2))
-                payloads.append(M._encode_avi(frames, fps=10, codec="MJPG"))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "payload": payloads,
-                }
-            )
+                rows = M.payload_frame_stat_rows(_mjpg_doc_payload(d))
+                if rows is None:
+                    continue
+                for fi, mean, std, _nbytes in rows:
+                    out["id"].append(d)
+                    out["frame_idx"].append(fi)
+                    out["mean_pixel"].append(mean)
+                    out["std_pixel"].append(std)
+            yield pd.DataFrame(out)
 
-    avis = docs.mapInPandas(gen, "doc_id long, payload binary")
-    return M.video_frame_stats(avis).select(
+    from pyspark.sql import types as T
+
+    # prefix of multimodal.VIDEO_FRAME_STATS_SCHEMA (same nullability) so
+    # the declared query schema is unchanged from the composed path
+    schema = T.StructType(
+        [f for f in M.VIDEO_FRAME_STATS_SCHEMA.fields
+         if f.name != "n_frame_bytes"]
+    )
+    stats = docs.mapInPandas(gen, schema)
+    return stats.select(
         "id",
-        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "frame_idx",
         F.round("mean_pixel", 6).alias("mean_pixel"),
         F.round("std_pixel", 6).alias("std_pixel"),
     )
