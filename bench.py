@@ -433,7 +433,15 @@ def _calibration(spark) -> dict:
 # reconstructing it from a prior round's file. If a future round
 # touches one of these code paths, move that row OUT of this dict (and
 # say so in PLANS) — a control row must stay code-frozen to mean
-# anything.
+# anything. r16 (VERDICT r15 item 2): mjpg_frame_stats and
+# image_exif_audit were RETIRED — r15 changed both code paths (JPEG
+# encoder fast path, fused audit), which biased the recorded median
+# DOWN (exif read 0.701 in the r15 driver run purely from the code
+# speedup). Replacements: session_windows and adj_forward, code-frozen
+# since r10/r12, pinned at their BENCH_r13 clean-box values. The
+# code-frozen rule is now an assertable gate:
+# tests/test_bench_controls.py pins a source hash per control row and
+# fails the suite when a round edits one without retiring it.
 _CONTROL_REFERENCE = {
     "full_scan_agg": 0.239,
     "pk_range_scan": 0.166,
@@ -441,8 +449,8 @@ _CONTROL_REFERENCE = {
     "pricing_summary": 0.441,
     "revenue_by_nation": 0.621,
     "ohlcv_rollup": 0.262,
-    "mjpg_frame_stats": 1.644,
-    "image_exif_audit": 1.979,
+    "session_windows": 0.254,
+    "adj_forward": 0.378,
 }
 
 

@@ -1454,7 +1454,12 @@ def _jpeg_qtables(quality: int):
     out = []
     for base in (_JPEG_QL, _JPEG_QC):
         t = (np.asarray(base, dtype=np.int64) * scale + 50) // 100
-        out.append(np.clip(t, 1, 255).reshape(8, 8))
+        t = np.clip(t, 1, 255).reshape(8, 8)
+        # the cache hands the SAME ndarray to every caller; freeze it so
+        # a future in-place mutation fails loudly instead of silently
+        # poisoning all subsequent encodes (r15 ADVICE)
+        t.setflags(write=False)
+        out.append(t)
     _JPEG_QTABLE_CACHE[q] = out
     return out
 
@@ -1470,6 +1475,9 @@ def _dct_matrix():
     x = np.arange(8)
     c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
     c[0] /= np.sqrt(2.0)
+    # shared cached instance — read-only for the same reason as the
+    # quant tables above (r15 ADVICE)
+    c.setflags(write=False)
     _DCT_MATRIX_CACHE.append(c)
     return c
 

@@ -103,8 +103,10 @@ def cosine_seq_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     fold). Deliberate divergences OUTSIDE the contract's domain
     (dense, nonzero-norm vectors — what every swapped call site
     feeds): a zero-norm operand makes the fold RAISE under ANSI
-    (DIVIDE_BY_ZERO) where this returns NaN (strictly more graceful;
-    downstream positive-cos filters drop NaN), and a NULL ELEMENT
+    (DIVIDE_BY_ZERO) where this returns NaN — note Spark orders NaN
+    ABOVE every number (NaN > 0 is TRUE), so consumers that filter or
+    rank on cos must drop NaN explicitly (margin_bitext_pairs' ivf
+    branch does; r15 ADVICE) — and a NULL ELEMENT
     inside an array reaches numpy as NaN → NaN instead of the fold's
     NULL. Equality on the domain is pinned by
     test_cosine_seq_batch_bit_equals_fold on every corpus pair + the
@@ -136,7 +138,12 @@ def cosine_seq_batch(a: pd.Series, b: pd.Series) -> pd.Series:
                     continue
                 ma = np.stack([np.asarray(av[i], dtype=np.float64) for i in idxs])
                 mb = np.stack([np.asarray(bv[i], dtype=np.float64) for i in idxs])
-                dotv = np.cumsum(ma * mb, axis=1)[:, -1]
+                # + 0.0 reproduces the fold's leading ``0.0 + p0`` step
+                # for the one case cumsum diverges: an all-(-0.0)
+                # product row keeps -0.0 through every cumsum prefix,
+                # while the fold's first add normalizes it to +0.0
+                # (r15 ADVICE; bit-pinned by the -0.0 adversarial edge)
+                dotv = np.cumsum(ma * mb, axis=1)[:, -1] + 0.0
                 na = np.sqrt(np.cumsum(ma * ma, axis=1)[:, -1])
                 nb = np.sqrt(np.cumsum(mb * mb, axis=1)[:, -1])
                 out[idxs] = dotv / (na * nb)
@@ -380,10 +387,25 @@ def seed_centroids(
     aggregate keeps one running (vec, id) extremum per stripe and is
     the pre-exchange bound BY CONSTRUCTION. ivf_build A/B 0.84×.
     Result identical (ids are unique, so min-id-per-stripe picks the
-    same row the ASC row_number did)."""
+    same row the ASC row_number did). Precondition (r15 ADVICE):
+    ``id_col`` must be NON-NULL — the old nulls-first ASC window would
+    seed a NULL-id row where ``min_by`` skips rows whose ordering key
+    is NULL. Every caller feeds a primary-key id (ids-unique is already
+    assumed); a nullable id column is outside the contract."""
     return corpus.groupBy(
         (F.col(id_col) % ncentroids).cast("int").alias("centroid_id")
     ).agg(F.min_by(F.col(vec_col), F.col(id_col)).alias("centv"))
+
+
+# ncentroids × dim ceiling for closure-based routing (r16, VERDICT r15
+# item 3): the collected centroid matrix is serialized into EVERY
+# routing task's UDF command, so it must stay task-closure-sized. 4M
+# floats ≈ 32 MB as float64 — an order of magnitude above any real
+# IVF/kmeans/PQ centroid set here (≤64 × 64 today), while a caller that
+# sneaks a corpus-sized "centroid" relation in fails loudly instead of
+# silently shipping hundreds of MB per task. Callers above the bound
+# need a broadcast-join routing path, which no current caller does.
+_CENT_CLOSURE_MAX_FLOATS = 4_000_000
 
 
 def _cent_rows(cents: DataFrame) -> list:
@@ -393,8 +415,18 @@ def _cent_rows(cents: DataFrame) -> list:
     over these instead of broadcast-joining the DataFrame: same bytes
     reach the driver either way (a broadcast collects to the driver
     first), but the downstream plan loses a crossJoin and a per-id
-    window sort (see _assign_to_centroids)."""
-    return [(r["centroid_id"], r["centv"]) for r in cents.collect()]
+    window sort (see _assign_to_centroids). Guarded by
+    ``_CENT_CLOSURE_MAX_FLOATS`` — see the bound's comment."""
+    rows = [(r["centroid_id"], r["centv"]) for r in cents.collect()]
+    n_floats = sum(len(v) for _, v in rows if v is not None)
+    if n_floats > _CENT_CLOSURE_MAX_FLOATS:
+        raise ValueError(
+            f"centroid relation too large for closure routing: "
+            f"{len(rows)} rows / {n_floats} floats exceeds "
+            f"_CENT_CLOSURE_MAX_FLOATS={_CENT_CLOSURE_MAX_FLOATS}; "
+            "use a broadcast-join routing path for codebooks this size"
+        )
+    return rows
 
 
 def _assign_to_centroids(
@@ -873,6 +905,11 @@ def ivf_topk_indexed(
     # contract) so the probed-ids collect below and the scoring join
     # consume ONE routing evaluation instead of re-running the probe
     # matmul per consumer (the margin_bitext_pairs precedent).
+    # SIZE CONTRACT (r16, VERDICT r15 item 3): localCheckpoint blocks
+    # are executor-local and NON-replicated — this stays correct and
+    # cheap only while the pinned relation is a query batch (#queries ×
+    # nprobe rows), never a corpus; a lost executor re-fails the query
+    # rather than silently recomputing.
     q_probe = (
         _probe_lists(queries, _cent_rows(cents), nprobe, id_col, vec_col)
         .select(
@@ -1406,6 +1443,16 @@ def margin_bitext_pairs(
             .select("sid", "tid", cos_expr)
             .localCheckpoint(eager=False)  # consumed by μ_t and the union
         )
+        # r16 (ADVICE r15): the twin returns NaN where the fold would
+        # RAISE (zero-norm vectors) — and Spark orders NaN ABOVE every
+        # number, so a NaN cos would pass cos > 0, poison the k-NN
+        # means, and sort FIRST under desc(margin) as a pair's winning
+        # row. Drop NaN explicitly. Placed AFTER the checkpoint so the
+        # filter reads materialized rows instead of letting the
+        # optimizer duplicate the UDF below a pushed-down filter
+        # (guide §4.4).
+        fwd_scored = fwd_scored.filter(~F.isnan("cos"))
+        bwd_scored = bwd_scored.filter(~F.isnan("cos"))
         # identical expression on identical values → bit-identical cos:
         # the (sid, tid, cos) distinct is safe on the double
         cand_scored = fwd_scored.unionAll(bwd_scored).distinct()

@@ -2113,6 +2113,11 @@ def test_cosine_seq_batch_bit_equals_fold(spark):
             (1007, 7, [float("inf"), 1.0], [1.0, 1.0]),
             (1008, 8, [1e-38, -1e-38, 3e-39], [1e-38, 1e-38, -2e-38]),
             (1009, 9, [-1.5, 2.25], [4.75, -0.375]),
+            # every product exactly -0.0: the fold's leading 0.0 + p0
+            # normalizes to +0.0; the twin's cumsum must too (r15
+            # ADVICE — the "+ 0.0" tail in cosine_seq_batch). Raw-bit
+            # comparison below distinguishes -0.0 from +0.0.
+            (1010, 10, [0.0, 1.0], [-1.0, -0.0]),
         ],
         edge_schema,
     )
@@ -2140,3 +2145,21 @@ def test_cosine_seq_batch_bit_equals_fold(spark):
         )
     ]
     assert diverged == [], f"cos diverged on {len(diverged)} rows: {diverged[:5]}"
+
+
+def test_cent_rows_closure_size_guard(spark, monkeypatch):
+    """r16 (VERDICT r15 item 3): closure-based routing must fail loudly
+    when the centroid relation outgrows task-closure size instead of
+    silently serializing the matrix into every task's UDF command."""
+    import pytest as _pytest
+
+    from opentick_spark.operators import similarity as S
+
+    cents = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(4)],
+        "centroid_id int, centv array<float>",
+    )
+    assert len(S._cent_rows(cents)) == 4  # under the bound: fine
+    monkeypatch.setattr(S, "_CENT_CLOSURE_MAX_FLOATS", 16)
+    with _pytest.raises(ValueError, match="closure routing"):
+        S._cent_rows(cents)
