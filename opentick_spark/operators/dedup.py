@@ -1183,6 +1183,19 @@ def duplicate_spans(
     never doc-pairwise; a degenerate hot gram co-locates its rows the
     same as the join it replaces.
 
+    r16 (guide §2.3 shuffle keys, not payloads — the
+    video_sequence_groups fingerprint lesson): the count window keys on
+    a TWO-SEED xxhash64 pair of the n token columns instead of the
+    concatenated gram string. Every corpus gram row crosses the gram
+    exchange as 16 bytes of key instead of an n-token string, the
+    window sort compares two longs, and the concat is never built. Two
+    DIFFERENT grams merge their counts only on a simultaneous collision
+    in both independent 64-bit spaces (≈2^-128 per pair in the random
+    model — no data scale reaches it; the brute-force randomized model
+    test and the DuckDB oracle, which both compute exact gram strings,
+    re-verify at every SF). Hashing the token COLUMNS (not the joined
+    string) also removes any dependence on the join delimiter.
+
     Output (one row per input doc): id, n_spans, dup_windows,
     dup_tokens (union coverage in tokens), total_tokens, dup_frac.
     """
@@ -1194,20 +1207,21 @@ def duplicate_spans(
     )
     w = Window.partitionBy("id").orderBy("__pos")
     leads = [F.lead("__tok", j).over(w).alias(f"__l{j}") for j in range(1, n)]
+    gram = F.concat_ws(" ", "__tok", *[f"__l{j}" for j in range(1, n)])
     grams = (
         toks.select("id", "__pos", "__tok", *leads)
         .filter(F.col(f"__l{n-1}").isNotNull())
         .select(
             "id",
             "__pos",
-            F.concat_ws(
-                " ", "__tok", *[f"__l{j}" for j in range(1, n)]
-            ).alias("g"),
+            F.xxhash64(gram).alias("__g1"),
+            F.xxhash64(F.lit(0x9E3779B9), gram).alias("__g2"),
         )
     )
     duppos = (
         grams.withColumn(
-            "__c", F.count(F.lit(1)).over(Window.partitionBy("g"))
+            "__c",
+            F.count(F.lit(1)).over(Window.partitionBy("__g1", "__g2")),
         )
         .filter(F.col("__c") >= min_count)
         .select("id", "__pos")
