@@ -62,6 +62,14 @@ _REMOTE_SCHEMES = (
 _SCHEME_RE = _re.compile(rf"^({_REMOTE_SCHEMES}):", _re.IGNORECASE)
 
 
+def is_local_path(path: str) -> bool:
+    """True when ``path`` is a plain local filesystem path (no URI
+    scheme) — the predicate behind ``require_local_path``, exposed for
+    call sites that FALL BACK to a Spark/Hadoop read on URIs instead of
+    rejecting them (e.g. the driver-side centroid-metadata read)."""
+    return not (path and _SCHEME_RE.match(path))
+
+
 def require_local_path(path: str, what: str) -> str:
     """Loudly reject scheme-qualified URIs for the deliberately-LOCAL
     ``os``/``open()`` designs (r14, VERDICT r13 item 4): the engine

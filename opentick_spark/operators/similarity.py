@@ -408,16 +408,9 @@ def seed_centroids(
 _CENT_CLOSURE_MAX_FLOATS = 4_000_000
 
 
-def _cent_rows(cents: DataFrame) -> list:
-    """Driver-collect a centroid relation as (centroid_id, centv) rows —
-    ncentroids × dim, tiny by construction (the PQ-codebook /
-    probed-centroid-ids collect() precedent). The routing passes close
-    over these instead of broadcast-joining the DataFrame: same bytes
-    reach the driver either way (a broadcast collects to the driver
-    first), but the downstream plan loses a crossJoin and a per-id
-    window sort (see _assign_to_centroids). Guarded by
-    ``_CENT_CLOSURE_MAX_FLOATS`` — see the bound's comment."""
-    rows = [(r["centroid_id"], r["centv"]) for r in cents.collect()]
+def _guard_cent_rows(rows: list) -> list:
+    """Enforce ``_CENT_CLOSURE_MAX_FLOATS`` on a collected centroid row
+    list (shared by the Spark-collect and driver-parquet readers)."""
     n_floats = sum(len(v) for _, v in rows if v is not None)
     if n_floats > _CENT_CLOSURE_MAX_FLOATS:
         raise ValueError(
@@ -427,6 +420,52 @@ def _cent_rows(cents: DataFrame) -> list:
             "use a broadcast-join routing path for codebooks this size"
         )
     return rows
+
+
+def _cent_rows(cents: DataFrame) -> list:
+    """Driver-collect a centroid relation as (centroid_id, centv) rows —
+    ncentroids × dim, tiny by construction (the PQ-codebook /
+    probed-centroid-ids collect() precedent). The routing passes close
+    over these instead of broadcast-joining the DataFrame: same bytes
+    reach the driver either way (a broadcast collects to the driver
+    first), but the downstream plan loses a crossJoin and a per-id
+    window sort (see _assign_to_centroids). Guarded by
+    ``_CENT_CLOSURE_MAX_FLOATS`` — see the bound's comment."""
+    return _guard_cent_rows(
+        [(r["centroid_id"], r["centv"]) for r in cents.collect()]
+    )
+
+
+def _centroid_rows_from_index(spark, path: str) -> list:
+    """Read a persisted index's centroids relation (ncentroids × dim —
+    metadata-sized by construction) as (centroid_id, centv) rows.
+
+    r16 (guide §1.2 fixed work; §5 the driver decides with small rows):
+    for a LOCAL index path the 16-row parquet is read driver-side via
+    pyarrow — zero Spark jobs — instead of a full
+    spark.read.parquet(...).collect() job per probe/append call; at
+    sf0.1 each such job costs ~0.3s of pure scheduling on a 1 KB file
+    (ivf_query / sim_topk_ivf_* composites pay it 1–2× per run). The
+    float32 → Python float upcast is IDENTICAL to what Spark's collect
+    performs, so routing math is bit-unchanged. Scheme-qualified index
+    paths (the documented Hadoop-FS surface of build/query) keep the
+    Spark read."""
+    cdir = f"{path}/centroids"
+    from opentick_spark.fsutil import is_local_path
+
+    if is_local_path(cdir) and os.path.isdir(cdir):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(cdir)
+        return _guard_cent_rows(
+            list(
+                zip(
+                    t.column("centroid_id").to_pylist(),
+                    t.column("centv").to_pylist(),
+                )
+            )
+        )
+    return _cent_rows(spark.read.parquet(cdir))
 
 
 def _assign_to_centroids(
@@ -866,6 +905,13 @@ def build_ivf_index(
         cents = kmeans_centroids(corpus, id_col, vec_col, ncentroids, train_iters)
     else:
         cents = seed_centroids(corpus, id_col, vec_col, ncentroids)
+    # r16 NEGATIVE RESULT (kept as the r15 shape): writing
+    # <path>/centroids from the driver-collected rows (createDataFrame
+    # local relation) to skip the eager checkpoint was tried and
+    # measured 15-22% SLOWER on 3/3 interleaved build pairs — a
+    # Python-backed local relation's write job pays a Python-worker
+    # unpickle (~0.3s) where the checkpoint write is JVM-only, and the
+    # collect-from-checkpoint it would have saved costs ~0.04s.
     cents = cents.localCheckpoint(eager=True)  # one training, two writers
     # r15: route via the matrix-argmax router (see _assign_to_centroids)
     c_assign = _assign_to_centroids(
@@ -896,7 +942,8 @@ def ivf_topk_indexed(
     filter (a handful of ids: #queries × nprobe at most), so the parquet
     reader prunes every other directory. Same output contract as
     ``ivf_topk``."""
-    cents = spark.read.parquet(f"{path}/centroids")
+    # r16: the centroid metadata is read driver-side (zero Spark jobs
+    # on a local index — see _centroid_rows_from_index).
     # r15: probe via the matrix-argsort router (_probe_lists) — the
     # centroid relation is driver-collected (ncentroids × dim, tiny)
     # instead of broadcast-crossJoined, removing the per-query window
@@ -911,7 +958,13 @@ def ivf_topk_indexed(
     # nprobe rows), never a corpus; a lost executor re-fails the query
     # rather than silently recomputing.
     q_probe = (
-        _probe_lists(queries, _cent_rows(cents), nprobe, id_col, vec_col)
+        _probe_lists(
+            queries,
+            _centroid_rows_from_index(spark, path),
+            nprobe,
+            id_col,
+            vec_col,
+        )
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
@@ -1119,12 +1172,13 @@ def ivf_index_append(
             ignore_errors=True,
         )
         return 0
-    cents = spark.read.parquet(f"{path}/centroids")
     # r15: route the delta via the matrix-argmax router (see
     # _assign_to_centroids) — one narrow Arrow pass over just the
-    # delta, no crossJoin/window
+    # delta, no crossJoin/window. r16: centroid metadata read
+    # driver-side (zero Spark jobs on a local index — the append path
+    # already REQUIRES a local path above).
     delta = _assign_to_centroids(
-        new_vectors, _cent_rows(cents), id_col, vec_col
+        new_vectors, _centroid_rows_from_index(spark, path), id_col, vec_col
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
