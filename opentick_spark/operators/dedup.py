@@ -1768,14 +1768,30 @@ def line_dedup(
             F.split(F.coalesce(F.col(text_col), F.lit("")), delim, -1)
         ).alias("__pos", "__line"),
     )
+    # r16 (guide §2.3 shuffle keys, not payloads — the duplicate_spans
+    # hash-pair lesson): the window key used to be the 'L'-prefixed
+    # line STRING itself (or the 'B'-namespaced (doc, pos) for
+    # blank-exempt rows), so every line crossed the exchange twice —
+    # once as the reassembly payload, once as the key. Key on a
+    # two-seed xxhash64 pair instead: the key is 16 bytes regardless of
+    # line length, the window sort compares longs, and the 'B'/'L'
+    # namespace marker stays the first hash input so the two key
+    # spaces cannot alias. Two DIFFERENT lines co-key only on a
+    # simultaneous collision in both independent 64-bit spaces
+    # (~2^-128 per pair); the DuckDB oracle (exact strings) re-verifies
+    # at both SFs.
     exempt = F.trim(F.col("__line")) == ""
-    keyed = lines.withColumn(
-        "__k",
-        F.when(
-            exempt, F.concat_ws("\x00", F.lit("B"), F.col("id"), F.col("__pos"))
-        ).otherwise(F.concat(F.lit("L"), F.col("__line"))),
+
+    def _key(seed_cols):
+        return F.when(
+            exempt,
+            F.xxhash64(*seed_cols, F.lit("B"), F.col("id"), F.col("__pos")),
+        ).otherwise(F.xxhash64(*seed_cols, F.lit("L"), F.col("__line")))
+
+    keyed = lines.withColumn("__k1", _key([])).withColumn(
+        "__k2", _key([F.lit(0x9E3779B9)])
     )
-    w_ord = Window.partitionBy("__k").orderBy("id", "__pos")
+    w_ord = Window.partitionBy("__k1", "__k2").orderBy("id", "__pos")
     w_all = w_ord.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
