@@ -951,51 +951,58 @@ class TableStore:
         j = source.join(tgt, pk, "left")
         matched = F.coalesce(F.col("__matched"), F.lit(False))
 
-        def _vals(for_insert: bool):
-            out = []
-            for c in schema.columns:
-                if c.name in pk:
-                    continue
-                if c.name in source.columns:
-                    out.append(F.col(c.name))
-                elif for_insert:
-                    out.append(F.lit(None).cast(spark_type(c.type)).alias(c.name))
-                else:
-                    out.append(F.col(f"__tgt_{c.name}").alias(c.name))
-            return out
+        # r16 (the fork-recompute class, guide §2.4): the previous
+        # union-of-filtered-branches re-executed the pruned target scan
+        # — including its latest-wins aggregate — and the PK join ONCE
+        # PER CLAUSE (an update+insert merge carried the whole join
+        # subtree twice in the executed plan; nothing pinned it). The
+        # clauses differ only in the VALUES a row emits, so one
+        # projection with per-row conditionals replaces the union: a
+        # single scan+join pass for every clause combination, each
+        # source row emitted exactly once (matched XOR not-matched).
+        upd = when_matched == "update"
+        ins = when_not_matched == "insert"
+        if when_matched is not None and ins:
+            filt = None  # every join row emits a merge row
+        elif when_matched is not None:
+            filt = matched
+        else:
+            filt = ~matched
 
-        parts = []
-        if when_matched == "update":
-            parts.append(
-                j.filter(matched)
-                .select(*pk, *_vals(for_insert=False))
-                .withColumn("__do_del", F.lit(False))
-            )
-        elif when_matched == "delete":
-            parts.append(
-                j.filter(matched)
-                .select(
-                    *pk,
-                    *[
-                        F.lit(None).cast(spark_type(c.type)).alias(c.name)
-                        for c in schema.columns
-                        if c.name not in pk
-                    ],
+        def _val(c):
+            null = F.lit(None).cast(spark_type(c.type))
+            src = F.col(c.name) if c.name in source.columns else null
+            if upd:
+                # update keeps source values and preserves carried
+                # target values; for a NOT-matched row __tgt_<c> is
+                # already NULL (left-join miss), so the carried column
+                # doubles as the insert branch's NULL — no CASE needed
+                m = (
+                    F.col(c.name)
+                    if c.name in source.columns
+                    else F.col(f"__tgt_{c.name}")
                 )
-                .withColumn("__do_del", F.lit(True))
-            )
-        if when_not_matched == "insert":
-            parts.append(
-                j.filter(~matched)
-                .select(*pk, *_vals(for_insert=True))
-                .withColumn("__do_del", F.lit(False))
-            )
-        if not parts:
-            return
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        self.append_dataframe(out, delete_col="__do_del")
+            else:
+                m = null  # delete tombstone (or matched-ignored rows,
+                # which filt already dropped)
+            if not ins:
+                return m.alias(c.name)
+            if when_matched is None:
+                return src.alias(c.name)
+            if upd and c.name in source.columns:
+                return F.col(c.name)  # same value on both branches
+            if upd:
+                return m.alias(c.name)  # carried-or-NULL, see above
+            return F.when(matched, m).otherwise(src).alias(c.name)
+
+        vals = [_val(c) for c in schema.columns if c.name not in pk]
+        do_del = (
+            matched if when_matched == "delete" else F.lit(False)
+        ).alias("__do_del")
+        out = j if filt is None else j.filter(filt)
+        self.append_dataframe(
+            out.select(*pk, *vals, do_del), delete_col="__do_del"
+        )
 
     @staticmethod
     def _zorder_value(df: DataFrame, cols: list[str], bits: int = 21):
