@@ -885,6 +885,26 @@ def pq_topk_rerank(
 
 
 # ---------------------------------------------------------------------------
+def _cluster_for_lists(df: DataFrame, id_col: str) -> DataFrame:
+    """Salted repartition on the list partition key before every
+    ``partitionBy("centroid_id")`` write of IVF lists (r16, guide §6
+    file sizing / §2.5 deterministic salt). A plain partitionBy write
+    opens one file per (map task × centroid) — 51 files for the 56 KB
+    sf0.1 index, 480 at the 100x drill tier, M×K at cluster scale (the
+    classic small-files explosion; every probe pays the per-file open
+    cost forever after). Clustering first bounds files per list at
+    ~nsplit while keeping big lists parallel; the salt is DERIVED FROM
+    THE ID (retry-stable under task re-runs — never rand(), guide
+    §2.5/SPARK-38388), and AQE's partition coalescing collapses the
+    small local case to a handful of write tasks. nsplit scales with
+    the cluster (defaultParallelism), not a local constant."""
+    nsplit = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    return df.repartition(
+        F.col("centroid_id"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nsplit)),
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -922,9 +942,9 @@ def build_ivf_index(
         "centroid_id",
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    c_assign.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{path}/lists"
-    )
+    _cluster_for_lists(c_assign, "neighbor_id").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(f"{path}/lists")
 
 
 def ivf_topk_indexed(
@@ -1194,9 +1214,12 @@ def ivf_index_append(
         from pyspark.sql import Observation
 
         obs = Observation()
-        delta.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-            "append"
-        ).partitionBy("centroid_id").parquet(f"{path}/lists")
+        _cluster_for_lists(
+            delta.observe(obs, F.count(F.lit(1)).alias("n")),
+            "neighbor_id",
+        ).write.mode("append").partitionBy("centroid_id").parquet(
+            f"{path}/lists"
+        )
         return int(obs.get["n"])
 
     # exactly-once publish (docstring above): stage → freeze → link →
@@ -1207,10 +1230,12 @@ def ivf_index_append(
     sentinel = os.path.join(staged, "_STAGED")
     if not os.path.exists(sentinel):
         # (re)stage: before the sentinel exists no file has been linked
-        # into the lists, so a full overwrite is safe
-        delta.write.mode("overwrite").partitionBy("centroid_id").parquet(
-            os.path.join(staged, "data")
-        )
+        # into the lists, so a full overwrite is safe (staged files are
+        # hard-linked into the lists, so their count propagates — the
+        # same _cluster_for_lists sizing applies)
+        _cluster_for_lists(delta, "neighbor_id").write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(os.path.join(staged, "data"))
         with open(sentinel, "w"):
             pass  # freezes the staged file set for the link step
     n = 0
