@@ -81,70 +81,64 @@ ALL_ORACLES = {**_CORE_O, **_TICK_O, **_LLM_O}
 # asked for — query → rounds driver-checked → local verification),
 # replacing the docstring changelogs.
 _DRIVER_WINDOW = [
-    # ---- round 15 rotation (VERDICT r14 item 5): the documented queue.
-    # pk_prefix_scan and pk_point_get — displaced by the r14 additions —
-    # restored FIRST per the verdict ----
-    "pk_prefix_scan",
-    "pk_point_get",
-    # ---- tail of the r10-stale cohort (the 22 entries the r14 window's
-    # 26-entry alphabetical head did not reach) ----
-    "pk_range_scan",
-    "png_decode_features",
-    "pricing_summary",
-    "referential_integrity_audit",
-    "retention_cohorts",
-    "revenue_by_nation",
-    "roll_spread_estimate",
-    "rolling_beta_7d",
-    "scalar_subquery_filter",
-    "session_windows",
-    "sim_topk_ivf",
-    "stats_by_event_type",
-    "streaming_arrow_ingest",
-    "streaming_chunk_dedup",
-    "streaming_image_dedup",
-    "streaming_ivf_append",
-    "streaming_upsert_ingest",
-    "streaming_zst_ingest",
-    "tail_limit",
-    "text_lang_id",
-    "top_orders_by_revenue",
-    "video_dedup_fingerprint",
-    # ---- alphabetical head of the r11-stale cohort (47 entries; 25
-    # fill the window, the 22-entry tail from rollup_nation_region on
-    # leads the r16 queue) ----
-    "ann_recall_report",
-    "approx_quantiles",
-    "conditional_agg_filter",
-    "contamination_8gram",
-    "corpus_pipeline",
-    "cube_status_priority",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_simhash",
-    "distinct_suppliers_per_flag",
-    "drop_evolution_state",
-    "embedding_label_stats",
-    "except_all_high_value",
-    "grouping_sets_mixed",
-    "hop_window_counts",
-    "incremental_agg_maintenance",
-    "intersect_users",
-    "interval_join_windows",
-    "log_diff_incremental",
-    "lsh_banding_efficiency",
-    "mixture_sample",
-    "mjpg_frame_stats",
-    "multimodal_features",
-    "pack_sequences_by_lang",
-    "profile_orders",
-    # ---- mid-round r15 additions (first-time driver evidence the
-    # round they land, the r6-r14 precedent) ----
-    # line-level boilerplate dedup (RefinedWeb/C4 staple, VERDICT r14
-    # item 3): one-Generate count-over-window + reassembly; displaces
-    # rollup_nation_region (next r11-stale alphabetical) to the r16
-    # queue head
-    "line_dedup_stats",
+    # ---- round 16 rotation (the documented r15 queue: VERDICT r15
+    # standing-gate item 9). Stalest-first: the 22-entry TAIL of the
+    # r11-stale cohort from rollup_nation_region on (the r15 window
+    # took that cohort's 25-entry alphabetical head; line_dedup_stats
+    # displaced rollup_nation_region to this queue's head) ----
+    "rollup_nation_region",
+    "salted_join_revenue",
+    "semantic_dedup",
+    "semi_anti_join",
+    "set_ops_except",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "source_pagerank",
+    "streaming_cdc_apply",
+    "streaming_join_purchases",
+    "streaming_session_windows",
+    "streaming_stateful_totals",
+    "streaming_window_counts",
+    "text_bm25_search",
+    "text_chunking",
+    "text_compression_ratio",
+    "text_dup_ngram_coverage",
+    "video_frame_stats",
+    "vwap_hourly",
+    "wav_decode_features",
+    "widen_evolution_state",
+    "window_rank_topn",
+    # ---- alphabetical head of the r12-stale cohort (50 entries last
+    # driver-checked in CORRECTNESS_r12; the remaining 22 lead the
+    # r17 queue) ----
+    "adj_factor_audit",
+    "ann_recall_planted",
+    "arrow_ipc_roundtrip_stats",
+    "balanced_sample_per_lang",
+    "bar_downsample_daily",
+    "bigram_pmi_top",
+    "bitext_margin_mine",
+    "cms_word_freq",
+    "corpus_split_stats",
+    "curated_corpus_stats",
+    "curriculum_length_buckets",
+    "data_quality_report",
+    "decayed_event_stats",
+    "dedup_aware_split_stats",
+    "dedup_embedding_lsh",
+    "dedup_keeper_by_quality",
+    "dedup_ngram_jaccard",
+    "deterministic_shard_assign",
+    "dialect_upsert_delete",
+    "dsir_importance_scores",
+    "dup_span_stats",
+    "event_transitions",
+    "exact_length_percentiles",
+    "heavy_hitter_words",
+    "idempotent_batch_state",
+    "image_exif_audit",
+    "jsonl_zst_ingest_stats",
+    "knn_label_vote",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
