@@ -65,8 +65,18 @@ def group_delta(
             f"diff frame lacks old_* columns for {missing}; call "
             "TableStore.diff(..., include_old=True)"
         )
-    plus = diff.filter(F.col("change").isin("added", "changed")).select(
-        *[F.col(c) for c in group_cols],
+    # r16 (the merge_into fork-recompute lesson, guide §2.4): the
+    # previous plus/minus formulation FILTERED the diff twice and
+    # unioned — the diff relation (a full-outer join of two time-travel
+    # snapshots, table.py) re-executed once per leg with nothing
+    # pinning it. A changed row legitimately emits TWO rows (new-side
+    # +1, old-side −1, possibly under DIFFERENT group keys), so the
+    # single-pass shape is explode-of-structs: build 0–2 signed entries
+    # per diff row and inline them — one evaluation of the diff, one
+    # Generate instead of a Union of two subtree copies.
+    chg = F.col("change")
+    plus_entry = F.struct(
+        *[F.col(c).alias(c) for c in group_cols],
         F.lit(1).cast("long").alias(IVM_COUNT),
         *[
             F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(
@@ -75,7 +85,7 @@ def group_delta(
             for c in sum_cols
         ],
     )
-    minus = diff.filter(F.col("change").isin("removed", "changed")).select(
+    minus_entry = F.struct(
         *[F.col(f"old_{c}").alias(c) for c in group_cols],
         F.lit(-1).cast("long").alias(IVM_COUNT),
         *[
@@ -85,8 +95,15 @@ def group_delta(
             for c in sum_cols
         ],
     )
+    entries = F.array_compact(
+        F.array(
+            F.when(chg.isin("added", "changed"), plus_entry),
+            F.when(chg.isin("removed", "changed"), minus_entry),
+        )
+    )
     return (
-        plus.unionByName(minus)
+        diff.select(F.explode(entries).alias("__e"))
+        .select("__e.*")
         .groupBy(*group_cols)
         .agg(
             F.sum(IVM_COUNT).alias(IVM_COUNT),
