@@ -962,39 +962,62 @@ def ivf_topk_indexed(
     filter (a handful of ids: #queries × nprobe at most), so the parquet
     reader prunes every other directory. Same output contract as
     ``ivf_topk``."""
-    # r16: the centroid metadata is read driver-side (zero Spark jobs
-    # on a local index — see _centroid_rows_from_index).
-    # r15: probe via the matrix-argsort router (_probe_lists) — the
-    # centroid relation is driver-collected (ncentroids × dim, tiny)
-    # instead of broadcast-crossJoined, removing the per-query window
-    # sort; tie-break (sim desc, centroid_id asc) unchanged. The lazy
-    # checkpoint pins the probe relation (query-batch-sized by
-    # contract) so the probed-ids collect below and the scoring join
-    # consume ONE routing evaluation instead of re-running the probe
-    # matmul per consumer (the margin_bitext_pairs precedent).
-    # SIZE CONTRACT (r16, VERDICT r15 item 3): localCheckpoint blocks
-    # are executor-local and NON-replicated — this stays correct and
-    # cheap only while the pinned relation is a query batch (#queries ×
-    # nprobe rows), never a corpus; a lost executor re-fails the query
-    # rather than silently recomputing.
-    q_probe = (
-        _probe_lists(
-            queries,
-            _centroid_rows_from_index(spark, path),
-            nprobe,
-            id_col,
-            vec_col,
-        )
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            "centroid_id",
-        )
-        .localCheckpoint(eager=False)
+    # r16: the whole probe decision happens ON THE DRIVER. The query
+    # batch is broadcast into the scoring join below, so it is
+    # driver-memory-bounded BY CONTRACT already (a broadcast collects
+    # to the driver first); collecting it here and routing with the
+    # SAME numpy code the executor router runs (_route_matrix /
+    # _route_topk — one implementation, bit-identical by construction)
+    # removes the probe UDF job AND the probed-ids distinct/collect
+    # job the r15 shape paid per query call (the lazy-checkpoint pin
+    # that kept those two consumers on one evaluation is no longer
+    # needed — there is nothing left to recompute). Centroid metadata
+    # is also read driver-side (_centroid_rows_from_index): the query
+    # path launches ONE Spark job — the pruned scan itself. The probe
+    # relation ships back as an Arrow-table local relation (JVM-only at
+    # execution — the pickle path would re-pay a Python worker, the
+    # r16 build negative result), with arrow types derived from the
+    # queries schema so output types are unchanged.
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    crows = _centroid_rows_from_index(spark, path)
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    pa_schema = pa.schema(
+        [
+            pa.field(
+                "query_id", to_arrow_type(queries.schema[id_col].dataType)
+            ),
+            pa.field("qv", to_arrow_type(queries.schema[vec_col].dataType)),
+            pa.field("centroid_id", pa.int64()),
+        ]
     )
-    probed = [
-        r["centroid_id"] for r in q_probe.select("centroid_id").distinct().collect()
-    ]
+    if qrows:
+        cids, Cn, n = _route_matrix(crows, nprobe)
+        top = _route_topk(cids, Cn, n, [r["qv"] for r in qrows])
+        probe_tbl = pa.Table.from_arrays(
+            [
+                pa.array(
+                    [r["query_id"] for r in qrows for _ in range(n)],
+                    type=pa_schema.field("query_id").type,
+                ),
+                pa.array(
+                    [r["qv"] for r in qrows for _ in range(n)],
+                    type=pa_schema.field("qv").type,
+                ),
+                pa.array([int(c) for row in top for c in row], pa.int64()),
+            ],
+            schema=pa_schema,
+        )
+        probed = sorted({int(c) for row in top for c in row})
+    else:
+        probe_tbl = pa.Table.from_arrays(
+            [pa.array([], type=f.type) for f in pa_schema], schema=pa_schema
+        )
+        probed = []
+    q_probe = spark.createDataFrame(probe_tbl)
     lists = spark.read.parquet(f"{path}/lists").filter(
         F.col("centroid_id").isin(probed)
     )
@@ -1340,6 +1363,30 @@ def random_projection(
     return df.select(F.col(id_col), _project(F.col(vec_col)).alias("proj"))
 
 
+def _route_matrix(cents_rows, nprobe: int):
+    """The routing constants shared — BY CONSTRUCTION, so executor and
+    driver routing can never diverge bitwise — between ``_probe_lists``'
+    Arrow UDF and ``ivf_topk_indexed``'s driver-side query probe (r16):
+    cid-ascending centroid ids, the float64-normalized centroid matrix,
+    and the clamped probe depth."""
+    order = sorted(cents_rows, key=lambda r: r[0])  # cid-ascending
+    cids = np.asarray([int(c) for c, _ in order], dtype=np.int64)
+    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in order])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    return cids, Cn, min(int(nprobe), len(cids))
+
+
+def _route_topk(cids, Cn, n, vecs):
+    """Top-``n`` probed centroid ids per vector (rows of the return, in
+    probe-rank order). Stable argsort on -sims over cid-ascending
+    columns: exact ties go to the LOWER centroid_id deterministically —
+    the single implementation both routing surfaces call."""
+    V = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+    sims = Vn @ Cn.T
+    return cids[np.argsort(-sims, axis=1, kind="stable")[:, :n]]
+
+
 def _probe_lists(
     df: DataFrame,
     cents_rows,
@@ -1360,23 +1407,13 @@ def _probe_lists(
     assignment list), so one routing pass serves both the probe side
     and the assignment side (r13 review finding: a separate nprobe=1
     pass doubled the routing matmul/argsort over each corpus)."""
-    order = sorted(cents_rows, key=lambda r: r[0])  # cid-ascending
-    cids = np.asarray([int(c) for c, _ in order], dtype=np.int64)
-    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in order])
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-    n = min(int(nprobe), len(cids))
+    cids, Cn, n = _route_matrix(cents_rows, nprobe)
 
     @pandas_udf(ArrayType(LongType()))
     def _probe(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="object")
-        V = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-        sims = Vn @ Cn.T
-        # stable argsort on -sims over cid-ascending columns: exact
-        # ties go to the lower centroid_id deterministically
-        top = np.argsort(-sims, axis=1, kind="stable")[:, :n]
-        return pd.Series(list(cids[top]))
+        return pd.Series(list(_route_topk(cids, Cn, n, v)))
 
     return df.select(
         F.col(id_col),

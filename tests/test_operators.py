@@ -1483,6 +1483,57 @@ def test_ivf_index_persist_prune_and_match(spark, tmp_path):
     assert len(dirs) == 8
 
 
+def test_driver_probe_matches_udf_probe(spark):
+    """r16: ivf_topk_indexed routes the query batch ON THE DRIVER with
+    the same _route_matrix/_route_topk code _probe_lists' Arrow UDF
+    runs. Pin the two surfaces bit-equal on a randomized fixture,
+    including exact-tie vectors (ties must go to the LOWER centroid_id
+    on both paths)."""
+    import random
+
+    from opentick_spark.operators.similarity import (
+        _probe_lists,
+        _route_matrix,
+        _route_topk,
+    )
+
+    rng = random.Random(7)
+    dim, ncent, nvec, nprobe = 8, 6, 40, 3
+    crows = [
+        (c, [rng.uniform(-1, 1) for _ in range(dim)]) for c in range(ncent)
+    ]
+    # exact-tie probe: vector 0 equidistant from two identical centroids
+    crows[3] = (3, list(crows[1][1]))
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(nvec)
+    ]
+    vecs[0] = (0, list(crows[1][1]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    via_udf = sorted(
+        (r["vec_id"], r["__probe_rank"], r["centroid_id"])
+        for r in _probe_lists(
+            df, crows, nprobe, "vec_id", "embedding"
+        ).collect()
+    )
+    # driver side sees the SAME float32 values the executor saw (the
+    # DataFrame round-trips the python floats through float32)
+    f32 = {
+        r["vec_id"]: r["embedding"]
+        for r in df.select("vec_id", "embedding").collect()
+    }
+    cids, Cn, n = _route_matrix(crows, nprobe)
+    top = _route_topk(cids, Cn, n, [f32[i] for i, _ in vecs])
+    via_driver = sorted(
+        (vecs[j][0], rank, int(top[j][rank]))
+        for j in range(nvec)
+        for rank in range(n)
+    )
+    assert via_driver == via_udf
+    # the tie vector picked the LOWER of the two identical centroids
+    tie = [c for (v, _, c) in via_driver if v == 0]
+    assert tie[0] == 1
+
+
 def test_bpe_merges_persist_roundtrip(spark, tmp_path):
     from opentick_spark.operators.text import (
         bpe_encode,
