@@ -1185,16 +1185,19 @@ def duplicate_spans(
 
     r16 (guide §2.3 shuffle keys, not payloads — the
     video_sequence_groups fingerprint lesson): the count window keys on
-    a TWO-SEED xxhash64 pair of the n token columns instead of the
-    concatenated gram string. Every corpus gram row crosses the gram
-    exchange as 16 bytes of key instead of an n-token string, the
-    window sort compares two longs, and the concat is never built. Two
-    DIFFERENT grams merge their counts only on a simultaneous collision
-    in both independent 64-bit spaces (≈2^-128 per pair in the random
-    model — no data scale reaches it; the brute-force randomized model
-    test and the DuckDB oracle, which both compute exact gram strings,
-    re-verify at every SF). Hashing the token COLUMNS (not the joined
-    string) also removes any dependence on the join delimiter.
+    a TWO-SEED xxhash64 pair of the space-joined gram instead of the
+    gram string itself. Every corpus gram row crosses the gram exchange
+    as 16 bytes of key instead of an n-token string and the window sort
+    compares two longs. Two DIFFERENT grams merge their counts only on
+    a simultaneous collision in both independent 64-bit spaces (≈2^-128
+    per pair in the random model — no data scale reaches it; the
+    brute-force randomized model test and the DuckDB oracle, which both
+    compute exact gram strings, re-verify at every SF). The concat IS
+    still built as the hash input — hashing the n token columns
+    directly (no concat) was tried and measured 3-8% SLOWER on 3/3
+    interleaved pairs (two n-column hash evaluations cost more than one
+    concat feeding two string hashes). Tokens are whitespace-split, so
+    the space join is injective here.
 
     Output (one row per input doc): id, n_spans, dup_windows,
     dup_tokens (union coverage in tokens), total_tokens, dup_frac.

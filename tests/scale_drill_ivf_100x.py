@@ -161,12 +161,6 @@ def main() -> None:
         "centroid_id#" in plan and "isin" in plan.lower()
     )
     all_files = len(glob.glob(f"{last_index}/lists/centroid_id=*/*.parquet"))
-    probed_dirs = sorted(
-        {
-            int(r["centroid_id"])
-            for r in out.select("neighbor_id").limit(0).collect() or []
-        }
-    )  # plan evidence is the gate; dir math below is informational
     print(
         json.dumps(
             {

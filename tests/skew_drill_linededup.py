@@ -86,15 +86,24 @@ def max_task_share(df_docs):
             "__pos", "__line"
         ),
     )
-    keyed = lines.withColumn(
-        "__k",
-        F.when(
-            F.trim(F.col("__line")) == "",
-            F.concat_ws("\x00", F.lit("B"), F.col("id"), F.col("__pos")),
-        ).otherwise(F.concat(F.lit("L"), F.col("__line"))),
+    # r16: mirror the operator's CURRENT key expression — the two-seed
+    # xxhash64 pair (dedup.line_dedup keys its window on __k1/__k2
+    # since the hash-pair change; the old 'L'+line / 'B'-namespaced
+    # string key no longer exists, so measuring it would histogram an
+    # exchange the operator never performs)
+    exempt = F.trim(F.col("__line")) == ""
+
+    def _key(seed_cols):
+        return F.when(
+            exempt,
+            F.xxhash64(*seed_cols, F.lit("B"), F.col("id"), F.col("__pos")),
+        ).otherwise(F.xxhash64(*seed_cols, F.lit("L"), F.col("__line")))
+
+    keyed = lines.withColumn("__k1", _key([])).withColumn(
+        "__k2", _key([F.lit(0x9E3779B9)])
     )
     parts = (
-        keyed.repartition(64, "__k")
+        keyed.repartition(64, "__k1", "__k2")
         .withColumn("pid", F.spark_partition_id())
         .groupBy("pid")
         .count()
